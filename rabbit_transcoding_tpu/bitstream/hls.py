@@ -1,0 +1,120 @@
+"""High-level-syntax container: the decoded state of one GOF's bitstream.
+
+Parity with PCCHighLevelSyntax + PCCContext (/root/reference/source/lib/
+PccLibBitstreamCommon/include/PCCHighLevelSyntax.h:57-342,
+PccLibCommon/include/PCCContext.h:125-204): VPS list, per-atlas ASPS/AFPS/
+ATL lists, per-atlas video sub-bitstreams, received SEI store.  Decoded
+videos / frame state live in codec.context (decoder-side), not here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+
+from ..utils.enums import VideoType
+from .sei import Sei
+from .syntax import (
+    AtlasFrameParameterSetRbsp,
+    AtlasSequenceParameterSetRbsp,
+    AtlasTileLayerRbsp,
+    SyntaxContext,
+    V3CParameterSet,
+)
+from .video_bitstream import VideoBitstream
+
+
+@dataclasses.dataclass
+class AtlasHLS:
+    """Per-atlas high-level syntax + video sub-bitstreams."""
+
+    atlas_id: int = 0
+    asps_list: list[AtlasSequenceParameterSetRbsp] = field(default_factory=list)
+    afps_list: list[AtlasFrameParameterSetRbsp] = field(default_factory=list)
+    atlas_tile_layers: list[AtlasTileLayerRbsp] = field(default_factory=list)
+    video_bitstreams: dict[VideoType, VideoBitstream] = field(default_factory=dict)
+    seis_prefix: list[Sei] = field(default_factory=list)
+    seis_suffix: list[Sei] = field(default_factory=list)
+
+    def asps(self, id: int = 0) -> AtlasSequenceParameterSetRbsp:
+        for a in self.asps_list:
+            if a.asps_atlas_sequence_parameter_set_id == id:
+                return a
+        raise KeyError(f"no ASPS with id {id}")
+
+    def afps(self, id: int = 0) -> AtlasFrameParameterSetRbsp:
+        for a in self.afps_list:
+            if a.afps_atlas_frame_parameter_set_id == id:
+                return a
+        raise KeyError(f"no AFPS with id {id}")
+
+    def get_video_bitstream(self, vtype: VideoType) -> VideoBitstream:
+        return self.video_bitstreams[vtype]
+
+    def set_video_bitstream(self, vb: VideoBitstream) -> None:
+        self.video_bitstreams[vb.type] = vb
+
+    def syntax_context(
+        self,
+        asps: AtlasSequenceParameterSetRbsp,
+        afps: AtlasFrameParameterSetRbsp,
+        num_ref_idx_active: int = 1,
+        ath=None,
+    ) -> SyntaxContext:
+        """Derive the patch-syntax bit widths from the active parameter sets
+        (23090-5 derivation of Pdu3dOffset*BitCount etc.)."""
+        geom3d = asps.asps_geometry_3d_bitdepth_minus1 + 1
+        geom2d = asps.asps_geometry_2d_bitdepth_minus1 + 1
+        min_d_quant = ath.ath_pos_min_d_quantizer if ath is not None else 0
+        return SyntaxContext(
+            offset_u_bits=geom3d,
+            offset_v_bits=geom3d,
+            offset_d_bits=max(1, geom3d - min_d_quant),
+            range_d_bits=max(1, geom2d - 1),
+            projection_bits=max(
+                1,
+                (asps.asps_max_number_projections_minus1).bit_length()
+                if asps.asps_extended_projection_enabled_flag
+                else 3,
+            ),
+            use_eight_orientations=asps.asps_use_eight_orientations_flag,
+            normal_axis_limits_quantization=(
+                asps.asps_normal_axis_limits_quantization_enabled_flag
+            ),
+            lod_mode_enabled=afps.afps_lod_mode_enabled_flag,
+            num_ref_idx_active=num_ref_idx_active,
+            auxiliary_video_present=asps.asps_auxiliary_video_enabled_flag,
+            raw_3d_offset_bits=(
+                ath.ath_raw_3d_offset_axis_bit_count_minus1 + 1
+                if ath is not None
+                else geom3d
+            ),
+        )
+
+
+@dataclasses.dataclass
+class Context:
+    """One GOF's worth of bitstream-level state."""
+
+    vps_list: list[V3CParameterSet] = field(default_factory=list)
+    atlases: list[AtlasHLS] = field(default_factory=list)
+    active_vps_id: int = 0
+
+    @property
+    def vps(self) -> V3CParameterSet:
+        for v in self.vps_list:
+            if v.vps_v3c_parameter_set_id == self.active_vps_id:
+                return v
+        raise KeyError(f"no VPS with id {self.active_vps_id}")
+
+    def atlas(self, atlas_id: int = 0) -> AtlasHLS:
+        for a in self.atlases:
+            if a.atlas_id == atlas_id:
+                return a
+        a = AtlasHLS(atlas_id=atlas_id)
+        self.atlases.append(a)
+        return a
+
+    @property
+    def atlas_count(self) -> int:
+        return len(self.atlases)

@@ -1,0 +1,983 @@
+"""V3C / atlas high-level syntax structures (ISO/IEC 23090-5 subset).
+
+Capability parity with PccLibBitstreamCommon's syntax structs (SURVEY.md
+§2.2): V3CParameterSet (+ ProfileTierLevel, Occupancy/Geometry/Attribute
+information), AtlasSequenceParameterSetRbsp (+ V-PCC extension),
+AtlasFrameParameterSetRbsp (+ AtlasFrameTileInformation), AtlasTileLayerRbsp
+with the full patch-data-unit family (intra/inter/merge/skip/raw/EOM), and
+reference list structs.
+
+Design difference vs the reference: each struct carries its own ``write``/
+``read`` (kept adjacent so the two directions cannot drift apart), instead of
+separate 3k-LoC reader and writer class hierarchies.  Field names follow the
+spec so they can be cross-checked against 23090-5 tables directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+
+from ..utils.enums import AtlasTileType, PatchModeITile, PatchModePTile
+from .bitio import BitReader, BitWriter
+
+
+# ===========================================================================
+# Profile / component information
+# ===========================================================================
+@dataclasses.dataclass
+class ProfileTierLevel:
+    ptl_tier_flag: bool = False
+    ptl_profile_codec_group_idc: int = 0
+    ptl_profile_toolset_idc: int = 0
+    ptl_profile_reconstruction_idc: int = 0
+    ptl_level_idc: int = 30
+    ptl_num_sub_profiles: int = 0
+    ptl_extended_sub_profile_flag: bool = False
+    ptl_sub_profile_idc: list[int] = field(default_factory=list)
+    ptl_tool_constraints_present_flag: bool = False
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.ptl_tier_flag)
+        bw.u(7, self.ptl_profile_codec_group_idc)
+        bw.u(8, self.ptl_profile_toolset_idc)
+        bw.u(8, self.ptl_profile_reconstruction_idc)
+        bw.u(16, 0)  # reserved
+        bw.u(16, 0)  # reserved
+        bw.u(8, self.ptl_level_idc)
+        bw.u(6, self.ptl_num_sub_profiles)
+        bw.u(1, self.ptl_extended_sub_profile_flag)
+        for idc in self.ptl_sub_profile_idc:
+            bw.u(64 if self.ptl_extended_sub_profile_flag else 32, idc)
+        bw.u(1, self.ptl_tool_constraints_present_flag)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "ProfileTierLevel":
+        s = cls()
+        s.ptl_tier_flag = bool(br.u(1))
+        s.ptl_profile_codec_group_idc = br.u(7)
+        s.ptl_profile_toolset_idc = br.u(8)
+        s.ptl_profile_reconstruction_idc = br.u(8)
+        br.u(16)
+        br.u(16)
+        s.ptl_level_idc = br.u(8)
+        s.ptl_num_sub_profiles = br.u(6)
+        s.ptl_extended_sub_profile_flag = bool(br.u(1))
+        s.ptl_sub_profile_idc = [
+            br.u(64 if s.ptl_extended_sub_profile_flag else 32)
+            for _ in range(s.ptl_num_sub_profiles)
+        ]
+        s.ptl_tool_constraints_present_flag = bool(br.u(1))
+        return s
+
+
+@dataclasses.dataclass
+class OccupancyInformation:
+    oi_occupancy_codec_id: int = 0
+    oi_lossy_occupancy_compression_threshold: int = 0
+    oi_occupancy_2d_bitdepth_minus1: int = 7
+    oi_occupancy_msb_align_flag: bool = False
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(8, self.oi_occupancy_codec_id)
+        bw.u(8, self.oi_lossy_occupancy_compression_threshold)
+        bw.u(5, self.oi_occupancy_2d_bitdepth_minus1)
+        bw.u(1, self.oi_occupancy_msb_align_flag)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "OccupancyInformation":
+        s = cls()
+        s.oi_occupancy_codec_id = br.u(8)
+        s.oi_lossy_occupancy_compression_threshold = br.u(8)
+        s.oi_occupancy_2d_bitdepth_minus1 = br.u(5)
+        s.oi_occupancy_msb_align_flag = bool(br.u(1))
+        return s
+
+
+@dataclasses.dataclass
+class GeometryInformation:
+    gi_geometry_codec_id: int = 0
+    gi_geometry_2d_bitdepth_minus1: int = 9
+    gi_geometry_msb_align_flag: bool = False
+    gi_geometry_3d_coordinates_bitdepth_minus1: int = 9
+    gi_auxiliary_geometry_codec_id: int = 0
+
+    def write(self, bw: BitWriter, auxiliary_video_present: bool) -> None:
+        bw.u(8, self.gi_geometry_codec_id)
+        bw.u(5, self.gi_geometry_2d_bitdepth_minus1)
+        bw.u(1, self.gi_geometry_msb_align_flag)
+        bw.u(5, self.gi_geometry_3d_coordinates_bitdepth_minus1)
+        if auxiliary_video_present:
+            bw.u(8, self.gi_auxiliary_geometry_codec_id)
+
+    @classmethod
+    def read(cls, br: BitReader, auxiliary_video_present: bool) -> "GeometryInformation":
+        s = cls()
+        s.gi_geometry_codec_id = br.u(8)
+        s.gi_geometry_2d_bitdepth_minus1 = br.u(5)
+        s.gi_geometry_msb_align_flag = bool(br.u(1))
+        s.gi_geometry_3d_coordinates_bitdepth_minus1 = br.u(5)
+        if auxiliary_video_present:
+            s.gi_auxiliary_geometry_codec_id = br.u(8)
+        return s
+
+
+@dataclasses.dataclass
+class AttributeInformation:
+    ai_attribute_count: int = 0
+    ai_attribute_type_id: list[int] = field(default_factory=list)
+    ai_attribute_codec_id: list[int] = field(default_factory=list)
+    ai_attribute_dimension_minus1: list[int] = field(default_factory=list)
+    ai_attribute_2d_bitdepth_minus1: list[int] = field(default_factory=list)
+    ai_attribute_msb_align_flag: list[bool] = field(default_factory=list)
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(7, self.ai_attribute_count)
+        for i in range(self.ai_attribute_count):
+            bw.u(4, self.ai_attribute_type_id[i])
+            bw.u(8, self.ai_attribute_codec_id[i])
+            bw.u(6, self.ai_attribute_dimension_minus1[i])
+            bw.u(5, self.ai_attribute_2d_bitdepth_minus1[i])
+            bw.u(1, self.ai_attribute_msb_align_flag[i])
+
+    @classmethod
+    def read(cls, br: BitReader) -> "AttributeInformation":
+        s = cls()
+        s.ai_attribute_count = br.u(7)
+        for _ in range(s.ai_attribute_count):
+            s.ai_attribute_type_id.append(br.u(4))
+            s.ai_attribute_codec_id.append(br.u(8))
+            s.ai_attribute_dimension_minus1.append(br.u(6))
+            s.ai_attribute_2d_bitdepth_minus1.append(br.u(5))
+            s.ai_attribute_msb_align_flag.append(bool(br.u(1)))
+        return s
+
+
+# ===========================================================================
+# V3C parameter set
+# ===========================================================================
+@dataclasses.dataclass
+class VpsAtlas:
+    vps_atlas_id: int = 0
+    vps_frame_width: int = 1024
+    vps_frame_height: int = 1024
+    vps_map_count_minus1: int = 0
+    vps_multiple_map_streams_present_flag: bool = False
+    vps_map_absolute_coding_enabled_flag: list[bool] = field(default_factory=lambda: [True])
+    vps_map_predictor_index_diff: list[int] = field(default_factory=lambda: [0])
+    vps_auxiliary_video_present_flag: bool = False
+    vps_occupancy_video_present_flag: bool = True
+    vps_geometry_video_present_flag: bool = True
+    vps_attribute_video_present_flag: bool = True
+    occupancy_information: OccupancyInformation = field(default_factory=OccupancyInformation)
+    geometry_information: GeometryInformation = field(default_factory=GeometryInformation)
+    attribute_information: AttributeInformation = field(default_factory=AttributeInformation)
+
+
+@dataclasses.dataclass
+class V3CParameterSet:
+    profile_tier_level: ProfileTierLevel = field(default_factory=ProfileTierLevel)
+    vps_v3c_parameter_set_id: int = 0
+    vps_atlas_count_minus1: int = 0
+    atlases: list[VpsAtlas] = field(default_factory=lambda: [VpsAtlas()])
+    vps_extension_present_flag: bool = False
+
+    def atlas(self, i: int = 0) -> VpsAtlas:
+        return self.atlases[i]
+
+    def write(self, bw: BitWriter) -> None:
+        self.profile_tier_level.write(bw)
+        bw.u(4, self.vps_v3c_parameter_set_id)
+        bw.u(8, 0)  # vps_reserved_zero_8bits
+        bw.u(6, self.vps_atlas_count_minus1)
+        for a in self.atlases:
+            bw.u(6, a.vps_atlas_id)
+            bw.ue(a.vps_frame_width)
+            bw.ue(a.vps_frame_height)
+            bw.u(4, a.vps_map_count_minus1)
+            if a.vps_map_count_minus1 > 0:
+                bw.u(1, a.vps_multiple_map_streams_present_flag)
+            for m in range(1, a.vps_map_count_minus1 + 1):
+                if a.vps_multiple_map_streams_present_flag:
+                    bw.u(1, a.vps_map_absolute_coding_enabled_flag[m])
+                if not a.vps_map_absolute_coding_enabled_flag[m]:
+                    bw.ue(a.vps_map_predictor_index_diff[m])
+            bw.u(1, a.vps_auxiliary_video_present_flag)
+            bw.u(1, a.vps_occupancy_video_present_flag)
+            bw.u(1, a.vps_geometry_video_present_flag)
+            bw.u(1, a.vps_attribute_video_present_flag)
+            if a.vps_occupancy_video_present_flag:
+                a.occupancy_information.write(bw)
+            if a.vps_geometry_video_present_flag:
+                a.geometry_information.write(bw, a.vps_auxiliary_video_present_flag)
+            if a.vps_attribute_video_present_flag:
+                a.attribute_information.write(bw)
+        bw.u(1, self.vps_extension_present_flag)
+        bw.byte_align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "V3CParameterSet":
+        s = cls(atlases=[])
+        s.profile_tier_level = ProfileTierLevel.read(br)
+        s.vps_v3c_parameter_set_id = br.u(4)
+        br.u(8)
+        s.vps_atlas_count_minus1 = br.u(6)
+        for _ in range(s.vps_atlas_count_minus1 + 1):
+            a = VpsAtlas()
+            a.vps_atlas_id = br.u(6)
+            a.vps_frame_width = br.ue()
+            a.vps_frame_height = br.ue()
+            a.vps_map_count_minus1 = br.u(4)
+            a.vps_map_absolute_coding_enabled_flag = [True] * (a.vps_map_count_minus1 + 1)
+            a.vps_map_predictor_index_diff = [0] * (a.vps_map_count_minus1 + 1)
+            if a.vps_map_count_minus1 > 0:
+                a.vps_multiple_map_streams_present_flag = bool(br.u(1))
+            for m in range(1, a.vps_map_count_minus1 + 1):
+                if a.vps_multiple_map_streams_present_flag:
+                    a.vps_map_absolute_coding_enabled_flag[m] = bool(br.u(1))
+                else:
+                    a.vps_map_absolute_coding_enabled_flag[m] = True
+                if not a.vps_map_absolute_coding_enabled_flag[m]:
+                    a.vps_map_predictor_index_diff[m] = br.ue()
+            a.vps_auxiliary_video_present_flag = bool(br.u(1))
+            a.vps_occupancy_video_present_flag = bool(br.u(1))
+            a.vps_geometry_video_present_flag = bool(br.u(1))
+            a.vps_attribute_video_present_flag = bool(br.u(1))
+            if a.vps_occupancy_video_present_flag:
+                a.occupancy_information = OccupancyInformation.read(br)
+            if a.vps_geometry_video_present_flag:
+                a.geometry_information = GeometryInformation.read(
+                    br, a.vps_auxiliary_video_present_flag
+                )
+            if a.vps_attribute_video_present_flag:
+                a.attribute_information = AttributeInformation.read(br)
+            s.atlases.append(a)
+        s.vps_extension_present_flag = bool(br.u(1))
+        br.byte_align()
+        return s
+
+
+# ===========================================================================
+# ASPS
+# ===========================================================================
+@dataclasses.dataclass
+class RefListStruct:
+    num_ref_entries: int = 0
+    abs_delta_afoc_st: list[int] = field(default_factory=list)
+    straf_entry_sign_flag: list[bool] = field(default_factory=list)
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(self.num_ref_entries)
+        for i in range(self.num_ref_entries):
+            # st_ref_atlas_frame_flag always 1 here (no long-term refs yet)
+            bw.u(1, 1)
+            bw.ue(self.abs_delta_afoc_st[i])
+            if self.abs_delta_afoc_st[i] > 0:
+                bw.u(1, self.straf_entry_sign_flag[i])
+
+    @classmethod
+    def read(cls, br: BitReader) -> "RefListStruct":
+        s = cls()
+        s.num_ref_entries = br.ue()
+        for _ in range(s.num_ref_entries):
+            st = br.u(1)
+            assert st == 1, "long-term reference atlas frames not supported"
+            d = br.ue()
+            s.abs_delta_afoc_st.append(d)
+            s.straf_entry_sign_flag.append(bool(br.u(1)) if d > 0 else True)
+        return s
+
+
+@dataclasses.dataclass
+class AtlasSequenceParameterSetRbsp:
+    asps_atlas_sequence_parameter_set_id: int = 0
+    asps_frame_width: int = 1024
+    asps_frame_height: int = 1024
+    asps_geometry_3d_bitdepth_minus1: int = 9
+    asps_geometry_2d_bitdepth_minus1: int = 9
+    asps_log2_max_atlas_frame_order_cnt_lsb_minus4: int = 4
+    asps_max_dec_atlas_frame_buffering_minus1: int = 0
+    asps_long_term_ref_atlas_frames_flag: bool = False
+    ref_list_structs: list[RefListStruct] = field(default_factory=list)
+    asps_use_eight_orientations_flag: bool = True
+    asps_extended_projection_enabled_flag: bool = False
+    asps_max_number_projections_minus1: int = 5
+    asps_normal_axis_limits_quantization_enabled_flag: bool = True
+    asps_normal_axis_max_delta_value_enabled_flag: bool = False
+    asps_patch_precedence_order_flag: bool = False
+    asps_log2_patch_packing_block_size: int = 4
+    asps_patch_size_quantizer_present_flag: bool = False
+    asps_map_count_minus1: int = 0
+    asps_pixel_deinterleaving_flag: bool = False
+    asps_raw_patch_enabled_flag: bool = False
+    asps_eom_patch_enabled_flag: bool = False
+    asps_eom_fix_bit_count_minus1: int = 0
+    asps_auxiliary_video_enabled_flag: bool = False
+    asps_plr_enabled_flag: bool = False
+    asps_vui_parameters_present_flag: bool = False
+    # V-PCC extension
+    asps_vpcc_extension_present_flag: bool = True
+    asps_vpcc_remove_duplicate_point_enabled_flag: bool = False
+    asps_vpcc_surface_thickness_minus1: int = 3
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(self.asps_atlas_sequence_parameter_set_id)
+        bw.ue(self.asps_frame_width)
+        bw.ue(self.asps_frame_height)
+        bw.u(5, self.asps_geometry_3d_bitdepth_minus1)
+        bw.u(5, self.asps_geometry_2d_bitdepth_minus1)
+        bw.ue(self.asps_log2_max_atlas_frame_order_cnt_lsb_minus4)
+        bw.ue(self.asps_max_dec_atlas_frame_buffering_minus1)
+        bw.u(1, self.asps_long_term_ref_atlas_frames_flag)
+        bw.ue(len(self.ref_list_structs))
+        for rls in self.ref_list_structs:
+            rls.write(bw)
+        bw.u(1, self.asps_use_eight_orientations_flag)
+        bw.u(1, self.asps_extended_projection_enabled_flag)
+        if self.asps_extended_projection_enabled_flag:
+            bw.ue(self.asps_max_number_projections_minus1)
+        bw.u(1, self.asps_normal_axis_limits_quantization_enabled_flag)
+        bw.u(1, self.asps_normal_axis_max_delta_value_enabled_flag)
+        bw.u(1, self.asps_patch_precedence_order_flag)
+        bw.u(3, self.asps_log2_patch_packing_block_size)
+        bw.u(1, self.asps_patch_size_quantizer_present_flag)
+        bw.u(4, self.asps_map_count_minus1)
+        bw.u(1, self.asps_pixel_deinterleaving_flag)
+        bw.u(1, self.asps_raw_patch_enabled_flag)
+        bw.u(1, self.asps_eom_patch_enabled_flag)
+        if self.asps_eom_patch_enabled_flag and self.asps_map_count_minus1 == 0:
+            bw.u(4, self.asps_eom_fix_bit_count_minus1)
+        if self.asps_raw_patch_enabled_flag or self.asps_eom_patch_enabled_flag:
+            bw.u(1, self.asps_auxiliary_video_enabled_flag)
+        bw.u(1, self.asps_plr_enabled_flag)
+        assert not self.asps_plr_enabled_flag, "PLR syntax not implemented yet"
+        bw.u(1, self.asps_vui_parameters_present_flag)
+        bw.u(1, self.asps_vpcc_extension_present_flag)
+        if self.asps_vpcc_extension_present_flag:
+            bw.u(1, self.asps_vpcc_remove_duplicate_point_enabled_flag)
+            bw.u(1, self.asps_vpcc_surface_thickness_minus1 > 0)
+            if self.asps_vpcc_surface_thickness_minus1 > 0:
+                bw.u(7, self.asps_vpcc_surface_thickness_minus1)
+        bw.byte_align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "AtlasSequenceParameterSetRbsp":
+        s = cls()
+        s.asps_atlas_sequence_parameter_set_id = br.ue()
+        s.asps_frame_width = br.ue()
+        s.asps_frame_height = br.ue()
+        s.asps_geometry_3d_bitdepth_minus1 = br.u(5)
+        s.asps_geometry_2d_bitdepth_minus1 = br.u(5)
+        s.asps_log2_max_atlas_frame_order_cnt_lsb_minus4 = br.ue()
+        s.asps_max_dec_atlas_frame_buffering_minus1 = br.ue()
+        s.asps_long_term_ref_atlas_frames_flag = bool(br.u(1))
+        nrl = br.ue()
+        s.ref_list_structs = [RefListStruct.read(br) for _ in range(nrl)]
+        s.asps_use_eight_orientations_flag = bool(br.u(1))
+        s.asps_extended_projection_enabled_flag = bool(br.u(1))
+        if s.asps_extended_projection_enabled_flag:
+            s.asps_max_number_projections_minus1 = br.ue()
+        s.asps_normal_axis_limits_quantization_enabled_flag = bool(br.u(1))
+        s.asps_normal_axis_max_delta_value_enabled_flag = bool(br.u(1))
+        s.asps_patch_precedence_order_flag = bool(br.u(1))
+        s.asps_log2_patch_packing_block_size = br.u(3)
+        s.asps_patch_size_quantizer_present_flag = bool(br.u(1))
+        s.asps_map_count_minus1 = br.u(4)
+        s.asps_pixel_deinterleaving_flag = bool(br.u(1))
+        s.asps_raw_patch_enabled_flag = bool(br.u(1))
+        s.asps_eom_patch_enabled_flag = bool(br.u(1))
+        if s.asps_eom_patch_enabled_flag and s.asps_map_count_minus1 == 0:
+            s.asps_eom_fix_bit_count_minus1 = br.u(4)
+        if s.asps_raw_patch_enabled_flag or s.asps_eom_patch_enabled_flag:
+            s.asps_auxiliary_video_enabled_flag = bool(br.u(1))
+        s.asps_plr_enabled_flag = bool(br.u(1))
+        assert not s.asps_plr_enabled_flag, "PLR syntax not implemented yet"
+        s.asps_vui_parameters_present_flag = bool(br.u(1))
+        s.asps_vpcc_extension_present_flag = bool(br.u(1))
+        if s.asps_vpcc_extension_present_flag:
+            s.asps_vpcc_remove_duplicate_point_enabled_flag = bool(br.u(1))
+            if br.u(1):
+                s.asps_vpcc_surface_thickness_minus1 = br.u(7)
+            else:
+                s.asps_vpcc_surface_thickness_minus1 = 0
+        br.byte_align()
+        return s
+
+
+# ===========================================================================
+# AFPS + tile information
+# ===========================================================================
+@dataclasses.dataclass
+class AtlasFrameTileInformation:
+    afti_single_tile_in_atlas_frame_flag: bool = True
+    afti_uniform_partition_spacing_flag: bool = True
+    afti_partition_cols_width_minus1: int = 0
+    afti_partition_rows_height_minus1: int = 0
+    afti_num_partition_columns_minus1: int = 0
+    afti_num_partition_rows_minus1: int = 0
+    afti_partition_column_widths_minus1: list[int] = field(default_factory=list)
+    afti_partition_row_heights_minus1: list[int] = field(default_factory=list)
+    afti_single_partition_per_tile_flag: bool = True
+    afti_num_tiles_in_atlas_frame_minus1: int = 0
+    afti_top_left_partition_idx: list[int] = field(default_factory=list)
+    afti_bottom_right_partition_column_offset: list[int] = field(default_factory=list)
+    afti_bottom_right_partition_row_offset: list[int] = field(default_factory=list)
+    afti_signalled_tile_id_flag: bool = False
+    afti_tile_ids: list[int] = field(default_factory=list)
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.afti_single_tile_in_atlas_frame_flag)
+        if not self.afti_single_tile_in_atlas_frame_flag:
+            bw.u(1, self.afti_uniform_partition_spacing_flag)
+            if self.afti_uniform_partition_spacing_flag:
+                bw.ue(self.afti_partition_cols_width_minus1)
+                bw.ue(self.afti_partition_rows_height_minus1)
+            else:
+                bw.ue(self.afti_num_partition_columns_minus1)
+                bw.ue(self.afti_num_partition_rows_minus1)
+                for w in self.afti_partition_column_widths_minus1:
+                    bw.ue(w)
+                for h in self.afti_partition_row_heights_minus1:
+                    bw.ue(h)
+            bw.u(1, self.afti_single_partition_per_tile_flag)
+            if not self.afti_single_partition_per_tile_flag:
+                bw.ue(self.afti_num_tiles_in_atlas_frame_minus1)
+                for i in range(self.afti_num_tiles_in_atlas_frame_minus1 + 1):
+                    bw.ue(self.afti_top_left_partition_idx[i])
+                    bw.ue(self.afti_bottom_right_partition_column_offset[i])
+                    bw.ue(self.afti_bottom_right_partition_row_offset[i])
+        bw.u(1, self.afti_signalled_tile_id_flag)
+        if self.afti_signalled_tile_id_flag:
+            bw.ue(len(self.afti_tile_ids) - 1)
+            for t in self.afti_tile_ids:
+                bw.ue(t)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "AtlasFrameTileInformation":
+        s = cls()
+        s.afti_single_tile_in_atlas_frame_flag = bool(br.u(1))
+        if not s.afti_single_tile_in_atlas_frame_flag:
+            s.afti_uniform_partition_spacing_flag = bool(br.u(1))
+            if s.afti_uniform_partition_spacing_flag:
+                s.afti_partition_cols_width_minus1 = br.ue()
+                s.afti_partition_rows_height_minus1 = br.ue()
+            else:
+                s.afti_num_partition_columns_minus1 = br.ue()
+                s.afti_num_partition_rows_minus1 = br.ue()
+                s.afti_partition_column_widths_minus1 = [
+                    br.ue() for _ in range(s.afti_num_partition_columns_minus1)
+                ]
+                s.afti_partition_row_heights_minus1 = [
+                    br.ue() for _ in range(s.afti_num_partition_rows_minus1)
+                ]
+            s.afti_single_partition_per_tile_flag = bool(br.u(1))
+            if not s.afti_single_partition_per_tile_flag:
+                s.afti_num_tiles_in_atlas_frame_minus1 = br.ue()
+                for _ in range(s.afti_num_tiles_in_atlas_frame_minus1 + 1):
+                    s.afti_top_left_partition_idx.append(br.ue())
+                    s.afti_bottom_right_partition_column_offset.append(br.ue())
+                    s.afti_bottom_right_partition_row_offset.append(br.ue())
+        s.afti_signalled_tile_id_flag = bool(br.u(1))
+        if s.afti_signalled_tile_id_flag:
+            n = br.ue() + 1
+            s.afti_tile_ids = [br.ue() for _ in range(n)]
+        return s
+
+
+@dataclasses.dataclass
+class AtlasFrameParameterSetRbsp:
+    afps_atlas_frame_parameter_set_id: int = 0
+    afps_atlas_sequence_parameter_set_id: int = 0
+    atlas_frame_tile_information: AtlasFrameTileInformation = field(
+        default_factory=AtlasFrameTileInformation
+    )
+    afps_output_flag_present_flag: bool = False
+    afps_num_ref_idx_default_active_minus1: int = 0
+    afps_additional_lt_afoc_lsb_len: int = 0
+    afps_lod_mode_enabled_flag: bool = False
+    afps_raw_3d_offset_bit_count_explicit_mode_flag: bool = False
+    afps_extension_present_flag: bool = False
+
+    def write(self, bw: BitWriter) -> None:
+        bw.ue(self.afps_atlas_frame_parameter_set_id)
+        bw.ue(self.afps_atlas_sequence_parameter_set_id)
+        self.atlas_frame_tile_information.write(bw)
+        bw.u(1, self.afps_output_flag_present_flag)
+        bw.ue(self.afps_num_ref_idx_default_active_minus1)
+        bw.ue(self.afps_additional_lt_afoc_lsb_len)
+        bw.u(1, self.afps_lod_mode_enabled_flag)
+        bw.u(1, self.afps_raw_3d_offset_bit_count_explicit_mode_flag)
+        bw.u(1, self.afps_extension_present_flag)
+        bw.byte_align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "AtlasFrameParameterSetRbsp":
+        s = cls()
+        s.afps_atlas_frame_parameter_set_id = br.ue()
+        s.afps_atlas_sequence_parameter_set_id = br.ue()
+        s.atlas_frame_tile_information = AtlasFrameTileInformation.read(br)
+        s.afps_output_flag_present_flag = bool(br.u(1))
+        s.afps_num_ref_idx_default_active_minus1 = br.ue()
+        s.afps_additional_lt_afoc_lsb_len = br.ue()
+        s.afps_lod_mode_enabled_flag = bool(br.u(1))
+        s.afps_raw_3d_offset_bit_count_explicit_mode_flag = bool(br.u(1))
+        s.afps_extension_present_flag = bool(br.u(1))
+        br.byte_align()
+        return s
+
+
+# ===========================================================================
+# Patch data units
+# ===========================================================================
+@dataclasses.dataclass
+class PatchDataUnit:
+    """Intra patch (pdu_*, 23090-5 8.3.7.3)."""
+
+    pdu_2d_pos_x: int = 0
+    pdu_2d_pos_y: int = 0
+    pdu_2d_size_x_minus1: int = 0
+    pdu_2d_size_y_minus1: int = 0
+    pdu_3d_offset_u: int = 0
+    pdu_3d_offset_v: int = 0
+    pdu_3d_offset_d: int = 0
+    pdu_3d_range_d: int = 0
+    pdu_projection_id: int = 0
+    pdu_orientation_index: int = 0
+    pdu_lod_enabled_flag: bool = False
+    pdu_lod_scale_x_minus1: int = 0
+    pdu_lod_scale_y_idc: int = 0
+
+    def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
+        bw.ue(self.pdu_2d_pos_x)
+        bw.ue(self.pdu_2d_pos_y)
+        bw.ue(self.pdu_2d_size_x_minus1)
+        bw.ue(self.pdu_2d_size_y_minus1)
+        bw.u(ctx.offset_u_bits, self.pdu_3d_offset_u)
+        bw.u(ctx.offset_v_bits, self.pdu_3d_offset_v)
+        bw.u(ctx.offset_d_bits, self.pdu_3d_offset_d)
+        if ctx.normal_axis_limits_quantization:
+            bw.u(ctx.range_d_bits, self.pdu_3d_range_d)
+        bw.u(ctx.projection_bits, self.pdu_projection_id)
+        bw.u(3 if ctx.use_eight_orientations else 1, self.pdu_orientation_index)
+        if ctx.lod_mode_enabled:
+            bw.u(1, self.pdu_lod_enabled_flag)
+            if self.pdu_lod_enabled_flag:
+                bw.ue(self.pdu_lod_scale_x_minus1)
+                bw.ue(self.pdu_lod_scale_y_idc)
+
+    @classmethod
+    def read(cls, br: BitReader, ctx: "SyntaxContext") -> "PatchDataUnit":
+        s = cls()
+        s.pdu_2d_pos_x = br.ue()
+        s.pdu_2d_pos_y = br.ue()
+        s.pdu_2d_size_x_minus1 = br.ue()
+        s.pdu_2d_size_y_minus1 = br.ue()
+        s.pdu_3d_offset_u = br.u(ctx.offset_u_bits)
+        s.pdu_3d_offset_v = br.u(ctx.offset_v_bits)
+        s.pdu_3d_offset_d = br.u(ctx.offset_d_bits)
+        if ctx.normal_axis_limits_quantization:
+            s.pdu_3d_range_d = br.u(ctx.range_d_bits)
+        s.pdu_projection_id = br.u(ctx.projection_bits)
+        s.pdu_orientation_index = br.u(3 if ctx.use_eight_orientations else 1)
+        if ctx.lod_mode_enabled:
+            s.pdu_lod_enabled_flag = bool(br.u(1))
+            if s.pdu_lod_enabled_flag:
+                s.pdu_lod_scale_x_minus1 = br.ue()
+                s.pdu_lod_scale_y_idc = br.ue()
+        return s
+
+
+@dataclasses.dataclass
+class InterPatchDataUnit:
+    ipdu_ref_index: int = 0
+    ipdu_patch_index: int = 0
+    ipdu_2d_pos_x: int = 0
+    ipdu_2d_pos_y: int = 0
+    ipdu_2d_delta_size_x: int = 0
+    ipdu_2d_delta_size_y: int = 0
+    ipdu_3d_offset_u: int = 0
+    ipdu_3d_offset_v: int = 0
+    ipdu_3d_offset_d: int = 0
+    ipdu_3d_range_d: int = 0
+
+    def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
+        if ctx.num_ref_idx_active > 1:
+            bw.ue(self.ipdu_ref_index)
+        bw.se(self.ipdu_patch_index)
+        bw.se(self.ipdu_2d_pos_x)
+        bw.se(self.ipdu_2d_pos_y)
+        bw.se(self.ipdu_2d_delta_size_x)
+        bw.se(self.ipdu_2d_delta_size_y)
+        bw.se(self.ipdu_3d_offset_u)
+        bw.se(self.ipdu_3d_offset_v)
+        bw.se(self.ipdu_3d_offset_d)
+        if ctx.normal_axis_limits_quantization:
+            bw.se(self.ipdu_3d_range_d)
+
+    @classmethod
+    def read(cls, br: BitReader, ctx: "SyntaxContext") -> "InterPatchDataUnit":
+        s = cls()
+        if ctx.num_ref_idx_active > 1:
+            s.ipdu_ref_index = br.ue()
+        s.ipdu_patch_index = br.se()
+        s.ipdu_2d_pos_x = br.se()
+        s.ipdu_2d_pos_y = br.se()
+        s.ipdu_2d_delta_size_x = br.se()
+        s.ipdu_2d_delta_size_y = br.se()
+        s.ipdu_3d_offset_u = br.se()
+        s.ipdu_3d_offset_v = br.se()
+        s.ipdu_3d_offset_d = br.se()
+        if ctx.normal_axis_limits_quantization:
+            s.ipdu_3d_range_d = br.se()
+        return s
+
+
+@dataclasses.dataclass
+class MergePatchDataUnit:
+    mpdu_ref_index: int = 0
+    mpdu_override_2d_params_flag: bool = False
+    mpdu_2d_pos_x: int = 0
+    mpdu_2d_pos_y: int = 0
+    mpdu_2d_delta_size_x: int = 0
+    mpdu_2d_delta_size_y: int = 0
+    mpdu_override_3d_params_flag: bool = False
+    mpdu_3d_offset_u: int = 0
+    mpdu_3d_offset_v: int = 0
+    mpdu_3d_offset_d: int = 0
+    mpdu_3d_range_d: int = 0
+
+    def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
+        if ctx.num_ref_idx_active > 1:
+            bw.ue(self.mpdu_ref_index)
+        bw.u(1, self.mpdu_override_2d_params_flag)
+        if self.mpdu_override_2d_params_flag:
+            bw.se(self.mpdu_2d_pos_x)
+            bw.se(self.mpdu_2d_pos_y)
+            bw.se(self.mpdu_2d_delta_size_x)
+            bw.se(self.mpdu_2d_delta_size_y)
+        else:
+            bw.u(1, self.mpdu_override_3d_params_flag)
+            if self.mpdu_override_3d_params_flag:
+                bw.se(self.mpdu_3d_offset_u)
+                bw.se(self.mpdu_3d_offset_v)
+                bw.se(self.mpdu_3d_offset_d)
+                if ctx.normal_axis_limits_quantization:
+                    bw.se(self.mpdu_3d_range_d)
+
+    @classmethod
+    def read(cls, br: BitReader, ctx: "SyntaxContext") -> "MergePatchDataUnit":
+        s = cls()
+        if ctx.num_ref_idx_active > 1:
+            s.mpdu_ref_index = br.ue()
+        s.mpdu_override_2d_params_flag = bool(br.u(1))
+        if s.mpdu_override_2d_params_flag:
+            s.mpdu_2d_pos_x = br.se()
+            s.mpdu_2d_pos_y = br.se()
+            s.mpdu_2d_delta_size_x = br.se()
+            s.mpdu_2d_delta_size_y = br.se()
+        else:
+            s.mpdu_override_3d_params_flag = bool(br.u(1))
+            if s.mpdu_override_3d_params_flag:
+                s.mpdu_3d_offset_u = br.se()
+                s.mpdu_3d_offset_v = br.se()
+                s.mpdu_3d_offset_d = br.se()
+                if ctx.normal_axis_limits_quantization:
+                    s.mpdu_3d_range_d = br.se()
+        return s
+
+
+@dataclasses.dataclass
+class SkipPatchDataUnit:
+    def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
+        pass
+
+    @classmethod
+    def read(cls, br: BitReader, ctx: "SyntaxContext") -> "SkipPatchDataUnit":
+        return cls()
+
+
+@dataclasses.dataclass
+class RawPatchDataUnit:
+    rpdu_patch_in_auxiliary_video_flag: bool = False
+    rpdu_2d_pos_x: int = 0
+    rpdu_2d_pos_y: int = 0
+    rpdu_2d_size_x_minus1: int = 0
+    rpdu_2d_size_y_minus1: int = 0
+    rpdu_3d_offset_u: int = 0
+    rpdu_3d_offset_v: int = 0
+    rpdu_3d_offset_d: int = 0
+    rpdu_points_minus1: int = 0
+
+    def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
+        if ctx.auxiliary_video_present:
+            bw.u(1, self.rpdu_patch_in_auxiliary_video_flag)
+        bw.ue(self.rpdu_2d_pos_x)
+        bw.ue(self.rpdu_2d_pos_y)
+        bw.ue(self.rpdu_2d_size_x_minus1)
+        bw.ue(self.rpdu_2d_size_y_minus1)
+        bw.u(ctx.raw_3d_offset_bits, self.rpdu_3d_offset_u)
+        bw.u(ctx.raw_3d_offset_bits, self.rpdu_3d_offset_v)
+        bw.u(ctx.raw_3d_offset_bits, self.rpdu_3d_offset_d)
+        bw.ue(self.rpdu_points_minus1)
+
+    @classmethod
+    def read(cls, br: BitReader, ctx: "SyntaxContext") -> "RawPatchDataUnit":
+        s = cls()
+        if ctx.auxiliary_video_present:
+            s.rpdu_patch_in_auxiliary_video_flag = bool(br.u(1))
+        s.rpdu_2d_pos_x = br.ue()
+        s.rpdu_2d_pos_y = br.ue()
+        s.rpdu_2d_size_x_minus1 = br.ue()
+        s.rpdu_2d_size_y_minus1 = br.ue()
+        s.rpdu_3d_offset_u = br.u(ctx.raw_3d_offset_bits)
+        s.rpdu_3d_offset_v = br.u(ctx.raw_3d_offset_bits)
+        s.rpdu_3d_offset_d = br.u(ctx.raw_3d_offset_bits)
+        s.rpdu_points_minus1 = br.ue()
+        return s
+
+
+@dataclasses.dataclass
+class EOMPatchDataUnit:
+    epdu_patch_in_auxiliary_video_flag: bool = False
+    epdu_2d_pos_x: int = 0
+    epdu_2d_pos_y: int = 0
+    epdu_2d_size_x_minus1: int = 0
+    epdu_2d_size_y_minus1: int = 0
+    epdu_associated_patches_count_minus1: int = 0
+    epdu_associated_patch_idx: list[int] = field(default_factory=list)
+    epdu_points: list[int] = field(default_factory=list)
+
+    def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
+        if ctx.auxiliary_video_present:
+            bw.u(1, self.epdu_patch_in_auxiliary_video_flag)
+        bw.ue(self.epdu_2d_pos_x)
+        bw.ue(self.epdu_2d_pos_y)
+        bw.ue(self.epdu_2d_size_x_minus1)
+        bw.ue(self.epdu_2d_size_y_minus1)
+        bw.ue(self.epdu_associated_patches_count_minus1)
+        for i in range(self.epdu_associated_patches_count_minus1 + 1):
+            bw.ue(self.epdu_associated_patch_idx[i])
+            bw.ue(self.epdu_points[i])
+
+    @classmethod
+    def read(cls, br: BitReader, ctx: "SyntaxContext") -> "EOMPatchDataUnit":
+        s = cls()
+        if ctx.auxiliary_video_present:
+            s.epdu_patch_in_auxiliary_video_flag = bool(br.u(1))
+        s.epdu_2d_pos_x = br.ue()
+        s.epdu_2d_pos_y = br.ue()
+        s.epdu_2d_size_x_minus1 = br.ue()
+        s.epdu_2d_size_y_minus1 = br.ue()
+        s.epdu_associated_patches_count_minus1 = br.ue()
+        for _ in range(s.epdu_associated_patches_count_minus1 + 1):
+            s.epdu_associated_patch_idx.append(br.ue())
+            s.epdu_points.append(br.ue())
+        return s
+
+
+@dataclasses.dataclass
+class SyntaxContext:
+    """Derived variables the patch-unit syntax depends on (from active
+    ASPS/AFPS/ATH), passed to every patch read/write."""
+
+    offset_u_bits: int = 10
+    offset_v_bits: int = 10
+    offset_d_bits: int = 10
+    range_d_bits: int = 10
+    projection_bits: int = 3
+    use_eight_orientations: bool = True
+    normal_axis_limits_quantization: bool = True
+    lod_mode_enabled: bool = False
+    num_ref_idx_active: int = 1
+    auxiliary_video_present: bool = False
+    raw_3d_offset_bits: int = 10
+
+
+# ===========================================================================
+# Atlas tile layer
+# ===========================================================================
+@dataclasses.dataclass
+class AtlasTileHeader:
+    ath_no_output_of_prior_atlas_frames_flag: bool = False
+    ath_atlas_frame_parameter_set_id: int = 0
+    ath_atlas_adaptation_parameter_set_id: int = 0
+    ath_id: int = 0
+    ath_type: AtlasTileType = AtlasTileType.I_TILE
+    ath_atlas_output_flag: bool = False
+    ath_atlas_frm_order_cnt_lsb: int = 0
+    ath_ref_atlas_frame_list_asps_flag: bool = True
+    ath_ref_atlas_frame_list_idx: int = 0
+    ref_list_struct: RefListStruct | None = None
+    ath_num_ref_idx_active_override_flag: bool = False
+    ath_num_ref_idx_active_minus1: int = 0
+    ath_pos_min_d_quantizer: int = 0
+    ath_pos_delta_max_d_quantizer: int = 0
+    ath_patch_size_x_info_quantizer: int = 0
+    ath_patch_size_y_info_quantizer: int = 0
+    ath_raw_3d_offset_axis_bit_count_minus1: int = 9
+
+    def write(
+        self,
+        bw: BitWriter,
+        asps: AtlasSequenceParameterSetRbsp,
+        afps: AtlasFrameParameterSetRbsp,
+        nal_is_irap: bool,
+    ) -> None:
+        if nal_is_irap:
+            bw.u(1, self.ath_no_output_of_prior_atlas_frames_flag)
+        bw.ue(self.ath_atlas_frame_parameter_set_id)
+        bw.ue(self.ath_atlas_adaptation_parameter_set_id)
+        bw.ue(self.ath_id)
+        bw.ue(int(self.ath_type))
+        if afps.afps_output_flag_present_flag:
+            bw.u(1, self.ath_atlas_output_flag)
+        bw.u(
+            asps.asps_log2_max_atlas_frame_order_cnt_lsb_minus4 + 4,
+            self.ath_atlas_frm_order_cnt_lsb,
+        )
+        if len(asps.ref_list_structs) > 0:
+            bw.u(1, self.ath_ref_atlas_frame_list_asps_flag)
+        if not self.ath_ref_atlas_frame_list_asps_flag:
+            assert self.ref_list_struct is not None
+            self.ref_list_struct.write(bw)
+        elif len(asps.ref_list_structs) > 1:
+            bw.u((len(asps.ref_list_structs) - 1).bit_length(),
+                 self.ath_ref_atlas_frame_list_idx)
+        if self.ath_type == AtlasTileType.P_TILE:
+            bw.u(1, self.ath_num_ref_idx_active_override_flag)
+            if self.ath_num_ref_idx_active_override_flag:
+                bw.ue(self.ath_num_ref_idx_active_minus1)
+        if self.ath_type != AtlasTileType.SKIP_TILE:
+            if asps.asps_normal_axis_limits_quantization_enabled_flag:
+                bw.u(5, self.ath_pos_min_d_quantizer)
+                if asps.asps_normal_axis_max_delta_value_enabled_flag:
+                    bw.u(5, self.ath_pos_delta_max_d_quantizer)
+            if asps.asps_patch_size_quantizer_present_flag:
+                bw.u(3, self.ath_patch_size_x_info_quantizer)
+                bw.u(3, self.ath_patch_size_y_info_quantizer)
+            if afps.afps_raw_3d_offset_bit_count_explicit_mode_flag:
+                bw.u(5, self.ath_raw_3d_offset_axis_bit_count_minus1)
+        bw.byte_align()
+
+    @classmethod
+    def read(
+        cls,
+        br: BitReader,
+        asps_lookup,
+        afps_lookup,
+        nal_is_irap: bool,
+    ) -> "AtlasTileHeader":
+        s = cls()
+        if nal_is_irap:
+            s.ath_no_output_of_prior_atlas_frames_flag = bool(br.u(1))
+        s.ath_atlas_frame_parameter_set_id = br.ue()
+        afps = afps_lookup(s.ath_atlas_frame_parameter_set_id)
+        asps = asps_lookup(afps.afps_atlas_sequence_parameter_set_id)
+        s.ath_atlas_adaptation_parameter_set_id = br.ue()
+        s.ath_id = br.ue()
+        s.ath_type = AtlasTileType(br.ue())
+        if afps.afps_output_flag_present_flag:
+            s.ath_atlas_output_flag = bool(br.u(1))
+        s.ath_atlas_frm_order_cnt_lsb = br.u(
+            asps.asps_log2_max_atlas_frame_order_cnt_lsb_minus4 + 4
+        )
+        if len(asps.ref_list_structs) > 0:
+            s.ath_ref_atlas_frame_list_asps_flag = bool(br.u(1))
+        else:
+            s.ath_ref_atlas_frame_list_asps_flag = False
+        if not s.ath_ref_atlas_frame_list_asps_flag:
+            s.ref_list_struct = RefListStruct.read(br)
+        elif len(asps.ref_list_structs) > 1:
+            s.ath_ref_atlas_frame_list_idx = br.u(
+                (len(asps.ref_list_structs) - 1).bit_length()
+            )
+        if s.ath_type == AtlasTileType.P_TILE:
+            s.ath_num_ref_idx_active_override_flag = bool(br.u(1))
+            if s.ath_num_ref_idx_active_override_flag:
+                s.ath_num_ref_idx_active_minus1 = br.ue()
+        if s.ath_type != AtlasTileType.SKIP_TILE:
+            if asps.asps_normal_axis_limits_quantization_enabled_flag:
+                s.ath_pos_min_d_quantizer = br.u(5)
+                if asps.asps_normal_axis_max_delta_value_enabled_flag:
+                    s.ath_pos_delta_max_d_quantizer = br.u(5)
+            if asps.asps_patch_size_quantizer_present_flag:
+                s.ath_patch_size_x_info_quantizer = br.u(3)
+                s.ath_patch_size_y_info_quantizer = br.u(3)
+            if afps.afps_raw_3d_offset_bit_count_explicit_mode_flag:
+                s.ath_raw_3d_offset_axis_bit_count_minus1 = br.u(5)
+        br.byte_align()
+        return s
+
+
+@dataclasses.dataclass
+class PatchInformationData:
+    patch_mode: int = 0
+    data: object = None  # one of the *PatchDataUnit classes
+
+
+@dataclasses.dataclass
+class AtlasTileDataUnit:
+    patches: list[PatchInformationData] = field(default_factory=list)
+
+    _I_UNITS = {
+        PatchModeITile.I_INTRA: PatchDataUnit,
+        PatchModeITile.I_RAW: RawPatchDataUnit,
+        PatchModeITile.I_EOM: EOMPatchDataUnit,
+    }
+    _P_UNITS = {
+        PatchModePTile.P_SKIP: SkipPatchDataUnit,
+        PatchModePTile.P_MERGE: MergePatchDataUnit,
+        PatchModePTile.P_INTER: InterPatchDataUnit,
+        PatchModePTile.P_INTRA: PatchDataUnit,
+        PatchModePTile.P_RAW: RawPatchDataUnit,
+        PatchModePTile.P_EOM: EOMPatchDataUnit,
+    }
+
+    def write(self, bw: BitWriter, tile_type: AtlasTileType, ctx: SyntaxContext) -> None:
+        for pid in self.patches:
+            bw.ue(pid.patch_mode)
+            pid.data.write(bw, ctx)
+        end_mode = (
+            PatchModeITile.I_END
+            if tile_type == AtlasTileType.I_TILE
+            else PatchModePTile.P_END
+        )
+        bw.ue(int(end_mode))
+        bw.byte_align()
+
+    @classmethod
+    def read(
+        cls, br: BitReader, tile_type: AtlasTileType, ctx: SyntaxContext
+    ) -> "AtlasTileDataUnit":
+        s = cls()
+        if tile_type == AtlasTileType.SKIP_TILE:
+            return s
+        units = cls._I_UNITS if tile_type == AtlasTileType.I_TILE else cls._P_UNITS
+        end_val = int(
+            PatchModeITile.I_END
+            if tile_type == AtlasTileType.I_TILE
+            else PatchModePTile.P_END
+        )
+        while True:
+            mode = br.ue()
+            if mode == end_val:
+                break
+            key = (
+                PatchModeITile(mode)
+                if tile_type == AtlasTileType.I_TILE
+                else PatchModePTile(mode)
+            )
+            unit_cls = units[key]
+            s.patches.append(
+                PatchInformationData(patch_mode=mode, data=unit_cls.read(br, ctx))
+            )
+        br.byte_align()
+        return s
+
+
+@dataclasses.dataclass
+class AtlasTileLayerRbsp:
+    header: AtlasTileHeader = field(default_factory=AtlasTileHeader)
+    data_unit: AtlasTileDataUnit = field(default_factory=AtlasTileDataUnit)
+    # decoded atlas frame order count (derived, not coded)
+    afoc: int = 0

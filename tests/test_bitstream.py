@@ -1,0 +1,329 @@
+"""Unit tests: bit I/O, NAL/V3C framing, syntax struct roundtrips."""
+
+import numpy as np
+import pytest
+
+from rabbit_transcoding_tpu.bitstream.bitio import BitReader, BitWriter
+from rabbit_transcoding_tpu.bitstream.hls import AtlasHLS, Context
+from rabbit_transcoding_tpu.bitstream.nal import (
+    NalUnit,
+    read_sample_stream_nal,
+    write_sample_stream_nal,
+)
+from rabbit_transcoding_tpu.bitstream.reader import V3CReader
+from rabbit_transcoding_tpu.bitstream.sei import (
+    RawSei,
+    SeiComponentCodecMapping,
+    SeiDecodedAtlasInformationHash,
+    SeiGeometrySmoothing,
+    read_sei_rbsp,
+    write_sei_rbsp,
+)
+from rabbit_transcoding_tpu.bitstream.syntax import (
+    AtlasFrameParameterSetRbsp,
+    AtlasSequenceParameterSetRbsp,
+    AtlasTileDataUnit,
+    AtlasTileHeader,
+    AtlasTileLayerRbsp,
+    AttributeInformation,
+    InterPatchDataUnit,
+    PatchDataUnit,
+    PatchInformationData,
+    RefListStruct,
+    SyntaxContext,
+    V3CParameterSet,
+)
+from rabbit_transcoding_tpu.bitstream.video_bitstream import (
+    VideoBitstream,
+    byte_stream_to_sample_stream,
+    sample_stream_to_byte_stream,
+    split_annexb,
+)
+from rabbit_transcoding_tpu.bitstream.writer import V3CWriter
+from rabbit_transcoding_tpu.utils.enums import (
+    AtlasTileType,
+    NalUnitType,
+    PatchModeITile,
+    PatchModePTile,
+    V3CUnitType,
+    VideoType,
+)
+
+
+class TestBitIO:
+    def test_u_roundtrip(self):
+        bw = BitWriter()
+        vals = [(1, 1), (3, 5), (7, 100), (16, 65535), (32, 12345678), (5, 0)]
+        for n, v in vals:
+            bw.u(n, v)
+        bw.zero_align()
+        br = BitReader(bw.data())
+        for n, v in vals:
+            assert br.u(n) == v
+
+    def test_ue_se_roundtrip(self):
+        rng = np.random.default_rng(0)
+        ues = [0, 1, 2, 3, 7, 255, 65535] + list(rng.integers(0, 1 << 20, 50))
+        ses = [0, 1, -1, 2, -2, 100, -100] + list(rng.integers(-1000, 1000, 50))
+        bw = BitWriter()
+        for v in ues:
+            bw.ue(int(v))
+        for v in ses:
+            bw.se(int(v))
+        bw.zero_align()
+        br = BitReader(bw.data())
+        for v in ues:
+            assert br.ue() == v
+        for v in ses:
+            assert br.se() == v
+
+    def test_golden_ue(self):
+        # spec golden values: 0 -> '1', 1 -> '010', 2 -> '011', 3 -> '00100'
+        bw = BitWriter()
+        bw.ue(3)
+        bw.zero_align()
+        assert bw.data() == bytes([0b00100000])
+
+    def test_byte_align(self):
+        bw = BitWriter()
+        bw.u(3, 5)
+        bw.byte_align()
+        data = bw.data()
+        assert len(data) == 1 and data[0] == 0b10110000
+
+    def test_overflow_raises(self):
+        bw = BitWriter()
+        with pytest.raises(ValueError):
+            bw.u(3, 8)
+
+    def test_eof_raises(self):
+        br = BitReader(b"\x01")
+        br.u(8)
+        with pytest.raises(EOFError):
+            br.u(1)
+
+
+class TestFraming:
+    def test_nal_roundtrip(self):
+        nals = [
+            NalUnit(NalUnitType.NAL_ASPS, payload=b"\x01\x02\x03"),
+            NalUnit(NalUnitType.NAL_IDR_N_LP, payload=b"\xff" * 300),
+            NalUnit(NalUnitType.NAL_TRAIL_R, payload=b""),
+        ]
+        data = write_sample_stream_nal(nals)
+        nals2 = read_sample_stream_nal(data)
+        assert [n.nal_unit_type for n in nals2] == [n.nal_unit_type for n in nals]
+        assert [n.payload for n in nals2] == [n.payload for n in nals]
+
+    def test_annexb_reframing(self):
+        nal1 = b"\x40\x01" + b"payload-one"
+        nal2 = b"\x42\x01" + b"payload-two\x00"
+        annexb = b"\x00\x00\x00\x01" + nal1 + b"\x00\x00\x01" + nal2
+        assert split_annexb(annexb) == [nal1, nal2]
+        ss = byte_stream_to_sample_stream(annexb, 4)
+        back = sample_stream_to_byte_stream(ss, 4)
+        assert split_annexb(back) == [nal1, nal2]
+
+
+def make_vps():
+    vps = V3CParameterSet()
+    a = vps.atlas(0)
+    a.vps_frame_width = 1024
+    a.vps_frame_height = 1024
+    a.attribute_information = AttributeInformation(
+        ai_attribute_count=1,
+        ai_attribute_type_id=[0],
+        ai_attribute_codec_id=[0],
+        ai_attribute_dimension_minus1=[2],
+        ai_attribute_2d_bitdepth_minus1=[7],
+        ai_attribute_msb_align_flag=[False],
+    )
+    return vps
+
+
+class TestSyntax:
+    def test_vps_roundtrip(self):
+        vps = make_vps()
+        bw = BitWriter()
+        vps.write(bw)
+        vps2 = V3CParameterSet.read(BitReader(bw.data()))
+        assert vps2.atlas(0).vps_frame_width == 1024
+        assert vps2.atlas(0).attribute_information.ai_attribute_count == 1
+        assert vps2.atlas(0).attribute_information.ai_attribute_dimension_minus1 == [2]
+
+    def test_asps_roundtrip(self):
+        asps = AtlasSequenceParameterSetRbsp(
+            asps_frame_width=512,
+            asps_frame_height=768,
+            asps_log2_patch_packing_block_size=4,
+            ref_list_structs=[
+                RefListStruct(num_ref_entries=1, abs_delta_afoc_st=[1],
+                              straf_entry_sign_flag=[True])
+            ],
+        )
+        bw = BitWriter()
+        asps.write(bw)
+        asps2 = AtlasSequenceParameterSetRbsp.read(BitReader(bw.data()))
+        assert asps2.asps_frame_width == 512
+        assert asps2.asps_frame_height == 768
+        assert asps2.ref_list_structs[0].num_ref_entries == 1
+        assert asps2.asps_vpcc_surface_thickness_minus1 == 3
+
+    def test_afps_roundtrip(self):
+        afps = AtlasFrameParameterSetRbsp(afps_num_ref_idx_default_active_minus1=2)
+        bw = BitWriter()
+        afps.write(bw)
+        afps2 = AtlasFrameParameterSetRbsp.read(BitReader(bw.data()))
+        assert afps2.afps_num_ref_idx_default_active_minus1 == 2
+        assert afps2.atlas_frame_tile_information.afti_single_tile_in_atlas_frame_flag
+
+    def test_patch_data_unit_roundtrip(self):
+        ctx = SyntaxContext()
+        pdus = [
+            PatchDataUnit(
+                pdu_2d_pos_x=3, pdu_2d_pos_y=5, pdu_2d_size_x_minus1=15,
+                pdu_2d_size_y_minus1=31, pdu_3d_offset_u=100, pdu_3d_offset_v=200,
+                pdu_3d_offset_d=50, pdu_3d_range_d=12, pdu_projection_id=4,
+                pdu_orientation_index=6,
+            )
+        ]
+        bw = BitWriter()
+        for p in pdus:
+            p.write(bw, ctx)
+        bw.zero_align()
+        br = BitReader(bw.data())
+        p2 = PatchDataUnit.read(br, ctx)
+        assert p2 == pdus[0]
+
+    def test_inter_patch_roundtrip(self):
+        ctx = SyntaxContext(num_ref_idx_active=2)
+        ipdu = InterPatchDataUnit(
+            ipdu_ref_index=1, ipdu_patch_index=-3, ipdu_2d_pos_x=-5,
+            ipdu_2d_pos_y=7, ipdu_2d_delta_size_x=2, ipdu_2d_delta_size_y=-2,
+            ipdu_3d_offset_u=1, ipdu_3d_offset_v=-1, ipdu_3d_offset_d=0,
+            ipdu_3d_range_d=3,
+        )
+        bw = BitWriter()
+        ipdu.write(bw, ctx)
+        bw.zero_align()
+        assert InterPatchDataUnit.read(BitReader(bw.data()), ctx) == ipdu
+
+
+class TestSei:
+    def test_hash_sei_roundtrip(self):
+        sei = SeiDecodedAtlasInformationHash(
+            high_level_md5=bytes(range(16)), atlas_md5=bytes(range(16, 32))
+        )
+        bw = BitWriter()
+        write_sei_rbsp(bw, [sei])
+        seis = read_sei_rbsp(BitReader(bw.data()), prefix=True)
+        assert isinstance(seis[0], SeiDecodedAtlasInformationHash)
+        assert seis[0].high_level_md5 == bytes(range(16))
+        assert seis[0].atlas_md5 == bytes(range(16, 32))
+
+    def test_codec_mapping_and_raw_passthrough(self):
+        seis_in = [
+            SeiComponentCodecMapping(ccm_codec_id=[0], ccm_codec_4cc=["rbv1"]),
+            RawSei(payload_type=99, payload=b"opaque-bytes"),
+            SeiGeometrySmoothing(gs_smoothing_threshold=32),
+        ]
+        bw = BitWriter()
+        write_sei_rbsp(bw, seis_in)
+        seis = read_sei_rbsp(BitReader(bw.data()), prefix=True)
+        assert isinstance(seis[0], SeiComponentCodecMapping)
+        assert seis[0].ccm_codec_4cc == ["rbv1"]
+        assert isinstance(seis[1], RawSei) and seis[1].payload == b"opaque-bytes"
+        assert seis[2].gs_smoothing_threshold == 32
+
+
+def make_context(n_frames=3, n_patches=4):
+    ctx = Context()
+    ctx.vps_list.append(make_vps())
+    atlas = ctx.atlas(0)
+    asps = AtlasSequenceParameterSetRbsp(
+        ref_list_structs=[
+            RefListStruct(num_ref_entries=1, abs_delta_afoc_st=[1],
+                          straf_entry_sign_flag=[True])
+        ]
+    )
+    atlas.asps_list.append(asps)
+    atlas.afps_list.append(AtlasFrameParameterSetRbsp())
+    for f in range(n_frames):
+        header = AtlasTileHeader(
+            ath_type=AtlasTileType.I_TILE if f == 0 else AtlasTileType.P_TILE,
+            ath_atlas_frm_order_cnt_lsb=f,
+        )
+        du = AtlasTileDataUnit()
+        for p in range(n_patches):
+            if f == 0:
+                du.patches.append(
+                    PatchInformationData(
+                        patch_mode=int(PatchModeITile.I_INTRA),
+                        data=PatchDataUnit(
+                            pdu_2d_pos_x=p, pdu_2d_pos_y=p * 2,
+                            pdu_2d_size_x_minus1=15, pdu_2d_size_y_minus1=15,
+                            pdu_3d_offset_u=p * 10, pdu_3d_offset_v=0,
+                            pdu_3d_offset_d=0, pdu_3d_range_d=8,
+                            pdu_projection_id=p % 6, pdu_orientation_index=p % 8,
+                        ),
+                    )
+                )
+            else:
+                du.patches.append(
+                    PatchInformationData(
+                        patch_mode=int(PatchModePTile.P_INTER),
+                        data=InterPatchDataUnit(ipdu_patch_index=0,
+                                                ipdu_2d_pos_x=1),
+                    )
+                )
+        atl = AtlasTileLayerRbsp(header=header, data_unit=du)
+        atl.afoc = f
+        atlas.atlas_tile_layers.append(atl)
+    atlas.set_video_bitstream(VideoBitstream(VideoType.OCCUPANCY, b"OCC" * 100))
+    atlas.set_video_bitstream(VideoBitstream(VideoType.GEOMETRY, b"GEO" * 500))
+    atlas.set_video_bitstream(VideoBitstream(VideoType.ATTRIBUTE, b"ATT" * 700))
+    atlas.seis_prefix.append(SeiDecodedAtlasInformationHash())
+    return ctx
+
+
+class TestFullStream:
+    def test_context_roundtrip(self):
+        ctx = make_context()
+        writer = V3CWriter()
+        units = writer.encode(ctx)
+        data = writer.write(units)
+
+        reader = V3CReader()
+        gofs = reader.read(data)
+        assert len(gofs) == 1
+        ctx2 = reader.decode(gofs[0])
+
+        atlas2 = ctx2.atlas(0)
+        assert len(atlas2.atlas_tile_layers) == 3
+        assert atlas2.atlas_tile_layers[0].header.ath_type == AtlasTileType.I_TILE
+        assert atlas2.atlas_tile_layers[1].header.ath_type == AtlasTileType.P_TILE
+        du0 = atlas2.atlas_tile_layers[0].data_unit
+        assert len(du0.patches) == 4
+        pdu = du0.patches[2].data
+        assert pdu.pdu_2d_pos_x == 2 and pdu.pdu_3d_offset_u == 20
+        assert atlas2.get_video_bitstream(VideoType.GEOMETRY).data == b"GEO" * 500
+        assert isinstance(atlas2.seis_prefix[0], SeiDecodedAtlasInformationHash)
+
+    def test_multi_gof_stream(self):
+        writer = V3CWriter()
+        units = writer.encode(make_context(n_frames=2)) + writer.encode(
+            make_context(n_frames=3)
+        )
+        data = writer.write(units)
+        reader = V3CReader()
+        gofs = reader.read(data)
+        assert len(gofs) == 2
+        assert len(reader.decode(gofs[0]).atlas(0).atlas_tile_layers) == 2
+        assert len(reader.decode(gofs[1]).atlas(0).atlas_tile_layers) == 3
+
+    def test_stat_accounting(self):
+        writer = V3CWriter()
+        units = writer.encode(make_context())
+        writer.write(units)
+        assert writer.stat.sizes[V3CUnitType.V3C_AVD] > 0
+        assert writer.stat.total() > 0
