@@ -1,0 +1,2 @@
+from .base import VideoDecoder, VideoEncoder, VideoEncoderParams
+from . import rbv

@@ -1,0 +1,158 @@
+"""Unit tests: the RBV TPU video codec (transforms, closed loop, container)."""
+
+import numpy as np
+import pytest
+
+from rabbit_transcoding_tpu.core.image import Video
+from rabbit_transcoding_tpu.ops import dct
+from rabbit_transcoding_tpu.utils.enums import CodecId, ColorFormat
+from rabbit_transcoding_tpu.video import VideoDecoder, VideoEncoder, VideoEncoderParams
+from rabbit_transcoding_tpu.video import rbv
+
+import jax.numpy as jnp
+
+
+def psnr(a, b, maxval):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10 * np.log10(maxval * maxval / mse)
+
+
+def smooth_video(frames=4, h=64, w=96, bitdepth=8, fmt=ColorFormat.YUV420, seed=0):
+    """Synthetic smooth moving-gradient video (codec-friendly, like depth maps)."""
+    rng = np.random.default_rng(seed)
+    maxval = (1 << bitdepth) - 1
+    dtype = np.uint8 if bitdepth <= 8 else np.uint16
+    v = Video.zeros(frames, w, h, bitdepth, fmt)
+    for c, p in enumerate(v.planes):
+        hh, ww = p.shape[1:]
+        y, x = np.mgrid[0:hh, 0:ww]
+        for f in range(frames):
+            img = (
+                maxval / 2
+                + maxval / 4 * np.sin(2 * np.pi * (x + 5 * f) / ww)
+                * np.cos(2 * np.pi * (y - 3 * f) / hh)
+            )
+            img += rng.normal(0, maxval * 0.005, img.shape)
+            p[f] = np.clip(img, 0, maxval).astype(dtype)
+    return v
+
+
+class TestDctOps:
+    def test_dct_orthonormal(self):
+        d = dct.dct_matrix(16)
+        np.testing.assert_allclose(d @ d.T, np.eye(16), atol=1e-5)
+
+    def test_dct_idct_roundtrip(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(10, 16, 16)).astype(np.float32))
+        y = dct.idct2d(dct.dct2d(x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-3)
+
+    def test_blockify_roundtrip(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3, 64, 96)).astype(np.float32))
+        b = dct.blockify(x, 16)
+        assert b.shape == (3, 4, 6, 16, 16)
+        np.testing.assert_array_equal(np.asarray(dct.deblockify(b)), np.asarray(x))
+
+    def test_dc_coefficient(self):
+        x = jnp.full((1, 16, 16), 100.0)
+        c = np.asarray(dct.dct2d(x))
+        assert abs(c[0, 0, 0] - 100.0 * 16) < 1e-2  # DC = N * mean
+        assert np.abs(c[0]).sum() - abs(c[0, 0, 0]) < 1e-2  # all energy in DC
+
+
+class TestRbvCodec:
+    @pytest.mark.parametrize("gop", [1, 2, 4])
+    def test_closed_loop_recon_matches_decode(self, gop):
+        v = smooth_video(frames=4)
+        payload, recon = rbv.encode(v, rbv.RbvParams(qp=28, gop_size=gop))
+        dec = rbv.decode(payload)
+        for a, b in zip(recon.planes, dec.planes):
+            np.testing.assert_array_equal(a, b)
+
+    def test_quality_vs_qp(self):
+        v = smooth_video(frames=2)
+        qualities = []
+        sizes = []
+        for qp in (12, 24, 36):
+            payload, _ = rbv.encode(v, rbv.RbvParams(qp=qp, gop_size=1))
+            dec = rbv.decode(payload)
+            qualities.append(psnr(v.planes[0], dec.planes[0], 255))
+            sizes.append(len(payload))
+        assert qualities[0] > qualities[1] > qualities[2]
+        assert sizes[0] > sizes[1] > sizes[2]
+        assert qualities[0] > 45  # near-transparent at QP 12 on smooth content
+        assert qualities[1] > 38
+
+    def test_lossless(self):
+        v = smooth_video(frames=3, bitdepth=10)
+        payload, recon = rbv.encode(v, rbv.RbvParams(lossless=True))
+        dec = rbv.decode(payload)
+        for a, b in zip(v.planes, dec.planes):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(v.planes, recon.planes):
+            np.testing.assert_array_equal(a, b)
+
+    def test_10bit_geometry_like(self):
+        v = smooth_video(frames=2, bitdepth=10, fmt=ColorFormat.YUV400)
+        payload, _ = rbv.encode(v, rbv.RbvParams(qp=16, gop_size=2))
+        dec = rbv.decode(payload)
+        assert dec.bitdepth == 10 and dec.planes[0].dtype == np.uint16
+        assert psnr(v.planes[0], dec.planes[0], 1023) > 45
+
+    def test_nonmultiple_dimensions(self):
+        v = smooth_video(frames=3, h=50, w=70, fmt=ColorFormat.YUV400)
+        payload, _ = rbv.encode(v, rbv.RbvParams(qp=20, gop_size=2))
+        dec = rbv.decode(payload)
+        assert dec.planes[0].shape == (3, 50, 70)
+        assert psnr(v.planes[0], dec.planes[0], 255) > 38
+
+    def test_probe(self):
+        v = smooth_video(frames=2, bitdepth=10, fmt=ColorFormat.YUV400)
+        payload, _ = rbv.encode(v, rbv.RbvParams(qp=18))
+        info = rbv.probe(payload)
+        assert info["width"] == 96 and info["height"] == 64
+        assert info["bitdepth"] == 10 and info["frame_count"] == 2
+        assert info["qp"] == 18 and not info["lossless"]
+
+    def test_not_rbv_raises(self):
+        with pytest.raises(ValueError):
+            rbv.decode(b"JUNKJUNKJUNKJUNKJUNKJUNK")
+
+    def test_p_frames_beat_intra_on_static_content(self):
+        # frames larger than the DEFLATE window (32KB) so identical intra
+        # frames cannot be deduped by the entropy stage; the gain must come
+        # from P-frame prediction producing all-zero residuals.
+        v = smooth_video(frames=4, h=256, w=256, fmt=ColorFormat.YUV400, seed=3)
+        for p in v.planes:
+            p[1:] = p[0]
+        p_all_intra, _ = rbv.encode(v, rbv.RbvParams(qp=24, gop_size=1))
+        p_gop4, _ = rbv.encode(v, rbv.RbvParams(qp=24, gop_size=4))
+        assert len(p_gop4) < 0.5 * len(p_all_intra)
+
+
+class TestFactory:
+    def test_factory_roundtrip(self):
+        v = smooth_video(frames=2)
+        enc = VideoEncoder.create(CodecId.RBV)
+        payload, recon = enc.encode(v, VideoEncoderParams(qp=24))
+        dec = VideoDecoder.create(CodecId.RBV).decode(payload)
+        for a, b in zip(recon.planes, dec.planes):
+            np.testing.assert_array_equal(a, b)
+
+    def test_lossless_codec_id(self):
+        v = smooth_video(frames=2, fmt=ColorFormat.YUV400)
+        enc = VideoEncoder.create(CodecId.RBV_LOSSLESS)
+        payload, _ = enc.encode(v, VideoEncoderParams())
+        dec = VideoDecoder.create(CodecId.RBV).decode(payload)
+        np.testing.assert_array_equal(v.planes[0], dec.planes[0])
+
+    def test_bitdepth_align_on_decode(self):
+        v = smooth_video(frames=2, bitdepth=8, fmt=ColorFormat.YUV400)
+        enc = VideoEncoder.create(CodecId.RBV)
+        payload, _ = enc.encode(v, VideoEncoderParams(qp=20))
+        dec = VideoDecoder.create(CodecId.RBV).decode(payload, output_bitdepth=10)
+        assert dec.bitdepth == 10
