@@ -1,0 +1,165 @@
+"""Atlas-tile-layer syntax -> decoded Patch lists.
+
+The single shared implementation of ``createPatchFrameDataStructure``: the
+reference duplicates this logic in the decoder (PCCDecoder.cpp:790-869) and
+the transcoder (PCCTranscoder.cpp:1062-1141); here both pipelines call this
+module.  Handles intra / inter / merge / skip patch modes with the spec's
+running-predictor reference indexing, plus raw/EOM patch bookkeeping.
+"""
+
+from __future__ import annotations
+
+from ..bitstream.hls import AtlasHLS
+from ..bitstream.syntax import (
+    AtlasTileLayerRbsp,
+    EOMPatchDataUnit,
+    InterPatchDataUnit,
+    MergePatchDataUnit,
+    PatchDataUnit,
+    RawPatchDataUnit,
+    SkipPatchDataUnit,
+)
+from ..core.patch import Patch
+from ..utils.enums import AtlasTileType, PatchOrientation, PatchType
+
+
+def _axes_of(projection_id: int) -> tuple[int, int, int, int]:
+    """projection id (0..5) -> (normal, tangent, bitangent, projection_mode).
+
+    The six canonical V-PCC projection planes: ids 0/1/2 project onto the
+    min-X/Y/Z planes (mode 0), ids 3/4/5 onto max planes (mode 1)."""
+    axis = projection_id % 3
+    mode = 0 if projection_id < 3 else 1
+    if axis == 0:
+        return 0, 2, 1, mode
+    if axis == 1:
+        return 1, 2, 0, mode
+    return 2, 0, 1, mode
+
+
+def projection_id_of(normal_axis: int, projection_mode: int) -> int:
+    return normal_axis + (3 if projection_mode else 0)
+
+
+def decode_patch_frames(atlas: AtlasHLS) -> list[list[Patch]]:
+    """Decode every atlas tile layer into per-frame patch lists."""
+    frames: list[list[Patch]] = []
+    prev: list[Patch] = []
+    for atl in atlas.atlas_tile_layers:
+        patches = decode_tile_patches(atlas, atl, prev)
+        frames.append(patches)
+        prev = patches
+    return frames
+
+
+def decode_tile_patches(
+    atlas: AtlasHLS, atl: AtlasTileLayerRbsp, ref_patches: list[Patch]
+) -> list[Patch]:
+    afps = atlas.afps(atl.header.ath_atlas_frame_parameter_set_id)
+    asps = atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
+    ppbs = 1 << asps.asps_log2_patch_packing_block_size
+    min_d_shift = atl.header.ath_pos_min_d_quantizer
+    patches: list[Patch] = []
+    pred_idx = 0  # running reference-patch predictor (spec: RefIdx accumulation)
+
+    if atl.header.ath_type == AtlasTileType.SKIP_TILE:
+        for i, ref in enumerate(ref_patches):
+            p = _copy_patch(ref, i)
+            p.patch_type = PatchType.SKIP
+            patches.append(p)
+        return patches
+
+    for pid in atl.data_unit.patches:
+        du = pid.data
+        idx = len(patches)
+        if isinstance(du, PatchDataUnit):
+            patches.append(_intra_patch(du, idx, ppbs, min_d_shift, atl))
+        elif isinstance(du, InterPatchDataUnit):
+            ref_idx = pred_idx + du.ipdu_patch_index
+            ref = ref_patches[ref_idx]
+            pred_idx = ref_idx + 1
+            p = _copy_patch(ref, idx)
+            p.patch_type = PatchType.INTER
+            p.best_match_idx = ref_idx
+            p.u0 = ref.u0 + du.ipdu_2d_pos_x
+            p.v0 = ref.v0 + du.ipdu_2d_pos_y
+            p.size_u0 = ref.size_u0 + du.ipdu_2d_delta_size_x
+            p.size_v0 = ref.size_v0 + du.ipdu_2d_delta_size_y
+            p.size_u = p.size_u0 * ppbs
+            p.size_v = p.size_v0 * ppbs
+            p.u1 = ref.u1 + du.ipdu_3d_offset_u
+            p.v1 = ref.v1 + du.ipdu_3d_offset_v
+            p.d1 = ref.d1 + (du.ipdu_3d_offset_d << min_d_shift)
+            p.size_d = max(0, ref.size_d + du.ipdu_3d_range_d)
+            patches.append(p)
+        elif isinstance(du, MergePatchDataUnit):
+            ref_idx = pred_idx
+            ref = ref_patches[ref_idx]
+            pred_idx = ref_idx + 1
+            p = _copy_patch(ref, idx)
+            p.patch_type = PatchType.MERGE
+            p.best_match_idx = ref_idx
+            if du.mpdu_override_2d_params_flag:
+                p.u0 = ref.u0 + du.mpdu_2d_pos_x
+                p.v0 = ref.v0 + du.mpdu_2d_pos_y
+                p.size_u0 = ref.size_u0 + du.mpdu_2d_delta_size_x
+                p.size_v0 = ref.size_v0 + du.mpdu_2d_delta_size_y
+                p.size_u = p.size_u0 * ppbs
+                p.size_v = p.size_v0 * ppbs
+            elif du.mpdu_override_3d_params_flag:
+                p.u1 = ref.u1 + du.mpdu_3d_offset_u
+                p.v1 = ref.v1 + du.mpdu_3d_offset_v
+                p.d1 = ref.d1 + (du.mpdu_3d_offset_d << min_d_shift)
+                p.size_d = max(0, ref.size_d + du.mpdu_3d_range_d)
+            patches.append(p)
+        elif isinstance(du, SkipPatchDataUnit):
+            ref_idx = pred_idx
+            ref = ref_patches[ref_idx]
+            pred_idx = ref_idx + 1
+            p = _copy_patch(ref, idx)
+            p.patch_type = PatchType.SKIP
+            p.best_match_idx = ref_idx
+            patches.append(p)
+        elif isinstance(du, (RawPatchDataUnit, EOMPatchDataUnit)):
+            # raw/EOM patches carry aux-video point data; reconstruction of
+            # these is handled by the raw-points path (not patch projection)
+            continue
+        else:
+            raise ValueError(f"unknown patch data unit {type(du)}")
+    return patches
+
+
+def _intra_patch(
+    du: PatchDataUnit, idx: int, ppbs: int, min_d_shift: int, atl
+) -> Patch:
+    normal, tangent, bitangent, mode = _axes_of(du.pdu_projection_id)
+    return Patch(
+        index=idx,
+        u0=du.pdu_2d_pos_x,
+        v0=du.pdu_2d_pos_y,
+        size_u0=du.pdu_2d_size_x_minus1 + 1,
+        size_v0=du.pdu_2d_size_y_minus1 + 1,
+        size_u=(du.pdu_2d_size_x_minus1 + 1) * ppbs,
+        size_v=(du.pdu_2d_size_y_minus1 + 1) * ppbs,
+        u1=du.pdu_3d_offset_u,
+        v1=du.pdu_3d_offset_v,
+        d1=du.pdu_3d_offset_d << min_d_shift,
+        size_d=du.pdu_3d_range_d,
+        normal_axis=normal,
+        tangent_axis=tangent,
+        bitangent_axis=bitangent,
+        projection_mode=mode,
+        orientation=PatchOrientation(du.pdu_orientation_index),
+        occupancy_resolution=ppbs,
+        lod_x=du.pdu_lod_scale_x_minus1 + 1 if du.pdu_lod_enabled_flag else 1,
+        lod_y=du.pdu_lod_scale_y_idc + 1 if du.pdu_lod_enabled_flag else 1,
+        patch_type=PatchType.INTRA,
+    )
+
+
+def _copy_patch(ref: Patch, idx: int) -> Patch:
+    import dataclasses
+
+    p = dataclasses.replace(ref)
+    p.index = idx
+    return p

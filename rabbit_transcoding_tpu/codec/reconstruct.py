@@ -1,0 +1,139 @@
+"""Shared 3D reconstruction engine (PCCCodec analog).
+
+Capability parity with PCCCodec (/root/reference/source/lib/PccLibCommon/
+source/PCCCodec.cpp): generateOccupancyMap (:1584), generateBlockToPatch
+(:1712), generatePointCloud (:517), colorPointCloud (:1308) — used by the
+decoder, the transcoder's self-check path, and encoder-side reconstruction.
+
+TPU-first design: the whole GOF's occupancy/geometry/attribute planes are
+shipped to the device once; reprojection + coloring run as batched masked
+ops (ops/reproject.py); only the final compaction of valid points back to
+per-frame PointSets touches the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.image import Video
+from ..core.patch import Patch
+from ..core.pointset import PointSet
+from ..ops import occupancy as occ_ops
+from ..ops import reproject as repro_ops
+from ..ops.color import yuv420_to_rgb8
+
+
+@dataclasses.dataclass
+class GeneratePointCloudParameters:
+    """Reconstruction knobs (GeneratePointCloudParameters analog,
+    PCCCodec.h:63-96)."""
+
+    occupancy_resolution: int = 16
+    occupancy_precision: int = 4
+    flag_geometry_smoothing: bool = False
+    grid_size: int = 8
+    neighbor_count_smoothing: int = 64
+    threshold_smoothing: float = 64.0
+    flag_color_smoothing: bool = False
+    threshold_color_smoothing: float = 10.0
+    remove_duplicate_points: bool = True
+    pixel_deinterleaving: bool = False
+    point_local_reconstruction: bool = False
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class ReconstructionEngine:
+    def __init__(self, params: GeneratePointCloudParameters | None = None):
+        self.params = params or GeneratePointCloudParameters()
+
+    # ------------------------------------------------------------------
+    def occupancy_maps(
+        self, occ_video: Video, width: int, height: int
+    ) -> np.ndarray:
+        """Occupancy video (possibly precision-downscaled) -> (F, H, W)
+        binary maps at full atlas resolution."""
+        plane = np.asarray(occ_video.planes[0])
+        f, oh, ow = plane.shape
+        factor = width // ow
+        occ = occ_ops.binarize(jnp.asarray(plane))
+        if factor > 1:
+            occ = occ_ops.upsample_nearest(occ, factor)
+        occ = np.asarray(occ)[:, :height, :width]
+        return occ
+
+    # ------------------------------------------------------------------
+    def generate_point_clouds(
+        self,
+        patch_lists: list[list[Patch]],
+        occ_maps: np.ndarray,          # (F, H, W) uint8
+        geo_video: Video,
+        attr_video: Video | None,
+        max_patches: int | None = None,
+    ) -> list[PointSet]:
+        """Batched patch->3D reprojection + coloring for a whole GOF."""
+        f, h, w = occ_maps.shape
+        if max_patches is None:
+            raw_max = max((len(p) for p in patch_lists), default=1)
+            max_patches = max(1, round_up(raw_max, 32))
+        table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
+        block = patch_lists[0][0].occupancy_resolution if patch_lists and patch_lists[0] else 16
+
+        geo = np.asarray(geo_video.planes[0])[:f, :h, :w]
+        pts, valid, _b2p = repro_ops.reproject(
+            jnp.asarray(geo.astype(np.int32)),
+            jnp.asarray(occ_maps),
+            jnp.asarray(table),
+            jnp.asarray(counts),
+            block,
+        )
+        pts = np.asarray(pts)
+        valid = np.asarray(valid)
+
+        colors = None
+        if attr_video is not None:
+            rgb = np.asarray(
+                yuv420_to_rgb8(
+                    jnp.asarray(attr_video.planes[0]),
+                    jnp.asarray(attr_video.planes[1]),
+                    jnp.asarray(attr_video.planes[2]),
+                )
+            )[:f, :h, :w]
+            colors = rgb.reshape(f, h * w, 3)
+
+        clouds: list[PointSet] = []
+        for fi in range(f):
+            m = valid[fi]
+            ps = PointSet(
+                positions=pts[fi][m],
+                colors=None if colors is None else colors[fi][m],
+            )
+            if self.params.remove_duplicate_points:
+                ps = ps.remove_duplicates()
+            clouds.append(ps)
+        return clouds
+
+    # ------------------------------------------------------------------
+    def block_to_patch_maps(
+        self,
+        patch_lists: list[list[Patch]],
+        occ_maps: np.ndarray,
+        block_size: int = 16,
+        max_patches: int | None = None,
+    ) -> np.ndarray:
+        """(F, H/bs, W/bs) int32 block ownership maps (0 = none)."""
+        if max_patches is None:
+            raw_max = max((len(p) for p in patch_lists), default=1)
+            max_patches = max(1, round_up(raw_max, 32))
+        table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
+        return np.asarray(
+            repro_ops.block_to_patch(
+                jnp.asarray(occ_maps), jnp.asarray(table), jnp.asarray(counts),
+                block_size,
+            )
+        )
