@@ -58,6 +58,15 @@ def decode_tile_patches(
     afps = atlas.afps(atl.header.ath_atlas_frame_parameter_set_id)
     asps = atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
     ppbs = 1 << asps.asps_log2_patch_packing_block_size
+    # patch-size quantizer (23090-5: PatchSizeXQuantizer): when the ASPS
+    # signals explicit quantizers, sizes are coded in (1<<q) pixel units —
+    # q=0 gives exact pixel sizes, which the placement-orientation inverse
+    # mappings require; otherwise sizes are in packing-block units.
+    if asps.asps_patch_size_quantizer_present_flag:
+        qx = 1 << atl.header.ath_patch_size_x_info_quantizer
+        qy = 1 << atl.header.ath_patch_size_y_info_quantizer
+    else:
+        qx = qy = ppbs
     min_d_shift = atl.header.ath_pos_min_d_quantizer
     patches: list[Patch] = []
     pred_idx = 0  # running reference-patch predictor (spec: RefIdx accumulation)
@@ -73,7 +82,7 @@ def decode_tile_patches(
         du = pid.data
         idx = len(patches)
         if isinstance(du, PatchDataUnit):
-            patches.append(_intra_patch(du, idx, ppbs, min_d_shift, atl))
+            patches.append(_intra_patch(du, idx, ppbs, qx, qy, min_d_shift))
         elif isinstance(du, InterPatchDataUnit):
             ref_idx = pred_idx + du.ipdu_patch_index
             ref = ref_patches[ref_idx]
@@ -83,10 +92,10 @@ def decode_tile_patches(
             p.best_match_idx = ref_idx
             p.u0 = ref.u0 + du.ipdu_2d_pos_x
             p.v0 = ref.v0 + du.ipdu_2d_pos_y
-            p.size_u0 = ref.size_u0 + du.ipdu_2d_delta_size_x
-            p.size_v0 = ref.size_v0 + du.ipdu_2d_delta_size_y
-            p.size_u = p.size_u0 * ppbs
-            p.size_v = p.size_v0 * ppbs
+            p.size_u = ref.size_u + du.ipdu_2d_delta_size_x * qx
+            p.size_v = ref.size_v + du.ipdu_2d_delta_size_y * qy
+            p.size_u0 = (p.size_u + ppbs - 1) // ppbs
+            p.size_v0 = (p.size_v + ppbs - 1) // ppbs
             p.u1 = ref.u1 + du.ipdu_3d_offset_u
             p.v1 = ref.v1 + du.ipdu_3d_offset_v
             p.d1 = ref.d1 + (du.ipdu_3d_offset_d << min_d_shift)
@@ -102,10 +111,10 @@ def decode_tile_patches(
             if du.mpdu_override_2d_params_flag:
                 p.u0 = ref.u0 + du.mpdu_2d_pos_x
                 p.v0 = ref.v0 + du.mpdu_2d_pos_y
-                p.size_u0 = ref.size_u0 + du.mpdu_2d_delta_size_x
-                p.size_v0 = ref.size_v0 + du.mpdu_2d_delta_size_y
-                p.size_u = p.size_u0 * ppbs
-                p.size_v = p.size_v0 * ppbs
+                p.size_u = ref.size_u + du.mpdu_2d_delta_size_x * qx
+                p.size_v = ref.size_v + du.mpdu_2d_delta_size_y * qy
+                p.size_u0 = (p.size_u + ppbs - 1) // ppbs
+                p.size_v0 = (p.size_v + ppbs - 1) // ppbs
             elif du.mpdu_override_3d_params_flag:
                 p.u1 = ref.u1 + du.mpdu_3d_offset_u
                 p.v1 = ref.v1 + du.mpdu_3d_offset_v
@@ -130,17 +139,19 @@ def decode_tile_patches(
 
 
 def _intra_patch(
-    du: PatchDataUnit, idx: int, ppbs: int, min_d_shift: int, atl
+    du: PatchDataUnit, idx: int, ppbs: int, qx: int, qy: int, min_d_shift: int
 ) -> Patch:
     normal, tangent, bitangent, mode = _axes_of(du.pdu_projection_id)
+    size_u = (du.pdu_2d_size_x_minus1 + 1) * qx
+    size_v = (du.pdu_2d_size_y_minus1 + 1) * qy
     return Patch(
         index=idx,
         u0=du.pdu_2d_pos_x,
         v0=du.pdu_2d_pos_y,
-        size_u0=du.pdu_2d_size_x_minus1 + 1,
-        size_v0=du.pdu_2d_size_y_minus1 + 1,
-        size_u=(du.pdu_2d_size_x_minus1 + 1) * ppbs,
-        size_v=(du.pdu_2d_size_y_minus1 + 1) * ppbs,
+        size_u0=(size_u + ppbs - 1) // ppbs,
+        size_v0=(size_v + ppbs - 1) // ppbs,
+        size_u=size_u,
+        size_v=size_v,
         u1=du.pdu_3d_offset_u,
         v1=du.pdu_3d_offset_v,
         d1=du.pdu_3d_offset_d << min_d_shift,

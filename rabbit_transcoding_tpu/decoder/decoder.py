@@ -1,0 +1,73 @@
+"""The V-PCC decoder pipeline.
+
+Capability parity with PCCDecoder (/root/reference/source/lib/PccLibDecoder/
+source/PCCDecoder.cpp:77-421): parse ATLs -> patch lists -> decode the three
+video sub-streams -> occupancy maps -> batched patch->3D reprojection +
+coloring -> (optional SEI-driven smoothing) -> point clouds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..bitstream.hls import Context
+from ..codec.patch_frame import decode_patch_frames
+from ..codec.reconstruct import GeneratePointCloudParameters, ReconstructionEngine
+from ..core.pointset import PointSet
+from ..utils.enums import CodecId, VideoType
+from ..utils.timing import StageTimer
+from ..video import VideoDecoder
+
+
+@dataclasses.dataclass
+class DecoderParameters:
+    compressedStreamPath: str = ""
+    reconstructedDataPath: str = ""
+    startFrameNumber: int = 0
+    keepIntermediateFiles: bool = False
+    computeChecksum: bool = True
+    computeMetrics: bool = False
+    uncompressedDataPath: str = ""
+
+
+class Decoder:
+    def __init__(self, params: DecoderParameters | None = None):
+        self.params = params or DecoderParameters()
+        self.timer = StageTimer()
+
+    def decode(self, context: Context, atlas_id: int = 0) -> list[PointSet]:
+        atlas = context.atlas(atlas_id)
+        vps_atlas = context.vps.atlas(0)
+        width = vps_atlas.vps_frame_width
+        height = vps_atlas.vps_frame_height
+
+        with self.timer.stage("createPatchFrameDataStructure"):
+            patch_frames = decode_patch_frames(atlas)
+
+        with self.timer.stage("decodeOccupancyVideo"):
+            occ_video = VideoDecoder.create(CodecId.RBV).decode(
+                atlas.get_video_bitstream(VideoType.OCCUPANCY).data
+            )
+        with self.timer.stage("decodeGeometryVideo"):
+            geo_video = VideoDecoder.create(CodecId.RBV).decode(
+                atlas.get_video_bitstream(VideoType.GEOMETRY).data
+            )
+        attr_video = None
+        if VideoType.ATTRIBUTE in atlas.video_bitstreams:
+            with self.timer.stage("decodeAttributeVideo"):
+                attr_video = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE).data
+                )
+
+        engine = ReconstructionEngine(GeneratePointCloudParameters())
+        with self.timer.stage("generateOccupancyMaps"):
+            occ_maps = engine.occupancy_maps(occ_video, width, height)
+
+        with self.timer.stage("generatePointCloud"):
+            n = min(len(patch_frames), occ_maps.shape[0], geo_video.frame_count)
+            clouds = engine.generate_point_clouds(
+                patch_frames[:n], occ_maps[:n], geo_video, attr_video
+            )
+        return clouds

@@ -1,0 +1,320 @@
+"""The V-PCC encoder pipeline.
+
+Capability parity with PCCEncoder (/root/reference/source/lib/PccLibEncoder/
+source/PCCEncoder.cpp:69-477 stage loop): segmentation -> packing ->
+occupancy/geometry video -> geometry-closed-loop reconstruction -> recolor ->
+attribute video -> atlas tile layers + parameter sets.
+
+TPU-first layout: all per-pixel stages (padding fill, video transforms,
+reprojection) run batched over the whole GOF on device; host does
+segmentation graph work, packing, entropy and syntax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.hls import AtlasHLS, Context
+from ..bitstream.syntax import (
+    AtlasFrameParameterSetRbsp,
+    AtlasSequenceParameterSetRbsp,
+    AtlasTileDataUnit,
+    AtlasTileHeader,
+    AtlasTileLayerRbsp,
+    AttributeInformation,
+    PatchDataUnit,
+    PatchInformationData,
+    RefListStruct,
+    V3CParameterSet,
+)
+from ..bitstream.video_bitstream import VideoBitstream
+from ..codec.patch_frame import projection_id_of
+from ..codec.reconstruct import GeneratePointCloudParameters, ReconstructionEngine
+from ..core.gof import GroupOfFrames
+from ..core.image import Video
+from ..core.pointset import PointSet
+from ..ops import reproject as repro_ops
+from ..ops.color import rgb8_to_yuv420, yuv420_to_rgb8
+from ..ops.dilate import pad_pow2, push_pull_fill
+from ..ops.occupancy import downscale_maxpool
+from ..ops.recolor import transfer_colors
+from ..utils.enums import (
+    AtlasTileType,
+    ColorFormat,
+    PatchModeITile,
+    VideoType,
+)
+from ..utils.timing import StageTimer
+from .packing import pack_patches
+from .params import EncoderParameters
+from .rasterize import rasterize_frame
+from .segment import SegmenterParams, segment_frame
+
+import jax.numpy as jnp
+
+
+class Encoder:
+    def __init__(self, params: EncoderParameters | None = None):
+        self.params = params or EncoderParameters()
+        self.timer = StageTimer()
+
+    # ------------------------------------------------------------------
+    def encode(
+        self, sources: GroupOfFrames
+    ) -> tuple[Context, list[PointSet]]:
+        """Encode one GOF -> (bitstream Context, decoder-identical recon)."""
+        p = self.params
+        seg_params = SegmenterParams(
+            nn_normal_estimation=p.nnNormalEstimation,
+            max_nn_count_refine_segmentation=p.maxNNCountRefineSegmentation,
+            iteration_count_refine_segmentation=p.iterationCountRefineSegmentation,
+            lambda_refine_segmentation=p.lambdaRefineSegmentation,
+            min_point_count_per_cc_patch_segmentation=(
+                p.minPointCountPerCCPatchSegmentation
+            ),
+            surface_thickness=p.surfaceThickness,
+            max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
+        )
+
+        # 1. segmentation + packing (per frame; all-intra atlas)
+        with self.timer.stage("generateSegments"):
+            frame_segs = [
+                segment_frame(ps.positions.astype(np.int32), seg_params)[0]
+                for ps in sources
+            ]
+        with self.timer.stage("placeSegments"):
+            width = p.minimumImageWidth
+            height = p.minimumImageHeight
+            for segs in frame_segs:
+                h = pack_patches(
+                    segs, width, max(height, 64), block=p.occupancyResolution,
+                    try_orientations=p.packingTryOrientations,
+                )
+                height = max(height, h)
+            height = -(-height // 64) * 64
+
+        # 2. rasterize occupancy + geometry planes
+        with self.timer.stage("generateOccupancyMapVideo"):
+            geo_planes = np.zeros((len(sources), height, width), np.uint16)
+            occ_planes = np.zeros((len(sources), height, width), np.uint8)
+            for i, segs in enumerate(frame_segs):
+                geo_planes[i], occ_planes[i] = rasterize_frame(segs, width, height)
+
+        # 3. encode occupancy (precision-downscaled, lossless)
+        from ..video import VideoDecoder, VideoEncoder, VideoEncoderParams
+        from ..utils.enums import CodecId
+
+        occ_small = np.asarray(
+            downscale_maxpool(jnp.asarray(occ_planes), p.occupancyPrecision)
+        )
+        occ_video = Video(
+            width // p.occupancyPrecision, height // p.occupancyPrecision,
+            8, ColorFormat.YUV400, [occ_small],
+        )
+        occ_payload, _ = VideoEncoder.create(CodecId.RBV_LOSSLESS).encode(
+            occ_video, VideoEncoderParams(lossless=True)
+        )
+        # decoder-side occupancy: precision blocks become fully occupied —
+        # the closed loop below must reconstruct exactly what a decoder sees
+        from ..ops.occupancy import upsample_nearest
+
+        occ_decoded = np.asarray(
+            upsample_nearest(jnp.asarray(occ_small), p.occupancyPrecision)
+        )[:, :height, :width]
+
+        # 4. geometry video: background fill + lossy encode (closed loop)
+        with self.timer.stage("generateGeometryVideo"):
+            gpad, opad, (oh, ow) = pad_pow2(
+                geo_planes.astype(np.float32), occ_planes
+            )
+            filled = np.asarray(
+                push_pull_fill(jnp.asarray(gpad), jnp.asarray(opad))
+            )[:, :oh, :ow]
+            geo_video = Video(
+                width, height, p.geometryNominal2dBitdepth, ColorFormat.YUV400,
+                [np.clip(np.round(filled), 0,
+                         (1 << p.geometryNominal2dBitdepth) - 1).astype(np.uint16)],
+            )
+            geo_payload, geo_recon = VideoEncoder.create(CodecId.RBV).encode(
+                geo_video,
+                VideoEncoderParams(
+                    qp=p.geometryQP, gop_size=p.videoGopSize,
+                    all_intra=p.allIntra,
+                ),
+            )
+
+        # 5. reconstruct geometry from *decoded* planes (decoder-identical)
+        with self.timer.stage("reconstructGeometry"):
+            patch_lists = [[s.patch for s in segs] for segs in frame_segs]
+            max_patches = max(
+                1, -(-max(len(pl) for pl in patch_lists) // 32) * 32
+            )
+            table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
+            pts, valid, _ = repro_ops.reproject(
+                jnp.asarray(np.asarray(geo_recon.planes[0], np.int32)),
+                jnp.asarray(occ_decoded),
+                jnp.asarray(table),
+                jnp.asarray(counts),
+                p.occupancyResolution,
+            )
+            pts = np.asarray(pts)
+            valid = np.asarray(valid)
+
+        # 6. recolor reconstructed points from the source cloud
+        with self.timer.stage("generateAttributeVideo"):
+            attr_rgb = np.zeros((len(sources), height, width, 3), np.uint8)
+            for i, src in enumerate(sources):
+                m = valid[i]
+                if src.has_colors and m.any():
+                    colors = transfer_colors(
+                        src.positions.astype(np.float32),
+                        src.colors,
+                        pts[i][m].astype(np.float32),
+                        k=p.recolorNeighborCount,
+                    )
+                    canvas = attr_rgb[i].reshape(-1, 3)
+                    canvas[np.nonzero(m)[0]] = colors
+            # fill unoccupied, convert to YUV420, encode; the "trusted color"
+            # mask is the per-pixel valid set (decoded-occupancy ∧ patch-owned)
+            valid_mask = valid.reshape(len(sources), height, width).astype(np.uint8)
+            rpad, opad2, (oh, ow) = pad_pow2(
+                attr_rgb.astype(np.float32).transpose(3, 0, 1, 2).reshape(
+                    -1, height, width
+                ),
+                np.tile(valid_mask, (3, 1, 1)),
+            )
+            filled_rgb = np.asarray(
+                push_pull_fill(jnp.asarray(rpad), jnp.asarray(opad2))
+            )[:, :oh, :ow]
+            filled_rgb = (
+                filled_rgb.reshape(3, len(sources), height, width)
+                .transpose(1, 2, 3, 0)
+            )
+            y, u, v = rgb8_to_yuv420(
+                jnp.asarray(np.clip(np.round(filled_rgb), 0, 255).astype(np.uint8))
+            )
+            attr_video = Video(
+                width, height, 8, ColorFormat.YUV420,
+                [np.asarray(y), np.asarray(u), np.asarray(v)],
+            )
+            attr_payload, attr_recon = VideoEncoder.create(CodecId.RBV).encode(
+                attr_video,
+                VideoEncoderParams(
+                    qp=p.attributeQP, gop_size=p.videoGopSize,
+                    all_intra=p.allIntra,
+                ),
+            )
+
+        # 7. decoder-identical reconstructed clouds (colors from decoded attr)
+        with self.timer.stage("reconstructClouds"):
+            rgb_rec = np.asarray(
+                yuv420_to_rgb8(
+                    jnp.asarray(attr_recon.planes[0]),
+                    jnp.asarray(attr_recon.planes[1]),
+                    jnp.asarray(attr_recon.planes[2]),
+                )
+            )
+            recon_clouds = []
+            for i in range(len(sources)):
+                m = valid[i]
+                ps = PointSet(
+                    positions=pts[i][m],
+                    colors=rgb_rec[i].reshape(-1, 3)[m],
+                )
+                if p.removeDuplicatePoints:
+                    ps = ps.remove_duplicates()
+                recon_clouds.append(ps)
+
+        # 8. high-level syntax
+        with self.timer.stage("createPatchFrameDataStructure"):
+            context = self._build_context(
+                frame_segs, width, height,
+                occ_payload, geo_payload, attr_payload,
+            )
+        return context, recon_clouds
+
+    # ------------------------------------------------------------------
+    def _build_context(
+        self, frame_segs, width, height, occ_payload, geo_payload, attr_payload
+    ) -> Context:
+        p = self.params
+        context = Context()
+        vps = V3CParameterSet()
+        va = vps.atlas(0)
+        va.vps_frame_width = width
+        va.vps_frame_height = height
+        va.occupancy_information.oi_occupancy_2d_bitdepth_minus1 = 7
+        va.geometry_information.gi_geometry_2d_bitdepth_minus1 = (
+            p.geometryNominal2dBitdepth - 1
+        )
+        va.geometry_information.gi_geometry_3d_coordinates_bitdepth_minus1 = (
+            p.geometry3dCoordinatesBitdepth - 1
+        )
+        va.attribute_information = AttributeInformation(
+            ai_attribute_count=1,
+            ai_attribute_type_id=[0],
+            ai_attribute_codec_id=[0],
+            ai_attribute_dimension_minus1=[2],
+            ai_attribute_2d_bitdepth_minus1=[7],
+            ai_attribute_msb_align_flag=[False],
+        )
+        context.vps_list.append(vps)
+
+        atlas = context.atlas(0)
+        asps = AtlasSequenceParameterSetRbsp(
+            asps_frame_width=width,
+            asps_frame_height=height,
+            asps_geometry_3d_bitdepth_minus1=p.geometry3dCoordinatesBitdepth - 1,
+            asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
+            asps_patch_size_quantizer_present_flag=True,
+            ref_list_structs=[
+                RefListStruct(
+                    num_ref_entries=1, abs_delta_afoc_st=[1],
+                    straf_entry_sign_flag=[True],
+                )
+            ],
+        )
+        atlas.asps_list.append(asps)
+        atlas.afps_list.append(AtlasFrameParameterSetRbsp())
+
+        for fi, segs in enumerate(frame_segs):
+            header = AtlasTileHeader(
+                ath_type=AtlasTileType.I_TILE,
+                ath_atlas_frm_order_cnt_lsb=fi % 256,
+                ath_patch_size_x_info_quantizer=0,
+                ath_patch_size_y_info_quantizer=0,
+            )
+            du = AtlasTileDataUnit()
+            for seg in segs:
+                patch = seg.patch
+                du.patches.append(
+                    PatchInformationData(
+                        patch_mode=int(PatchModeITile.I_INTRA),
+                        data=PatchDataUnit(
+                            pdu_2d_pos_x=patch.u0,
+                            pdu_2d_pos_y=patch.v0,
+                            pdu_2d_size_x_minus1=patch.size_u - 1,
+                            pdu_2d_size_y_minus1=patch.size_v - 1,
+                            pdu_3d_offset_u=patch.u1,
+                            pdu_3d_offset_v=patch.v1,
+                            pdu_3d_offset_d=patch.d1,
+                            pdu_3d_range_d=patch.size_d,
+                            pdu_projection_id=projection_id_of(
+                                patch.normal_axis, patch.projection_mode
+                            ),
+                            pdu_orientation_index=int(patch.orientation),
+                        ),
+                    )
+                )
+            atl = AtlasTileLayerRbsp(header=header, data_unit=du)
+            atl.afoc = fi
+            atlas.atlas_tile_layers.append(atl)
+
+        atlas.set_video_bitstream(
+            VideoBitstream(VideoType.OCCUPANCY, occ_payload)
+        )
+        atlas.set_video_bitstream(VideoBitstream(VideoType.GEOMETRY, geo_payload))
+        atlas.set_video_bitstream(
+            VideoBitstream(VideoType.ATTRIBUTE, attr_payload)
+        )
+        return context

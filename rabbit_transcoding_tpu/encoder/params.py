@@ -1,0 +1,53 @@
+"""Encoder parameters.
+
+Option names mirror the reference's PCCEncoderParameters / PccAppEncoder CLI
+(~196 options, PccAppEncoder.cpp) for the subset implemented; the cfg
+cascade (utils.config) binds these fields by name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class EncoderParameters:
+    # I/O
+    uncompressedDataPath: str = ""
+    compressedStreamPath: str = "out.bin"
+    reconstructedDataPath: str = ""
+    startFrameNumber: int = 0
+    frameCount: int = 32
+    groupOfFramesSize: int = 32
+
+    # atlas geometry
+    minimumImageWidth: int = 1024
+    minimumImageHeight: int = 64
+    occupancyResolution: int = 16
+    occupancyPrecision: int = 4
+    geometry3dCoordinatesBitdepth: int = 10
+    geometryNominal2dBitdepth: int = 10
+
+    # rate points
+    geometryQP: int = 28
+    attributeQP: int = 37
+    allIntra: bool = False
+    videoGopSize: int = 2
+
+    # segmentation
+    surfaceThickness: int = 4
+    minPointCountPerCCPatchSegmentation: int = 16
+    maxNNCountRefineSegmentation: int = 48
+    iterationCountRefineSegmentation: int = 10
+    lambdaRefineSegmentation: float = 3.0
+    nnNormalEstimation: int = 16
+
+    # packing
+    packingTryOrientations: bool = True
+
+    # reconstruction / attribute
+    removeDuplicatePoints: bool = True
+    recolorNeighborCount: int = 1
+
+    # self-checks
+    decodedAtlasInformationHash: int = 1  # 0=off, 1=MD5

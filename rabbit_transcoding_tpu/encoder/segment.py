@@ -1,0 +1,239 @@
+"""Patch segmentation: PPI classification, refinement, patch extraction.
+
+Capability parity with PCCPatchSegmenter3 (/root/reference/source/lib/
+PccLibEncoder/source/PCCPatchSegmenter.cpp): initialSegmentation (:213,
+normal-vs-projection-direction scoring over the 6 canonical orientations),
+refineSegmentation (:1286, iterative KNN smoothing of the partition), and
+segmentPatches (:506, connected components -> per-patch depth maps with a
+missed-points recovery loop).
+
+TPU-first split: PPI scoring and the smoothing iterations are batched device
+ops over the (host-built) KNN graph; connected components run on host via
+scipy's sparse graph machinery (small, irregular); depth-map rasterisation is
+vectorised NumPy scatter per patch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..codec.patch_frame import _axes_of
+from ..core.patch import Patch
+from ..utils.enums import PatchType
+from .normals import compute_normals, knn_indices
+
+# the 6 canonical projection directions (+X,+Y,+Z,-X,-Y,-Z), ppi order
+_DIRECTIONS = np.array(
+    [
+        [1, 0, 0], [0, 1, 0], [0, 0, 1],
+        [-1, 0, 0], [0, -1, 0], [0, 0, -1],
+    ],
+    np.float32,
+)
+
+
+@dataclasses.dataclass
+class SegmenterParams:
+    """Mirrors the reference's segmentation knobs (PCCEncoderParameters
+    subset, names kept)."""
+
+    nn_normal_estimation: int = 16
+    max_nn_count_refine_segmentation: int = 48
+    iteration_count_refine_segmentation: int = 10
+    lambda_refine_segmentation: float = 3.0
+    min_point_count_per_cc_patch_segmentation: int = 16
+    surface_thickness: int = 4
+    max_allowed_depth: int = 255
+    max_missed_point_iterations: int = 4
+
+
+@dataclasses.dataclass
+class SegmentedPatch:
+    """A patch plus its patch-space maps (indexed [u, v])."""
+
+    patch: Patch
+    depth0: np.ndarray      # (size_u, size_v) int32 relative depth, -1 = empty
+    occupancy: np.ndarray   # (size_u, size_v) bool
+    point_indices: np.ndarray  # indices into the source cloud covered by D0
+
+
+@jax.jit
+def _ppi_scores(normals: jax.Array) -> jax.Array:
+    return jnp.einsum("nc,dc->nd", normals, jnp.asarray(_DIRECTIONS))
+
+
+@jax.jit
+def _refine_step(
+    ppi: jax.Array, scores: jax.Array, nbr_idx: jax.Array, lam_over_k: jax.Array
+) -> jax.Array:
+    nbr_ppi = ppi[nbr_idx]                                  # (N, k)
+    one_hot = jax.nn.one_hot(nbr_ppi, 6, dtype=jnp.float32)  # (N, k, 6)
+    smooth = one_hot.sum(axis=1)                            # (N, 6)
+    return jnp.argmax(scores + lam_over_k * smooth, axis=1).astype(jnp.int32)
+
+
+def initial_segmentation(normals: np.ndarray) -> np.ndarray:
+    """PPI = argmax normal . direction (PCCPatchSegmenter3::initialSegmentation)."""
+    return np.asarray(jnp.argmax(_ppi_scores(jnp.asarray(normals)), axis=1)).astype(
+        np.int32
+    )
+
+
+def refine_segmentation(
+    normals: np.ndarray,
+    ppi: np.ndarray,
+    nbr_idx: np.ndarray,
+    params: SegmenterParams,
+) -> np.ndarray:
+    """Iterative KNN smoothing of the PPI partition (refineSegmentation)."""
+    scores = _ppi_scores(jnp.asarray(normals))
+    p = jnp.asarray(ppi)
+    idx = jnp.asarray(nbr_idx[:, : params.max_nn_count_refine_segmentation])
+    lam_over_k = jnp.float32(params.lambda_refine_segmentation / idx.shape[1])
+    for _ in range(params.iteration_count_refine_segmentation):
+        p = _refine_step(p, scores, idx, lam_over_k)
+    return np.asarray(p)
+
+
+def _connected_components(
+    nbr_idx: np.ndarray, mask: np.ndarray, ppi: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """Connected components of the KNN graph restricted to `mask` points with
+    equal PPI.  Returns (labels (N,), n_components); labels -1 off-mask."""
+    n, k = nbr_idx.shape
+    src = np.repeat(np.arange(n), k)
+    dst = nbr_idx.reshape(-1)
+    keep = mask[src] & mask[dst] & (ppi[src] == ppi[dst])
+    src, dst = src[keep], dst[keep]
+    graph = sp.coo_matrix(
+        (np.ones(len(src), np.int8), (src, dst)), shape=(n, n)
+    ).tocsr()
+    ncomp, labels = sp.csgraph.connected_components(graph, directed=False)
+    labels = labels.copy()
+    labels[~mask] = -1
+    return labels, ncomp
+
+
+def segment_patches(
+    points: np.ndarray,
+    ppi: np.ndarray,
+    nbr_idx: np.ndarray,
+    params: SegmenterParams,
+) -> tuple[list[SegmentedPatch], np.ndarray]:
+    """Connected components -> patches with D0 depth maps; missed points are
+    re-segmented for up to max_missed_point_iterations rounds
+    (PCCPatchSegmenter3::segmentPatches concept).
+
+    Returns (patches, indices of points never covered by any patch)."""
+    n = len(points)
+    remaining = np.ones(n, bool)
+    patches: list[SegmentedPatch] = []
+
+    for _ in range(params.max_missed_point_iterations):
+        if remaining.sum() < params.min_point_count_per_cc_patch_segmentation:
+            break
+        labels, ncomp = _connected_components(nbr_idx, remaining, ppi)
+        if ncomp == 0:
+            break
+        made_progress = False
+        for c in range(ncomp):
+            idx = np.nonzero(labels == c)[0]
+            if len(idx) < params.min_point_count_per_cc_patch_segmentation:
+                continue
+            seg = _build_patch(points, idx, int(ppi[idx[0]]), params, len(patches))
+            if seg is None:
+                continue
+            patches.append(seg)
+            remaining[seg.point_indices] = False
+            made_progress = True
+        if not made_progress:
+            break
+
+    return patches, np.nonzero(remaining)[0]
+
+
+def _build_patch(
+    points: np.ndarray,
+    idx: np.ndarray,
+    ppi: int,
+    params: SegmenterParams,
+    patch_index: int,
+) -> SegmentedPatch | None:
+    normal, tangent, bitangent, mode = _axes_of(ppi)
+    pts = points[idx]
+    u = pts[:, tangent]
+    v = pts[:, bitangent]
+    d = pts[:, normal]
+    u1, v1 = int(u.min()), int(v.min())
+    size_u = int(u.max()) - u1 + 1
+    size_v = int(v.max()) - v1 + 1
+    uu = (u - u1).astype(np.int64)
+    vv = (v - v1).astype(np.int64)
+    flat = uu * size_v + vv
+
+    # D0: near layer — min depth for mode 0, max for mode 1
+    d0 = np.full(size_u * size_v, 1 << 30, np.int64)
+    dd = d.astype(np.int64) if mode == 0 else -d.astype(np.int64)
+    np.minimum.at(d0, flat, dd)
+    occupied = d0 != (1 << 30)
+    if not occupied.any():
+        return None
+    d1 = int(d0[occupied].min())
+    rel = np.where(occupied, d0 - d1, -1)
+    # depth-range clamp: cells too deep are dropped (their points stay missed)
+    too_deep = occupied & (rel > params.max_allowed_depth)
+    rel[too_deep] = -1
+    occupied &= ~too_deep
+
+    # points covered: within surface_thickness of the D0 surface
+    cell_rel = rel[flat]
+    pt_rel = dd - d1
+    covered = (cell_rel >= 0) & (pt_rel - cell_rel <= params.surface_thickness) & (
+        pt_rel >= cell_rel
+    )
+    if covered.sum() < params.min_point_count_per_cc_patch_segmentation:
+        return None
+
+    patch = Patch(
+        index=patch_index,
+        size_u=size_u,
+        size_v=size_v,
+        size_u0=(size_u + 15) // 16,
+        size_v0=(size_v + 15) // 16,
+        u1=u1,
+        v1=v1,
+        d1=d1 if mode == 0 else -d1,
+        size_d=int(rel.max()) if occupied.any() else 0,
+        normal_axis=normal,
+        tangent_axis=tangent,
+        bitangent_axis=bitangent,
+        projection_mode=mode,
+        patch_type=PatchType.INTRA,
+    )
+    return SegmentedPatch(
+        patch=patch,
+        depth0=rel.reshape(size_u, size_v).astype(np.int32),
+        occupancy=occupied.reshape(size_u, size_v),
+        point_indices=idx[covered],
+    )
+
+
+def segment_frame(
+    points: np.ndarray, params: SegmenterParams | None = None
+) -> tuple[list[SegmentedPatch], np.ndarray]:
+    """Full per-frame segmentation: normals -> PPI -> refine -> patches."""
+    params = params or SegmenterParams()
+    nbr = knn_indices(points, max(params.nn_normal_estimation,
+                                  params.max_nn_count_refine_segmentation))
+    normals, _ = compute_normals(
+        points, k=params.nn_normal_estimation,
+        nbr_idx=nbr[:, : params.nn_normal_estimation],
+    )
+    ppi = initial_segmentation(normals)
+    ppi = refine_segmentation(normals, ppi, nbr, params)
+    return segment_patches(points, ppi, nbr, params)

@@ -1,0 +1,131 @@
+"""Unit tests: segmentation, packing, padding fill, recolor."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rabbit_transcoding_tpu.encoder.packing import pack_patches
+from rabbit_transcoding_tpu.encoder.segment import (
+    SegmenterParams,
+    initial_segmentation,
+    segment_frame,
+)
+from rabbit_transcoding_tpu.ops.dilate import dilate, pad_pow2, push_pull_fill
+from rabbit_transcoding_tpu.ops.recolor import transfer_colors
+
+
+class TestSegmentation:
+    def test_initial_segmentation_axis_aligned(self):
+        normals = np.array(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0], [0, 0, -1]],
+            np.float32,
+        )
+        ppi = initial_segmentation(normals)
+        assert ppi.tolist() == [0, 1, 2, 3, 4, 5]
+
+    def test_cube_face_segmentation(self):
+        # two opposing flat plates -> normals ±Z -> ppi 2 and 5 -> >=2 patches
+        g = np.mgrid[0:24, 0:24].reshape(2, -1).T
+        top = np.column_stack([g[:, 0], g[:, 1], np.full(len(g), 40)])
+        bottom = np.column_stack([g[:, 0], g[:, 1], np.zeros(len(g))])
+        pts = np.concatenate([top, bottom]).astype(np.int32)
+        patches, missed = segment_frame(pts, SegmenterParams())
+        assert len(patches) >= 2
+        assert len(missed) < 0.1 * len(pts)
+        covered = sum(len(s.point_indices) for s in patches)
+        assert covered >= 0.9 * len(pts)
+        # plates project along Z
+        axes = {s.patch.normal_axis for s in patches}
+        assert 2 in axes
+
+    def test_depth_maps_reconstruct_points(self):
+        g = np.mgrid[0:16, 0:16].reshape(2, -1).T
+        z = 10 + (g[:, 0] // 4)
+        pts = np.column_stack([g[:, 0], g[:, 1], z]).astype(np.int32)
+        patches, _ = segment_frame(pts, SegmenterParams(
+            min_point_count_per_cc_patch_segmentation=8))
+        assert patches
+        seg = patches[0]
+        u, v = np.nonzero(seg.occupancy)
+        rec = seg.patch.generate_point(u, v, seg.depth0[u, v])
+        assert set(map(tuple, rec.tolist())) <= set(map(tuple, pts.tolist()))
+
+
+class TestPacking:
+    def _mk(self, w, h):
+        from rabbit_transcoding_tpu.core.patch import Patch
+        from rabbit_transcoding_tpu.encoder.segment import SegmentedPatch
+
+        return SegmentedPatch(
+            patch=Patch(size_u=w, size_v=h, size_u0=(w + 15) // 16,
+                        size_v0=(h + 15) // 16),
+            depth0=np.zeros((w, h), np.int32),
+            occupancy=np.ones((w, h), bool),
+            point_indices=np.arange(w * h),
+        )
+
+    def test_no_overlap(self):
+        segs = [self._mk(48, 32), self._mk(32, 32), self._mk(64, 16),
+                self._mk(16, 48), self._mk(16, 16)]
+        h = pack_patches(segs, width=128, height=64, block=16)
+        used = np.zeros((h // 16, 128 // 16), int)
+        for s in segs:
+            x0, y0, w, h2 = s.patch.canvas_bounds()
+            used[y0 // 16 : (y0 + h2) // 16, x0 // 16 : (x0 + w) // 16] += 1
+        assert used.max() == 1  # no block claimed twice
+
+    def test_atlas_grows_when_full(self):
+        segs = [self._mk(64, 64) for _ in range(5)]
+        h = pack_patches(segs, width=64, height=64, block=16)
+        assert h >= 5 * 64
+
+
+class TestFill:
+    def test_push_pull_keeps_occupied_exact(self):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (2, 64, 64)).astype(np.float32)
+        occ = (rng.uniform(size=(2, 64, 64)) < 0.3).astype(np.uint8)
+        out = np.asarray(push_pull_fill(jnp.asarray(img), jnp.asarray(occ)))
+        np.testing.assert_allclose(out[occ > 0], img[occ > 0], rtol=1e-6)
+
+    def test_push_pull_fills_holes_smoothly(self):
+        img = np.zeros((1, 64, 64), np.float32)
+        occ = np.zeros((1, 64, 64), np.uint8)
+        img[0, :, :8] = 100.0
+        occ[0, :, :8] = 1
+        img[0, :, 56:] = 200.0
+        occ[0, :, 56:] = 1
+        out = np.asarray(push_pull_fill(jnp.asarray(img), jnp.asarray(occ)))
+        mid = out[0, :, 8:56]
+        assert mid.min() >= 99.0 and mid.max() <= 201.0
+
+    def test_dilate_fills_adjacent(self):
+        img = np.zeros((1, 8, 8), np.float32)
+        occ = np.zeros((1, 8, 8), np.uint8)
+        img[0, 4, 4] = 50.0
+        occ[0, 4, 4] = 1
+        out = np.asarray(dilate(jnp.asarray(img), jnp.asarray(occ), iterations=1))
+        assert out[0, 4, 5] == 50.0 and out[0, 3, 4] == 50.0
+        assert out[0, 0, 0] == 0.0
+
+    def test_pad_pow2(self):
+        x = np.ones((1, 50, 70), np.float32)
+        o = np.ones((1, 50, 70), np.uint8)
+        xp, op, (h, w) = pad_pow2(x, o)
+        assert xp.shape == (1, 64, 128) and (h, w) == (50, 70)
+
+
+class TestRecolor:
+    def test_nn_transfer(self):
+        src = np.array([[0, 0, 0], [10, 0, 0]], np.float32)
+        col = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+        dst = np.array([[1, 0, 0], [9, 1, 0]], np.float32)
+        out = transfer_colors(src, col, dst, k=1)
+        assert out[0].tolist() == [255, 0, 0]
+        assert out[1].tolist() == [0, 255, 0]
+
+    def test_idw_blend(self):
+        src = np.array([[0, 0, 0], [2, 0, 0]], np.float32)
+        col = np.array([[0, 0, 0], [200, 200, 200]], np.uint8)
+        dst = np.array([[1, 0, 0]], np.float32)
+        out = transfer_colors(src, col, dst, k=2)
+        assert 90 <= out[0, 0] <= 110  # midpoint blends to ~100
