@@ -1,0 +1,76 @@
+"""rabbit-encode — the PccAppEncoder analog.
+
+GOF loop parity with PccAppEncoder.cpp:1007-1106: load PLYs per GOF ->
+encode -> serialize units -> append to the output stream; optional
+reconstruction output + checksum; per-stage timings into timings.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from ..bitstream import V3CWriter
+from ..core.gof import GroupOfFrames
+from ..encoder.encoder import Encoder
+from ..encoder.params import EncoderParameters
+from ..utils.timing import Stopwatch, print_run_footer
+from .common import build_registry, parse_or_help
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    params = EncoderParameters()
+    reg = build_registry(
+        params,
+        extra={
+            "uncompressedDataFolder": ("", "base folder for the PLY template"),
+            "nbThread": (0, "thread count (0 = auto)"),
+            "computeChecksum": (True, "record reconstruction checksums"),
+        },
+    )
+    if parse_or_help(reg, argv, params, "rabbit-encode") is None:
+        return 0
+    if not params.uncompressedDataPath:
+        print("error: --uncompressedDataPath is required", file=sys.stderr)
+        return 1
+    template = os.path.join(
+        reg["uncompressedDataFolder"], params.uncompressedDataPath
+    )
+
+    sw = Stopwatch()
+    sw.start()
+    writer = V3CWriter()
+    units = []
+    encoder = Encoder(params)
+    frame0 = params.startFrameNumber
+    remaining = params.frameCount
+    gof_index = 0
+    while remaining > 0:
+        gof_size = min(params.groupOfFramesSize, remaining)
+        sources = GroupOfFrames.load(template, frame0, gof_size)
+        context, recon = encoder.encode(sources)
+        units.extend(writer.encode(context))
+        if params.reconstructedDataPath:
+            GroupOfFrames(recon).write(params.reconstructedDataPath, frame0)
+        if reg["computeChecksum"]:
+            for i, ps in enumerate(recon):
+                print(f"checksum frame {frame0 + i}: "
+                      f"{ps.compute_checksum().hex()}")
+        print(f"GOF {gof_index}: frames {frame0}..{frame0 + gof_size - 1} encoded")
+        frame0 += gof_size
+        remaining -= gof_size
+        gof_index += 1
+    n = writer.write_file(units, params.compressedStreamPath)
+    sw.stop()
+
+    print(f"output: {params.compressedStreamPath} ({n} bytes)")
+    print(writer.stat.report())
+    encoder.timer.write("timings.txt")
+    print(encoder.timer.report())
+    print_run_footer("rabbit-encode", sw)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

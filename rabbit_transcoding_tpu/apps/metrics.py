@@ -1,0 +1,72 @@
+"""rabbit-metrics — the PccAppMetrics analog: standalone D1/D2/color metrics
+between two PLY sequences (PccAppMetrics, SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+from ..core.gof import GroupOfFrames
+from ..metrics.metrics import MetricsParams, compute_sequence_metrics
+from ..utils.timing import Stopwatch, print_run_footer
+from .common import build_registry, parse_or_help
+
+
+@dataclasses.dataclass
+class MetricsAppParams:
+    uncompressedDataPath: str = ""
+    reconstructedDataPath: str = ""
+    normalDataPath: str = ""
+    startFrameNumber: int = 0
+    frameCount: int = 1
+    resolution: int = 1023
+    dropDuplicates: bool = True
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    params = MetricsAppParams()
+    reg = build_registry(params)
+    if parse_or_help(reg, argv, params, "rabbit-metrics") is None:
+        return 0
+    if not params.uncompressedDataPath or not params.reconstructedDataPath:
+        print(
+            "error: --uncompressedDataPath and --reconstructedDataPath required",
+            file=sys.stderr,
+        )
+        return 1
+
+    sw = Stopwatch()
+    sw.start()
+    src = GroupOfFrames.load(
+        params.uncompressedDataPath, params.startFrameNumber, params.frameCount
+    )
+    rec = GroupOfFrames.load(
+        params.reconstructedDataPath, params.startFrameNumber, params.frameCount
+    )
+    if params.normalDataPath and os.path.exists(
+        params.normalDataPath % params.startFrameNumber
+    ):
+        normals = GroupOfFrames.load(
+            params.normalDataPath, params.startFrameNumber, params.frameCount
+        )
+        for s, n in zip(src, normals):
+            s.normals = n.normals
+    per_frame, summary = compute_sequence_metrics(
+        list(src), list(rec),
+        MetricsParams(resolution=params.resolution,
+                      drop_duplicates=params.dropDuplicates),
+    )
+    for i, m in enumerate(per_frame):
+        print(f"frame {params.startFrameNumber + i}:")
+        print(m.print())
+    print(f"--- average over {len(per_frame)} frames ---")
+    print(summary.print())
+    sw.stop()
+    print_run_footer("rabbit-metrics", sw)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

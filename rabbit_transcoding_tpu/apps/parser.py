@@ -1,0 +1,64 @@
+"""rabbit-parse — the PccAppParser analog: dump a V3C bitstream's structure
+and per-unit statistics (PccAppParser.cpp:50-79)."""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+from ..bitstream import V3CReader
+from ..bitstream.nal import read_sample_stream_nal
+from ..utils.enums import V3CUnitType
+from ..video import rbv
+from .common import build_registry, parse_or_help
+
+
+@dataclasses.dataclass
+class ParserParams:
+    bin: str = ""
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    params = ParserParams()
+    reg = build_registry(params)
+    if parse_or_help(reg, argv, params, "rabbit-parse") is None:
+        return 0
+    if not params.bin:
+        print("error: --bin is required", file=sys.stderr)
+        return 1
+
+    reader = V3CReader()
+    gofs = reader.read_file(params.bin)
+    for gi, gof in enumerate(gofs):
+        print(f"GOF {gi}: {len(gof)} V3C units")
+        for u in gof:
+            t = u.header.unit_type
+            line = f"  {t.name:8s} {len(u.payload):10d} bytes"
+            if t == V3CUnitType.V3C_AD:
+                nals = read_sample_stream_nal(u.payload)
+                kinds = {}
+                for n in nals:
+                    kinds[n.nal_unit_type.name] = kinds.get(n.nal_unit_type.name, 0) + 1
+                line += "  NALs: " + ", ".join(
+                    f"{k}x{v}" for k, v in kinds.items()
+                )
+            elif t in (V3CUnitType.V3C_OVD, V3CUnitType.V3C_GVD,
+                       V3CUnitType.V3C_AVD):
+                try:
+                    info = rbv.probe(u.payload)
+                    line += (
+                        f"  RBV {info['width']}x{info['height']}"
+                        f"x{info['frame_count']} {info['bitdepth']}bit"
+                        f" qp={info['qp']}"
+                        f"{' lossless' if info['lossless'] else ''}"
+                    )
+                except ValueError:
+                    line += "  (non-RBV payload)"
+            print(line)
+    print(reader.stat.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""rabbit-transcode — the PccAppTranscoder analog.
+
+Mirrors /root/reference/source/app/PccAppTranscoder/PccAppTranscoder.cpp:
+parse options (:74-273, same option names) -> read ssvu -> per-GOF decode ->
+transcode per atlas -> re-encode + write out stream (:276-357), wall time +
+peak memory + '<test_name>.txt' timing line (:359-390).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+from ..bitstream import V3CReader, V3CWriter
+from ..transcoder.params import TranscoderParameters
+from ..transcoder.transcoder import Transcoder
+from ..utils.timing import Stopwatch, print_run_footer, write_wall_seconds
+from .common import build_registry, parse_or_help
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    params = TranscoderParameters()
+    reg = build_registry(params)
+    if parse_or_help(reg, argv, params, "rabbit-transcode") is None:
+        return 0
+    if not params.compressedStreamPath:
+        print("error: --compressedStreamPath is required", file=sys.stderr)
+        return 1
+
+    sw = Stopwatch()
+    sw.start()
+    reader = V3CReader()
+    with open(params.compressedStreamPath, "rb") as f:
+        data = f.read()
+    print(
+        f"input: {params.compressedStreamPath} ({len(data)} bytes, "
+        f"md5 {hashlib.md5(data).hexdigest()})"
+    )
+    gofs = reader.read(data)
+    transcoder = Transcoder(params)
+    writer = V3CWriter()
+    out_units = []
+    for gof_idx, gof in enumerate(gofs):
+        context = reader.decode(gof)
+        for atlas in list(context.atlases):
+            transcoder.transcode(context, atlas.atlas_id)
+        out_units.extend(writer.encode(context))
+        print(f"GOF {gof_idx}: {context.atlas_count} atlas(es) transcoded")
+    n = writer.write_file(out_units, params.outStreamPath)
+    sw.stop()
+
+    print(f"output: {params.outStreamPath} ({n} bytes)")
+    print(transcoder.timer.report())
+    print(writer.stat.report())
+    write_wall_seconds(params.test_name, sw)
+    print_run_footer("rabbit-transcode", sw)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

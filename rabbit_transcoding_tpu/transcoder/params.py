@@ -1,0 +1,57 @@
+"""Transcoder parameters.
+
+Names mirror PCCTranscoderParameters (/root/reference/source/lib/
+PccLibTranscoder/include/PCCTranscoderParameters.h:40-104) where a concept
+carries over: qualityValGeo/qualityValAtt (the libav-path quality values),
+geometryQP/attributeQP (the baseline-path QPs), occupancyPrecision,
+transcodeBaseline.  RBV-specific: mode 'requant' (DCT-domain fast path) vs
+'reencode' (drift-free decode->encode, the reference's only option).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class TranscoderParameters:
+    # reference CLI names (PccAppTranscoder.cpp / transcode.sh)
+    compressedStreamPath: str = ""
+    outStreamPath: str = "transcoded.bin"
+    test_name: str = "transcode"
+    nbThread: int = 0
+    # accepted for CLI parity with the reference's libav path; RBV maps
+    # preset/rate_mode onto its own knobs (qp mode only for now)
+    preset: str = "veryfast"
+    profile: str = "high"
+    tier: str = "main"
+    rate_mode: str = "qp"
+    pixelFormat: str = "yuv420p"
+    useCuda: bool = False
+
+    # rate controls (both naming families accepted; QP wins if set)
+    geometryQP: int = 32
+    attributeQP: int = 42
+    qualityValGeo: int = -1   # alias used by the reference's ffmpeg path
+    qualityValAtt: int = -1
+
+    # occupancy handling: target precision (downscale by max-pool when the
+    # incoming stream is finer); 0 = leave untouched
+    occupancyPrecision: int = 0
+
+    # pipeline selection
+    mode: str = "reencode"            # 'reencode' | 'requant'
+    transcodeBaseline: bool = False   # full decode->re-encode (same as
+                                      # 'reencode' for RBV; kept for CLI parity)
+    videoGopSize: int = 2
+    allIntra: bool = False
+
+    # observability
+    keepIntermediateFiles: bool = False
+    computeHashSei: bool = True
+
+    def effective_geometry_qp(self) -> int:
+        return self.qualityValGeo if self.qualityValGeo >= 0 else self.geometryQP
+
+    def effective_attribute_qp(self) -> int:
+        return self.qualityValAtt if self.qualityValAtt >= 0 else self.attributeQP

@@ -1,0 +1,130 @@
+"""The RABBIT live V3C transcoder — the core capability of the reference.
+
+Capability parity with PCCTranscoder (/root/reference/source/lib/
+PccLibTranscoder/source/PCCTranscoder.cpp:66-517): take a decoded Context
+(HLS + video sub-bitstreams), re-encode each video component at new rate
+points **without re-running segmentation/packing**, optionally downscale the
+occupancy map, refresh the hash SEI, and leave all other atlas metadata
+intact for remux.
+
+TPU-first re-design of the hot loop (transcodeVideo :374):
+ * 'reencode' mode — decode->re-encode entirely on device (the reference's
+   fast path, minus libav: RBV transforms are batched MXU matmuls over the
+   whole GOF).  Drift-free.
+ * 'requant'  mode — DCT-domain requantisation (video/rbv.requantize): one
+   element-wise device pass over the coefficient tensors; no pixel-domain
+   round trip at all.  Only possible because the video codec is ours.
+ * occupancy — max-pool downscale on device (resize_frame2 analog :594).
+"""
+
+from __future__ import annotations
+
+from ..bitstream.hls import Context
+from ..bitstream.sei import SeiDecodedAtlasInformationHash
+from ..bitstream.video_bitstream import VideoBitstream
+from ..codec.hash import create_hash_sei
+from ..codec.patch_frame import decode_patch_frames
+from ..core.image import Video
+from ..ops.occupancy import downscale_maxpool
+from ..utils.enums import CodecId, ColorFormat, VideoType
+from ..utils.timing import StageTimer
+from ..video import VideoDecoder, VideoEncoder, VideoEncoderParams
+from ..video import rbv
+from .params import TranscoderParameters
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Transcoder:
+    def __init__(self, params: TranscoderParameters | None = None):
+        self.params = params or TranscoderParameters()
+        self.timer = StageTimer()
+
+    # ------------------------------------------------------------------
+    def transcode(self, context: Context, atlas_id: int = 0) -> Context:
+        """Transcode one GOF's atlas in place (PCCTranscoder::transcode)."""
+        p = self.params
+        atlas = context.atlas(atlas_id)
+
+        with self.timer.stage("transcodeOccupancy"):
+            self._transcode_occupancy(atlas)
+        with self.timer.stage("transcodeGeometry"):
+            self._transcode_video(
+                atlas, VideoType.GEOMETRY, p.effective_geometry_qp()
+            )
+        with self.timer.stage("transcodeAttribute"):
+            self._transcode_video(
+                atlas, VideoType.ATTRIBUTE, p.effective_attribute_qp()
+            )
+
+        if p.computeHashSei:
+            with self.timer.stage("createHashSEI"):
+                self._refresh_hash_sei(atlas)
+        return context
+
+    # ------------------------------------------------------------------
+    def _transcode_occupancy(self, atlas) -> None:
+        """Occupancy is lossless; only its precision (video resolution) can
+        change.  Downscale by max-pool when the target precision is coarser
+        (PCCTranscoder::resize_frame2 analog)."""
+        p = self.params
+        vb = atlas.video_bitstreams.get(VideoType.OCCUPANCY)
+        if vb is None or p.occupancyPrecision <= 0:
+            return
+        info = rbv.probe(vb.data)
+        # incoming precision is implicit: atlas width / occupancy video width
+        asps = atlas.asps_list[0]
+        cur_precision = max(1, asps.asps_frame_width // info["width"])
+        if p.occupancyPrecision == cur_precision:
+            return
+        if p.occupancyPrecision < cur_precision:
+            raise ValueError(
+                f"cannot upscale occupancy precision {cur_precision} -> "
+                f"{p.occupancyPrecision}"
+            )
+        factor = p.occupancyPrecision // cur_precision
+        video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
+        small = np.asarray(
+            downscale_maxpool(jnp.asarray(video.planes[0]), factor)
+        )
+        out_video = Video(
+            video.width // factor, video.height // factor, video.bitdepth,
+            ColorFormat.YUV400, [small],
+        )
+        payload, _ = VideoEncoder.create(CodecId.RBV_LOSSLESS).encode(
+            out_video, VideoEncoderParams(lossless=True)
+        )
+        atlas.set_video_bitstream(VideoBitstream(VideoType.OCCUPANCY, payload))
+
+    # ------------------------------------------------------------------
+    def _transcode_video(self, atlas, vtype: VideoType, qp: int) -> None:
+        p = self.params
+        vb = atlas.video_bitstreams.get(vtype)
+        if vb is None:
+            return
+        if p.mode == "requant" and not p.transcodeBaseline:
+            payload = rbv.requantize(vb.data, qp)
+        else:
+            video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
+            payload, _ = VideoEncoder.create(CodecId.RBV).encode(
+                video,
+                VideoEncoderParams(
+                    qp=qp, gop_size=p.videoGopSize, all_intra=p.allIntra
+                ),
+            )
+        atlas.set_video_bitstream(VideoBitstream(vtype, payload))
+
+    # ------------------------------------------------------------------
+    def _refresh_hash_sei(self, atlas) -> None:
+        """Replace any decoded-atlas-hash SEI with a freshly computed one
+        (PCCTranscoder::createHashSEI analog).  Atlas metadata is untouched
+        by transcoding, so the recomputed hash certifies the passthrough."""
+        patch_frames = decode_patch_frames(atlas)
+        sei = create_hash_sei(atlas, patch_frames)
+        atlas.seis_prefix = [
+            s
+            for s in atlas.seis_prefix
+            if not isinstance(s, SeiDecodedAtlasInformationHash)
+        ]
+        atlas.seis_prefix.append(sei)

@@ -261,6 +261,50 @@ def decode(payload: bytes) -> Video:
     return Video(width, height, bitdepth, fmt, planes)
 
 
+@jax.jit
+def _requant_device(q: jax.Array, qstep_old: jax.Array, qstep_new: jax.Array):
+    c = q.astype(jnp.float32) * qstep_old
+    return jnp.clip(jnp.round(c / qstep_new), -32767, 32767).astype(jnp.int32)
+
+
+def requantize(payload: bytes, new_qp: int, zlib_level: int = 6) -> bytes:
+    """DCT-domain transcode: re-quantise coefficients to a new QP without a
+    full decode->encode loop.  This is the fast path the reference cannot
+    take (its codecs are opaque HM/x265 streams; ours is RBV, so the
+    transform domain is directly accessible).  I-frames requantise exactly;
+    P-frame residuals requantise open-loop (drift bounded by the GOP length,
+    default 2).  Lossless streams pass through unchanged."""
+    magic, ver, flags, width, height, bitdepth, chroma, f, block, gop, qp, _ = (
+        _HEADER.unpack_from(payload, 0)
+    )
+    if magic != _MAGIC:
+        raise ValueError("not an RBV bitstream")
+    if flags & 1 or new_qp == qp:
+        return payload
+    header = _HEADER.pack(
+        _MAGIC, ver, flags, width, height, bitdepth, chroma, f, block, gop,
+        new_qp, 0,
+    )
+    dims = _plane_dims(width, height, ColorFormat(chroma))
+    qs_old = jnp.float32(qstep_of(qp))
+    qs_new = jnp.float32(qstep_of(new_qp))
+    out = bytearray(header)
+    pos = _HEADER.size
+    for h, w in dims:
+        (blob_len,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        blob = payload[pos : pos + blob_len]
+        pos += blob_len
+        ph = h + ((-h) % block)
+        pw = w + ((-w) % block)
+        q = _unpack_plane(blob, f, ph // block, pw // block, block)
+        q2 = np.asarray(_requant_device(jnp.asarray(q), qs_old, qs_new))
+        new_blob = _pack_plane(q2, zlib_level)
+        out.extend(struct.pack("<I", len(new_blob)))
+        out.extend(new_blob)
+    return bytes(out)
+
+
 def probe(payload: bytes) -> dict:
     """Read stream parameters without decoding (the PccHevcParser-analog
     width/height/bitdepth probe the transcoder needs)."""

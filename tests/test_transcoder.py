@@ -1,0 +1,157 @@
+"""End-to-end transcoder tests: the transcode.sh-equivalent loop."""
+
+import numpy as np
+import pytest
+
+from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+from rabbit_transcoding_tpu.bitstream.sei import SeiDecodedAtlasInformationHash
+from rabbit_transcoding_tpu.codec.hash import verify_hash_sei
+from rabbit_transcoding_tpu.codec.patch_frame import decode_patch_frames
+from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+from rabbit_transcoding_tpu.decoder.decoder import Decoder
+from rabbit_transcoding_tpu.encoder.encoder import Encoder
+from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+from rabbit_transcoding_tpu.metrics.metrics import MetricsParams, compute_metrics
+from rabbit_transcoding_tpu.transcoder.params import TranscoderParameters
+from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+from rabbit_transcoding_tpu.utils.enums import VideoType
+from rabbit_transcoding_tpu.video import rbv
+
+from test_e2e_codec import make_sphere_cloud
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    """A high-quality encoded stream to transcode down."""
+    sources = GroupOfFrames([make_sphere_cloud(seed=i) for i in range(2)])
+    enc = Encoder(EncoderParameters(
+        minimumImageWidth=256, minimumImageHeight=64,
+        geometryQP=8, attributeQP=12, occupancyPrecision=2,
+    ))
+    context, recon = enc.encode(sources)
+    writer = V3CWriter()
+    path = str(tmp_path_factory.mktemp("ts") / "hq.bin")
+    writer.write_file(writer.encode(context), path)
+    return sources, path
+
+
+def run_transcode(path_in, params):
+    reader = V3CReader()
+    gofs = reader.read_file(path_in)
+    out_units = []
+    tc = Transcoder(params)
+    for gof in gofs:
+        context = reader.decode(gof)
+        tc.transcode(context)
+        out_units.extend(V3CWriter().encode(context))
+    return V3CWriter().write(out_units)
+
+
+class TestTranscoder:
+    @pytest.mark.parametrize("mode", ["reencode", "requant"])
+    def test_rate_reduction_and_quality(self, stream, mode):
+        sources, path = stream
+        import os
+
+        size_in = os.path.getsize(path)
+        data = run_transcode(
+            path,
+            TranscoderParameters(geometryQP=26, attributeQP=34, mode=mode),
+        )
+        assert len(data) < 0.8 * size_in, (len(data), size_in)
+
+        # decode the transcoded stream and check quality is still reasonable
+        reader = V3CReader()
+        context = reader.decode(reader.read(data)[0])
+        clouds = Decoder().decode(context)
+        m = compute_metrics(sources[0], clouds[0], MetricsParams(resolution=255))
+        assert m.d1_psnr > 30, m.print()
+        assert m.color_psnr[0] > 20, m.print()
+
+    def test_requant_faster_path_same_headers(self, stream):
+        sources, path = stream
+        reader = V3CReader()
+        context = reader.decode(reader.read_file(path)[0])
+        vb_in = context.atlas(0).get_video_bitstream(VideoType.GEOMETRY)
+        info_in = rbv.probe(vb_in.data)
+        Transcoder(TranscoderParameters(
+            geometryQP=30, attributeQP=40, mode="requant"
+        )).transcode(context)
+        vb_out = context.atlas(0).get_video_bitstream(VideoType.GEOMETRY)
+        info_out = rbv.probe(vb_out.data)
+        assert info_out["qp"] == 30
+        assert info_out["width"] == info_in["width"]
+        assert len(vb_out.data) < len(vb_in.data)
+
+    def test_occupancy_precision_downscale(self, stream):
+        sources, path = stream
+        reader = V3CReader()
+        context = reader.decode(reader.read_file(path)[0])
+        occ_in = context.atlas(0).get_video_bitstream(VideoType.OCCUPANCY)
+        in_info = rbv.probe(occ_in.data)
+        Transcoder(TranscoderParameters(
+            geometryQP=20, attributeQP=30, occupancyPrecision=4
+        )).transcode(context)
+        occ_out = context.atlas(0).get_video_bitstream(VideoType.OCCUPANCY)
+        out_info = rbv.probe(occ_out.data)
+        assert out_info["width"] == in_info["width"] // 2  # precision 2 -> 4
+        assert out_info["lossless"]
+        # decoded stream still reconstructs
+        clouds = Decoder().decode(context)
+        assert clouds[0].point_count > 0
+
+    def test_occupancy_upscale_rejected(self, stream):
+        sources, path = stream
+        reader = V3CReader()
+        context = reader.decode(reader.read_file(path)[0])
+        with pytest.raises(ValueError):
+            Transcoder(TranscoderParameters(occupancyPrecision=1)).transcode(
+                context
+            )
+
+    def test_metadata_passthrough_and_hash_sei(self, stream):
+        sources, path = stream
+        reader = V3CReader()
+        context_in = reader.decode(reader.read_file(path)[0])
+        patches_in = decode_patch_frames(context_in.atlas(0))
+
+        data = run_transcode(path, TranscoderParameters(
+            geometryQP=28, attributeQP=36))
+        context_out = reader.decode(reader.read(data)[0])
+        atlas_out = context_out.atlas(0)
+        patches_out = decode_patch_frames(atlas_out)
+
+        # atlas metadata must survive the transcode byte-for-byte in meaning
+        assert len(patches_out) == len(patches_in)
+        for a, b in zip(patches_in, patches_out):
+            assert len(a) == len(b)
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa.axes_struct(), pb.axes_struct())
+
+        # the refreshed hash SEI must verify against the decoded metadata
+        has_hash = any(
+            isinstance(s, SeiDecodedAtlasInformationHash)
+            for s in atlas_out.seis_prefix
+        )
+        assert has_hash
+        ok, sei = verify_hash_sei(atlas_out, patches_out)
+        assert ok and sei is not None
+
+
+class TestMetricsModule:
+    def test_identical_clouds_infinite_psnr(self):
+        ps = make_sphere_cloud()
+        m = compute_metrics(ps, ps, MetricsParams(resolution=255))
+        assert np.isinf(m.d1_psnr) and np.isinf(m.color_psnr[0])
+
+    def test_known_offset(self):
+        ps = make_sphere_cloud()
+        moved = ps.copy()
+        moved.positions = moved.positions + np.array([1, 0, 0], np.int32)
+        m = compute_metrics(ps, moved, MetricsParams(resolution=255))
+        # every NN distance <= 1 (surface shifts onto itself except edges)
+        assert 0 < m.d1_mse <= 1.0
+        expected = 10 * np.log10(3 * 255 * 255 / m.d1_mse)
+        assert abs(m.d1_psnr - expected) < 1e-6
+        # D2 <= D1: plane projection only shrinks error
+        assert m.d2_mse <= m.d1_mse + 1e-9
