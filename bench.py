@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Headline benchmark: live V-PCC transcode throughput per chip.
+
+Measures the BASELINE.json north-star config: transcoding 1024x1024-atlas
+V-PCC streams (geometry 10-bit + attribute YUV420 + occupancy) to a lower
+rate point, end-to-end — V3C demux, video decode, re-encode at new QPs,
+remux — including all host entropy work.  Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": x}
+vs_baseline is against the 30 fps live-transcode target (BASELINE.md).
+
+Env knobs: BENCH_MODE=reencode|requant, BENCH_FRAMES, BENCH_GOFS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rabbit_jax_cache")
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_stream(frames: int, width: int = 1024, height: int = 1024) -> bytes:
+    """Synthesize a realistic r5-grade V-PCC stream: ~30% occupied atlas,
+    smooth geometry/attribute content (encoder output statistics)."""
+    from rabbit_transcoding_tpu.bitstream import V3CWriter, VideoBitstream
+    from rabbit_transcoding_tpu.bitstream.hls import Context
+    from rabbit_transcoding_tpu.bitstream.syntax import (
+        AtlasFrameParameterSetRbsp,
+        AtlasSequenceParameterSetRbsp,
+        V3CParameterSet,
+    )
+    from rabbit_transcoding_tpu.core.image import Video
+    from rabbit_transcoding_tpu.utils.enums import CodecId, ColorFormat, VideoType
+    from rabbit_transcoding_tpu.video import VideoEncoder, VideoEncoderParams
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:height, 0:width]
+    # occupancy: smooth-noise blobs at 16px granularity, ~30% fill
+    occ_precision = 2
+    blobs = rng.normal(size=(frames, height // 64, width // 64))
+    from scipy.ndimage import zoom
+
+    occ = np.stack(
+        [zoom(blobs[f], 64, order=1) > 0.5 for f in range(frames)]
+    ).astype(np.uint8)[:, :height, :width]
+    log(f"synth occupancy fill: {occ.mean():.2%}")
+
+    # planes are smooth everywhere: encoder output is background-FILLED
+    # (push-pull padding) precisely so unoccupied pixels don't create
+    # coefficient energy — the transcoder's input always looks like this
+    geo = np.zeros((frames, height, width), np.uint16)
+    attr_y = np.zeros((frames, height, width), np.uint8)
+    for f in range(frames):
+        g = 300 + 120 * np.sin((xx + 7 * f) / 37.0) * np.cos((yy - 3 * f) / 29.0)
+        geo[f] = g.astype(np.uint16)
+        a = 128 + 80 * np.sin((xx + 5 * f) / 23.0) + 30 * np.cos(yy / 17.0)
+        attr_y[f] = np.clip(a, 0, 255).astype(np.uint8)
+
+    occ_small = occ.reshape(
+        frames, height // occ_precision, occ_precision,
+        width // occ_precision, occ_precision,
+    ).max(axis=(2, 4))
+
+    enc = VideoEncoder.create(CodecId.RBV)
+    enc_ll = VideoEncoder.create(CodecId.RBV_LOSSLESS)
+    occ_payload, _ = enc_ll.encode(
+        Video(width // occ_precision, height // occ_precision, 8,
+              ColorFormat.YUV400, [occ_small]),
+        VideoEncoderParams(lossless=True),
+    )
+    geo_payload, _ = enc.encode(
+        Video(width, height, 10, ColorFormat.YUV400, [geo]),
+        VideoEncoderParams(qp=16, gop_size=2),
+    )
+    u = np.full((frames, height // 2, width // 2), 128, np.uint8)
+    attr_payload, _ = enc.encode(
+        Video(width, height, 8, ColorFormat.YUV420, [attr_y, u, u.copy()]),
+        VideoEncoderParams(qp=22, gop_size=2),
+    )
+
+    context = Context()
+    vps = V3CParameterSet()
+    vps.atlas(0).vps_frame_width = width
+    vps.atlas(0).vps_frame_height = height
+    context.vps_list.append(vps)
+    atlas = context.atlas(0)
+    atlas.asps_list.append(
+        AtlasSequenceParameterSetRbsp(asps_frame_width=width,
+                                      asps_frame_height=height)
+    )
+    atlas.afps_list.append(AtlasFrameParameterSetRbsp())
+    atlas.set_video_bitstream(VideoBitstream(VideoType.OCCUPANCY, occ_payload))
+    atlas.set_video_bitstream(VideoBitstream(VideoType.GEOMETRY, geo_payload))
+    atlas.set_video_bitstream(VideoBitstream(VideoType.ATTRIBUTE, attr_payload))
+    writer = V3CWriter()
+    return writer.write(writer.encode(context))
+
+
+def main() -> int:
+    t_setup = time.perf_counter()
+    import jax
+
+    from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+    from rabbit_transcoding_tpu.transcoder.params import TranscoderParameters
+    from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+
+    mode = os.environ.get("BENCH_MODE", "reencode")
+    frames = int(os.environ.get("BENCH_FRAMES", "32"))
+    n_gofs = int(os.environ.get("BENCH_GOFS", "3"))
+    log(f"devices: {jax.devices()}  mode={mode} frames/gof={frames}")
+
+    data = make_stream(frames)
+    log(f"input stream: {len(data)} bytes "
+        f"({len(data) * 8 / frames / 30:.0f} kbit/s @30fps); "
+        f"setup {time.perf_counter() - t_setup:.1f}s")
+
+    params = TranscoderParameters(
+        geometryQP=32, attributeQP=42, mode=mode, computeHashSei=False
+    )
+    reader = V3CReader()
+    units = reader.read(data)[0]
+
+    def one_gof() -> int:
+        context = reader.decode(list(units))
+        Transcoder(params).transcode(context)
+        w = V3CWriter()
+        out = w.write(w.encode(context))
+        return len(out)
+
+    # warmup (jit compile)
+    t0 = time.perf_counter()
+    out_size = one_gof()
+    log(f"warmup gof: {time.perf_counter() - t0:.2f}s; out {out_size} bytes")
+
+    t0 = time.perf_counter()
+    for _ in range(n_gofs):
+        one_gof()
+    wall = time.perf_counter() - t0
+    fps = frames * n_gofs / wall
+    log(f"{n_gofs} GOFs x {frames} frames in {wall:.2f}s -> {fps:.2f} fps/chip")
+
+    print(json.dumps({
+        "metric": f"vpcc_transcode_fps_1024_{mode}",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

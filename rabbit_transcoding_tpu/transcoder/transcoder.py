@@ -106,12 +106,10 @@ class Transcoder:
         if p.mode == "requant" and not p.transcodeBaseline:
             payload = rbv.requantize(vb.data, qp)
         else:
-            video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
-            payload, _ = VideoEncoder.create(CodecId.RBV).encode(
-                video,
-                VideoEncoderParams(
-                    qp=qp, gop_size=p.videoGopSize, all_intra=p.allIntra
-                ),
+            # fused device decode->re-encode: pixels never cross the host link
+            payload = rbv.transcode_payload(
+                vb.data, qp,
+                new_gop=1 if p.allIntra else p.videoGopSize,
             )
         atlas.set_video_bitstream(VideoBitstream(vtype, payload))
 

@@ -10,21 +10,31 @@ path (SURVEY.md §7 milestone 4).  Design, TPU-first:
    P-chain inside each GOP (gop=1 collapses to a fully parallel all-intra
    path, used for occupancy just like the reference's all-intra occupancy
    encode, PCCTranscoder.cpp:830-844).
- * **Host**: entropy coding.  DC coefficients are DPCM'd across the block
-   raster, everything is packed to int16 and DEFLATE-compressed.  There is
-   deliberately no cross-block *sample* prediction: that would serialise
-   block decoding; instead prediction happens per-frame (P frames) and at
-   the entropy level (DC DPCM), which keeps both encode and decode
+ * **Host**: entropy coding (DEFLATE over int16 coefficients, DC-DPCM'd in
+   the dense path).  There is deliberately no cross-block *sample*
+   prediction: that would serialise block decoding; prediction happens
+   per-frame (P frames) and at the entropy level, keeping both directions
    embarrassingly parallel on device.
+ * **Host<->device traffic is the scarce resource** (measured: the PCIe/
+   tunnel link moves 15-45 MB/s here vs >100 GB/s of HBM).  Quantised
+   coefficient tensors are >95% zero, so coefficients cross the link in a
+   **sparse (delta-index, value) form compacted on device**; pixel uploads
+   stay in their native integer dtype and are cast on device; and the
+   transcode path (``transcode_payload``) fuses decode->re-encode into one
+   device program so pixels NEVER cross the link.
 
 Closed-loop exactness: the encoder reconstructs with the same rounded/
 clipped arithmetic the decoder uses, so encoder-side ``recon`` equals the
 decode of the produced bitstream bit-for-bit when run on the same backend.
 
-Payload container (little-endian):
-  magic 'RBV1' | ver u8 | flags u8 (b0 lossless, b1 unused) | width u16 |
-  height u16 | bitdepth u8 | chroma u8 | frames u16 | block u8 | gop u8 |
-  qp u8 | reserved u8 | per plane: blob_len u32 + DEFLATE blob
+Payload container v2 (little-endian):
+  magic 'RBV2' | ver u8 | flags u8 (b0 lossless) | width u16 | height u16 |
+  bitdepth u8 | chroma u8 | frames u16 | block u8 | gop u8 | qp u8 | rsvd u8
+  then per plane: blob_len u32 + blob, where blob =
+    lossless: zlib(raw samples)
+    mode 0:   0x00 + zlib(int16 coeffs, DC DPCM over block raster)
+    mode 1:   0x01 + count u64 + idxlen u32 + zlib(uint32 index deltas)
+                   + vallen u32 + zlib(int16 values)
 """
 
 from __future__ import annotations
@@ -42,7 +52,7 @@ from ..core.image import Video
 from ..utils.enums import ColorFormat
 from ..ops.dct import blockify, dct2d, deblockify, idct2d, pad_to_block
 
-_MAGIC = b"RBV1"
+_MAGIC = b"RBV2"
 _HEADER = struct.Struct("<4sBBHHBBHBBBB")
 
 
@@ -51,14 +61,17 @@ def qstep_of(qp: int) -> float:
     return float(2.0 ** ((qp - 4.0) / 6.0))
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(10, (max(1, n) - 1).bit_length())
+
+
 # ===========================================================================
 # Device kernels
 # ===========================================================================
-@partial(jax.jit, static_argnames=("block", "gop"))
-def _encode_device(frames: jax.Array, qstep: jax.Array, maxval: jax.Array,
-                   block: int, gop: int):
-    """frames (F, H, W) float32, F a multiple of gop ->
-    (coeffs (F, nby, nbx, B, B) int32, recon (F, H, W) float32)."""
+def _encode_impl(frames, qstep, maxval, block: int, gop: int):
+    """frames (F, H, W) any-int/float -> (coeffs int16 (F,nby,nbx,B,B),
+    recon uint16 (F,H,W)).  Composable (not jitted)."""
+    frames = frames.astype(jnp.float32)
     f, h, w = frames.shape
     n_gops = f // gop
     gframes = frames.reshape(n_gops, gop, h, w)
@@ -69,40 +82,34 @@ def _encode_device(frames: jax.Array, qstep: jax.Array, maxval: jax.Array,
         q = jnp.clip(jnp.round(c / qstep), -32767, 32767)
         rec = pred + deblockify(idct2d(q * qstep))
         rec = jnp.clip(jnp.round(rec), 0.0, maxval)
-        return q.astype(jnp.int32), rec
+        return q.astype(jnp.int16), rec
 
     if gop == 1:
-        # all-intra: fully parallel over every frame
         q, rec = encode_frame(gframes, jnp.zeros_like(gframes))
-        return (
-            q.reshape(f, h // block, w // block, block, block),
-            rec.reshape(f, h, w),
-        )
+        q = q.reshape(f, h // block, w // block, block, block)
+        rec = rec.reshape(f, h, w)
+    else:
+        def one_gop(g):
+            q0, rec0 = encode_frame(g[0], jnp.zeros_like(g[0]))
 
-    def one_gop(g):
-        q0, rec0 = encode_frame(g[0], jnp.zeros_like(g[0]))
+            def step(prev_rec, frame):
+                q, rec = encode_frame(frame, prev_rec)
+                return rec, (q, rec)
 
-        def step(prev_rec, frame):
-            q, rec = encode_frame(frame, prev_rec)
-            return rec, (q, rec)
+            _, (qs, recs) = jax.lax.scan(step, rec0, g[1:])
+            return (
+                jnp.concatenate([q0[None], qs], axis=0),
+                jnp.concatenate([rec0[None], recs], axis=0),
+            )
 
-        _, (qs, recs) = jax.lax.scan(step, rec0, g[1:])
-        return (
-            jnp.concatenate([q0[None], qs], axis=0),
-            jnp.concatenate([rec0[None], recs], axis=0),
-        )
-
-    q, rec = jax.vmap(one_gop)(gframes)
-    return (
-        q.reshape(f, h // block, w // block, block, block),
-        rec.reshape(f, h, w),
-    )
+        q, rec = jax.vmap(one_gop)(gframes)
+        q = q.reshape(f, h // block, w // block, block, block)
+        rec = rec.reshape(f, h, w)
+    return q, rec.astype(jnp.uint16)
 
 
-@partial(jax.jit, static_argnames=("block", "gop"))
-def _decode_device(coeffs: jax.Array, qstep: jax.Array, maxval: jax.Array,
-                   block: int, gop: int):
-    """coeffs (F, nby, nbx, B, B) int32 -> recon (F, H, W) float32."""
+def _decode_impl(coeffs, qstep, maxval, block: int, gop: int):
+    """coeffs (F, nby, nbx, B, B) int -> pixels float32 (F, H, W)."""
     f, nby, nbx, b, _ = coeffs.shape
     h, w = nby * b, nbx * b
     n_gops = f // gop
@@ -130,28 +137,170 @@ def _decode_device(coeffs: jax.Array, qstep: jax.Array, maxval: jax.Array,
     return rec.reshape(f, h, w)
 
 
+_encode_device = partial(jax.jit, static_argnames=("block", "gop"))(_encode_impl)
+
+
+@partial(jax.jit, static_argnames=("block", "gop"))
+def _decode_device(coeffs, qstep, maxval, block: int, gop: int):
+    return _decode_impl(coeffs, qstep, maxval, block, gop).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("block", "gop_in", "gop_out"))
+def _transcode_device(coeffs, qs_in, qs_out, maxval, block, gop_in, gop_out):
+    """Fused decode->re-encode: pixels never leave the device."""
+    pixels = _decode_impl(coeffs, qs_in, maxval, block, gop_in)
+    return _encode_impl(pixels, qs_out, maxval, block, gop_out)[0]
+
+
+@jax.jit
+def _requant_device(q, qstep_old, qstep_new):
+    c = q.astype(jnp.float32) * qstep_old
+    return jnp.clip(jnp.round(c / qstep_new), -32767, 32767).astype(jnp.int16)
+
+
+# --- sparse coefficient transfer -------------------------------------------
+@partial(jax.jit, static_argnames=("cap",))
+def _sparsify(q, cap: int):
+    flat = q.reshape(-1)
+    n = flat.shape[0]
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=n)
+    vals = jnp.where(idx < n, flat[jnp.clip(idx, 0, n - 1)], 0)
+    return idx.astype(jnp.uint32), vals.astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _sparsify_frames(q, cap: int):
+    """Per-frame compaction (vmapped, frame-local indices) — parallelises the
+    nonzero scan across frames instead of one serial pass over the tensor."""
+    f = q.shape[0]
+    flat = q.reshape(f, -1)
+    n = flat.shape[1]
+
+    def one(row):
+        (idx,) = jnp.nonzero(row, size=cap, fill_value=n)
+        vals = jnp.where(idx < n, row[jnp.clip(idx, 0, n - 1)], 0)
+        return idx.astype(jnp.uint32), vals.astype(jnp.int16)
+
+    return jax.vmap(one)(flat)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _densify(idx, vals, shape):
+    n = int(np.prod(shape))
+    flat = jnp.zeros((n,), jnp.int16)
+    flat = flat.at[idx].set(vals, mode="drop")
+    return flat.reshape(shape)
+
+
+@jax.jit
+def _nnz(q):
+    return jnp.count_nonzero(q)
+
+
+@jax.jit
+def _nnz_per_frame(q):
+    return jnp.count_nonzero(q.reshape(q.shape[0], -1), axis=1)
+
+
 # ===========================================================================
-# Host entropy coding
+# Host entropy coding (plane blobs)
 # ===========================================================================
-def _pack_plane(q: np.ndarray, level: int = 6) -> bytes:
-    """(F, nby, nbx, B, B) int32 -> DEFLATE blob (with DC DPCM)."""
+def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
+    """Device coefficient tensor -> entropy blob.  Chooses the per-frame
+    sparse path when it shrinks the host<->device transfer AND the blob."""
+    f = int(q_dev.shape[0])
+    per_frame = int(np.prod(q_dev.shape[1:]))
+    dense_bytes = f * per_frame * 2
+    counts = np.asarray(_nnz_per_frame(q_dev))
+    count = int(counts.sum())
+    max_count = int(counts.max()) if f else 0
+    cap = _next_pow2(max_count)
+    if count * 6 < dense_bytes // 2 and cap < per_frame:
+        idx_d, val_d = _sparsify_frames(q_dev, cap)
+        idx = np.asarray(idx_d)
+        vals = np.asarray(val_d)
+        delta_parts = []
+        val_parts = []
+        for fi in range(f):
+            c = counts[fi]
+            row = idx[fi, :c].astype(np.int64)
+            delta_parts.append(np.diff(row, prepend=0).astype(np.uint32))
+            val_parts.append(vals[fi, :c])
+        deltas = (
+            np.concatenate(delta_parts) if delta_parts
+            else np.zeros(0, np.uint32)
+        )
+        allvals = (
+            np.concatenate(val_parts) if val_parts else np.zeros(0, np.int16)
+        )
+        zi = zlib.compress(deltas.tobytes(), level)
+        zv = zlib.compress(allvals.tobytes(), level)
+        return (
+            b"\x02"
+            + struct.pack("<III", f, len(zi), len(zv))
+            + counts.astype(np.uint32).tobytes()
+            + zi
+            + zv
+        )
+    return _encode_dense_blob(np.asarray(q_dev), level)
+
+
+def _encode_dense_blob(q: np.ndarray, level: int) -> bytes:
     f, nby, nbx, b, _ = q.shape
     q16 = q.astype(np.int16)
     dc = q16[:, :, :, 0, 0].reshape(f, nby * nbx).astype(np.int32)
     dcd = np.diff(dc, axis=1, prepend=0).astype(np.int16)
     q16[:, :, :, 0, 0] = dcd.reshape(f, nby, nbx)
-    return zlib.compress(q16.tobytes(), level)
+    return b"\x00" + zlib.compress(q16.tobytes(), level)
 
 
-def _unpack_plane(blob: bytes, f: int, nby: int, nbx: int, b: int) -> np.ndarray:
-    q16 = np.frombuffer(zlib.decompress(blob), dtype=np.int16).reshape(
-        f, nby, nbx, b, b
+def _decode_coeff_blob(blob: bytes, f: int, nby: int, nbx: int, b: int):
+    """Entropy blob -> DEVICE coefficient tensor (int16)."""
+    shape = (f, nby, nbx, b, b)
+    per_frame = nby * nbx * b * b
+    mode = blob[0]
+    if mode == 2:
+        nf, zi_len, zv_len = struct.unpack_from("<III", blob, 1)
+        off = 1 + 12
+        counts = np.frombuffer(blob[off : off + 4 * nf], np.uint32)
+        off += 4 * nf
+        deltas = np.frombuffer(
+            zlib.decompress(blob[off : off + zi_len]), np.uint32
+        )
+        vals = np.frombuffer(
+            zlib.decompress(blob[off + zi_len : off + zi_len + zv_len]), np.int16
+        )
+        # frame-local indices -> global flat indices
+        idx_local = np.empty(len(deltas), np.int64)
+        pos = 0
+        for fi in range(nf):
+            c = int(counts[fi])
+            idx_local[pos : pos + c] = (
+                np.cumsum(deltas[pos : pos + c].astype(np.int64))
+                + fi * per_frame
+            )
+            pos += c
+        return _densify(
+            jnp.asarray(idx_local.astype(np.uint32)), jnp.asarray(vals), shape
+        )
+    if mode == 1:
+        count, zi_len, zv_len = struct.unpack_from("<QII", blob, 1)
+        off = 1 + 16
+        deltas = np.frombuffer(
+            zlib.decompress(blob[off : off + zi_len]), np.uint32
+        )
+        vals = np.frombuffer(
+            zlib.decompress(blob[off + zi_len : off + zi_len + zv_len]), np.int16
+        )
+        idx = np.cumsum(deltas.astype(np.uint64)).astype(np.uint32)
+        return _densify(jnp.asarray(idx), jnp.asarray(vals), shape)
+    q16 = np.frombuffer(zlib.decompress(blob[1:]), dtype=np.int16).reshape(
+        shape
     ).copy()
     dcd = q16[:, :, :, 0, 0].reshape(f, nby * nbx).astype(np.int32)
     dc = np.cumsum(dcd, axis=1)
-    q16 = q16.astype(np.int32)
-    q16[:, :, :, 0, 0] = dc.reshape(f, nby, nbx)
-    return q16
+    q16[:, :, :, 0, 0] = dc.reshape(f, nby, nbx).astype(np.int16)
+    return jnp.asarray(q16)
 
 
 # ===========================================================================
@@ -174,12 +323,16 @@ def _plane_dims(width: int, height: int, fmt: ColorFormat) -> list[tuple[int, in
     return [(height, width)] * 3
 
 
+def _pack_header(params_tuple) -> bytes:
+    return _HEADER.pack(*params_tuple)
+
+
 def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
     """Encode a Video -> (payload bytes, closed-loop reconstruction)."""
     f = video.frame_count
     flags = 1 if params.lossless else 0
     header = _HEADER.pack(
-        _MAGIC, 1, flags, video.width, video.height, video.bitdepth,
+        _MAGIC, 2, flags, video.width, video.height, video.bitdepth,
         int(video.format), f, params.block_size, params.gop_size,
         params.qp, 0,
     )
@@ -198,7 +351,7 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
         qstep = jnp.float32(qstep_of(params.qp))
         for p in video.planes:
             orig_h, orig_w = p.shape[-2:]
-            padded = pad_to_block(p.astype(np.float32), b)
+            padded = pad_to_block(p, b)
             fpad = (-f) % gop
             if fpad:
                 padded = np.concatenate(
@@ -207,9 +360,8 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
             q, rec = _encode_device(
                 jnp.asarray(padded), qstep, jnp.float32(maxval), b, gop
             )
-            q = np.asarray(q)[: f]
+            blobs.append(_encode_coeff_blob(q[:f], params.zlib_level))
             rec = np.asarray(rec)[: f, :orig_h, :orig_w]
-            blobs.append(_pack_plane(q, params.zlib_level))
             recon_planes.append(rec.astype(p.dtype))
 
     out = bytearray(header)
@@ -221,27 +373,38 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
     return bytes(out), recon
 
 
-def decode(payload: bytes) -> Video:
-    """Decode an RBV payload -> Video."""
+def _parse_header(payload: bytes):
     magic, ver, flags, width, height, bitdepth, chroma, f, block, gop, qp, _ = (
         _HEADER.unpack_from(payload, 0)
     )
     if magic != _MAGIC:
         raise ValueError("not an RBV bitstream")
-    if ver != 1:
+    if ver != 2:
         raise ValueError(f"unsupported RBV version {ver}")
+    return flags, width, height, bitdepth, chroma, f, block, gop, qp
+
+
+def _iter_blobs(payload: bytes, n_planes: int):
+    pos = _HEADER.size
+    for _ in range(n_planes):
+        (blob_len,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        yield payload[pos : pos + blob_len]
+        pos += blob_len
+
+
+def decode(payload: bytes) -> Video:
+    """Decode an RBV payload -> Video."""
+    flags, width, height, bitdepth, chroma, f, block, gop, qp = _parse_header(
+        payload
+    )
     fmt = ColorFormat(chroma)
     lossless = bool(flags & 1)
-    pos = _HEADER.size
     dims = _plane_dims(width, height, fmt)
     dtype = np.uint8 if bitdepth <= 8 else np.uint16
     maxval = float((1 << bitdepth) - 1)
     planes: list[np.ndarray] = []
-    for h, w in dims:
-        (blob_len,) = struct.unpack_from("<I", payload, pos)
-        pos += 4
-        blob = payload[pos : pos + blob_len]
-        pos += blob_len
+    for (h, w), blob in zip(dims, _iter_blobs(payload, len(dims))):
         if lossless:
             planes.append(
                 np.frombuffer(zlib.decompress(blob), dtype=dtype).reshape(f, h, w)
@@ -250,56 +413,99 @@ def decode(payload: bytes) -> Video:
             ph = h + ((-h) % block)
             pw = w + ((-w) % block)
             fp = f + ((-f) % gop)
-            q = _unpack_plane(blob, f, ph // block, pw // block, block)
+            q = _decode_coeff_blob(blob, f, ph // block, pw // block, block)
             if fp != f:
-                q = np.concatenate([q, np.repeat(q[-1:], fp - f, axis=0)], axis=0)
+                q = jnp.concatenate(
+                    [q, jnp.repeat(q[-1:], fp - f, axis=0)], axis=0
+                )
             rec = _decode_device(
-                jnp.asarray(q), jnp.float32(qstep_of(qp)), jnp.float32(maxval),
-                block, gop,
+                q, jnp.float32(qstep_of(qp)), jnp.float32(maxval), block, gop
             )
             planes.append(np.asarray(rec)[: f, :h, :w].astype(dtype))
     return Video(width, height, bitdepth, fmt, planes)
 
 
-@jax.jit
-def _requant_device(q: jax.Array, qstep_old: jax.Array, qstep_new: jax.Array):
-    c = q.astype(jnp.float32) * qstep_old
-    return jnp.clip(jnp.round(c / qstep_new), -32767, 32767).astype(jnp.int32)
-
-
 def requantize(payload: bytes, new_qp: int, zlib_level: int = 6) -> bytes:
     """DCT-domain transcode: re-quantise coefficients to a new QP without a
-    full decode->encode loop.  This is the fast path the reference cannot
+    pixel-domain round trip.  This is the fast path the reference cannot
     take (its codecs are opaque HM/x265 streams; ours is RBV, so the
     transform domain is directly accessible).  I-frames requantise exactly;
     P-frame residuals requantise open-loop (drift bounded by the GOP length,
     default 2).  Lossless streams pass through unchanged."""
-    magic, ver, flags, width, height, bitdepth, chroma, f, block, gop, qp, _ = (
-        _HEADER.unpack_from(payload, 0)
+    flags, width, height, bitdepth, chroma, f, block, gop, qp = _parse_header(
+        payload
     )
-    if magic != _MAGIC:
-        raise ValueError("not an RBV bitstream")
     if flags & 1 or new_qp == qp:
         return payload
     header = _HEADER.pack(
-        _MAGIC, ver, flags, width, height, bitdepth, chroma, f, block, gop,
+        _MAGIC, 2, flags, width, height, bitdepth, chroma, f, block, gop,
         new_qp, 0,
     )
     dims = _plane_dims(width, height, ColorFormat(chroma))
     qs_old = jnp.float32(qstep_of(qp))
     qs_new = jnp.float32(qstep_of(new_qp))
     out = bytearray(header)
-    pos = _HEADER.size
-    for h, w in dims:
-        (blob_len,) = struct.unpack_from("<I", payload, pos)
-        pos += 4
-        blob = payload[pos : pos + blob_len]
-        pos += blob_len
+    for (h, w), blob in zip(dims, _iter_blobs(payload, len(dims))):
         ph = h + ((-h) % block)
         pw = w + ((-w) % block)
-        q = _unpack_plane(blob, f, ph // block, pw // block, block)
-        q2 = np.asarray(_requant_device(jnp.asarray(q), qs_old, qs_new))
-        new_blob = _pack_plane(q2, zlib_level)
+        q = _decode_coeff_blob(blob, f, ph // block, pw // block, block)
+        q2 = _requant_device(q, qs_old, qs_new)
+        new_blob = _encode_coeff_blob(q2, zlib_level)
+        out.extend(struct.pack("<I", len(new_blob)))
+        out.extend(new_blob)
+    return bytes(out)
+
+
+def transcode_payload(
+    payload: bytes,
+    new_qp: int,
+    new_gop: int | None = None,
+    zlib_level: int = 6,
+) -> bytes:
+    """Drift-free transcode: fused decode->re-encode ON DEVICE (pixels never
+    cross the host link).  The reference's transcodeVideo hot loop
+    (PCCTranscoder.cpp:374) re-designed for the accelerator: host does only
+    entropy; the link carries only sparse coefficients."""
+    flags, width, height, bitdepth, chroma, f, block, gop, qp = _parse_header(
+        payload
+    )
+    if flags & 1:
+        return payload
+    gop_out = new_gop or gop
+    header = _HEADER.pack(
+        _MAGIC, 2, flags, width, height, bitdepth, chroma, f, block, gop_out,
+        new_qp, 0,
+    )
+    dims = _plane_dims(width, height, ColorFormat(chroma))
+    qs_in = jnp.float32(qstep_of(qp))
+    qs_out = jnp.float32(qstep_of(new_qp))
+    maxval = jnp.float32((1 << bitdepth) - 1)
+
+    # phase 1: dispatch every plane's device program (async — the device
+    # pipeline runs ahead while the host does entropy in phase 2)
+    q2s = []
+    for (h, w), blob in zip(dims, _iter_blobs(payload, len(dims))):
+        ph = h + ((-h) % block)
+        pw = w + ((-w) % block)
+        q = _decode_coeff_blob(blob, f, ph // block, pw // block, block)
+        fp_in = f + ((-f) % gop)
+        if fp_in != f:
+            q = jnp.concatenate([q, jnp.repeat(q[-1:], fp_in - f, axis=0)], axis=0)
+        fp_out = fp_in + ((-fp_in) % gop_out)
+        if fp_out != fp_in:
+            q = jnp.concatenate([q, jnp.repeat(q[-1:], fp_out - fp_in, axis=0)],
+                                axis=0)
+        q2s.append(
+            _transcode_device(q, qs_in, qs_out, maxval, block, gop, gop_out)[:f]
+        )
+
+    # phase 2: entropy-code the planes in parallel (zlib releases the GIL)
+    import concurrent.futures as cf
+
+    out = bytearray(header)
+    with cf.ThreadPoolExecutor(max_workers=max(1, len(q2s))) as ex:
+        blobs = list(ex.map(lambda q2: _encode_coeff_blob(q2, zlib_level), q2s))
+    for new_blob in blobs:
         out.extend(struct.pack("<I", len(new_blob)))
         out.extend(new_blob)
     return bytes(out)
@@ -308,11 +514,9 @@ def requantize(payload: bytes, new_qp: int, zlib_level: int = 6) -> bytes:
 def probe(payload: bytes) -> dict:
     """Read stream parameters without decoding (the PccHevcParser-analog
     width/height/bitdepth probe the transcoder needs)."""
-    magic, ver, flags, width, height, bitdepth, chroma, f, block, gop, qp, _ = (
-        _HEADER.unpack_from(payload, 0)
+    flags, width, height, bitdepth, chroma, f, block, gop, qp = _parse_header(
+        payload
     )
-    if magic != _MAGIC:
-        raise ValueError("not an RBV bitstream")
     return {
         "width": width, "height": height, "bitdepth": bitdepth,
         "format": ColorFormat(chroma), "frame_count": f,

@@ -122,16 +122,32 @@ class TestRbvCodec:
         with pytest.raises(ValueError):
             rbv.decode(b"JUNKJUNKJUNKJUNKJUNKJUNK")
 
-    def test_p_frames_beat_intra_on_static_content(self):
-        # frames larger than the DEFLATE window (32KB) so identical intra
-        # frames cannot be deduped by the entropy stage; the gain must come
-        # from P-frame prediction producing all-zero residuals.
+    def test_p_frames_predict_static_content(self):
+        # on static content, P-frame residuals must quantise to (nearly)
+        # all-zero coefficients — the device-level prediction property.
+        # (At the entropy layer, sparse+DEFLATE also dedupes identical intra
+        # frames, so payload size alone no longer isolates the P gain.)
+        import jax.numpy as jnp
+        from rabbit_transcoding_tpu.video.rbv import _encode_device, qstep_of
+
         v = smooth_video(frames=4, h=256, w=256, fmt=ColorFormat.YUV400, seed=3)
+        frames = jnp.asarray(np.repeat(v.planes[0][:1], 4, axis=0))
+        qs = jnp.float32(qstep_of(24))
+        q_intra, _ = _encode_device(frames, qs, jnp.float32(255.0), 16, 1)
+        q_gop4, _ = _encode_device(frames, qs, jnp.float32(255.0), 16, 4)
+        nnz_intra = int(np.count_nonzero(np.asarray(q_intra)[1:]))
+        nnz_p = int(np.count_nonzero(np.asarray(q_gop4)[1:]))
+        # a few residual coefficients may exceed qstep/2 where the I recon
+        # differs from the source (quant error); P frames must still be
+        # orders of magnitude sparser than intra
+        assert nnz_p < 0.05 * nnz_intra, (nnz_p, nnz_intra)
+        assert nnz_intra > 1000
+        # and the payload must not regress vs all-intra
         for p in v.planes:
             p[1:] = p[0]
         p_all_intra, _ = rbv.encode(v, rbv.RbvParams(qp=24, gop_size=1))
         p_gop4, _ = rbv.encode(v, rbv.RbvParams(qp=24, gop_size=4))
-        assert len(p_gop4) < 0.5 * len(p_all_intra)
+        assert len(p_gop4) <= 1.02 * len(p_all_intra)
 
 
 class TestFactory:
