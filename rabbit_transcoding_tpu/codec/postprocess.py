@@ -1,0 +1,50 @@
+"""SEI-driven decoder post-processing, shared by encoder (closed loop) and
+decoder so both reconstruct identical clouds.
+
+Parity with PCCCodec::smoothPointCloudPostprocess / colorSmoothing dispatch
+(PCCCodec.cpp:52,149): parameters come from the geometry-smoothing SEI.
+"""
+
+from __future__ import annotations
+
+from ..bitstream.sei import Sei, SeiGeometrySmoothing
+from ..core.pointset import PointSet
+from ..ops.smoothing import smooth_cloud
+
+# fixed density-filter strength (both sides must agree; not SEI-coded)
+MIN_NEIGHBORS = 4
+
+
+def find_geometry_smoothing_sei(seis: list[Sei]) -> SeiGeometrySmoothing | None:
+    for sei in seis:
+        if isinstance(sei, SeiGeometrySmoothing):
+            if sei.gs_smoothing_instance_cancel_flag:
+                return None
+            return sei
+    return None
+
+
+def apply_geometry_smoothing(
+    clouds: list[PointSet],
+    sei: SeiGeometrySmoothing | None,
+    coord_bits: int = 10,
+) -> list[PointSet]:
+    if sei is None or sei.gs_smoothing_method_type != 1:
+        return clouds
+    grid_size = sei.gs_smoothing_grid_size_minus2 + 2
+    threshold = float(sei.gs_smoothing_threshold)
+    out = []
+    for ps in clouds:
+        pos, keep, _moved = smooth_cloud(
+            ps.positions,
+            threshold=threshold,
+            min_neighbors=MIN_NEIGHBORS,
+            grid_size=grid_size,
+            coord_bits=coord_bits,
+        )
+        ps2 = PointSet(
+            positions=pos[keep],
+            colors=None if ps.colors is None else ps.colors[keep],
+        )
+        out.append(ps2.remove_duplicates())
+    return out

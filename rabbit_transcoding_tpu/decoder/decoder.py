@@ -70,4 +70,20 @@ class Decoder:
             clouds = engine.generate_point_clouds(
                 patch_frames[:n], occ_maps[:n], geo_video, attr_video
             )
+
+        # SEI-driven geometry smoothing (PCCDecoder post-processing)
+        from ..codec.postprocess import (
+            apply_geometry_smoothing,
+            find_geometry_smoothing_sei,
+        )
+
+        sei = find_geometry_smoothing_sei(atlas.seis_prefix + atlas.seis_suffix)
+        if sei is not None:
+            with self.timer.stage("smoothPointCloudPostprocess"):
+                coord_bits = (
+                    atlas.asps_list[0].asps_geometry_3d_bitdepth_minus1 + 1
+                    if atlas.asps_list
+                    else 10
+                )
+                clouds = apply_geometry_smoothing(clouds, sei, coord_bits)
         return clouds

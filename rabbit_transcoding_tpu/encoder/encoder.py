@@ -205,6 +205,17 @@ class Encoder:
                 ),
             )
 
+        # smoothing SEI (decoder applies it; the closed loop below must too)
+        smoothing_sei = None
+        if p.flagGeometrySmoothing and p.gridSmoothing:
+            from ..bitstream.sei import SeiGeometrySmoothing
+
+            smoothing_sei = SeiGeometrySmoothing(
+                gs_smoothing_method_type=1,
+                gs_smoothing_grid_size_minus2=p.gridSize - 2,
+                gs_smoothing_threshold=int(p.thresholdSmoothing),
+            )
+
         # 7. decoder-identical reconstructed clouds (colors from decoded attr)
         with self.timer.stage("reconstructClouds"):
             rgb_rec = np.asarray(
@@ -224,6 +235,13 @@ class Encoder:
                 if p.removeDuplicatePoints:
                     ps = ps.remove_duplicates()
                 recon_clouds.append(ps)
+            if smoothing_sei is not None:
+                from ..codec.postprocess import apply_geometry_smoothing
+
+                recon_clouds = apply_geometry_smoothing(
+                    recon_clouds, smoothing_sei,
+                    coord_bits=p.geometry3dCoordinatesBitdepth,
+                )
 
         # 8. high-level syntax
         with self.timer.stage("createPatchFrameDataStructure"):
@@ -231,6 +249,8 @@ class Encoder:
                 frame_segs, width, height,
                 occ_payload, geo_payload, attr_payload,
             )
+            if smoothing_sei is not None:
+                context.atlas(0).seis_prefix.append(smoothing_sei)
         return context, recon_clouds
 
     # ------------------------------------------------------------------

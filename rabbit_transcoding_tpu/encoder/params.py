@@ -49,5 +49,13 @@ class EncoderParameters:
     removeDuplicatePoints: bool = True
     recolorNeighborCount: int = 1
 
+    # decoder-side smoothing, signalled via geometry-smoothing SEI
+    # (reference names: flagGeometrySmoothing/gridSmoothing/thresholdSmoothing)
+    flagGeometrySmoothing: bool = True
+    gridSmoothing: bool = True
+    gridSize: int = 8
+    thresholdSmoothing: float = 64.0
+    minNeighborsSmoothing: int = 4
+
     # self-checks
     decodedAtlasInformationHash: int = 1  # 0=off, 1=MD5

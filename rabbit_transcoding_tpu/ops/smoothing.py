@@ -1,0 +1,89 @@
+"""Geometry + color smoothing / outlier filtering (decoder post-processing).
+
+Capability parity with PCCCodec::smoothPointCloudPostprocess /
+smoothPointCloudGrid / gridFiltering (PCCCodec.cpp:52, :1065, :1000):
+reconstruction artifacts near patch seams are pulled toward the local
+neighborhood centroid, and isolated occupancy-fill outliers (the artifact
+class the reference suppresses with occupancy refinement / PBF) are dropped
+by a density test.  Driven by the geometry-smoothing SEI parameters.
+
+TPU-first: one scatter-add builds a (cells, 4) accumulation grid for the
+whole cloud; each point gathers its 27-cell neighborhood stats — a handful
+of fused device passes, no per-point loops.  Static shapes via pow2 padding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_OFFSETS = np.array(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    np.int32,
+)
+
+
+@partial(jax.jit, static_argnames=("grid_size", "grid_dim"))
+def grid_smooth(
+    points: jax.Array,        # (N, 3) int32 (padded)
+    valid: jax.Array,         # (N,) bool
+    threshold: jax.Array,     # scalar: sq distance triggering the centroid snap
+    min_neighbors: jax.Array, # scalar: below this 27-cell count -> drop point
+    grid_size: int = 8,
+    grid_dim: int = 128,
+):
+    """-> (points (N,3) int32, keep (N,) bool, moved (N,) bool)."""
+    cell = jnp.clip(points // grid_size, 0, grid_dim - 1)
+    w = valid.astype(jnp.float32)
+    acc = jnp.zeros((grid_dim, grid_dim, grid_dim, 4), jnp.float32)
+    acc = acc.at[cell[:, 0], cell[:, 1], cell[:, 2]].add(
+        jnp.concatenate(
+            [points.astype(jnp.float32) * w[:, None], w[:, None]], axis=1
+        ),
+        mode="drop",
+    )
+
+    stats = jnp.zeros((points.shape[0], 4), jnp.float32)
+    for off in _OFFSETS:
+        nb = jnp.clip(cell + jnp.asarray(off), 0, grid_dim - 1)
+        stats = stats + acc[nb[:, 0], nb[:, 1], nb[:, 2]]
+
+    count = stats[:, 3]
+    centroid = stats[:, :3] / jnp.maximum(count, 1.0)[:, None]
+    d2 = jnp.sum((points.astype(jnp.float32) - centroid) ** 2, axis=1)
+    # density test: the point itself contributes 1
+    keep = valid & (count > min_neighbors)
+    move = keep & (d2 > threshold) & (count > 4.0)
+    out = jnp.where(
+        move[:, None], jnp.round(centroid).astype(jnp.int32), points
+    )
+    return out, keep, move
+
+
+def smooth_cloud(
+    positions: np.ndarray,
+    threshold: float = 64.0,
+    min_neighbors: int = 4,
+    grid_size: int = 8,
+    coord_bits: int = 10,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host wrapper: pad to a static-shape bucket, run, trim.
+    Returns (positions, keep mask over input order, moved count)."""
+    n = len(positions)
+    if n == 0:
+        return positions, np.zeros(0, bool), 0
+    cap = 1 << max(10, (n - 1).bit_length())
+    pts = np.zeros((cap, 3), np.int32)
+    pts[:n] = positions
+    valid = np.zeros((cap,), bool)
+    valid[:n] = True
+    grid_dim = max(2, (1 << coord_bits) // grid_size)
+    out, keep, moved = grid_smooth(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.float32(threshold),
+        jnp.float32(min_neighbors), grid_size, grid_dim,
+    )
+    keep = np.asarray(keep)[:n]
+    return np.asarray(out)[:n], keep, int(np.asarray(moved).sum())

@@ -68,6 +68,19 @@ def _next_pow2(n: int) -> int:
 # ===========================================================================
 # Device kernels
 # ===========================================================================
+# deadzone quantisation offsets (HEVC-style): round-half for intra, a wider
+# deadzone for inter residuals — collapses the broadband quant-noise
+# coefficients that would otherwise force dense high-frequency slabs
+_DZ_INTRA = 0.5
+_DZ_INTER = 1.0 / 3.0
+
+
+def _quantize(c, qstep, dz):
+    return jnp.clip(
+        jnp.sign(c) * jnp.floor(jnp.abs(c) / qstep + dz), -32767, 32767
+    )
+
+
 def _encode_impl(frames, qstep, maxval, block: int, gop: int):
     """frames (F, H, W) any-int/float -> (coeffs int16 (F,nby,nbx,B,B),
     recon uint16 (F,H,W)).  Composable (not jitted)."""
@@ -76,10 +89,10 @@ def _encode_impl(frames, qstep, maxval, block: int, gop: int):
     n_gops = f // gop
     gframes = frames.reshape(n_gops, gop, h, w)
 
-    def encode_frame(frame, pred):
+    def encode_frame(frame, pred, dz=_DZ_INTRA):
         res = frame - pred
         c = dct2d(blockify(res, block))
-        q = jnp.clip(jnp.round(c / qstep), -32767, 32767)
+        q = _quantize(c, qstep, dz)
         rec = pred + deblockify(idct2d(q * qstep))
         rec = jnp.clip(jnp.round(rec), 0.0, maxval)
         return q.astype(jnp.int16), rec
@@ -90,10 +103,10 @@ def _encode_impl(frames, qstep, maxval, block: int, gop: int):
         rec = rec.reshape(f, h, w)
     else:
         def one_gop(g):
-            q0, rec0 = encode_frame(g[0], jnp.zeros_like(g[0]))
+            q0, rec0 = encode_frame(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
 
             def step(prev_rec, frame):
-                q, rec = encode_frame(frame, prev_rec)
+                q, rec = encode_frame(frame, prev_rec, _DZ_INTER)
                 return rec, (q, rec)
 
             _, (qs, recs) = jax.lax.scan(step, rec0, g[1:])
@@ -202,47 +215,95 @@ def _nnz_per_frame(q):
     return jnp.count_nonzero(q.reshape(q.shape[0], -1), axis=1)
 
 
+# --- frequency-slab transfer ------------------------------------------------
+# Quantised DCT energy concentrates in the lowest zigzag frequencies, so the
+# cheapest dense transfer is: reorder coefficients frequency-major and move
+# only the slab [0:kmax) where kmax = highest frequency with any energy.
+# Pure transpose+slice — no scatter/gather, which TPUs do slowly.
+def _zigzag_order(n: int) -> np.ndarray:
+    idx = sorted(
+        ((i, j) for i in range(n) for j in range(n)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+    )
+    return np.array([i * n + j for i, j in idx], np.int32)
+
+
+_ZZ_CACHE: dict[int, np.ndarray] = {}
+_ZZ_INV_CACHE: dict[int, np.ndarray] = {}
+
+
+def _zz(n: int) -> np.ndarray:
+    if n not in _ZZ_CACHE:
+        order = _zigzag_order(n)
+        _ZZ_CACHE[n] = order
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order), dtype=np.int32)
+        _ZZ_INV_CACHE[n] = inv
+    return _ZZ_CACHE[n]
+
+
+@jax.jit
+def _to_freq_major(q):
+    """(F, nby, nbx, B, B) -> (F, B*B zigzag-ordered, nby, nbx)."""
+    f, nby, nbx, b, _ = q.shape
+    flatb = q.reshape(f, nby, nbx, b * b)[..., _zz(b)]
+    return jnp.transpose(flatb, (0, 3, 1, 2))
+
+
+@jax.jit
+def _freq_nnz(qf):
+    return jnp.count_nonzero(qf, axis=(0, 2, 3))
+
+
+@partial(jax.jit, static_argnames=("b", "kmax"))
+def _from_freq_slab(slab, b: int, kmax: int):
+    """(F, kmax, nby, nbx) -> dense (F, nby, nbx, B, B)."""
+    f, _, nby, nbx = slab.shape
+    full = jnp.zeros((f, b * b, nby, nbx), slab.dtype)
+    full = full.at[:, :kmax].set(slab)
+    flatb = jnp.transpose(full, (0, 2, 3, 1))[..., jnp.asarray(_zz_inv(b))]
+    return flatb.reshape(f, nby, nbx, b, b)
+
+
+def _zz_inv(n: int) -> np.ndarray:
+    _zz(n)
+    return _ZZ_INV_CACHE[n]
+
+
+_KMAX_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _bucket_kmax(k: int, b2: int) -> int:
+    for v in _KMAX_BUCKETS:
+        if v >= k and v <= b2:
+            return v
+    return b2
+
+
 # ===========================================================================
 # Host entropy coding (plane blobs)
 # ===========================================================================
 def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
-    """Device coefficient tensor -> entropy blob.  Chooses the per-frame
-    sparse path when it shrinks the host<->device transfer AND the blob."""
-    f = int(q_dev.shape[0])
-    per_frame = int(np.prod(q_dev.shape[1:]))
-    dense_bytes = f * per_frame * 2
-    counts = np.asarray(_nnz_per_frame(q_dev))
-    count = int(counts.sum())
-    max_count = int(counts.max()) if f else 0
-    cap = _next_pow2(max_count)
-    if count * 6 < dense_bytes // 2 and cap < per_frame:
-        idx_d, val_d = _sparsify_frames(q_dev, cap)
-        idx = np.asarray(idx_d)
-        vals = np.asarray(val_d)
-        delta_parts = []
-        val_parts = []
-        for fi in range(f):
-            c = counts[fi]
-            row = idx[fi, :c].astype(np.int64)
-            delta_parts.append(np.diff(row, prepend=0).astype(np.uint32))
-            val_parts.append(vals[fi, :c])
-        deltas = (
-            np.concatenate(delta_parts) if delta_parts
-            else np.zeros(0, np.uint32)
-        )
-        allvals = (
-            np.concatenate(val_parts) if val_parts else np.zeros(0, np.int16)
-        )
-        zi = zlib.compress(deltas.tobytes(), level)
-        zv = zlib.compress(allvals.tobytes(), level)
-        return (
-            b"\x02"
-            + struct.pack("<III", f, len(zi), len(zv))
-            + counts.astype(np.uint32).tobytes()
-            + zi
-            + zv
-        )
-    return _encode_dense_blob(np.asarray(q_dev), level)
+    """Device coefficient tensor -> entropy blob via the frequency slab:
+    only zigzag frequencies [0, kmax) carry energy and only they cross the
+    link / enter DEFLATE.  Degrades gracefully to the full tensor
+    (kmax = B*B) for dense content."""
+    f, nby, nbx, b, _ = q_dev.shape
+    b2 = b * b
+    qf = _to_freq_major(q_dev)
+    fn = np.asarray(_freq_nnz(qf))
+    nz = np.nonzero(fn)[0]
+    if len(nz) == 0:
+        return b"\x03" + struct.pack("<H", 0)
+    kmax = _bucket_kmax(int(nz.max()) + 1, b2)
+    slab = np.asarray(qf[:, :kmax]).astype(np.int16)
+    # DC DPCM across the block raster within each frame
+    dc = slab[:, 0].reshape(f, nby * nbx).astype(np.int32)
+    dcd = np.diff(dc, axis=1, prepend=0).astype(np.int16)
+    slab[:, 0] = dcd.reshape(f, nby, nbx)
+    return b"\x03" + struct.pack("<H", kmax) + zlib.compress(
+        slab.tobytes(), level
+    )
 
 
 def _encode_dense_blob(q: np.ndarray, level: int) -> bytes:
@@ -259,6 +320,16 @@ def _decode_coeff_blob(blob: bytes, f: int, nby: int, nbx: int, b: int):
     shape = (f, nby, nbx, b, b)
     per_frame = nby * nbx * b * b
     mode = blob[0]
+    if mode == 3:
+        (kmax,) = struct.unpack_from("<H", blob, 1)
+        if kmax == 0:
+            return jnp.zeros(shape, jnp.int16)
+        slab = np.frombuffer(
+            zlib.decompress(blob[3:]), np.int16
+        ).reshape(f, kmax, nby, nbx).copy()
+        dcd = slab[:, 0].reshape(f, nby * nbx).astype(np.int32)
+        slab[:, 0] = np.cumsum(dcd, axis=1).reshape(f, nby, nbx).astype(np.int16)
+        return _from_freq_slab(jnp.asarray(slab), b, kmax)
     if mode == 2:
         nf, zi_len, zv_len = struct.unpack_from("<III", blob, 1)
         off = 1 + 12
