@@ -1,0 +1,278 @@
+// Native entropy codec for RBV coefficient planes.
+//
+// The framework's C++ runtime component (the reference's performance-critical
+// paths are native C++; here the host-side hot loop is entropy coding, so it
+// is native too).  Algorithm: RLE0 tokenisation of an int16 stream into three
+// byte streams (zero-run varints, literal low bytes, literal high bytes),
+// each compressed with a static order-0 rANS coder (32-bit state, byte
+// renormalisation, 12-bit frequency precision).
+//
+// C ABI for ctypes:
+//   int64_t rbv_compress_i16(const int16_t* data, int64_t n,
+//                            uint8_t* out, int64_t out_cap);
+//   int64_t rbv_decompress_i16(const uint8_t* in, int64_t in_len,
+//                              int16_t* out, int64_t n);
+// Both return the number of bytes written / consumed, or -1 on error.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC rans.cpp -o librbv_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kProbBits = 12;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 23;  // renormalisation threshold
+
+struct SymStats {
+  uint32_t freq[256];
+  uint32_t cum[257];
+};
+
+// Normalise raw counts to kProbScale, guaranteeing nonzero freq for any
+// symbol that occurs.
+void normalize(const uint64_t counts[256], SymStats& s) {
+  uint64_t total = 0;
+  for (int i = 0; i < 256; i++) total += counts[i];
+  if (total == 0) {
+    // degenerate: uniform
+    for (int i = 0; i < 256; i++) s.freq[i] = kProbScale / 256;
+  } else {
+    uint32_t assigned = 0;
+    int last_nz = -1;
+    for (int i = 0; i < 256; i++) {
+      if (counts[i] == 0) {
+        s.freq[i] = 0;
+        continue;
+      }
+      uint32_t f = (uint32_t)((counts[i] * kProbScale) / total);
+      if (f == 0) f = 1;
+      s.freq[i] = f;
+      assigned += f;
+      last_nz = i;
+    }
+    // fix total to kProbScale by adjusting the most frequent symbol
+    int maxi = 0;
+    for (int i = 1; i < 256; i++)
+      if (s.freq[i] > s.freq[maxi]) maxi = i;
+    int64_t diff = (int64_t)kProbScale - (int64_t)assigned;
+    if ((int64_t)s.freq[maxi] + diff < 1) return;  // cannot happen in practice
+    s.freq[maxi] = (uint32_t)((int64_t)s.freq[maxi] + diff);
+    (void)last_nz;
+  }
+  s.cum[0] = 0;
+  for (int i = 0; i < 256; i++) s.cum[i + 1] = s.cum[i] + s.freq[i];
+}
+
+// rANS encode a byte stream (reverse iteration; output grows backwards).
+void rans_encode(const std::vector<uint8_t>& in, const SymStats& s,
+                 std::vector<uint8_t>& out) {
+  std::vector<uint8_t> tmp;
+  tmp.reserve(in.size() + 16);
+  uint32_t state = kRansL;
+  for (size_t i = in.size(); i-- > 0;) {
+    uint8_t sym = in[i];
+    uint32_t f = s.freq[sym];
+    uint32_t c = s.cum[sym];
+    // renormalise: keep state < (kRansL >> kProbBits) << 8) * f
+    uint32_t x_max = ((kRansL >> kProbBits) << 8) * f;
+    while (state >= x_max) {
+      tmp.push_back((uint8_t)(state & 0xFF));
+      state >>= 8;
+    }
+    state = ((state / f) << kProbBits) + (state % f) + c;
+  }
+  // emit final state (4 bytes, little endian)
+  for (int i = 0; i < 4; i++) {
+    tmp.push_back((uint8_t)(state & 0xFF));
+    state >>= 8;
+  }
+  // reverse into out
+  out.insert(out.end(), tmp.rbegin(), tmp.rend());
+}
+
+// rANS decode `n` bytes.
+bool rans_decode(const uint8_t* in, size_t in_len, const SymStats& s, size_t n,
+                 std::vector<uint8_t>& out) {
+  // build symbol lookup
+  std::vector<uint8_t> lut(kProbScale);
+  for (int sym = 0; sym < 256; sym++)
+    for (uint32_t j = s.cum[sym]; j < s.cum[sym + 1]; j++) lut[j] = (uint8_t)sym;
+  size_t pos = 0;
+  if (in_len < 4) return false;
+  uint32_t state = 0;
+  for (int i = 0; i < 4; i++) state = (state << 8) | in[pos++];
+  out.resize(n);
+  for (size_t i = 0; i < n; i++) {
+    uint32_t slot = state & (kProbScale - 1);
+    uint8_t sym = lut[slot];
+    out[i] = sym;
+    state = s.freq[sym] * (state >> kProbBits) + slot - s.cum[sym];
+    while (state < kRansL) {
+      if (pos >= in_len) {
+        if (i + 1 == n && state >= 1) break;  // final symbol may not renorm
+        return false;
+      }
+      state = (state << 8) | in[pos++];
+    }
+  }
+  return true;
+}
+
+void put_u32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(x & 0xFF);
+  v.push_back((x >> 8) & 0xFF);
+  v.push_back((x >> 16) & 0xFF);
+  v.push_back((x >> 24) & 0xFF);
+}
+
+uint32_t get_u32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+// serialize a frequency table: 256 x u16 (freq < 4096 fits)
+void put_table(std::vector<uint8_t>& v, const SymStats& s) {
+  for (int i = 0; i < 256; i++) {
+    v.push_back(s.freq[i] & 0xFF);
+    v.push_back((s.freq[i] >> 8) & 0xFF);
+  }
+}
+
+bool get_table(const uint8_t* p, SymStats& s) {
+  uint32_t total = 0;
+  for (int i = 0; i < 256; i++) {
+    s.freq[i] = (uint32_t)p[2 * i] | ((uint32_t)p[2 * i + 1] << 8);
+    total += s.freq[i];
+  }
+  if (total != kProbScale) return false;
+  s.cum[0] = 0;
+  for (int i = 0; i < 256; i++) s.cum[i + 1] = s.cum[i] + s.freq[i];
+  return true;
+}
+
+void encode_stream(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
+  uint64_t counts[256] = {0};
+  for (uint8_t b : in) counts[b]++;
+  SymStats s;
+  normalize(counts, s);
+  put_u32(out, (uint32_t)in.size());
+  put_table(out, s);
+  std::vector<uint8_t> body;
+  rans_encode(in, s, body);
+  put_u32(out, (uint32_t)body.size());
+  out.insert(out.end(), body.begin(), body.end());
+}
+
+// returns bytes consumed or -1
+int64_t decode_stream(const uint8_t* p, int64_t avail,
+                      std::vector<uint8_t>& out) {
+  if (avail < 4 + 512 + 4) return -1;
+  uint32_t n = get_u32(p);
+  SymStats s;
+  if (!get_table(p + 4, s)) return -1;
+  uint32_t body_len = get_u32(p + 4 + 512);
+  int64_t consumed = 4 + 512 + 4 + (int64_t)body_len;
+  if (consumed > avail) return -1;
+  if (!rans_decode(p + 4 + 512 + 4, body_len, s, n, out)) return -1;
+  return consumed;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t rbv_compress_i16(const int16_t* data, int64_t n, uint8_t* out,
+                         int64_t out_cap) {
+  // RLE0 tokenise
+  std::vector<uint8_t> runs, lo, hi;
+  runs.reserve(n / 8 + 16);
+  lo.reserve(n / 8 + 16);
+  hi.reserve(n / 16 + 16);
+  uint64_t run = 0;
+  auto flush_run = [&]() {
+    uint64_t r = run;
+    while (r >= 0x80) {
+      runs.push_back((uint8_t)(r & 0x7F) | 0x80);
+      r >>= 7;
+    }
+    runs.push_back((uint8_t)r);
+    run = 0;
+  };
+  for (int64_t i = 0; i < n; i++) {
+    int16_t v = data[i];
+    if (v == 0) {
+      run++;
+    } else {
+      flush_run();
+      uint16_t z = (uint16_t)((v << 1) ^ (v >> 15));  // zigzag map
+      lo.push_back((uint8_t)(z & 0xFF));
+      hi.push_back((uint8_t)(z >> 8));
+    }
+  }
+  flush_run();
+
+  std::vector<uint8_t> out_v;
+  out_v.reserve(n / 4 + 2048);
+  // header: magic 'R0', n_elements u64
+  out_v.push_back('R');
+  out_v.push_back('0');
+  for (int i = 0; i < 8; i++) out_v.push_back((uint8_t)((uint64_t)n >> (8 * i)));
+  encode_stream(runs, out_v);
+  encode_stream(lo, out_v);
+  encode_stream(hi, out_v);
+  if ((int64_t)out_v.size() > out_cap) return -1;
+  std::memcpy(out, out_v.data(), out_v.size());
+  return (int64_t)out_v.size();
+}
+
+int64_t rbv_decompress_i16(const uint8_t* in, int64_t in_len, int16_t* out,
+                           int64_t n) {
+  if (in_len < 10 || in[0] != 'R' || in[1] != '0') return -1;
+  uint64_t n_hdr = 0;
+  for (int i = 0; i < 8; i++) n_hdr |= ((uint64_t)in[2 + i]) << (8 * i);
+  if ((int64_t)n_hdr != n) return -1;
+  int64_t pos = 10;
+  std::vector<uint8_t> runs, lo, hi;
+  int64_t c = decode_stream(in + pos, in_len - pos, runs);
+  if (c < 0) return -1;
+  pos += c;
+  c = decode_stream(in + pos, in_len - pos, lo);
+  if (c < 0) return -1;
+  pos += c;
+  c = decode_stream(in + pos, in_len - pos, hi);
+  if (c < 0) return -1;
+  pos += c;
+  if (lo.size() != hi.size()) return -1;
+
+  // detokenise
+  int64_t oi = 0;
+  size_t li = 0;
+  size_t ri = 0;
+  size_t n_lit = lo.size();
+  while (oi < n) {
+    // read varint run
+    uint64_t run = 0;
+    int shift = 0;
+    while (true) {
+      if (ri >= runs.size()) return -1;
+      uint8_t b = runs[ri++];
+      run |= (uint64_t)(b & 0x7F) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    if (oi + (int64_t)run > n) return -1;
+    std::memset(out + oi, 0, run * sizeof(int16_t));
+    oi += (int64_t)run;
+    if (oi >= n) break;
+    if (li >= n_lit) return -1;
+    uint16_t z = (uint16_t)lo[li] | ((uint16_t)hi[li] << 8);
+    li++;
+    out[oi++] = (int16_t)((z >> 1) ^ (uint16_t)(-(int16_t)(z & 1)));
+  }
+  return pos;
+}
+
+}  // extern "C"

@@ -301,9 +301,18 @@ def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
     dc = slab[:, 0].reshape(f, nby * nbx).astype(np.int32)
     dcd = np.diff(dc, axis=1, prepend=0).astype(np.int16)
     slab[:, 0] = dcd.reshape(f, nby, nbx)
-    return b"\x03" + struct.pack("<H", kmax) + zlib.compress(
-        slab.tobytes(), level
-    )
+    from .. import native
+
+    head = b"\x03" + struct.pack("<H", kmax)
+    if native.available():
+        r = native.compress_i16(slab)
+        # order-0 rANS wins on noisy coefficients; LZ wins on repetitive
+        # structure — try both and keep the smaller (decode reads the tag)
+        z = zlib.compress(slab.tobytes(), 1 if slab.nbytes > 8 << 20 else level)
+        if len(r) <= len(z):
+            return head + b"R" + r
+        return head + b"Z" + z
+    return head + b"Z" + zlib.compress(slab.tobytes(), level)
 
 
 def _encode_dense_blob(q: np.ndarray, level: int) -> bytes:
@@ -324,9 +333,18 @@ def _decode_coeff_blob(blob: bytes, f: int, nby: int, nbx: int, b: int):
         (kmax,) = struct.unpack_from("<H", blob, 1)
         if kmax == 0:
             return jnp.zeros(shape, jnp.int16)
-        slab = np.frombuffer(
-            zlib.decompress(blob[3:]), np.int16
-        ).reshape(f, kmax, nby, nbx).copy()
+        backend = blob[3:4]
+        n_el = f * kmax * nby * nbx
+        if backend == b"R":
+            from .. import native
+
+            slab = native.decompress_i16(blob[4:], n_el).reshape(
+                f, kmax, nby, nbx
+            )
+        else:
+            slab = np.frombuffer(
+                zlib.decompress(blob[4:]), np.int16
+            ).reshape(f, kmax, nby, nbx).copy()
         dcd = slab[:, 0].reshape(f, nby * nbx).astype(np.int32)
         slab[:, 0] = np.cumsum(dcd, axis=1).reshape(f, nby, nbx).astype(np.int16)
         return _from_freq_slab(jnp.asarray(slab), b, kmax)
