@@ -72,11 +72,16 @@ class ReconstructionEngine:
         self,
         patch_lists: list[list[Patch]],
         occ_maps: np.ndarray,          # (F, H, W) uint8
-        geo_video: Video,
-        attr_video: Video | None,
+        geo_video: Video,              # F*map_count frames, map-interleaved
+        attr_video: Video | None,      # F*map_count frames, map-interleaved
         max_patches: int | None = None,
+        map_count: int = 1,
     ) -> list[PointSet]:
-        """Batched patch->3D reprojection + coloring for a whole GOF."""
+        """Batched patch->3D reprojection + coloring for a whole GOF.
+
+        Dual-map streams (vps_map_count_minus1=1, single-stream interleave:
+        frames [D0_0, D1_0, D0_1, ...]) reproject once per map; the layers
+        merge per frame (duplicates removed when enabled)."""
         f, h, w = occ_maps.shape
         if max_patches is None:
             raw_max = max((len(p) for p in patch_lists), default=1)
@@ -84,18 +89,22 @@ class ReconstructionEngine:
         table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
         block = patch_lists[0][0].occupancy_resolution if patch_lists and patch_lists[0] else 16
 
-        geo = np.asarray(geo_video.planes[0])[:f, :h, :w]
-        pts, valid, _b2p = repro_ops.reproject(
-            jnp.asarray(geo.astype(np.int32)),
-            jnp.asarray(occ_maps),
-            jnp.asarray(table),
-            jnp.asarray(counts),
-            block,
-        )
-        pts = np.asarray(pts)
-        valid = np.asarray(valid)
+        occ_dev = jnp.asarray(occ_maps)
+        table_dev = jnp.asarray(table)
+        counts_dev = jnp.asarray(counts)
+        pts_maps = []
+        valid = None
+        for m in range(map_count):
+            geo = np.asarray(geo_video.planes[0])[m::map_count][:f, :h, :w]
+            pts_m, valid_m, _ = repro_ops.reproject(
+                jnp.asarray(geo.astype(np.int32)),
+                occ_dev, table_dev, counts_dev, block,
+            )
+            pts_maps.append(np.asarray(pts_m))
+            if valid is None:
+                valid = np.asarray(valid_m)
 
-        colors = None
+        colors_maps = None
         if attr_video is not None:
             rgb = np.asarray(
                 yuv420_to_rgb8(
@@ -103,16 +112,22 @@ class ReconstructionEngine:
                     jnp.asarray(attr_video.planes[1]),
                     jnp.asarray(attr_video.planes[2]),
                 )
-            )[:f, :h, :w]
-            colors = rgb.reshape(f, h * w, 3)
+            )[:, :h, :w]
+            colors_maps = [
+                rgb[m::map_count][:f].reshape(f, h * w, 3)
+                for m in range(map_count)
+            ]
 
         clouds: list[PointSet] = []
         for fi in range(f):
-            m = valid[fi]
-            ps = PointSet(
-                positions=pts[fi][m],
-                colors=None if colors is None else colors[fi][m],
-            )
+            msk = valid[fi]
+            pos = np.concatenate([pm[fi][msk] for pm in pts_maps], axis=0)
+            col = None
+            if colors_maps is not None:
+                col = np.concatenate(
+                    [cm[fi][msk] for cm in colors_maps], axis=0
+                )
+            ps = PointSet(positions=pos, colors=col)
             if self.params.remove_duplicate_points:
                 ps = ps.remove_duplicates()
             clouds.append(ps)

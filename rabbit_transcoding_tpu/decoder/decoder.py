@@ -66,9 +66,19 @@ class Decoder:
             occ_maps = engine.occupancy_maps(occ_video, width, height)
 
         with self.timer.stage("generatePointCloud"):
-            n = min(len(patch_frames), occ_maps.shape[0], geo_video.frame_count)
+            map_count = (
+                atlas.asps_list[0].asps_map_count_minus1 + 1
+                if atlas.asps_list
+                else 1
+            )
+            n = min(
+                len(patch_frames),
+                occ_maps.shape[0],
+                geo_video.frame_count // map_count,
+            )
             clouds = engine.generate_point_clouds(
-                patch_frames[:n], occ_maps[:n], geo_video, attr_video
+                patch_frames[:n], occ_maps[:n], geo_video, attr_video,
+                map_count=map_count,
             )
 
         # SEI-driven geometry smoothing (PCCDecoder post-processing)

@@ -93,12 +93,19 @@ class Encoder:
                 height = max(height, h)
             height = -(-height // 64) * 64
 
-        # 2. rasterize occupancy + geometry planes
+        # 2. rasterize occupancy + geometry planes (map-interleaved layout:
+        # plane index = frame * M + map, the reference's single-stream
+        # dual-map mode)
+        n_frames = len(sources)
+        n_maps = p.mapCountMinus1 + 1
         with self.timer.stage("generateOccupancyMapVideo"):
-            geo_planes = np.zeros((len(sources), height, width), np.uint16)
-            occ_planes = np.zeros((len(sources), height, width), np.uint8)
+            geo_planes = np.zeros((n_frames * n_maps, height, width), np.uint16)
+            occ_planes = np.zeros((n_frames, height, width), np.uint8)
             for i, segs in enumerate(frame_segs):
-                geo_planes[i], occ_planes[i] = rasterize_frame(segs, width, height)
+                g0, g1, occ_planes[i] = rasterize_frame(segs, width, height)
+                geo_planes[i * n_maps] = g0
+                if n_maps > 1:
+                    geo_planes[i * n_maps + 1] = g1
 
         # 3. encode occupancy (precision-downscaled, lossless)
         from ..video import VideoDecoder, VideoEncoder, VideoEncoderParams
@@ -124,8 +131,9 @@ class Encoder:
 
         # 4. geometry video: background fill + lossy encode (closed loop)
         with self.timer.stage("generateGeometryVideo"):
+            occ_rep = np.repeat(occ_planes, n_maps, axis=0)
             gpad, opad, (oh, ow) = pad_pow2(
-                geo_planes.astype(np.float32), occ_planes
+                geo_planes.astype(np.float32), occ_rep
             )
             filled = np.asarray(
                 push_pull_fill(jnp.asarray(gpad), jnp.asarray(opad))
@@ -135,12 +143,14 @@ class Encoder:
                 [np.clip(np.round(filled), 0,
                          (1 << p.geometryNominal2dBitdepth) - 1).astype(np.uint16)],
             )
+            # with interleaved maps, an even GOP covers (D0, D1) pairs and
+            # D1 frames predict from D0 — the interleave's built-in gain
+            geo_gop = 1 if p.allIntra and n_maps == 1 else max(
+                n_maps, p.videoGopSize
+            )
             geo_payload, geo_recon = VideoEncoder.create(CodecId.RBV).encode(
                 geo_video,
-                VideoEncoderParams(
-                    qp=p.geometryQP, gop_size=p.videoGopSize,
-                    all_intra=p.allIntra,
-                ),
+                VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop),
             )
 
         # 5. reconstruct geometry from *decoded* planes (decoder-identical)
@@ -150,33 +160,46 @@ class Encoder:
                 1, -(-max(len(pl) for pl in patch_lists) // 32) * 32
             )
             table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
-            pts, valid, _ = repro_ops.reproject(
-                jnp.asarray(np.asarray(geo_recon.planes[0], np.int32)),
-                jnp.asarray(occ_decoded),
-                jnp.asarray(table),
-                jnp.asarray(counts),
-                p.occupancyResolution,
-            )
-            pts = np.asarray(pts)
-            valid = np.asarray(valid)
+            occ_dev = jnp.asarray(occ_decoded)
+            table_dev = jnp.asarray(table)
+            counts_dev = jnp.asarray(counts)
+            geo_rec_planes = np.asarray(geo_recon.planes[0], np.int32)
+            pts_maps = []
+            valid = None
+            for m in range(n_maps):
+                pts_m, valid_m, _ = repro_ops.reproject(
+                    jnp.asarray(geo_rec_planes[m::n_maps]),
+                    occ_dev, table_dev, counts_dev,
+                    p.occupancyResolution,
+                )
+                pts_maps.append(np.asarray(pts_m))
+                if valid is None:
+                    valid = np.asarray(valid_m)
 
-        # 6. recolor reconstructed points from the source cloud
+        # 6. recolor reconstructed points from the source cloud (per map)
         with self.timer.stage("generateAttributeVideo"):
-            attr_rgb = np.zeros((len(sources), height, width, 3), np.uint8)
+            attr_rgb = np.zeros(
+                (n_frames * n_maps, height, width, 3), np.uint8
+            )
             for i, src in enumerate(sources):
-                m = valid[i]
-                if src.has_colors and m.any():
+                msk = valid[i]
+                if not (src.has_colors and msk.any()):
+                    continue
+                for m in range(n_maps):
                     colors = transfer_colors(
                         src.positions.astype(np.float32),
                         src.colors,
-                        pts[i][m].astype(np.float32),
+                        pts_maps[m][i][msk].astype(np.float32),
                         k=p.recolorNeighborCount,
                     )
-                    canvas = attr_rgb[i].reshape(-1, 3)
-                    canvas[np.nonzero(m)[0]] = colors
+                    canvas = attr_rgb[i * n_maps + m].reshape(-1, 3)
+                    canvas[np.nonzero(msk)[0]] = colors
             # fill unoccupied, convert to YUV420, encode; the "trusted color"
             # mask is the per-pixel valid set (decoded-occupancy ∧ patch-owned)
-            valid_mask = valid.reshape(len(sources), height, width).astype(np.uint8)
+            valid_mask = np.repeat(
+                valid.reshape(n_frames, height, width).astype(np.uint8),
+                n_maps, axis=0,
+            )
             rpad, opad2, (oh, ow) = pad_pow2(
                 attr_rgb.astype(np.float32).transpose(3, 0, 1, 2).reshape(
                     -1, height, width
@@ -187,7 +210,7 @@ class Encoder:
                 push_pull_fill(jnp.asarray(rpad), jnp.asarray(opad2))
             )[:, :oh, :ow]
             filled_rgb = (
-                filled_rgb.reshape(3, len(sources), height, width)
+                filled_rgb.reshape(3, n_frames * n_maps, height, width)
                 .transpose(1, 2, 3, 0)
             )
             y, u, v = rgb8_to_yuv420(
@@ -197,12 +220,12 @@ class Encoder:
                 width, height, 8, ColorFormat.YUV420,
                 [np.asarray(y), np.asarray(u), np.asarray(v)],
             )
+            attr_gop = 1 if p.allIntra and n_maps == 1 else max(
+                n_maps, p.videoGopSize
+            )
             attr_payload, attr_recon = VideoEncoder.create(CodecId.RBV).encode(
                 attr_video,
-                VideoEncoderParams(
-                    qp=p.attributeQP, gop_size=p.videoGopSize,
-                    all_intra=p.allIntra,
-                ),
+                VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop),
             )
 
         # smoothing SEI (decoder applies it; the closed loop below must too)
@@ -226,12 +249,19 @@ class Encoder:
                 )
             )
             recon_clouds = []
-            for i in range(len(sources)):
-                m = valid[i]
-                ps = PointSet(
-                    positions=pts[i][m],
-                    colors=rgb_rec[i].reshape(-1, 3)[m],
+            for i in range(n_frames):
+                msk = valid[i]
+                pos = np.concatenate(
+                    [pts_maps[m][i][msk] for m in range(n_maps)], axis=0
                 )
+                col = np.concatenate(
+                    [
+                        rgb_rec[i * n_maps + m].reshape(-1, 3)[msk]
+                        for m in range(n_maps)
+                    ],
+                    axis=0,
+                )
+                ps = PointSet(positions=pos, colors=col)
                 if p.removeDuplicatePoints:
                     ps = ps.remove_duplicates()
                 recon_clouds.append(ps)
@@ -263,6 +293,9 @@ class Encoder:
         va = vps.atlas(0)
         va.vps_frame_width = width
         va.vps_frame_height = height
+        va.vps_map_count_minus1 = p.mapCountMinus1
+        va.vps_map_absolute_coding_enabled_flag = [True] * (p.mapCountMinus1 + 1)
+        va.vps_map_predictor_index_diff = [0] * (p.mapCountMinus1 + 1)
         va.occupancy_information.oi_occupancy_2d_bitdepth_minus1 = 7
         va.geometry_information.gi_geometry_2d_bitdepth_minus1 = (
             p.geometryNominal2dBitdepth - 1
@@ -287,6 +320,7 @@ class Encoder:
             asps_geometry_3d_bitdepth_minus1=p.geometry3dCoordinatesBitdepth - 1,
             asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
             asps_patch_size_quantizer_present_flag=True,
+            asps_map_count_minus1=p.mapCountMinus1,
             ref_list_structs=[
                 RefListStruct(
                     num_ref_entries=1, abs_delta_afoc_st=[1],

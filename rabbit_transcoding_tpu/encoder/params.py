@@ -27,6 +27,7 @@ class EncoderParameters:
     occupancyPrecision: int = 4
     geometry3dCoordinatesBitdepth: int = 10
     geometryNominal2dBitdepth: int = 10
+    mapCountMinus1: int = 1   # 2 maps (D0 near + D1 far), the reference default
 
     # rate points
     geometryQP: int = 28

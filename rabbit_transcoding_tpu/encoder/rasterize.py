@@ -16,18 +16,20 @@ from .segment import SegmentedPatch
 
 def rasterize_frame(
     segs: list[SegmentedPatch], width: int, height: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """-> (geo (H, W) uint16 relative depth, occ (H, W) uint8)."""
-    geo = np.zeros((height, width), np.uint16)
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (geo0, geo1 (H, W) uint16 relative near/far depth, occ (H, W) uint8)."""
+    geo0 = np.zeros((height, width), np.uint16)
+    geo1 = np.zeros((height, width), np.uint16)
     occ = np.zeros((height, width), np.uint8)
     for seg in segs:
         u, v = np.nonzero(seg.occupancy)
         if len(u) == 0:
             continue
         x, y = seg.patch.patch_to_canvas(u, v)
-        geo[y, x] = seg.depth0[u, v].astype(np.uint16)
+        geo0[y, x] = seg.depth0[u, v].astype(np.uint16)
+        geo1[y, x] = seg.depth1[u, v].astype(np.uint16)
         occ[y, x] = 1
-    return geo, occ
+    return geo0, geo1, occ
 
 
 def paint_attribute_frame(

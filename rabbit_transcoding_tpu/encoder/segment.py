@@ -57,9 +57,10 @@ class SegmentedPatch:
     """A patch plus its patch-space maps (indexed [u, v])."""
 
     patch: Patch
-    depth0: np.ndarray      # (size_u, size_v) int32 relative depth, -1 = empty
+    depth0: np.ndarray      # (size_u, size_v) int32 relative near depth, -1 = empty
+    depth1: np.ndarray      # (size_u, size_v) int32 relative far depth (>= depth0)
     occupancy: np.ndarray   # (size_u, size_v) bool
-    point_indices: np.ndarray  # indices into the source cloud covered by D0
+    point_indices: np.ndarray  # indices into the source cloud covered by [D0, D1]
 
 
 @jax.jit
@@ -176,7 +177,8 @@ def _build_patch(
     vv = (v - v1).astype(np.int64)
     flat = uu * size_v + vv
 
-    # D0: near layer — min depth for mode 0, max for mode 1
+    # D0: near layer — min depth for mode 0, max for mode 1 (internal space
+    # negates mode-1 depths so min/max logic is uniform)
     d0 = np.full(size_u * size_v, 1 << 30, np.int64)
     dd = d.astype(np.int64) if mode == 0 else -d.astype(np.int64)
     np.minimum.at(d0, flat, dd)
@@ -199,6 +201,12 @@ def _build_patch(
     if covered.sum() < params.min_point_count_per_cc_patch_segmentation:
         return None
 
+    # D1: far layer — max covered depth per cell (the dual-map far surface,
+    # PCCPatchSegmenter3 D0/D1 depth maps)
+    d1_map = np.full(size_u * size_v, -(1 << 30), np.int64)
+    np.maximum.at(d1_map, flat[covered], pt_rel[covered])
+    rel1 = np.where(occupied, np.maximum(d1_map, rel), -1)
+
     patch = Patch(
         index=patch_index,
         size_u=size_u,
@@ -208,7 +216,7 @@ def _build_patch(
         u1=u1,
         v1=v1,
         d1=d1 if mode == 0 else -d1,
-        size_d=int(rel.max()) if occupied.any() else 0,
+        size_d=int(rel1.max()) if occupied.any() else 0,
         normal_axis=normal,
         tangent_axis=tangent,
         bitangent_axis=bitangent,
@@ -218,6 +226,7 @@ def _build_patch(
     return SegmentedPatch(
         patch=patch,
         depth0=rel.reshape(size_u, size_v).astype(np.int32),
+        depth1=rel1.reshape(size_u, size_v).astype(np.int32),
         occupancy=occupied.reshape(size_u, size_v),
         point_indices=idx[covered],
     )

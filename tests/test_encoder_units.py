@@ -59,6 +59,7 @@ class TestPacking:
             patch=Patch(size_u=w, size_v=h, size_u0=(w + 15) // 16,
                         size_v0=(h + 15) // 16),
             depth0=np.zeros((w, h), np.int32),
+            depth1=np.zeros((w, h), np.int32),
             occupancy=np.ones((w, h), bool),
             point_indices=np.arange(w * h),
         )
