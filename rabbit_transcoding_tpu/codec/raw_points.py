@@ -1,0 +1,115 @@
+"""Raw (missed-points) patches via auxiliary video.
+
+Capability parity with the reference's raw-points path: encoder side
+generateRawPointsPatch + aux-video packing (PCCEncoder.cpp:4176, 4449-4704),
+decoder side raw-points geometry/attribute recovery from video
+(PCCCodec.cpp:1451-1583).  Points that no projection covers are stored
+losslessly: coordinates as a sequential (x, y, z, x, y, z, ...) stream in an
+auxiliary geometry video, colors one pixel per point in an auxiliary
+attribute video; the atlas signals them with RawPatchDataUnits
+(rpdu_patch_in_auxiliary_video_flag = 1).
+
+Aux-video layout (self-describing through the video headers):
+  geometry: YUV400, the nominal geometry bitdepth, width 256,
+            height = ceil(3N/256) padded to 16 rows, one frame per source
+            frame (frames align with the atlas AFOC order);
+  attribute: RGB444 8-bit, same width, height = ceil(N/256) padded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.hls import AtlasHLS
+from ..bitstream.syntax import AtlasTileLayerRbsp, RawPatchDataUnit
+from ..core.image import Video
+from ..utils.enums import ColorFormat
+
+AUX_WIDTH = 256
+
+
+def _rows(n_samples: int) -> int:
+    return max(16, -(-n_samples // AUX_WIDTH) // 16 * 16 + 16) if n_samples else 16
+
+
+def build_raw_videos(
+    raw_points: list[np.ndarray],     # per frame (N_f, 3) int32
+    raw_colors: list[np.ndarray | None],
+    bitdepth: int,
+) -> tuple[Video, Video]:
+    """Pack per-frame raw point lists into aux geometry/attribute videos."""
+    f = len(raw_points)
+    geo_rows = max(_rows(3 * max((len(p) for p in raw_points), default=0)), 16)
+    attr_rows = max(_rows(max((len(p) for p in raw_points), default=0)), 16)
+    geo = np.zeros((f, geo_rows, AUX_WIDTH), np.uint16)
+    rgb = np.zeros((3, f, attr_rows, AUX_WIDTH), np.uint8)
+    for fi, pts in enumerate(raw_points):
+        if len(pts) == 0:
+            continue
+        stream = np.ascontiguousarray(pts.astype(np.uint16)).reshape(-1)
+        geo[fi].reshape(-1)[: len(stream)] = stream
+        colors = raw_colors[fi]
+        if colors is not None and len(colors) == len(pts):
+            for c in range(3):
+                rgb[c, fi].reshape(-1)[: len(pts)] = colors[:, c]
+    geo_video = Video(AUX_WIDTH, geo_rows, bitdepth, ColorFormat.YUV400, [geo])
+    attr_video = Video(
+        AUX_WIDTH, attr_rows, 8, ColorFormat.RGB444, [rgb[0], rgb[1], rgb[2]]
+    )
+    return geo_video, attr_video
+
+
+def make_raw_patch_unit(n_points: int) -> RawPatchDataUnit:
+    rows = -(-3 * n_points // AUX_WIDTH)
+    return RawPatchDataUnit(
+        rpdu_patch_in_auxiliary_video_flag=True,
+        rpdu_2d_pos_x=0,
+        rpdu_2d_pos_y=0,
+        rpdu_2d_size_x_minus1=AUX_WIDTH - 1,
+        rpdu_2d_size_y_minus1=max(0, rows - 1),
+        rpdu_3d_offset_u=0,
+        rpdu_3d_offset_v=0,
+        rpdu_3d_offset_d=0,
+        rpdu_points_minus1=n_points - 1,
+    )
+
+
+def collect_raw_patch_units(atlas: AtlasHLS) -> list[list[RawPatchDataUnit]]:
+    """Per-frame raw patch units in ATL order."""
+    out: list[list[RawPatchDataUnit]] = []
+    for atl in atlas.atlas_tile_layers:
+        frame_units = [
+            pid.data
+            for pid in atl.data_unit.patches
+            if isinstance(pid.data, RawPatchDataUnit)
+        ]
+        out.append(frame_units)
+    return out
+
+
+def recover_raw_points(
+    units: list[RawPatchDataUnit],
+    geo_frame: np.ndarray,           # (H, W) uint16 aux geometry plane
+    attr_frame: np.ndarray | None,   # (H, W, 3) uint8 aux attribute
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """One frame's raw patch units -> (points (N,3), colors (N,3) or None)."""
+    pts_list = []
+    col_list = []
+    geo_flat = geo_frame.reshape(-1)
+    attr_flat = None if attr_frame is None else attr_frame.reshape(-1, 3)
+    for unit in units:
+        n = unit.rpdu_points_minus1 + 1
+        stream = geo_flat[: 3 * n].astype(np.int32)
+        pts = stream.reshape(n, 3)
+        pts = pts + np.array(
+            [unit.rpdu_3d_offset_u, unit.rpdu_3d_offset_v, unit.rpdu_3d_offset_d],
+            np.int32,
+        )
+        pts_list.append(pts)
+        if attr_flat is not None:
+            col_list.append(attr_flat[:n])
+    if not pts_list:
+        return np.zeros((0, 3), np.int32), None
+    pts = np.concatenate(pts_list)
+    cols = np.concatenate(col_list) if col_list else None
+    return pts, cols

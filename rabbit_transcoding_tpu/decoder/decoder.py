@@ -81,6 +81,53 @@ class Decoder:
                 map_count=map_count,
             )
 
+        # raw (missed-points) patches from auxiliary video
+        if VideoType.GEOMETRY_RAW in atlas.video_bitstreams:
+            with self.timer.stage("recoverRawPoints"):
+                from ..codec.raw_points import (
+                    collect_raw_patch_units,
+                    recover_raw_points,
+                )
+
+                raw_units = collect_raw_patch_units(atlas)
+                raw_geo = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.GEOMETRY_RAW).data
+                )
+                raw_attr = None
+                if VideoType.ATTRIBUTE_RAW in atlas.video_bitstreams:
+                    raw_attr = VideoDecoder.create(CodecId.RBV).decode(
+                        atlas.get_video_bitstream(VideoType.ATTRIBUTE_RAW).data
+                    )
+                for fi in range(min(n, len(raw_units))):
+                    if not raw_units[fi]:
+                        continue
+                    attr_frame = None
+                    if raw_attr is not None:
+                        attr_frame = np.stack(
+                            [pl[fi] for pl in raw_attr.planes], axis=-1
+                        )
+                    pts, cols = recover_raw_points(
+                        raw_units[fi], np.asarray(raw_geo.planes[0][fi]),
+                        attr_frame,
+                    )
+                    if len(pts) == 0:
+                        continue
+                    ps = clouds[fi]
+                    merged = PointSet(
+                        positions=np.concatenate([ps.positions, pts]),
+                        colors=None
+                        if ps.colors is None
+                        else np.concatenate(
+                            [
+                                ps.colors,
+                                cols
+                                if cols is not None
+                                else np.zeros((len(pts), 3), np.uint8),
+                            ]
+                        ),
+                    )
+                    clouds[fi] = merged.remove_duplicates()
+
         # SEI-driven geometry smoothing (PCCDecoder post-processing)
         from ..codec.postprocess import (
             apply_geometry_smoothing,

@@ -78,10 +78,22 @@ class Encoder:
 
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):
-            frame_segs = [
-                segment_frame(ps.positions.astype(np.int32), seg_params)[0]
-                for ps in sources
-            ]
+            frame_segs = []
+            raw_points: list[np.ndarray] = []
+            raw_colors: list[np.ndarray | None] = []
+            for ps in sources:
+                segs, missed = segment_frame(
+                    ps.positions.astype(np.int32), seg_params
+                )
+                frame_segs.append(segs)
+                if p.useRawPointsPatch and len(missed):
+                    raw_points.append(ps.positions[missed].astype(np.int32))
+                    raw_colors.append(
+                        ps.colors[missed] if ps.has_colors else None
+                    )
+                else:
+                    raw_points.append(np.zeros((0, 3), np.int32))
+                    raw_colors.append(None)
         with self.timer.stage("placeSegments"):
             width = p.minimumImageWidth
             height = p.minimumImageHeight
@@ -252,15 +264,20 @@ class Encoder:
             for i in range(n_frames):
                 msk = valid[i]
                 pos = np.concatenate(
-                    [pts_maps[m][i][msk] for m in range(n_maps)], axis=0
-                )
-                col = np.concatenate(
-                    [
-                        rgb_rec[i * n_maps + m].reshape(-1, 3)[msk]
-                        for m in range(n_maps)
-                    ],
+                    [pts_maps[m][i][msk] for m in range(n_maps)]
+                    + [raw_points[i]],
                     axis=0,
                 )
+                col_parts = [
+                    rgb_rec[i * n_maps + m].reshape(-1, 3)[msk]
+                    for m in range(n_maps)
+                ]
+                col_parts.append(
+                    raw_colors[i]
+                    if raw_colors[i] is not None
+                    else np.zeros((len(raw_points[i]), 3), np.uint8)
+                )
+                col = np.concatenate(col_parts, axis=0)
                 ps = PointSet(positions=pos, colors=col)
                 if p.removeDuplicatePoints:
                     ps = ps.remove_duplicates()
@@ -273,11 +290,27 @@ class Encoder:
                     coord_bits=p.geometry3dCoordinatesBitdepth,
                 )
 
-        # 8. high-level syntax
+        # 8. raw-points aux videos (lossless)
+        raw_geo_payload = raw_attr_payload = None
+        if p.useRawPointsPatch and any(len(r) for r in raw_points):
+            from ..codec.raw_points import build_raw_videos
+
+            raw_geo_video, raw_attr_video = build_raw_videos(
+                raw_points, raw_colors, p.geometryNominal2dBitdepth
+            )
+            raw_geo_payload, _ = VideoEncoder.create(
+                CodecId.RBV_LOSSLESS
+            ).encode(raw_geo_video, VideoEncoderParams(lossless=True))
+            raw_attr_payload, _ = VideoEncoder.create(
+                CodecId.RBV_LOSSLESS
+            ).encode(raw_attr_video, VideoEncoderParams(lossless=True))
+
+        # 9. high-level syntax
         with self.timer.stage("createPatchFrameDataStructure"):
             context = self._build_context(
                 frame_segs, width, height,
                 occ_payload, geo_payload, attr_payload,
+                raw_points, raw_geo_payload, raw_attr_payload,
             )
             if smoothing_sei is not None:
                 context.atlas(0).seis_prefix.append(smoothing_sei)
@@ -285,7 +318,8 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _build_context(
-        self, frame_segs, width, height, occ_payload, geo_payload, attr_payload
+        self, frame_segs, width, height, occ_payload, geo_payload, attr_payload,
+        raw_points=None, raw_geo_payload=None, raw_attr_payload=None,
     ) -> Context:
         p = self.params
         context = Context()
@@ -321,6 +355,8 @@ class Encoder:
             asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
             asps_patch_size_quantizer_present_flag=True,
             asps_map_count_minus1=p.mapCountMinus1,
+            asps_raw_patch_enabled_flag=raw_geo_payload is not None,
+            asps_auxiliary_video_enabled_flag=raw_geo_payload is not None,
             ref_list_structs=[
                 RefListStruct(
                     num_ref_entries=1, abs_delta_afoc_st=[1],
@@ -360,6 +396,18 @@ class Encoder:
                         ),
                     )
                 )
+            if raw_geo_payload is not None and raw_points is not None and len(
+                raw_points[fi]
+            ):
+                from ..codec.raw_points import make_raw_patch_unit
+                from ..utils.enums import PatchModeITile as _PMI
+
+                du.patches.append(
+                    PatchInformationData(
+                        patch_mode=int(_PMI.I_RAW),
+                        data=make_raw_patch_unit(len(raw_points[fi])),
+                    )
+                )
             atl = AtlasTileLayerRbsp(header=header, data_unit=du)
             atl.afoc = fi
             atlas.atlas_tile_layers.append(atl)
@@ -371,4 +419,13 @@ class Encoder:
         atlas.set_video_bitstream(
             VideoBitstream(VideoType.ATTRIBUTE, attr_payload)
         )
+        if raw_geo_payload is not None:
+            va.vps_auxiliary_video_present_flag = True
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.GEOMETRY_RAW, raw_geo_payload)
+            )
+            if raw_attr_payload is not None:
+                atlas.set_video_bitstream(
+                    VideoBitstream(VideoType.ATTRIBUTE_RAW, raw_attr_payload)
+                )
         return context

@@ -28,6 +28,7 @@ class EncoderParameters:
     geometry3dCoordinatesBitdepth: int = 10
     geometryNominal2dBitdepth: int = 10
     mapCountMinus1: int = 1   # 2 maps (D0 near + D1 far), the reference default
+    useRawPointsPatch: bool = True  # missed points -> raw patches in aux video
 
     # rate points
     geometryQP: int = 28

@@ -50,6 +50,9 @@ class SegmenterParams:
     surface_thickness: int = 4
     max_allowed_depth: int = 255
     max_missed_point_iterations: int = 4
+    # KNN edges longer than this do not connect components (a kNN graph
+    # otherwise links arbitrarily distant clutter into one bogus patch)
+    max_cc_edge_distance: float = 5.0
 
 
 @dataclasses.dataclass
@@ -102,14 +105,26 @@ def refine_segmentation(
 
 
 def _connected_components(
-    nbr_idx: np.ndarray, mask: np.ndarray, ppi: np.ndarray
+    nbr_idx: np.ndarray,
+    mask: np.ndarray,
+    ppi: np.ndarray,
+    points: np.ndarray,
+    max_edge_dist: float,
 ) -> tuple[np.ndarray, int]:
     """Connected components of the KNN graph restricted to `mask` points with
-    equal PPI.  Returns (labels (N,), n_components); labels -1 off-mask."""
+    equal PPI and edge length <= max_edge_dist.
+    Returns (labels (N,), n_components); labels -1 off-mask."""
     n, k = nbr_idx.shape
     src = np.repeat(np.arange(n), k)
     dst = nbr_idx.reshape(-1)
-    keep = mask[src] & mask[dst] & (ppi[src] == ppi[dst])
+    edge_d2 = np.sum(
+        (points[src].astype(np.int64) - points[dst].astype(np.int64)) ** 2,
+        axis=1,
+    )
+    keep = (
+        mask[src] & mask[dst] & (ppi[src] == ppi[dst])
+        & (edge_d2 <= max_edge_dist * max_edge_dist)
+    )
     src, dst = src[keep], dst[keep]
     graph = sp.coo_matrix(
         (np.ones(len(src), np.int8), (src, dst)), shape=(n, n)
@@ -138,7 +153,9 @@ def segment_patches(
     for _ in range(params.max_missed_point_iterations):
         if remaining.sum() < params.min_point_count_per_cc_patch_segmentation:
             break
-        labels, ncomp = _connected_components(nbr_idx, remaining, ppi)
+        labels, ncomp = _connected_components(
+            nbr_idx, remaining, ppi, points, params.max_cc_edge_distance
+        )
         if ncomp == 0:
             break
         made_progress = False

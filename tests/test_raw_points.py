@@ -1,0 +1,86 @@
+"""Raw (missed-points) patches: uncovered points must survive losslessly."""
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+from rabbit_transcoding_tpu.core.pointset import PointSet
+from rabbit_transcoding_tpu.decoder.decoder import Decoder
+from rabbit_transcoding_tpu.encoder.encoder import Encoder
+from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+from rabbit_transcoding_tpu.utils.enums import VideoType
+
+
+def plate_with_outliers(n_outliers=40, seed=0):
+    """A projectable plate + isolated scattered points no patch can cover."""
+    g = np.mgrid[8:72, 8:72].reshape(2, -1).T
+    plate = np.column_stack([g[:, 0], g[:, 1], np.full(len(g), 30)])
+    rng = np.random.default_rng(seed)
+    outliers = rng.integers(100, 250, size=(n_outliers, 3))
+    pos = np.concatenate([plate, outliers]).astype(np.int32)
+    colors = np.clip(np.stack(
+        [pos[:, 0] * 2, pos[:, 1] * 2, pos[:, 2] % 255], 1), 0, 255
+    ).astype(np.uint8)
+    return (
+        PointSet(positions=pos, colors=colors).remove_duplicates(),
+        np.unique(outliers.astype(np.int32), axis=0),
+    )
+
+
+def make_params(**kw):
+    base = dict(
+        minimumImageWidth=128, minimumImageHeight=64,
+        geometryQP=8, attributeQP=12, occupancyPrecision=2,
+        flagGeometrySmoothing=False,
+    )
+    base.update(kw)
+    return EncoderParameters(**base)
+
+
+def roundtrip(src, params):
+    enc = Encoder(params)
+    ctx, recon = enc.encode(GroupOfFrames([src]))
+    w = V3CWriter()
+    data = w.write(w.encode(ctx))
+    ctx2 = V3CReader().decode(V3CReader().read(data)[0])
+    return ctx2, Decoder().decode(ctx2)[0], recon[0]
+
+
+class TestRawPoints:
+    def test_outliers_survive_exactly(self):
+        src, outliers = plate_with_outliers()
+        ctx, dec, recon = roundtrip(src, make_params(useRawPointsPatch=True))
+        assert VideoType.GEOMETRY_RAW in ctx.atlas(0).video_bitstreams
+        dec_set = set(map(tuple, dec.positions.tolist()))
+        for o in outliers:
+            assert tuple(o) in dec_set, f"outlier {o} lost"
+        # colors of outliers are lossless
+        idx = {tuple(p): i for i, p in enumerate(dec.positions.tolist())}
+        src_idx = {tuple(p): i for i, p in enumerate(src.positions.tolist())}
+        for o in outliers:
+            t = tuple(o)
+            np.testing.assert_array_equal(
+                dec.colors[idx[t]], src.colors[src_idx[t]]
+            )
+
+    def test_outliers_dropped_without_raw_patch(self):
+        src, outliers = plate_with_outliers()
+        ctx, dec, _ = roundtrip(src, make_params(useRawPointsPatch=False))
+        assert VideoType.GEOMETRY_RAW not in ctx.atlas(0).video_bitstreams
+        dec_set = set(map(tuple, dec.positions.tolist()))
+        missing = sum(tuple(o) not in dec_set for o in outliers)
+        assert missing > len(outliers) * 0.8
+
+    def test_closed_loop_with_raw_points(self):
+        src, _ = plate_with_outliers()
+        ctx, dec, recon = roundtrip(src, make_params(useRawPointsPatch=True))
+        assert dec.compute_checksum() == recon.compute_checksum()
+
+    def test_d1_improves_with_raw_points(self):
+        src, _ = plate_with_outliers()
+        _, dec_raw, _ = roundtrip(src, make_params(useRawPointsPatch=True))
+        _, dec_noraw, _ = roundtrip(src, make_params(useRawPointsPatch=False))
+        d_raw = cKDTree(dec_raw.positions).query(src.positions, k=1)[0]
+        d_noraw = cKDTree(dec_noraw.positions).query(src.positions, k=1)[0]
+        assert np.mean(d_raw ** 2) < np.mean(d_noraw ** 2)
