@@ -61,6 +61,23 @@ def qstep_of(qp: int) -> float:
     return float(2.0 ** ((qp - 4.0) / 6.0))
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas transcode kernel (ops/pallas_transcode.py): opt-in via
+    RBV_PALLAS=1.  Measured on TPU v5e-lite at 1024x1024x32f: the XLA path's
+    globally-batched GEMMs (25k blocks per matmul) beat the per-block-row
+    Pallas schedule (32.2 vs 25.2 fps) — XLA's fusion is already near the
+    HBM roofline here, so the kernel stays available for study/bench but is
+    not the default."""
+    import os
+
+    if os.environ.get("RBV_PALLAS", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(10, (max(1, n) - 1).bit_length())
 
@@ -584,9 +601,19 @@ def transcode_payload(
         if fp_out != fp_in:
             q = jnp.concatenate([q, jnp.repeat(q[-1:], fp_out - fp_in, axis=0)],
                                 axis=0)
-        q2s.append(
-            _transcode_device(q, qs_in, qs_out, maxval, block, gop, gop_out)[:f]
-        )
+        if _use_pallas() and gop_out == gop:
+            from ..ops.pallas_transcode import transcode_coeffs_pallas
+
+            q2s.append(
+                transcode_coeffs_pallas(
+                    q, gop, float(qs_in), float(qs_out), float(maxval)
+                )[:f]
+            )
+        else:
+            q2s.append(
+                _transcode_device(q, qs_in, qs_out, maxval, block, gop,
+                                  gop_out)[:f]
+            )
 
     # phase 2: entropy-code the planes in parallel (zlib releases the GIL)
     import concurrent.futures as cf
