@@ -91,15 +91,30 @@ class V3CUnit:
         return cls(header, data[4:])
 
 
+def sample_stream_header(precision: int = 4) -> bytes:
+    bw = BitWriter()
+    bw.u(3, precision - 1)
+    bw.u(5, 0)
+    return bw.data()
+
+
+def write_sample_stream_units(units: list[V3CUnit], precision: int = 4) -> bytes:
+    """Size-prefixed units only (no header) — for appending GOFs to an open
+    stream whose header was already written (fixed precision)."""
+    out = bytearray()
+    for u in units:
+        b = u.to_bytes()
+        out.extend(len(b).to_bytes(precision, "big"))
+        out.extend(b)
+    return bytes(out)
+
+
 def write_sample_stream_v3c(units: list[V3CUnit]) -> bytes:
     """sample_stream_v3c_header + size-prefixed V3C units -> whole file bytes."""
     blobs = [u.to_bytes() for u in units]
     max_size = max((len(b) for b in blobs), default=1)
     precision = max(1, (max_size.bit_length() + 7) // 8)
-    bw = BitWriter()
-    bw.u(3, precision - 1)
-    bw.u(5, 0)
-    out = bytearray(bw.data())
+    out = bytearray(sample_stream_header(precision))
     for b in blobs:
         out.extend(len(b).to_bytes(precision, "big"))
         out.extend(b)
