@@ -39,3 +39,41 @@ def transfer_colors(
     w /= w.sum(axis=1, keepdims=True)
     blended = (src_colors[idx].astype(np.float64) * w[..., None]).sum(axis=1)
     return np.clip(np.round(blended), 0, 255).astype(np.uint8)
+
+
+def transfer_colors_device(
+    src_points: np.ndarray,
+    src_colors: np.ndarray,
+    dst_points: np.ndarray,
+    k: int = 1,
+    coord_bits: int = 10,
+) -> np.ndarray:
+    """Device grid-hash variant (ops/knn.py) of transfer_colors: the TPU path
+    for batched multi-stream recoloring.  Falls back to the nearest found
+    candidate; points with no in-radius neighbour take the globally nearest
+    via a host fixup (rare: isolated outliers)."""
+    from .knn import knn
+
+    if len(dst_points) == 0:
+        return np.zeros((0, 3), np.uint8)
+    d2, idx = knn(
+        dst_points.astype(np.int32), src_points.astype(np.int32), k=k,
+        coord_bits=coord_bits,
+    )
+    unfound = idx[:, 0] < 0
+    idx0 = np.where(unfound[:, None], 0, np.maximum(idx, 0))
+    if k == 1:
+        out = src_colors[idx0[:, 0]].copy()
+    else:
+        w = 1.0 / np.sqrt(np.maximum(d2, 1e-9))
+        w = np.where(idx >= 0, w, 0.0)
+        wsum = np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        blended = (
+            src_colors[idx0].astype(np.float64) * (w / wsum)[..., None]
+        ).sum(axis=1)
+        out = np.clip(np.round(blended), 0, 255).astype(np.uint8)
+    if unfound.any():
+        tree = cKDTree(src_points)
+        _, far_idx = tree.query(dst_points[unfound], k=1)
+        out[unfound] = src_colors[far_idx]
+    return out
