@@ -51,6 +51,28 @@ class AtlasHLS:
     def get_video_bitstream(self, vtype: VideoType) -> VideoBitstream:
         return self.video_bitstreams[vtype]
 
+    def tile_origin(self, afps: AtlasFrameParameterSetRbsp, tile_id: int
+                    ) -> tuple[int, int]:
+        """(x, y) pixel origin of a tile (uniform-partition AFTI layout;
+        partitions are in 64-pixel units per 23090-5)."""
+        afti = afps.atlas_frame_tile_information
+        if afti.afti_single_tile_in_atlas_frame_flag:
+            return 0, 0
+        if afti.afti_uniform_partition_spacing_flag:
+            cols = afti.afti_num_partition_columns_minus1 + 1
+            w64 = (afti.afti_partition_cols_width_minus1 + 1) * 64
+            h64 = (afti.afti_partition_rows_height_minus1 + 1) * 64
+            return (tile_id % cols) * w64, (tile_id // cols) * h64
+        x = sum(
+            (w + 1) * 64
+            for w in afti.afti_partition_column_widths_minus1[: tile_id]
+        )
+        y = sum(
+            (h + 1) * 64
+            for h in afti.afti_partition_row_heights_minus1[: tile_id]
+        )
+        return x, y
+
     def set_video_bitstream(self, vb: VideoBitstream) -> None:
         self.video_bitstreams[vb.type] = vb
 

@@ -42,18 +42,46 @@ def projection_id_of(normal_axis: int, projection_mode: int) -> int:
 
 
 def decode_patch_frames(atlas: AtlasHLS) -> list[list[Patch]]:
-    """Decode every atlas tile layer into per-frame patch lists."""
-    frames: list[list[Patch]] = []
-    prev: list[Patch] = []
+    """Decode every atlas tile layer into per-frame patch lists.
+
+    Tile layers sharing an ath_atlas_frm_order_cnt_lsb belong to one frame
+    (multi-tile atlases emit one ATL per tile per frame); patch positions are
+    shifted by each tile's AFTI origin so the result is atlas-global."""
+    # group ATLs by coded frame order count, preserving decode order
+    frame_keys: list[int] = []
+    groups: dict[int, list] = {}
     for atl in atlas.atlas_tile_layers:
-        patches = decode_tile_patches(atlas, atl, prev)
-        frames.append(patches)
-        prev = patches
+        key = atl.header.ath_atlas_frm_order_cnt_lsb
+        if key not in groups:
+            groups[key] = []
+            frame_keys.append(key)
+        groups[key].append(atl)
+
+    frames: list[list[Patch]] = []
+    prev: dict[int, list[Patch]] = {}  # per-tile reference lists
+    for key in frame_keys:
+        frame_patches: list[Patch] = []
+        for atl in groups[key]:
+            tile_id = atl.header.ath_id
+            afps = atlas.afps(atl.header.ath_atlas_frame_parameter_set_id)
+            origin = atlas.tile_origin(afps, tile_id)
+            patches = decode_tile_patches(
+                atlas, atl, prev.get(tile_id, []), origin
+            )
+            prev[tile_id] = patches
+            base = len(frame_patches)
+            for p in patches:
+                p.index = base + p.index
+            frame_patches.extend(patches)
+        frames.append(frame_patches)
     return frames
 
 
 def decode_tile_patches(
-    atlas: AtlasHLS, atl: AtlasTileLayerRbsp, ref_patches: list[Patch]
+    atlas: AtlasHLS,
+    atl: AtlasTileLayerRbsp,
+    ref_patches: list[Patch],
+    tile_origin: tuple[int, int] = (0, 0),
 ) -> list[Patch]:
     afps = atlas.afps(atl.header.ath_atlas_frame_parameter_set_id)
     asps = atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
@@ -82,7 +110,12 @@ def decode_tile_patches(
         du = pid.data
         idx = len(patches)
         if isinstance(du, PatchDataUnit):
-            patches.append(_intra_patch(du, idx, ppbs, qx, qy, min_d_shift))
+            p = _intra_patch(du, idx, ppbs, qx, qy, min_d_shift)
+            # intra positions are tile-relative; refs of inter/merge/skip
+            # patches are already atlas-global, so only intra shifts
+            p.u0 += tile_origin[0] // ppbs
+            p.v0 += tile_origin[1] // ppbs
+            patches.append(p)
         elif isinstance(du, InterPatchDataUnit):
             ref_idx = pred_idx + du.ipdu_patch_index
             ref = ref_patches[ref_idx]

@@ -96,14 +96,43 @@ class Encoder:
                     raw_colors.append(None)
         with self.timer.stage("placeSegments"):
             width = p.minimumImageWidth
-            height = p.minimumImageHeight
-            for segs in frame_segs:
-                h = pack_patches(
-                    segs, width, max(height, 64), block=p.occupancyResolution,
-                    try_orientations=p.packingTryOrientations,
-                )
-                height = max(height, h)
-            height = -(-height // 64) * 64
+            if p.tileCount <= 1:
+                height = p.minimumImageHeight
+                for segs in frame_segs:
+                    h = pack_patches(
+                        segs, width, max(height, 64),
+                        block=p.occupancyResolution,
+                        try_orientations=p.packingTryOrientations,
+                    )
+                    height = max(height, h)
+                height = -(-height // 64) * 64
+                tile_band = height
+            else:
+                # uniform-band tiling: patches balanced over tiles by area,
+                # each (frame, tile) packed independently; band = max height
+                band = 64
+                for segs in frame_segs:
+                    order = sorted(
+                        segs, key=lambda s: s.occupancy.sum(), reverse=True
+                    )
+                    for i, seg in enumerate(order):
+                        seg.patch.tile_index = i % p.tileCount
+                    for t in range(p.tileCount):
+                        group = [s for s in segs if s.patch.tile_index == t]
+                        if group:
+                            h = pack_patches(
+                                group, width, 64,
+                                block=p.occupancyResolution,
+                                try_orientations=p.packingTryOrientations,
+                            )
+                            band = max(band, h)
+                band = -(-band // 64) * 64
+                band_blocks = band // p.occupancyResolution
+                for segs in frame_segs:
+                    for seg in segs:
+                        seg.patch.v0 += seg.patch.tile_index * band_blocks
+                height = band * p.tileCount
+                tile_band = band
 
         # 2. rasterize occupancy + geometry planes (map-interleaved layout:
         # plane index = frame * M + map, the reference's single-stream
@@ -311,6 +340,7 @@ class Encoder:
                 frame_segs, width, height,
                 occ_payload, geo_payload, attr_payload,
                 raw_points, raw_geo_payload, raw_attr_payload,
+                tile_band=tile_band,
             )
             if smoothing_sei is not None:
                 context.atlas(0).seis_prefix.append(smoothing_sei)
@@ -320,6 +350,7 @@ class Encoder:
     def _build_context(
         self, frame_segs, width, height, occ_payload, geo_payload, attr_payload,
         raw_points=None, raw_geo_payload=None, raw_attr_payload=None,
+        tile_band=None,
     ) -> Context:
         p = self.params
         context = Context()
@@ -365,11 +396,25 @@ class Encoder:
             ],
         )
         atlas.asps_list.append(asps)
-        atlas.afps_list.append(AtlasFrameParameterSetRbsp())
+        afps = AtlasFrameParameterSetRbsp()
+        n_tiles = max(1, p.tileCount)
+        if n_tiles > 1:
+            afti = afps.atlas_frame_tile_information
+            afti.afti_single_tile_in_atlas_frame_flag = False
+            afti.afti_uniform_partition_spacing_flag = True
+            afti.afti_partition_cols_width_minus1 = width // 64 - 1
+            afti.afti_partition_rows_height_minus1 = (tile_band or height) // 64 - 1
+            afti.afti_single_partition_per_tile_flag = True
+        atlas.afps_list.append(afps)
 
+        band_blocks = (
+            (tile_band or height) // p.occupancyResolution if n_tiles > 1 else 0
+        )
         for fi, segs in enumerate(frame_segs):
+          for tile in range(n_tiles):
             header = AtlasTileHeader(
                 ath_type=AtlasTileType.I_TILE,
+                ath_id=tile,
                 ath_atlas_frm_order_cnt_lsb=fi % 256,
                 ath_patch_size_x_info_quantizer=0,
                 ath_patch_size_y_info_quantizer=0,
@@ -377,12 +422,14 @@ class Encoder:
             du = AtlasTileDataUnit()
             for seg in segs:
                 patch = seg.patch
+                if n_tiles > 1 and patch.tile_index != tile:
+                    continue
                 du.patches.append(
                     PatchInformationData(
                         patch_mode=int(PatchModeITile.I_INTRA),
                         data=PatchDataUnit(
                             pdu_2d_pos_x=patch.u0,
-                            pdu_2d_pos_y=patch.v0,
+                            pdu_2d_pos_y=patch.v0 - tile * band_blocks,
                             pdu_2d_size_x_minus1=patch.size_u - 1,
                             pdu_2d_size_y_minus1=patch.size_v - 1,
                             pdu_3d_offset_u=patch.u1,
@@ -396,9 +443,9 @@ class Encoder:
                         ),
                     )
                 )
-            if raw_geo_payload is not None and raw_points is not None and len(
-                raw_points[fi]
-            ):
+            if tile == 0 and raw_geo_payload is not None and (
+                raw_points is not None
+            ) and len(raw_points[fi]):
                 from ..codec.raw_points import make_raw_patch_unit
                 from ..utils.enums import PatchModeITile as _PMI
 

@@ -46,6 +46,9 @@ class EncoderParameters:
 
     # packing
     packingTryOrientations: bool = True
+    # multi-tile atlas: uniform horizontal bands, one ATL per tile per frame
+    # (reference: tile options of PCCEncoderParameters / AFTI)
+    tileCount: int = 1
 
     # reconstruction / attribute
     removeDuplicatePoints: bool = True

@@ -203,7 +203,9 @@ class TestPatchFrameDecode:
                 ),
             ))
         atl0 = AtlasTileLayerRbsp(
-            header=AtlasTileHeader(ath_type=AtlasTileType.I_TILE), data_unit=du0
+            header=AtlasTileHeader(ath_type=AtlasTileType.I_TILE,
+                                   ath_atlas_frm_order_cnt_lsb=0),
+            data_unit=du0,
         )
 
         # frame 1: inter patches referencing both
@@ -218,7 +220,9 @@ class TestPatchFrameDecode:
             data=InterPatchDataUnit(ipdu_patch_index=0, ipdu_2d_delta_size_x=1),
         ))
         atl1 = AtlasTileLayerRbsp(
-            header=AtlasTileHeader(ath_type=AtlasTileType.P_TILE), data_unit=du1
+            header=AtlasTileHeader(ath_type=AtlasTileType.P_TILE,
+                                   ath_atlas_frm_order_cnt_lsb=1),
+            data_unit=du1,
         )
         atlas.atlas_tile_layers = [atl0, atl1]
 
