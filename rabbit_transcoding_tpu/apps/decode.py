@@ -29,6 +29,7 @@ def main(argv=None) -> int:
             "uncompressedDataFolder": ("", "base folder for the source PLYs"),
             "resolution": (1023, "geometry PSNR peak resolution"),
             "nbThread": (0, "thread count (0 = auto)"),
+            "trace": (False, "write dec_* conformance trace logs"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-decode") is None:
@@ -42,6 +43,11 @@ def main(argv=None) -> int:
     reader = V3CReader()
     gofs = reader.read_file(params.compressedStreamPath)
     decoder = Decoder(params)
+    tracer = None
+    if reg["trace"]:
+        from ..utils.tracing import TraceCategory, Tracer
+
+        tracer = Tracer(prefix="dec_").enable(*TraceCategory)
     all_clouds = []
     frame0 = params.startFrameNumber
     for gof in gofs:
@@ -55,6 +61,12 @@ def main(argv=None) -> int:
                 if not ok:
                     print("error: decoded atlas hash mismatch", file=sys.stderr)
             clouds = decoder.decode(context, atlas.atlas_id)
+            if tracer is not None:
+                from ..codec.trace import emit_conformance_traces
+
+                emit_conformance_traces(
+                    tracer, atlas, decode_patch_frames(atlas), clouds
+                )
             all_clouds.extend(clouds)
     if params.reconstructedDataPath:
         GroupOfFrames(all_clouds).write(params.reconstructedDataPath, frame0)
@@ -73,6 +85,8 @@ def main(argv=None) -> int:
         )
         print(summary.print())
 
+    if tracer is not None:
+        tracer.close()
     decoder.timer.write("timings_decoder.txt")
     print(decoder.timer.report())
     print_run_footer("rabbit-decode", sw)

@@ -27,6 +27,7 @@ def main(argv=None) -> int:
             "uncompressedDataFolder": ("", "base folder for the PLY template"),
             "nbThread": (0, "thread count (0 = auto)"),
             "computeChecksum": (True, "record reconstruction checksums"),
+            "trace": (False, "write enc_* conformance trace logs"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-encode") is None:
@@ -43,6 +44,11 @@ def main(argv=None) -> int:
     writer = V3CWriter()
     units = []
     encoder = Encoder(params)
+    tracer = None
+    if reg["trace"]:
+        from ..utils.tracing import TraceCategory, Tracer
+
+        tracer = Tracer(prefix="enc_").enable(*TraceCategory)
     frame0 = params.startFrameNumber
     remaining = params.frameCount
     gof_index = 0
@@ -51,6 +57,14 @@ def main(argv=None) -> int:
         sources = GroupOfFrames.load(template, frame0, gof_size)
         context, recon = encoder.encode(sources)
         units.extend(writer.encode(context))
+        if tracer is not None:
+            from ..codec.patch_frame import decode_patch_frames
+            from ..codec.trace import emit_conformance_traces
+
+            emit_conformance_traces(
+                tracer, context.atlas(0),
+                decode_patch_frames(context.atlas(0)), recon,
+            )
         if params.reconstructedDataPath:
             GroupOfFrames(recon).write(params.reconstructedDataPath, frame0)
         if reg["computeChecksum"]:
@@ -66,6 +80,8 @@ def main(argv=None) -> int:
 
     print(f"output: {params.compressedStreamPath} ({n} bytes)")
     print(writer.stat.report())
+    if tracer is not None:
+        tracer.close()
     encoder.timer.write("timings.txt")
     print(encoder.timer.report())
     print_run_footer("rabbit-encode", sw)

@@ -68,6 +68,8 @@ def decode_patch_frames(atlas: AtlasHLS) -> list[list[Patch]]:
             patches = decode_tile_patches(
                 atlas, atl, prev.get(tile_id, []), origin
             )
+            for p in patches:
+                p.tile_index = tile_id
             prev[tile_id] = patches
             base = len(frame_patches)
             for p in patches:

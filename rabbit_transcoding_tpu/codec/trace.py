@@ -1,0 +1,51 @@
+"""Conformance trace emission, shared by encoder and decoder.
+
+The reference compiles TRACE_* macros into per-category logs that the
+conformance checker diffs key-by-key (SURVEY.md §4.3, §5.1).  Here both
+pipelines call ``emit_conformance_traces`` with their decoded state; a run
+with ``--trace`` produces ``<prefix>atlas.txt`` / ``tile.txt`` /
+``pcframe.txt`` / ``hls.txt`` that ``rabbit-conformance`` compares.
+"""
+
+from __future__ import annotations
+
+from ..bitstream.hls import AtlasHLS
+from ..codec.hash import atlas_patch_hash, high_level_hash
+from ..core.pointset import PointSet
+from ..utils.tracing import TraceCategory, Tracer
+
+
+def emit_conformance_traces(
+    tracer: Tracer,
+    atlas: AtlasHLS,
+    patch_frames: list[list],
+    clouds: list[PointSet] | None = None,
+) -> None:
+    if not tracer.enabled:
+        return
+    tracer.kv(TraceCategory.HLS, "hls_md5", high_level_hash(atlas).hex())
+    tracer.kv(TraceCategory.HLS, "atlas_md5", atlas_patch_hash(patch_frames).hex())
+    asps = atlas.asps_list[0] if atlas.asps_list else None
+    if asps is not None:
+        tracer.kv(
+            TraceCategory.ATLAS, "atlas_pixels",
+            asps.asps_frame_width * asps.asps_frame_height,
+        )
+        tracer.kv(TraceCategory.ATLAS, "frame_width", asps.asps_frame_width)
+        tracer.kv(TraceCategory.ATLAS, "frame_height", asps.asps_frame_height)
+    for fi, patches in enumerate(patch_frames):
+        tracer.kv(TraceCategory.ATLAS, f"frame_{fi}_patch_count", len(patches))
+        tiles: dict[int, int] = {}
+        for p in patches:
+            tiles[p.tile_index] = tiles.get(p.tile_index, 0) + 1
+        for t, c in sorted(tiles.items()):
+            tracer.kv(TraceCategory.TILE, f"frame_{fi}_tile_{t}_patch_count", c)
+    if clouds is not None:
+        for fi, ps in enumerate(clouds):
+            tracer.kv(
+                TraceCategory.PCFRAME, f"frame_{fi}_point_count", ps.point_count
+            )
+            tracer.kv(
+                TraceCategory.PCFRAME, f"frame_{fi}_checksum",
+                ps.compute_checksum().hex(),
+            )
