@@ -45,7 +45,8 @@ from ..utils.enums import (
     VideoType,
 )
 from ..utils.timing import StageTimer
-from .packing import pack_patches
+from .matching import align_matched_patch, match_patches
+from .packing import pack_patches, pack_patches_consistent
 from .params import EncoderParameters
 from .rasterize import rasterize_frame
 from .segment import SegmenterParams, segment_frame
@@ -96,14 +97,56 @@ class Encoder:
                     raw_colors.append(None)
         with self.timer.stage("placeSegments"):
             width = p.minimumImageWidth
+            use_inter = p.constrainedPack and p.tileCount <= 1 and len(
+                frame_segs
+            ) > 1
             if p.tileCount <= 1:
                 height = p.minimumImageHeight
-                for segs in frame_segs:
-                    h = pack_patches(
-                        segs, width, max(height, 64),
-                        block=p.occupancyResolution,
-                        try_orientations=p.packingTryOrientations,
-                    )
+                for fi, segs in enumerate(frame_segs):
+                    if use_inter and fi > 0:
+                        prev = frame_segs[fi - 1]
+                        match_patches(prev, segs)
+                        for seg in segs:
+                            ri = seg.patch.best_match_idx
+                            if ri >= 0:
+                                align_matched_patch(
+                                    seg, prev[ri],
+                                    max_depth=(
+                                        (1 << p.geometryNominal2dBitdepth) - 1
+                                    ),
+                                )
+                        h = pack_patches_consistent(
+                            segs, prev, width, max(height, 64),
+                            block=p.occupancyResolution,
+                            try_orientations=p.packingTryOrientations,
+                        )
+                        # demote matches whose placement lost non-codeable
+                        # inter fields (orientation is inherited, not coded)
+                        for seg in segs:
+                            ri = seg.patch.best_match_idx
+                            if ri >= 0 and (
+                                seg.patch.orientation
+                                != prev[ri].patch.orientation
+                            ):
+                                seg.patch.best_match_idx = -1
+                        # decode order: matched (by ref idx) first, then new —
+                        # the video/b2p pipelines must see the same order the
+                        # ATL will code
+                        segs.sort(
+                            key=lambda s: (
+                                (0, s.patch.best_match_idx)
+                                if s.patch.best_match_idx >= 0
+                                else (1, s.patch.index)
+                            )
+                        )
+                        for i, seg in enumerate(segs):
+                            seg.patch.index = i
+                    else:
+                        h = pack_patches(
+                            segs, width, max(height, 64),
+                            block=p.occupancyResolution,
+                            try_orientations=p.packingTryOrientations,
+                        )
                     height = max(height, h)
                 height = -(-height // 64) * 64
                 tile_band = height
@@ -184,11 +227,11 @@ class Encoder:
                 [np.clip(np.round(filled), 0,
                          (1 << p.geometryNominal2dBitdepth) - 1).astype(np.uint16)],
             )
-            # with interleaved maps, an even GOP covers (D0, D1) pairs and
-            # D1 frames predict from D0 — the interleave's built-in gain
-            geo_gop = 1 if p.allIntra and n_maps == 1 else max(
-                n_maps, p.videoGopSize
-            )
+            # with interleaved maps, the GOP spans videoGopSize source
+            # frames x n_maps planes: D1 predicts D0 and (with consistent
+            # packing) the next frame's D0 predicts the previous D1
+            geo_gop = n_maps * (1 if p.allIntra else p.videoGopSize)
+            geo_gop = max(1, geo_gop)
             geo_payload, geo_recon = VideoEncoder.create(CodecId.RBV).encode(
                 geo_video,
                 VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop),
@@ -261,9 +304,7 @@ class Encoder:
                 width, height, 8, ColorFormat.YUV420,
                 [np.asarray(y), np.asarray(u), np.asarray(v)],
             )
-            attr_gop = 1 if p.allIntra and n_maps == 1 else max(
-                n_maps, p.videoGopSize
-            )
+            attr_gop = max(1, n_maps * (1 if p.allIntra else p.videoGopSize))
             attr_payload, attr_recon = VideoEncoder.create(CodecId.RBV).encode(
                 attr_video,
                 VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop),
@@ -410,23 +451,57 @@ class Encoder:
         band_blocks = (
             (tile_band or height) // p.occupancyResolution if n_tiles > 1 else 0
         )
+        use_inter = p.constrainedPack and n_tiles <= 1 and len(frame_segs) > 1
+        from ..bitstream.syntax import InterPatchDataUnit
+        from ..utils.enums import PatchModePTile
+
         for fi, segs in enumerate(frame_segs):
+          inter_frame = use_inter and fi > 0
+          prev_segs = frame_segs[fi - 1] if fi > 0 else []
           for tile in range(n_tiles):
             header = AtlasTileHeader(
-                ath_type=AtlasTileType.I_TILE,
+                ath_type=(
+                    AtlasTileType.P_TILE if inter_frame else AtlasTileType.I_TILE
+                ),
                 ath_id=tile,
                 ath_atlas_frm_order_cnt_lsb=fi % 256,
                 ath_patch_size_x_info_quantizer=0,
                 ath_patch_size_y_info_quantizer=0,
             )
             du = AtlasTileDataUnit()
+            pred_idx = 0
             for seg in segs:
                 patch = seg.patch
                 if n_tiles > 1 and patch.tile_index != tile:
                     continue
+                ref_i = patch.best_match_idx if inter_frame else -1
+                if ref_i >= 0:
+                    ref = prev_segs[ref_i].patch
+                    du.patches.append(
+                        PatchInformationData(
+                            patch_mode=int(PatchModePTile.P_INTER),
+                            data=InterPatchDataUnit(
+                                ipdu_patch_index=ref_i - pred_idx,
+                                ipdu_2d_pos_x=patch.u0 - ref.u0,
+                                ipdu_2d_pos_y=patch.v0 - ref.v0,
+                                ipdu_2d_delta_size_x=patch.size_u - ref.size_u,
+                                ipdu_2d_delta_size_y=patch.size_v - ref.size_v,
+                                ipdu_3d_offset_u=patch.u1 - ref.u1,
+                                ipdu_3d_offset_v=patch.v1 - ref.v1,
+                                ipdu_3d_offset_d=patch.d1 - ref.d1,
+                                ipdu_3d_range_d=patch.size_d - ref.size_d,
+                            ),
+                        )
+                    )
+                    pred_idx = ref_i + 1
+                    continue
                 du.patches.append(
                     PatchInformationData(
-                        patch_mode=int(PatchModeITile.I_INTRA),
+                        patch_mode=int(
+                            PatchModePTile.P_INTRA
+                            if inter_frame
+                            else PatchModeITile.I_INTRA
+                        ),
                         data=PatchDataUnit(
                             pdu_2d_pos_x=patch.u0,
                             pdu_2d_pos_y=patch.v0 - tile * band_blocks,
@@ -447,11 +522,14 @@ class Encoder:
                 raw_points is not None
             ) and len(raw_points[fi]):
                 from ..codec.raw_points import make_raw_patch_unit
-                from ..utils.enums import PatchModeITile as _PMI
 
                 du.patches.append(
                     PatchInformationData(
-                        patch_mode=int(_PMI.I_RAW),
+                        patch_mode=int(
+                            PatchModePTile.P_RAW
+                            if inter_frame
+                            else PatchModeITile.I_RAW
+                        ),
                         data=make_raw_patch_unit(len(raw_points[fi])),
                     )
                 )

@@ -62,6 +62,77 @@ def _oriented_footprint(fp: np.ndarray, o: PatchOrientation) -> np.ndarray:
     raise ValueError(o)
 
 
+class Packer:
+    """Block-grid packer with first-fit placement, orientation search, atlas
+    growth, and pinned placement (for spatially consistent packing)."""
+
+    def __init__(self, width: int, height: int, block: int = 16,
+                 try_orientations: bool = True, max_height: int = 4096):
+        self.width = width
+        self.block = block
+        self.nbx = width // block
+        self.grow_rows = max(4, height // block)
+        self.used = np.zeros((max(4, height // block), self.nbx), bool)
+        self.orientations = (
+            _ORIENTATIONS if try_orientations else [PatchOrientation.DEFAULT]
+        )
+        self.max_height = max_height
+        self.used_height = 0
+
+    def _mark(self, seg: SegmentedPatch, cfp: np.ndarray, bx: int, by: int,
+              o: PatchOrientation) -> None:
+        w_b, h_b = cfp.shape
+        self.used[by : by + h_b, bx : bx + w_b] |= cfp.T
+        seg.patch.u0 = bx
+        seg.patch.v0 = by
+        seg.patch.orientation = o
+        self.used_height = max(self.used_height, (by + h_b) * self.block)
+
+    def try_place_at(self, seg: SegmentedPatch, bx: int, by: int,
+                     o: PatchOrientation) -> bool:
+        """Pin a patch to an exact position/orientation if the blocks are free."""
+        fp = _block_footprint(seg, self.block)
+        cfp = _oriented_footprint(fp, o)
+        w_b, h_b = cfp.shape
+        while (by + h_b) > self.used.shape[0]:
+            if not self._grow():
+                return False
+        if bx < 0 or by < 0 or bx + w_b > self.nbx:
+            return False
+        if (self.used[by : by + h_b, bx : bx + w_b] & cfp.T).any():
+            return False
+        self._mark(seg, cfp, bx, by, o)
+        return True
+
+    def place(self, seg: SegmentedPatch) -> None:
+        fp = _block_footprint(seg, self.block)
+        while True:
+            for o in self.orientations:
+                cfp = _oriented_footprint(fp, o)
+                w_b, h_b = cfp.shape
+                if w_b > self.nbx or h_b > self.used.shape[0]:
+                    continue
+                pos = _first_fit(self.used, cfp)
+                if pos is not None:
+                    by, bx = pos
+                    self._mark(seg, cfp, bx, by, o)
+                    return
+            if not self._grow():
+                raise RuntimeError(
+                    f"atlas overflow: cannot pack patch of "
+                    f"{seg.occupancy.sum()} blocks into width {self.width} "
+                    f"below max height {self.max_height}"
+                )
+
+    def _grow(self) -> bool:
+        if (self.used.shape[0] + self.grow_rows) * self.block > self.max_height:
+            return False
+        self.used = np.concatenate(
+            [self.used, np.zeros((self.grow_rows, self.nbx), bool)], axis=0
+        )
+        return True
+
+
 def pack_patches(
     segs: list[SegmentedPatch],
     width: int,
@@ -72,48 +143,49 @@ def pack_patches(
 ) -> int:
     """Assign (u0, v0, orientation) to every patch in place; returns the used
     atlas height (multiple of `block`, may exceed `height` up to max_height)."""
-    nbx = width // block
-    nby = height // block
-    used = np.zeros((nby, nbx), bool)  # [by, bx]
+    packer = Packer(width, height, block, try_orientations, max_height)
     order = sorted(
         range(len(segs)),
         key=lambda i: segs[i].occupancy.sum(),
         reverse=True,
     )
-    orientations = _ORIENTATIONS if try_orientations else [PatchOrientation.DEFAULT]
-    used_height = 0
+    for i in order:
+        packer.place(segs[i])
+    return max(packer.used_height, block)
 
+
+def pack_patches_consistent(
+    segs: list[SegmentedPatch],
+    prev_segs: list[SegmentedPatch],
+    width: int,
+    height: int,
+    block: int = 16,
+    try_orientations: bool = True,
+    max_height: int = 4096,
+) -> int:
+    """Spatially consistent packing (spatialConsistencyPackFlexible analog):
+    patches matched to the previous frame (patch.best_match_idx set by
+    encoder.matching) keep the reference's position/orientation when those
+    blocks are free; everything else first-fits into the gaps."""
+    packer = Packer(width, height, block, try_orientations, max_height)
+    deferred = []
+    order = sorted(
+        range(len(segs)),
+        key=lambda i: segs[i].occupancy.sum(),
+        reverse=True,
+    )
     for i in order:
         seg = segs[i]
-        fp = _block_footprint(seg, block)
-        placed = False
-        while not placed:
-            for o in orientations:
-                cfp = _oriented_footprint(fp, o)  # [bx, by]
-                w_b, h_b = cfp.shape
-                if w_b > nbx or h_b > used.shape[0]:
-                    continue
-                pos = _first_fit(used, cfp)
-                if pos is not None:
-                    by, bx = pos
-                    used[by : by + h_b, bx : bx + w_b] |= cfp.T
-                    seg.patch.u0 = bx
-                    seg.patch.v0 = by
-                    seg.patch.orientation = o
-                    used_height = max(used_height, (by + h_b) * block)
-                    placed = True
-                    break
-            if not placed:
-                # grow the atlas (packFlexible grows height on overflow)
-                if (used.shape[0] + nby) * block > max_height:
-                    raise RuntimeError(
-                        f"atlas overflow: cannot pack patch of {seg.occupancy.sum()}"
-                        f" blocks into width {width} below max height {max_height}"
-                    )
-                used = np.concatenate(
-                    [used, np.zeros((nby, nbx), bool)], axis=0
-                )
-    return max(used_height, block)
+        ref_idx = seg.patch.best_match_idx
+        if 0 <= ref_idx < len(prev_segs):
+            ref = prev_segs[ref_idx].patch
+            if packer.try_place_at(seg, ref.u0, ref.v0, ref.orientation):
+                continue
+            # position lost: still usable as inter (deltas), just repacked
+        deferred.append(i)
+    for i in deferred:
+        packer.place(segs[i])
+    return max(packer.used_height, block)
 
 
 def _first_fit(used: np.ndarray, cfp: np.ndarray):

@@ -49,6 +49,9 @@ class EncoderParameters:
     # multi-tile atlas: uniform horizontal bands, one ATL per tile per frame
     # (reference: tile options of PCCEncoderParameters / AFTI)
     tileCount: int = 1
+    # temporally consistent packing + inter patch coding (reference:
+    # constrainedPack / spatialConsistencyPackFlexible)
+    constrainedPack: bool = True
 
     # reconstruction / attribute
     removeDuplicatePoints: bool = True
