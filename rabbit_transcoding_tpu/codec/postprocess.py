@@ -7,12 +7,38 @@ Parity with PCCCodec::smoothPointCloudPostprocess / colorSmoothing dispatch
 
 from __future__ import annotations
 
-from ..bitstream.sei import Sei, SeiGeometrySmoothing
+from ..bitstream.sei import Sei, SeiAttributeSmoothing, SeiGeometrySmoothing
 from ..core.pointset import PointSet
-from ..ops.smoothing import smooth_cloud
+from ..ops.smoothing import smooth_cloud, smooth_colors
 
 # fixed density-filter strength (both sides must agree; not SEI-coded)
 MIN_NEIGHBORS = 4
+
+
+def find_attribute_smoothing_sei(seis: list[Sei]) -> SeiAttributeSmoothing | None:
+    for sei in seis:
+        if isinstance(sei, SeiAttributeSmoothing):
+            return sei
+    return None
+
+
+def apply_color_smoothing(
+    clouds: list[PointSet],
+    sei: SeiAttributeSmoothing | None,
+    coord_bits: int = 10,
+) -> list[PointSet]:
+    if sei is None:
+        return clouds
+    grid_size = sei.as_smoothing_grid_size_minus2 + 2
+    threshold = float(sei.as_smoothing_threshold)
+    for ps in clouds:
+        if ps.colors is None or ps.point_count == 0:
+            continue
+        ps.colors, _ = smooth_colors(
+            ps.positions, ps.colors, threshold=threshold,
+            grid_size=grid_size, coord_bits=coord_bits,
+        )
+    return clouds
 
 
 def find_geometry_smoothing_sei(seis: list[Sei]) -> SeiGeometrySmoothing | None:

@@ -134,13 +134,24 @@ class Decoder:
             find_geometry_smoothing_sei,
         )
 
+        coord_bits = (
+            atlas.asps_list[0].asps_geometry_3d_bitdepth_minus1 + 1
+            if atlas.asps_list
+            else 10
+        )
         sei = find_geometry_smoothing_sei(atlas.seis_prefix + atlas.seis_suffix)
         if sei is not None:
             with self.timer.stage("smoothPointCloudPostprocess"):
-                coord_bits = (
-                    atlas.asps_list[0].asps_geometry_3d_bitdepth_minus1 + 1
-                    if atlas.asps_list
-                    else 10
-                )
                 clouds = apply_geometry_smoothing(clouds, sei, coord_bits)
+        from ..codec.postprocess import (
+            apply_color_smoothing,
+            find_attribute_smoothing_sei,
+        )
+
+        csei = find_attribute_smoothing_sei(
+            atlas.seis_prefix + atlas.seis_suffix
+        )
+        if csei is not None:
+            with self.timer.stage("colorSmoothing"):
+                clouds = apply_color_smoothing(clouds, csei, coord_bits)
         return clouds

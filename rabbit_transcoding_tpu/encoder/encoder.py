@@ -310,7 +310,7 @@ class Encoder:
                 VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop),
             )
 
-        # smoothing SEI (decoder applies it; the closed loop below must too)
+        # smoothing SEIs (decoder applies them; the closed loop below must too)
         smoothing_sei = None
         if p.flagGeometrySmoothing and p.gridSmoothing:
             from ..bitstream.sei import SeiGeometrySmoothing
@@ -319,6 +319,14 @@ class Encoder:
                 gs_smoothing_method_type=1,
                 gs_smoothing_grid_size_minus2=p.gridSize - 2,
                 gs_smoothing_threshold=int(p.thresholdSmoothing),
+            )
+        color_sei = None
+        if p.flagColorSmoothing:
+            from ..bitstream.sei import SeiAttributeSmoothing
+
+            color_sei = SeiAttributeSmoothing(
+                as_smoothing_grid_size_minus2=p.gridSize - 2,
+                as_smoothing_threshold=int(p.thresholdColorSmoothing),
             )
 
         # 7. decoder-identical reconstructed clouds (colors from decoded attr)
@@ -359,6 +367,13 @@ class Encoder:
                     recon_clouds, smoothing_sei,
                     coord_bits=p.geometry3dCoordinatesBitdepth,
                 )
+            if color_sei is not None:
+                from ..codec.postprocess import apply_color_smoothing
+
+                recon_clouds = apply_color_smoothing(
+                    recon_clouds, color_sei,
+                    coord_bits=p.geometry3dCoordinatesBitdepth,
+                )
 
         # 8. raw-points aux videos (lossless)
         raw_geo_payload = raw_attr_payload = None
@@ -385,6 +400,8 @@ class Encoder:
             )
             if smoothing_sei is not None:
                 context.atlas(0).seis_prefix.append(smoothing_sei)
+            if color_sei is not None:
+                context.atlas(0).seis_prefix.append(color_sei)
         return context, recon_clouds
 
     # ------------------------------------------------------------------

@@ -64,6 +64,8 @@ class EncoderParameters:
     gridSize: int = 8
     thresholdSmoothing: float = 64.0
     minNeighborsSmoothing: int = 4
+    flagColorSmoothing: bool = False
+    thresholdColorSmoothing: float = 10.0
 
     # self-checks
     decodedAtlasInformationHash: int = 1  # 0=off, 1=MD5

@@ -63,6 +63,70 @@ def grid_smooth(
     return out, keep, move
 
 
+@partial(jax.jit, static_argnames=("grid_size", "grid_dim"))
+def color_grid_smooth(
+    points: jax.Array,       # (N, 3) int32 (padded)
+    colors: jax.Array,       # (N, 3) uint8
+    valid: jax.Array,        # (N,) bool
+    threshold: jax.Array,    # luma-distance beyond which a point is smoothed
+    grid_size: int = 8,
+    grid_dim: int = 128,
+):
+    """Color smoothing (PCCCodec::colorSmoothing / smoothPointCloudColorLC
+    analog, PCCCodec.cpp:149, :1268): points whose color deviates from their
+    neighborhood mean by more than `threshold` (YUV-luma distance) are pulled
+    to the mean.  Same two-pass scatter/gather grid as geometry smoothing."""
+    cell = jnp.clip(points // grid_size, 0, grid_dim - 1)
+    w = valid.astype(jnp.float32)
+    c = colors.astype(jnp.float32)
+    acc = jnp.zeros((grid_dim, grid_dim, grid_dim, 4), jnp.float32)
+    acc = acc.at[cell[:, 0], cell[:, 1], cell[:, 2]].add(
+        jnp.concatenate([c * w[:, None], w[:, None]], axis=1), mode="drop"
+    )
+    stats = jnp.zeros((points.shape[0], 4), jnp.float32)
+    for off in _OFFSETS:
+        nb = jnp.clip(cell + jnp.asarray(off), 0, grid_dim - 1)
+        stats = stats + acc[nb[:, 0], nb[:, 1], nb[:, 2]]
+    count = jnp.maximum(stats[:, 3], 1.0)
+    mean = stats[:, :3] / count[:, None]
+    # luma-weighted deviation (BT.709 luma)
+    lw = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+    dev = jnp.abs((c - mean) @ lw)
+    move = valid & (dev > threshold) & (stats[:, 3] > 4.0)
+    out = jnp.where(
+        move[:, None],
+        jnp.clip(jnp.round(mean), 0, 255).astype(jnp.uint8),
+        colors,
+    )
+    return out, move
+
+
+def smooth_colors(
+    positions: np.ndarray,
+    colors: np.ndarray,
+    threshold: float = 10.0,
+    grid_size: int = 8,
+    coord_bits: int = 10,
+) -> tuple[np.ndarray, int]:
+    """Host wrapper for color_grid_smooth."""
+    n = len(positions)
+    if n == 0:
+        return colors, 0
+    cap = 1 << max(10, (n - 1).bit_length())
+    pts = np.zeros((cap, 3), np.int32)
+    pts[:n] = positions
+    cols = np.zeros((cap, 3), np.uint8)
+    cols[:n] = colors
+    valid = np.zeros((cap,), bool)
+    valid[:n] = True
+    grid_dim = max(2, (1 << coord_bits) // grid_size)
+    out, moved = color_grid_smooth(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid),
+        jnp.float32(threshold), grid_size, grid_dim,
+    )
+    return np.asarray(out)[:n], int(np.asarray(moved).sum())
+
+
 def smooth_cloud(
     positions: np.ndarray,
     threshold: float = 64.0,
