@@ -36,22 +36,36 @@ def build_raw_videos(
     raw_points: list[np.ndarray],     # per frame (N_f, 3) int32
     raw_colors: list[np.ndarray | None],
     bitdepth: int,
+    extra_colors: list[np.ndarray | None] | None = None,
 ) -> tuple[Video, Video]:
-    """Pack per-frame raw point lists into aux geometry/attribute videos."""
+    """Pack per-frame raw point lists into aux geometry/attribute videos.
+    `extra_colors` (EOM point colors) append after each frame's raw block in
+    the attribute video — the decoder reads them at offset raw_count."""
     f = len(raw_points)
     geo_rows = max(_rows(3 * max((len(p) for p in raw_points), default=0)), 16)
-    attr_rows = max(_rows(max((len(p) for p in raw_points), default=0)), 16)
+    n_attr = [
+        len(raw_points[i]) + (
+            len(extra_colors[i]) if extra_colors and extra_colors[i] is not None
+            else 0
+        )
+        for i in range(f)
+    ]
+    attr_rows = max(_rows(max(n_attr, default=0)), 16)
     geo = np.zeros((f, geo_rows, AUX_WIDTH), np.uint16)
     rgb = np.zeros((3, f, attr_rows, AUX_WIDTH), np.uint8)
     for fi, pts in enumerate(raw_points):
-        if len(pts) == 0:
-            continue
-        stream = np.ascontiguousarray(pts.astype(np.uint16)).reshape(-1)
-        geo[fi].reshape(-1)[: len(stream)] = stream
+        if len(pts):
+            stream = np.ascontiguousarray(pts.astype(np.uint16)).reshape(-1)
+            geo[fi].reshape(-1)[: len(stream)] = stream
         colors = raw_colors[fi]
         if colors is not None and len(colors) == len(pts):
             for c in range(3):
                 rgb[c, fi].reshape(-1)[: len(pts)] = colors[:, c]
+        if extra_colors and extra_colors[fi] is not None:
+            ec = extra_colors[fi]
+            off = len(pts)
+            for c in range(3):
+                rgb[c, fi].reshape(-1)[off : off + len(ec)] = ec[:, c]
     geo_video = Video(AUX_WIDTH, geo_rows, bitdepth, ColorFormat.YUV400, [geo])
     attr_video = Video(
         AUX_WIDTH, attr_rows, 8, ColorFormat.RGB444, [rgb[0], rgb[1], rgb[2]]
@@ -74,17 +88,33 @@ def make_raw_patch_unit(n_points: int) -> RawPatchDataUnit:
     )
 
 
-def collect_raw_patch_units(atlas: AtlasHLS) -> list[list[RawPatchDataUnit]]:
-    """Per-frame raw patch units in ATL order."""
-    out: list[list[RawPatchDataUnit]] = []
+def _collect_units(atlas: AtlasHLS, unit_cls) -> list[list]:
+    """Per-frame units of a given class, grouping multi-tile ATLs by their
+    coded frame order count (same grouping as codec.patch_frame)."""
+    keys: list[int] = []
+    groups: dict[int, list] = {}
     for atl in atlas.atlas_tile_layers:
-        frame_units = [
+        key = atl.header.ath_atlas_frm_order_cnt_lsb
+        if key not in groups:
+            groups[key] = []
+            keys.append(key)
+        groups[key].extend(
             pid.data
             for pid in atl.data_unit.patches
-            if isinstance(pid.data, RawPatchDataUnit)
-        ]
-        out.append(frame_units)
-    return out
+            if isinstance(pid.data, unit_cls)
+        )
+    return [groups[k] for k in keys]
+
+
+def collect_raw_patch_units(atlas: AtlasHLS) -> list[list[RawPatchDataUnit]]:
+    """Per-frame raw patch units in frame order."""
+    return _collect_units(atlas, RawPatchDataUnit)
+
+
+def collect_eom_patch_units(atlas: AtlasHLS) -> list[list]:
+    from ..bitstream.syntax import EOMPatchDataUnit
+
+    return _collect_units(atlas, EOMPatchDataUnit)
 
 
 def recover_raw_points(

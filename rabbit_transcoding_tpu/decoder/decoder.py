@@ -128,6 +128,80 @@ class Decoder:
                     )
                     clouds[fi] = merged.remove_duplicates()
 
+        # EOM points from the occupancy bit planes (asps_eom_patch_enabled)
+        if atlas.asps_list and atlas.asps_list[0].asps_eom_patch_enabled_flag:
+            with self.timer.stage("recoverEomPoints"):
+                from ..codec.eom import enumerate_frame_eom_points
+                from ..codec.raw_points import (
+                    collect_eom_patch_units,
+                    collect_raw_patch_units,
+                )
+
+                eom_units = collect_eom_patch_units(atlas)
+                raw_units2 = collect_raw_patch_units(atlas)
+                raw_attr2 = None
+                if VideoType.ATTRIBUTE_RAW in atlas.video_bitstreams:
+                    raw_attr2 = VideoDecoder.create(CodecId.RBV).decode(
+                        atlas.get_video_bitstream(VideoType.ATTRIBUTE_RAW).data
+                    )
+                occ_plane_full = np.asarray(occ_video.planes[0])
+                b2p = engine.block_to_patch_maps(
+                    patch_frames[:n], occ_maps[:n],
+                    block_size=(
+                        patch_frames[0][0].occupancy_resolution
+                        if patch_frames and patch_frames[0]
+                        else 16
+                    ),
+                )
+                geo_d0 = np.asarray(geo_video.planes[0])[::map_count]
+                for fi in range(min(n, len(eom_units))):
+                    if not eom_units[fi]:
+                        continue
+                    eom_plane = (
+                        occ_plane_full[fi][:height, :width] >> 1
+                    ).astype(np.uint8)
+                    if not eom_plane.any():
+                        continue
+                    block = (
+                        patch_frames[fi][0].occupancy_resolution
+                        if patch_frames[fi]
+                        else 16
+                    )
+                    owner_pix = np.repeat(
+                        np.repeat(b2p[fi], block, 0), block, 1
+                    )[:height, :width]
+                    pts = enumerate_frame_eom_points(
+                        patch_frames[fi], eom_plane,
+                        geo_d0[fi][:height, :width].astype(np.int32),
+                        owner_pix,
+                    )
+                    if len(pts) == 0:
+                        continue
+                    cols = None
+                    if raw_attr2 is not None:
+                        raw_count = sum(
+                            u.rpdu_points_minus1 + 1 for u in raw_units2[fi]
+                        ) if fi < len(raw_units2) else 0
+                        attr_flat = np.stack(
+                            [pl[fi] for pl in raw_attr2.planes], axis=-1
+                        ).reshape(-1, 3)
+                        cols = attr_flat[raw_count : raw_count + len(pts)]
+                    ps = clouds[fi]
+                    merged = PointSet(
+                        positions=np.concatenate([ps.positions, pts]),
+                        colors=None
+                        if ps.colors is None
+                        else np.concatenate(
+                            [
+                                ps.colors,
+                                cols
+                                if cols is not None
+                                else np.zeros((len(pts), 3), np.uint8),
+                            ]
+                        ),
+                    )
+                    clouds[fi] = merged.remove_duplicates()
+
         # SEI-driven geometry smoothing (PCCDecoder post-processing)
         from ..codec.postprocess import (
             apply_geometry_smoothing,

@@ -77,6 +77,11 @@ class Encoder:
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
         )
 
+        if p.enhancedOccupancyMapCode and p.occupancyPrecision != 1:
+            # EOM bit planes ride the occupancy samples; any downscale
+            # destroys them (reference couples EOM with lossless occupancy)
+            p.occupancyPrecision = 1
+
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):
             frame_segs = []
@@ -186,7 +191,10 @@ class Encoder:
             geo_planes = np.zeros((n_frames * n_maps, height, width), np.uint16)
             occ_planes = np.zeros((n_frames, height, width), np.uint8)
             for i, segs in enumerate(frame_segs):
-                g0, g1, occ_planes[i] = rasterize_frame(segs, width, height)
+                g0, g1, occ_planes[i] = rasterize_frame(
+                    segs, width, height,
+                    with_eom=p.enhancedOccupancyMapCode,
+                )
                 geo_planes[i * n_maps] = g0
                 if n_maps > 1:
                     geo_planes[i * n_maps + 1] = g1
@@ -250,8 +258,9 @@ class Encoder:
             geo_rec_planes = np.asarray(geo_recon.planes[0], np.int32)
             pts_maps = []
             valid = None
+            b2p0 = None
             for m in range(n_maps):
-                pts_m, valid_m, _ = repro_ops.reproject(
+                pts_m, valid_m, b2p_m = repro_ops.reproject(
                     jnp.asarray(geo_rec_planes[m::n_maps]),
                     occ_dev, table_dev, counts_dev,
                     p.occupancyResolution,
@@ -259,6 +268,34 @@ class Encoder:
                 pts_maps.append(np.asarray(pts_m))
                 if valid is None:
                     valid = np.asarray(valid_m)
+                    b2p0 = np.asarray(b2p_m)
+
+        # 5b. EOM points (between-layer) from the occupancy bit planes,
+        # enumerated against the DECODED D0 plane (decoder-identical)
+        eom_points = [np.zeros((0, 3), np.int32) for _ in range(n_frames)]
+        eom_colors: list[np.ndarray | None] = [None] * n_frames
+        if p.enhancedOccupancyMapCode:
+            from ..codec.eom import enumerate_frame_eom_points
+
+            for i in range(n_frames):
+                eom_plane = occ_planes[i] >> 1
+                if not eom_plane.any():
+                    continue
+                owner_pix = np.repeat(
+                    np.repeat(b2p0[i], p.occupancyResolution, 0),
+                    p.occupancyResolution, 1,
+                )[:height, :width]
+                pts = enumerate_frame_eom_points(
+                    patch_lists[i], eom_plane,
+                    geo_rec_planes[i * n_maps], owner_pix,
+                )
+                eom_points[i] = pts
+                src = sources[i]
+                if len(pts) and src.has_colors:
+                    eom_colors[i] = transfer_colors(
+                        src.positions.astype(np.float32), src.colors,
+                        pts.astype(np.float32), k=p.recolorNeighborCount,
+                    )
 
         # 6. recolor reconstructed points from the source cloud (per map)
         with self.timer.stage("generateAttributeVideo"):
@@ -343,7 +380,7 @@ class Encoder:
                 msk = valid[i]
                 pos = np.concatenate(
                     [pts_maps[m][i][msk] for m in range(n_maps)]
-                    + [raw_points[i]],
+                    + [raw_points[i], eom_points[i]],
                     axis=0,
                 )
                 col_parts = [
@@ -354,6 +391,11 @@ class Encoder:
                     raw_colors[i]
                     if raw_colors[i] is not None
                     else np.zeros((len(raw_points[i]), 3), np.uint8)
+                )
+                col_parts.append(
+                    eom_colors[i]
+                    if eom_colors[i] is not None
+                    else np.zeros((len(eom_points[i]), 3), np.uint8)
                 )
                 col = np.concatenate(col_parts, axis=0)
                 ps = PointSet(positions=pos, colors=col)
@@ -375,13 +417,16 @@ class Encoder:
                     coord_bits=p.geometry3dCoordinatesBitdepth,
                 )
 
-        # 8. raw-points aux videos (lossless)
+        # 8. raw-points + EOM aux videos (lossless)
         raw_geo_payload = raw_attr_payload = None
-        if p.useRawPointsPatch and any(len(r) for r in raw_points):
+        if (p.useRawPointsPatch and any(len(r) for r in raw_points)) or any(
+            len(e) for e in eom_points
+        ):
             from ..codec.raw_points import build_raw_videos
 
             raw_geo_video, raw_attr_video = build_raw_videos(
-                raw_points, raw_colors, p.geometryNominal2dBitdepth
+                raw_points, raw_colors, p.geometryNominal2dBitdepth,
+                extra_colors=eom_colors,
             )
             raw_geo_payload, _ = VideoEncoder.create(
                 CodecId.RBV_LOSSLESS
@@ -396,7 +441,7 @@ class Encoder:
                 frame_segs, width, height,
                 occ_payload, geo_payload, attr_payload,
                 raw_points, raw_geo_payload, raw_attr_payload,
-                tile_band=tile_band,
+                tile_band=tile_band, eom_points=eom_points,
             )
             if smoothing_sei is not None:
                 context.atlas(0).seis_prefix.append(smoothing_sei)
@@ -408,7 +453,7 @@ class Encoder:
     def _build_context(
         self, frame_segs, width, height, occ_payload, geo_payload, attr_payload,
         raw_points=None, raw_geo_payload=None, raw_attr_payload=None,
-        tile_band=None,
+        tile_band=None, eom_points=None,
     ) -> Context:
         p = self.params
         context = Context()
@@ -445,6 +490,7 @@ class Encoder:
             asps_patch_size_quantizer_present_flag=True,
             asps_map_count_minus1=p.mapCountMinus1,
             asps_raw_patch_enabled_flag=raw_geo_payload is not None,
+            asps_eom_patch_enabled_flag=p.enhancedOccupancyMapCode,
             asps_auxiliary_video_enabled_flag=raw_geo_payload is not None,
             ref_list_structs=[
                 RefListStruct(
@@ -548,6 +594,21 @@ class Encoder:
                             else PatchModeITile.I_RAW
                         ),
                         data=make_raw_patch_unit(len(raw_points[fi])),
+                    )
+                )
+            if tile == 0 and eom_points is not None and len(
+                eom_points[fi]
+            ) and p.enhancedOccupancyMapCode:
+                from ..codec.eom import make_eom_patch_unit
+
+                du.patches.append(
+                    PatchInformationData(
+                        patch_mode=int(
+                            PatchModePTile.P_EOM
+                            if inter_frame
+                            else PatchModeITile.I_EOM
+                        ),
+                        data=make_eom_patch_unit(len(eom_points[fi])),
                     )
                 )
             atl = AtlasTileLayerRbsp(header=header, data_unit=du)

@@ -65,6 +65,8 @@ def align_matched_patch(
         seg.depth1 = np.pad(seg.depth1, ((du, 0), (0, 0)),
                             constant_values=-1)
         seg.occupancy = np.pad(seg.occupancy, ((du, 0), (0, 0)))
+        if seg.eom is not None:
+            seg.eom = np.pad(seg.eom, ((du, 0), (0, 0)))
         p.u1 = r.u1
         p.size_u += du
         du = 0
@@ -74,6 +76,8 @@ def align_matched_patch(
         seg.depth1 = np.pad(seg.depth1, ((0, 0), (dv, 0)),
                             constant_values=-1)
         seg.occupancy = np.pad(seg.occupancy, ((0, 0), (dv, 0)))
+        if seg.eom is not None:
+            seg.eom = np.pad(seg.eom, ((0, 0), (dv, 0)))
         p.v1 = r.v1
         p.size_v += dv
         dv = 0

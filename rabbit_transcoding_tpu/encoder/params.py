@@ -29,6 +29,9 @@ class EncoderParameters:
     geometryNominal2dBitdepth: int = 10
     mapCountMinus1: int = 1   # 2 maps (D0 near + D1 far), the reference default
     useRawPointsPatch: bool = True  # missed points -> raw patches in aux video
+    # EOM: code between-layer points in the occupancy bit planes (reference:
+    # enhancedOccupancyMapCode; forces occupancyPrecision 1)
+    enhancedOccupancyMapCode: bool = False
 
     # rate points
     geometryQP: int = 28

@@ -15,9 +15,13 @@ from .segment import SegmentedPatch
 
 
 def rasterize_frame(
-    segs: list[SegmentedPatch], width: int, height: int
+    segs: list[SegmentedPatch], width: int, height: int,
+    with_eom: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (geo0, geo1 (H, W) uint16 relative near/far depth, occ (H, W) uint8)."""
+    """-> (geo0, geo1 (H, W) uint16 relative near/far depth, occ (H, W) uint8).
+
+    with_eom: occupancy value = 1 | (eom_bits << 1) — the EOM bit planes ride
+    the lossless occupancy video (requires occupancyPrecision 1)."""
     geo0 = np.zeros((height, width), np.uint16)
     geo1 = np.zeros((height, width), np.uint16)
     occ = np.zeros((height, width), np.uint8)
@@ -28,7 +32,10 @@ def rasterize_frame(
         x, y = seg.patch.patch_to_canvas(u, v)
         geo0[y, x] = seg.depth0[u, v].astype(np.uint16)
         geo1[y, x] = seg.depth1[u, v].astype(np.uint16)
-        occ[y, x] = 1
+        if with_eom and seg.eom is not None:
+            occ[y, x] = 1 | (seg.eom[u, v] << 1)
+        else:
+            occ[y, x] = 1
     return geo0, geo1, occ
 
 

@@ -64,6 +64,7 @@ class SegmentedPatch:
     depth1: np.ndarray      # (size_u, size_v) int32 relative far depth (>= depth0)
     occupancy: np.ndarray   # (size_u, size_v) bool
     point_indices: np.ndarray  # indices into the source cloud covered by [D0, D1]
+    eom: np.ndarray | None = None  # (size_u, size_v) uint8 between-layer bits
 
 
 @jax.jit
@@ -224,6 +225,13 @@ def _build_patch(
     np.maximum.at(d1_map, flat[covered], pt_rel[covered])
     rel1 = np.where(occupied, np.maximum(d1_map, rel), -1)
 
+    # EOM bit masks: covered points strictly between D0 and D1
+    from ..codec.eom import eom_bits_for_cells
+
+    eom = eom_bits_for_cells(
+        pt_rel[covered], flat[covered], rel, rel1
+    ).reshape(size_u, size_v)
+
     patch = Patch(
         index=patch_index,
         size_u=size_u,
@@ -246,6 +254,7 @@ def _build_patch(
         depth1=rel1.reshape(size_u, size_v).astype(np.int32),
         occupancy=occupied.reshape(size_u, size_v),
         point_indices=idx[covered],
+        eom=eom,
     )
 
 
