@@ -111,6 +111,10 @@ class AtlasHLS:
                 if ath is not None
                 else geom3d
             ),
+            plr_enabled=asps.asps_plr_enabled_flag,
+            plr_mode_bits=max(
+                1, asps.asps_plr_number_of_modes_minus1.bit_length()
+            ),
         )
 
 

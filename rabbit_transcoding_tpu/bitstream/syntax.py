@@ -314,6 +314,8 @@ class AtlasSequenceParameterSetRbsp:
     asps_eom_fix_bit_count_minus1: int = 0
     asps_auxiliary_video_enabled_flag: bool = False
     asps_plr_enabled_flag: bool = False
+    # PLR information (23090-5 plri_*, one per map; patch-level modes here)
+    asps_plr_number_of_modes_minus1: int = 1
     asps_vui_parameters_present_flag: bool = False
     # V-PCC extension
     asps_vpcc_extension_present_flag: bool = True
@@ -350,7 +352,8 @@ class AtlasSequenceParameterSetRbsp:
         if self.asps_raw_patch_enabled_flag or self.asps_eom_patch_enabled_flag:
             bw.u(1, self.asps_auxiliary_video_enabled_flag)
         bw.u(1, self.asps_plr_enabled_flag)
-        assert not self.asps_plr_enabled_flag, "PLR syntax not implemented yet"
+        if self.asps_plr_enabled_flag:
+            bw.u(4, self.asps_plr_number_of_modes_minus1)
         bw.u(1, self.asps_vui_parameters_present_flag)
         bw.u(1, self.asps_vpcc_extension_present_flag)
         if self.asps_vpcc_extension_present_flag:
@@ -391,7 +394,8 @@ class AtlasSequenceParameterSetRbsp:
         if s.asps_raw_patch_enabled_flag or s.asps_eom_patch_enabled_flag:
             s.asps_auxiliary_video_enabled_flag = bool(br.u(1))
         s.asps_plr_enabled_flag = bool(br.u(1))
-        assert not s.asps_plr_enabled_flag, "PLR syntax not implemented yet"
+        if s.asps_plr_enabled_flag:
+            s.asps_plr_number_of_modes_minus1 = br.u(4)
         s.asps_vui_parameters_present_flag = bool(br.u(1))
         s.asps_vpcc_extension_present_flag = bool(br.u(1))
         if s.asps_vpcc_extension_present_flag:
@@ -546,6 +550,8 @@ class PatchDataUnit:
     pdu_lod_enabled_flag: bool = False
     pdu_lod_scale_x_minus1: int = 0
     pdu_lod_scale_y_idc: int = 0
+    # point-local-reconstruction data (patch level): 0 = none, m>0 = mode m
+    plrd_mode: int = 0
 
     def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
         bw.ue(self.pdu_2d_pos_x)
@@ -564,6 +570,12 @@ class PatchDataUnit:
             if self.pdu_lod_enabled_flag:
                 bw.ue(self.pdu_lod_scale_x_minus1)
                 bw.ue(self.pdu_lod_scale_y_idc)
+        if ctx.plr_enabled:
+            # plrd_level_flag=1 (patch level) + present flag + mode
+            bw.u(1, 1)
+            bw.u(1, self.plrd_mode > 0)
+            if self.plrd_mode > 0:
+                bw.u(ctx.plr_mode_bits, self.plrd_mode - 1)
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "PatchDataUnit":
@@ -584,6 +596,11 @@ class PatchDataUnit:
             if s.pdu_lod_enabled_flag:
                 s.pdu_lod_scale_x_minus1 = br.ue()
                 s.pdu_lod_scale_y_idc = br.ue()
+        if ctx.plr_enabled:
+            level = br.u(1)
+            assert level == 1, "block-level PLR not implemented"
+            if br.u(1):
+                s.plrd_mode = br.u(ctx.plr_mode_bits) + 1
         return s
 
 
@@ -791,6 +808,8 @@ class SyntaxContext:
     num_ref_idx_active: int = 1
     auxiliary_video_present: bool = False
     raw_3d_offset_bits: int = 10
+    plr_enabled: bool = False
+    plr_mode_bits: int = 1
 
 
 # ===========================================================================

@@ -200,6 +200,7 @@ def _intra_patch(
         lod_x=du.pdu_lod_scale_x_minus1 + 1 if du.pdu_lod_enabled_flag else 1,
         lod_y=du.pdu_lod_scale_y_idc + 1 if du.pdu_lod_enabled_flag else 1,
         patch_type=PatchType.INTRA,
+        plr_mode=du.plrd_mode,
     )
 
 

@@ -94,15 +94,40 @@ class ReconstructionEngine:
         counts_dev = jnp.asarray(counts)
         pts_maps = []
         valid = None
+        b2p0 = None
         for m in range(map_count):
             geo = np.asarray(geo_video.planes[0])[m::map_count][:f, :h, :w]
-            pts_m, valid_m, _ = repro_ops.reproject(
+            pts_m, valid_m, b2p_m = repro_ops.reproject(
                 jnp.asarray(geo.astype(np.int32)),
                 occ_dev, table_dev, counts_dev, block,
             )
             pts_maps.append(np.asarray(pts_m))
             if valid is None:
                 valid = np.asarray(valid_m)
+                b2p0 = np.asarray(b2p_m)
+
+        # PLR: single-map streams synthesize a second layer (depth + 1) for
+        # patches whose coded plr_mode requests it (PCCCodec PLR analog)
+        plr_masks = None
+        if map_count == 1 and any(
+            p.plr_mode for pl in patch_lists for p in pl
+        ):
+            plr_flags = np.zeros((f, max_patches), bool)
+            for fi, pl in enumerate(patch_lists):
+                for pi, p in enumerate(pl):
+                    plr_flags[fi, pi] = p.plr_mode > 0
+            geo0 = np.asarray(geo_video.planes[0])[:f, :h, :w].astype(np.int32)
+            pts_plr, _, _ = repro_ops.reproject(
+                jnp.asarray(geo0 + 1), occ_dev, table_dev, counts_dev, block,
+            )
+            pts_plr = np.asarray(pts_plr)
+            owner = np.repeat(
+                np.repeat(b2p0, block, axis=1), block, axis=2
+            )[:, :h, :w].reshape(f, h * w) - 1
+            plr_masks = valid & plr_flags[
+                np.arange(f)[:, None], np.clip(owner, 0, max_patches - 1)
+            ]
+            pts_maps.append(pts_plr)
 
         colors_maps = None
         if attr_video is not None:
@@ -121,12 +146,21 @@ class ReconstructionEngine:
         clouds: list[PointSet] = []
         for fi in range(f):
             msk = valid[fi]
-            pos = np.concatenate([pm[fi][msk] for pm in pts_maps], axis=0)
-            col = None
-            if colors_maps is not None:
-                col = np.concatenate(
-                    [cm[fi][msk] for cm in colors_maps], axis=0
-                )
+            pos_parts = [pm[fi][msk] for pm in pts_maps[:map_count]]
+            col_parts = (
+                [cm[fi][msk] for cm in colors_maps]
+                if colors_maps is not None
+                else None
+            )
+            if plr_masks is not None:
+                pmsk = plr_masks[fi]
+                pos_parts.append(pts_maps[map_count][fi][pmsk])
+                if col_parts is not None:
+                    # PLR points take their pixel's (map-0) color
+                    col_parts.append(colors_maps[0][fi][pmsk])
+            pos = np.concatenate(pos_parts, axis=0)
+            col = None if col_parts is None else np.concatenate(col_parts,
+                                                                axis=0)
             ps = PointSet(positions=pos, colors=col)
             if self.params.remove_duplicate_points:
                 ps = ps.remove_duplicates()

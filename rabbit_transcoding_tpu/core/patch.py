@@ -47,6 +47,8 @@ class Patch:
     lod_x: int = 1
     lod_y: int = 1
     patch_type: PatchType = PatchType.INTRA
+    # point-local-reconstruction mode (0 = none; 1 = fill D0+1), single-map
+    plr_mode: int = 0
     # inter prediction bookkeeping
     ref_index: int = -1
     best_match_idx: int = -1

@@ -182,6 +182,18 @@ class Encoder:
                 height = band * p.tileCount
                 tile_band = band
 
+        # 1b. PLR search (single-map): patches with real surface thickness
+        # request second-layer synthesis (pointLocalReconstructionSearch
+        # analog, PCCEncoder.cpp:5364 — patch-level decision here)
+        use_plr = p.pointLocalReconstruction and p.mapCountMinus1 == 0
+        if use_plr:
+            for segs in frame_segs:
+                for seg in segs:
+                    occ = seg.occupancy
+                    if occ.any():
+                        thick = (seg.depth1[occ] > seg.depth0[occ]).mean()
+                        seg.patch.plr_mode = 1 if thick > 0.2 else 0
+
         # 2. rasterize occupancy + geometry planes (map-interleaved layout:
         # plane index = frame * M + map, the reference's single-stream
         # dual-map mode)
@@ -375,18 +387,48 @@ class Encoder:
                     jnp.asarray(attr_recon.planes[2]),
                 )
             )
+            # PLR second-layer synthesis (mirrors ReconstructionEngine)
+            plr_masks = None
+            plr_pts = None
+            if use_plr and any(
+                s2.patch.plr_mode for segs in frame_segs for s2 in segs
+            ):
+                plr_flags = np.zeros((n_frames, table.shape[1]), bool)
+                for i, segs in enumerate(frame_segs):
+                    for pi, s2 in enumerate(segs):
+                        plr_flags[i, pi] = s2.patch.plr_mode > 0
+                pts_p, _, _ = repro_ops.reproject(
+                    jnp.asarray(geo_rec_planes[::n_maps] + 1),
+                    occ_dev, table_dev, counts_dev, p.occupancyResolution,
+                )
+                plr_pts = np.asarray(pts_p)
+                owner = np.repeat(
+                    np.repeat(b2p0, p.occupancyResolution, axis=1),
+                    p.occupancyResolution, axis=2,
+                )[:, :height, :width].reshape(n_frames, height * width) - 1
+                plr_masks = valid & plr_flags[
+                    np.arange(n_frames)[:, None],
+                    np.clip(owner, 0, table.shape[1] - 1),
+                ]
+
             recon_clouds = []
             for i in range(n_frames):
                 msk = valid[i]
+                pos_list = [pts_maps[m][i][msk] for m in range(n_maps)]
+                if plr_masks is not None:
+                    pos_list.append(plr_pts[i][plr_masks[i]])
                 pos = np.concatenate(
-                    [pts_maps[m][i][msk] for m in range(n_maps)]
-                    + [raw_points[i], eom_points[i]],
+                    pos_list + [raw_points[i], eom_points[i]],
                     axis=0,
                 )
                 col_parts = [
                     rgb_rec[i * n_maps + m].reshape(-1, 3)[msk]
                     for m in range(n_maps)
                 ]
+                if plr_masks is not None:
+                    col_parts.append(
+                        rgb_rec[i * n_maps].reshape(-1, 3)[plr_masks[i]]
+                    )
                 col_parts.append(
                     raw_colors[i]
                     if raw_colors[i] is not None
@@ -491,6 +533,9 @@ class Encoder:
             asps_map_count_minus1=p.mapCountMinus1,
             asps_raw_patch_enabled_flag=raw_geo_payload is not None,
             asps_eom_patch_enabled_flag=p.enhancedOccupancyMapCode,
+            asps_plr_enabled_flag=(
+                p.pointLocalReconstruction and p.mapCountMinus1 == 0
+            ),
             asps_auxiliary_video_enabled_flag=raw_geo_payload is not None,
             ref_list_structs=[
                 RefListStruct(
@@ -578,6 +623,7 @@ class Encoder:
                                 patch.normal_axis, patch.projection_mode
                             ),
                             pdu_orientation_index=int(patch.orientation),
+                            plrd_mode=patch.plr_mode,
                         ),
                     )
                 )

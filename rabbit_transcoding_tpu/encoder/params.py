@@ -32,6 +32,9 @@ class EncoderParameters:
     # EOM: code between-layer points in the occupancy bit planes (reference:
     # enhancedOccupancyMapCode; forces occupancyPrecision 1)
     enhancedOccupancyMapCode: bool = False
+    # PLR: synthesize a second layer per patch in single-map mode (reference:
+    # pointLocalReconstruction + PLR search, PCCEncoder.cpp:350,5364)
+    pointLocalReconstruction: bool = False
 
     # rate points
     geometryQP: int = 28
