@@ -585,6 +585,26 @@ class Encoder:
                 ref_i = patch.best_match_idx if inter_frame else -1
                 if ref_i >= 0:
                     ref = prev_segs[ref_i].patch
+                    if (
+                        ref_i == pred_idx
+                        and patch.u0 == ref.u0 and patch.v0 == ref.v0
+                        and patch.size_u == ref.size_u
+                        and patch.size_v == ref.size_v
+                        and patch.u1 == ref.u1 and patch.v1 == ref.v1
+                        and patch.d1 == ref.d1 and patch.size_d == ref.size_d
+                    ):
+                        # identical to the running reference -> SKIP (0 bits
+                        # of payload, the cheapest patch mode)
+                        from ..bitstream.syntax import SkipPatchDataUnit
+
+                        du.patches.append(
+                            PatchInformationData(
+                                patch_mode=int(PatchModePTile.P_SKIP),
+                                data=SkipPatchDataUnit(),
+                            )
+                        )
+                        pred_idx = ref_i + 1
+                        continue
                     du.patches.append(
                         PatchInformationData(
                             patch_mode=int(PatchModePTile.P_INTER),

@@ -31,17 +31,22 @@ class TestInterCoding:
         src = make_sphere_cloud(seed=0)
         ctx, data, recon = encode([src, src, src], constrainedPack=True)
         frames = decode_patch_frames(ctx.atlas(0))
+        pred_types = (PatchType.INTER, PatchType.SKIP, PatchType.MERGE)
         inter_counts = [
-            sum(p.patch_type == PatchType.INTER for p in f) for f in frames
+            sum(p.patch_type in pred_types for p in f) for f in frames
         ]
         assert inter_counts[0] == 0
-        # static content: nearly all patches match
+        # static content: nearly all patches match; identical ones code as
+        # SKIP (zero payload bits), the rest as INTER
         assert inter_counts[1] >= 0.8 * len(frames[1])
         assert inter_counts[2] >= 0.8 * len(frames[2])
+        assert any(
+            p.patch_type == PatchType.SKIP for f in frames[1:] for p in f
+        )
         # matched patches keep their atlas positions
         pos0 = {(p.u0, p.v0) for p in frames[0]}
         kept = sum((p.u0, p.v0) in pos0 for p in frames[1]
-                   if p.patch_type == PatchType.INTER)
+                   if p.patch_type in pred_types)
         assert kept >= 0.8 * max(1, inter_counts[1])
 
     def test_consistent_packing_shrinks_video(self):
