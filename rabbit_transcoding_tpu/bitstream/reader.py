@@ -73,11 +73,12 @@ class V3CReader:
                 atlas.set_video_bitstream(_vb(vtype, unit.payload))
             elif t == V3CUnitType.V3C_AVD:
                 atlas = context.atlas(unit.header.vuh_atlas_id)
-                vtype = (
-                    VideoType.ATTRIBUTE_RAW
-                    if unit.header.vuh_auxiliary_video_flag
-                    else VideoType.ATTRIBUTE
-                )
+                if unit.header.vuh_auxiliary_video_flag:
+                    vtype = VideoType.ATTRIBUTE_RAW
+                elif unit.header.vuh_attribute_index == 1:
+                    vtype = VideoType.ATTRIBUTE_REFL
+                else:
+                    vtype = VideoType.ATTRIBUTE
                 atlas.set_video_bitstream(_vb(vtype, unit.payload))
             else:
                 raise ValueError(f"unknown V3C unit type {t}")

@@ -16,15 +16,16 @@ from .sei import write_sei_rbsp
 from .syntax import AtlasTileLayerRbsp
 from .v3c import V3CUnit, V3CUnitHeader, write_sample_stream_v3c
 
-# video-plane unit layout: which V3C units carry which VideoType
+# video-plane unit layout: (type, unit, map_index, aux, attribute_index)
 _VIDEO_UNIT_MAP = [
-    (VideoType.OCCUPANCY, V3CUnitType.V3C_OVD, 0, False),
-    (VideoType.GEOMETRY, V3CUnitType.V3C_GVD, 0, False),
-    (VideoType.GEOMETRY_D0, V3CUnitType.V3C_GVD, 0, False),
-    (VideoType.GEOMETRY_D1, V3CUnitType.V3C_GVD, 1, False),
-    (VideoType.GEOMETRY_RAW, V3CUnitType.V3C_GVD, 0, True),
-    (VideoType.ATTRIBUTE, V3CUnitType.V3C_AVD, 0, False),
-    (VideoType.ATTRIBUTE_RAW, V3CUnitType.V3C_AVD, 0, True),
+    (VideoType.OCCUPANCY, V3CUnitType.V3C_OVD, 0, False, 0),
+    (VideoType.GEOMETRY, V3CUnitType.V3C_GVD, 0, False, 0),
+    (VideoType.GEOMETRY_D0, V3CUnitType.V3C_GVD, 0, False, 0),
+    (VideoType.GEOMETRY_D1, V3CUnitType.V3C_GVD, 1, False, 0),
+    (VideoType.GEOMETRY_RAW, V3CUnitType.V3C_GVD, 0, True, 0),
+    (VideoType.ATTRIBUTE, V3CUnitType.V3C_AVD, 0, False, 0),
+    (VideoType.ATTRIBUTE_RAW, V3CUnitType.V3C_AVD, 0, True, 0),
+    (VideoType.ATTRIBUTE_REFL, V3CUnitType.V3C_AVD, 0, False, 1),
 ]
 
 
@@ -113,7 +114,7 @@ class V3CWriter:
     def _video_units(self, context: Context, atlas: AtlasHLS) -> list[V3CUnit]:
         units = []
         vps_id = context.vps.vps_v3c_parameter_set_id
-        for vtype, unit_type, map_index, aux in _VIDEO_UNIT_MAP:
+        for vtype, unit_type, map_index, aux, attr_idx in _VIDEO_UNIT_MAP:
             vb = atlas.video_bitstreams.get(vtype)
             if vb is None or len(vb) == 0:
                 continue
@@ -123,6 +124,7 @@ class V3CWriter:
                 vuh_atlas_id=atlas.atlas_id,
                 vuh_map_index=map_index,
                 vuh_auxiliary_video_flag=aux,
+                vuh_attribute_index=attr_idx,
             )
             units.append(V3CUnit(header, vb.data))
             self.stat.add_video(vb.name, len(vb.data))

@@ -71,6 +71,9 @@ def apply_geometry_smoothing(
         ps2 = PointSet(
             positions=pos[keep],
             colors=None if ps.colors is None else ps.colors[keep],
+            reflectances=(
+                None if ps.reflectances is None else ps.reflectances[keep]
+            ),
         )
         out.append(ps2.remove_duplicates())
     return out

@@ -76,6 +76,7 @@ class ReconstructionEngine:
         attr_video: Video | None,      # F*map_count frames, map-interleaved
         max_patches: int | None = None,
         map_count: int = 1,
+        refl_video: Video | None = None,  # reflectance plane, map-interleaved
     ) -> list[PointSet]:
         """Batched patch->3D reprojection + coloring for a whole GOF.
 
@@ -129,6 +130,14 @@ class ReconstructionEngine:
             ]
             pts_maps.append(pts_plr)
 
+        refl_maps = None
+        if refl_video is not None:
+            rp = np.asarray(refl_video.planes[0])[:, :h, :w]
+            refl_maps = [
+                rp[m::map_count][:f].reshape(f, h * w)
+                for m in range(map_count)
+            ]
+
         colors_maps = None
         if attr_video is not None:
             rgb = np.asarray(
@@ -161,7 +170,13 @@ class ReconstructionEngine:
             pos = np.concatenate(pos_parts, axis=0)
             col = None if col_parts is None else np.concatenate(col_parts,
                                                                 axis=0)
-            ps = PointSet(positions=pos, colors=col)
+            refl = None
+            if refl_maps is not None:
+                refl_parts = [rm[fi][msk] for rm in refl_maps]
+                if plr_masks is not None:
+                    refl_parts.append(refl_maps[0][fi][plr_masks[fi]])
+                refl = np.concatenate(refl_parts, axis=0)
+            ps = PointSet(positions=pos, colors=col, reflectances=refl)
             if self.params.remove_duplicate_points:
                 ps = ps.remove_duplicates()
             clouds.append(ps)

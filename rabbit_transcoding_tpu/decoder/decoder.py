@@ -60,6 +60,12 @@ class Decoder:
                 attr_video = VideoDecoder.create(CodecId.RBV).decode(
                     atlas.get_video_bitstream(VideoType.ATTRIBUTE).data
                 )
+        refl_video = None
+        if VideoType.ATTRIBUTE_REFL in atlas.video_bitstreams:
+            with self.timer.stage("decodeReflectanceVideo"):
+                refl_video = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_REFL).data
+                )
 
         engine = ReconstructionEngine(GeneratePointCloudParameters())
         with self.timer.stage("generateOccupancyMaps"):
@@ -78,7 +84,7 @@ class Decoder:
             )
             clouds = engine.generate_point_clouds(
                 patch_frames[:n], occ_maps[:n], geo_video, attr_video,
-                map_count=map_count,
+                map_count=map_count, refl_video=refl_video,
             )
 
         # raw (missed-points) patches from auxiliary video
@@ -123,6 +129,14 @@ class Decoder:
                                 cols
                                 if cols is not None
                                 else np.zeros((len(pts), 3), np.uint8),
+                            ]
+                        ),
+                        reflectances=None
+                        if ps.reflectances is None
+                        else np.concatenate(
+                            [
+                                ps.reflectances,
+                                np.zeros(len(pts), np.uint16),
                             ]
                         ),
                     )
@@ -197,6 +211,14 @@ class Decoder:
                                 cols
                                 if cols is not None
                                 else np.zeros((len(pts), 3), np.uint8),
+                            ]
+                        ),
+                        reflectances=None
+                        if ps.reflectances is None
+                        else np.concatenate(
+                            [
+                                ps.reflectances,
+                                np.zeros(len(pts), np.uint16),
                             ]
                         ),
                     )

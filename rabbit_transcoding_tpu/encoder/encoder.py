@@ -359,6 +359,35 @@ class Encoder:
                 VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop),
             )
 
+        # 6b. reflectance attribute (second attribute sub-stream, lossless)
+        refl_payload = None
+        refl_recon_planes = None
+        has_refl = all(s2.has_reflectances for s2 in sources)
+        if has_refl:
+            from scipy.spatial import cKDTree
+
+            refl_planes = np.zeros(
+                (n_frames * n_maps, height, width), np.uint16
+            )
+            for i, src in enumerate(sources):
+                msk = valid[i]
+                if not msk.any():
+                    continue
+                tree = cKDTree(src.positions.astype(np.float32))
+                for m in range(n_maps):
+                    _, idx = tree.query(
+                        pts_maps[m][i][msk].astype(np.float32), k=1
+                    )
+                    plane = refl_planes[i * n_maps + m].reshape(-1)
+                    plane[np.nonzero(msk)[0]] = src.reflectances[idx]
+            refl_video = Video(
+                width, height, 16, ColorFormat.YUV400, [refl_planes]
+            )
+            refl_payload, refl_recon = VideoEncoder.create(
+                CodecId.RBV_LOSSLESS
+            ).encode(refl_video, VideoEncoderParams(lossless=True))
+            refl_recon_planes = np.asarray(refl_recon.planes[0])
+
         # smoothing SEIs (decoder applies them; the closed loop below must too)
         smoothing_sei = None
         if p.flagGeometrySmoothing and p.gridSmoothing:
@@ -440,7 +469,25 @@ class Encoder:
                     else np.zeros((len(eom_points[i]), 3), np.uint8)
                 )
                 col = np.concatenate(col_parts, axis=0)
-                ps = PointSet(positions=pos, colors=col)
+                refl = None
+                if refl_recon_planes is not None:
+                    refl_parts = [
+                        refl_recon_planes[i * n_maps + m].reshape(-1)[msk]
+                        for m in range(n_maps)
+                    ]
+                    if plr_masks is not None:
+                        refl_parts.append(
+                            refl_recon_planes[i * n_maps].reshape(-1)[
+                                plr_masks[i]
+                            ]
+                        )
+                    refl_parts.append(
+                        np.zeros(
+                            len(raw_points[i]) + len(eom_points[i]), np.uint16
+                        )
+                    )
+                    refl = np.concatenate(refl_parts)
+                ps = PointSet(positions=pos, colors=col, reflectances=refl)
                 if p.removeDuplicatePoints:
                     ps = ps.remove_duplicates()
                 recon_clouds.append(ps)
@@ -484,6 +531,7 @@ class Encoder:
                 occ_payload, geo_payload, attr_payload,
                 raw_points, raw_geo_payload, raw_attr_payload,
                 tile_band=tile_band, eom_points=eom_points,
+                refl_payload=refl_payload,
             )
             if smoothing_sei is not None:
                 context.atlas(0).seis_prefix.append(smoothing_sei)
@@ -495,7 +543,7 @@ class Encoder:
     def _build_context(
         self, frame_segs, width, height, occ_payload, geo_payload, attr_payload,
         raw_points=None, raw_geo_payload=None, raw_attr_payload=None,
-        tile_band=None, eom_points=None,
+        tile_band=None, eom_points=None, refl_payload=None,
     ) -> Context:
         p = self.params
         context = Context()
@@ -688,6 +736,16 @@ class Encoder:
         atlas.set_video_bitstream(
             VideoBitstream(VideoType.ATTRIBUTE, attr_payload)
         )
+        if refl_payload is not None:
+            va.attribute_information.ai_attribute_count = 2
+            va.attribute_information.ai_attribute_type_id.append(3)  # reflectance
+            va.attribute_information.ai_attribute_codec_id.append(0)
+            va.attribute_information.ai_attribute_dimension_minus1.append(0)
+            va.attribute_information.ai_attribute_2d_bitdepth_minus1.append(15)
+            va.attribute_information.ai_attribute_msb_align_flag.append(False)
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.ATTRIBUTE_REFL, refl_payload)
+            )
         if raw_geo_payload is not None:
             va.vps_auxiliary_video_present_flag = True
             atlas.set_video_bitstream(

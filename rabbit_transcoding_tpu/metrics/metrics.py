@@ -34,6 +34,7 @@ class QualityMetrics:
     d1_hausdorff: float = 0.0
     d1_hausdorff_psnr: float = 0.0
     color_psnr: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    reflectance_psnr: float = 0.0
     point_count_source: int = 0
     point_count_reconstructed: int = 0
 
@@ -45,6 +46,11 @@ class QualityMetrics:
             f"D1 Hausdorff, PSNR     : {self.d1_hausdorff:.6f}, "
             f"{self.d1_hausdorff_psnr:.4f} dB\n"
             f"Color Y/U/V PSNR       : {y:.4f}, {u:.4f}, {v:.4f} dB"
+            + (
+                f"\nReflectance PSNR       : {self.reflectance_psnr:.4f} dB"
+                if self.reflectance_psnr
+                else ""
+            )
         )
 
     def csv_line(self) -> str:
@@ -141,6 +147,18 @@ def compute_metrics(
         point_count_reconstructed=rec.point_count,
     )
 
+    if src.has_reflectances and rec.has_reflectances:
+        ra = src.reflectances.astype(np.float64)
+        rb = rec.reflectances[idx_ab].astype(np.float64)
+        rc = src.reflectances[idx_ba].astype(np.float64)
+        rd = rec.reflectances.astype(np.float64)
+        mse_r = max(float(np.mean((ra - rb) ** 2)),
+                    float(np.mean((rd - rc) ** 2)))
+        m.reflectance_psnr = (
+            float("inf") if mse_r <= 0
+            else 10.0 * np.log10(65535.0 ** 2 / mse_r)
+        )
+
     if src.has_colors and rec.has_colors:
         mse_ab = _color_mse(src, rec, idx_ab)
         mse_ba = _color_mse(rec, src, idx_ba)
@@ -179,6 +197,11 @@ def compute_sequence_metrics(
             avg([m.color_psnr[1] for m in per_frame]),
             avg([m.color_psnr[2] for m in per_frame]),
         ),
+        reflectance_psnr=avg(
+            [m.reflectance_psnr for m in per_frame if m.reflectance_psnr]
+        )
+        if any(m.reflectance_psnr for m in per_frame)
+        else 0.0,
         point_count_source=sum(m.point_count_source for m in per_frame) // n,
         point_count_reconstructed=(
             sum(m.point_count_reconstructed for m in per_frame) // n

@@ -63,6 +63,7 @@ class VideoType(enum.IntEnum):
     GEOMETRY_RAW = 4
     ATTRIBUTE = 5
     ATTRIBUTE_RAW = 6
+    ATTRIBUTE_REFL = 7
 
 
 class NalUnitType(enum.IntEnum):

@@ -126,3 +126,40 @@ class TestPatchSyntaxRoundtrip:
             for p in frame_patches:
                 assert p.size_u > 0 and p.size_v > 0
                 assert {p.normal_axis, p.tangent_axis, p.bitangent_axis} == {0, 1, 2}
+
+
+class TestReflectance:
+    def test_reflectance_roundtrip(self, small_params):
+        import dataclasses
+
+        rng = np.random.default_rng(5)
+        src = make_sphere_cloud(seed=3)
+        src.reflectances = (
+            (src.positions[:, 0].astype(np.uint32) * 53) % 60000
+        ).astype(np.uint16)
+        params = dataclasses.replace(small_params)
+        encoder = Encoder(params)
+        context, recon = encoder.encode(GroupOfFrames([src]))
+
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        assert VideoType.ATTRIBUTE_REFL in context.atlas(0).video_bitstreams
+        ai = context.vps.atlas(0).attribute_information
+        assert ai.ai_attribute_count == 2 and ai.ai_attribute_type_id[1] == 3
+
+        writer = V3CWriter()
+        data = writer.write(writer.encode(context))
+        ctx2 = V3CReader().decode(V3CReader().read(data)[0])
+        dec = Decoder().decode(ctx2)[0]
+        assert dec.has_reflectances
+        assert dec.compute_checksum() == recon[0].compute_checksum()
+        # reflectance of exactly-reconstructed points is exact (lossless video)
+        src_map = {tuple(p): r for p, r in zip(src.positions.tolist(),
+                                               src.reflectances)}
+        hits = [
+            (i, tuple(p)) for i, p in enumerate(dec.positions.tolist())
+            if tuple(p) in src_map
+        ]
+        assert hits
+        exact = sum(dec.reflectances[i] == src_map[t] for i, t in hits)
+        assert exact >= 0.9 * len(hits), (exact, len(hits))
