@@ -34,6 +34,11 @@ class TranscoderParameters:
     attributeQP: int = 42
     qualityValGeo: int = -1   # alias used by the reference's ffmpeg path
     qualityValAtt: int = -1
+    # rate_mode="abr": search QPs to hit targetBitrateMbps (per stream, at
+    # 30 fps); the DCT-domain requant path makes size probes cheap.
+    targetBitrateMbps: float = 0.0
+    # fraction of the video budget given to geometry (rest -> attribute)
+    geometryBitrateShare: float = 0.35
 
     # occupancy handling: target precision (downscale by max-pool when the
     # incoming stream is finer); 0 = leave untouched

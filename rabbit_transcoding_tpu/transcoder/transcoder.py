@@ -40,6 +40,7 @@ class Transcoder:
     def __init__(self, params: TranscoderParameters | None = None):
         self.params = params or TranscoderParameters()
         self.timer = StageTimer()
+        self._rc_cache: dict[str, tuple[int, int]] = {}
 
     # ------------------------------------------------------------------
     def transcode(self, context: Context, atlas_id: int = 0) -> Context:
@@ -49,14 +50,19 @@ class Transcoder:
 
         with self.timer.stage("transcodeOccupancy"):
             self._transcode_occupancy(atlas)
-        with self.timer.stage("transcodeGeometry"):
-            self._transcode_video(
-                atlas, VideoType.GEOMETRY, p.effective_geometry_qp()
-            )
-        with self.timer.stage("transcodeAttribute"):
-            self._transcode_video(
-                atlas, VideoType.ATTRIBUTE, p.effective_attribute_qp()
-            )
+        if p.rate_mode == "abr" and p.targetBitrateMbps > 0:
+            # ABR: the chosen probe payload IS the output (requant domain)
+            with self.timer.stage("rateControl"):
+                self._rate_control(atlas)
+        else:
+            with self.timer.stage("transcodeGeometry"):
+                self._transcode_video(
+                    atlas, VideoType.GEOMETRY, p.effective_geometry_qp()
+                )
+            with self.timer.stage("transcodeAttribute"):
+                self._transcode_video(
+                    atlas, VideoType.ATTRIBUTE, p.effective_attribute_qp()
+                )
 
         if p.computeHashSei:
             with self.timer.stage("createHashSEI"):
@@ -112,6 +118,70 @@ class Transcoder:
                 new_gop=1 if p.allIntra else p.videoGopSize,
             )
         atlas.set_video_bitstream(VideoBitstream(vtype, payload))
+
+    # ------------------------------------------------------------------
+    def _rate_control(self, atlas) -> tuple[int, int]:
+        """rate_mode='abr': pick (geometry QP, attribute QP) hitting the
+        target bitrate and install the winning payloads directly (the probes
+        ARE DCT-domain requantisations — the cheapest transcode there is, so
+        search and transcode are one operation).  Chosen QPs are cached
+        across GOFs and re-searched only when the produced size drifts >20%
+        from target."""
+        p = self.params
+
+        map_count = (
+            atlas.asps_list[0].asps_map_count_minus1 + 1
+            if atlas.asps_list
+            else 1
+        )
+
+        def gof_frames(vb) -> int:
+            # video frames = source frames x map interleave
+            try:
+                return max(
+                    1, rbv.probe(vb.data)["frame_count"] // map_count
+                )
+            except ValueError:
+                return 1
+
+        geo_vb = atlas.video_bitstreams.get(VideoType.GEOMETRY)
+        attr_vb = atlas.video_bitstreams.get(VideoType.ATTRIBUTE)
+        frames = gof_frames(geo_vb or attr_vb)
+        budget = p.targetBitrateMbps * 1e6 / 8.0 * frames / 30.0
+        geo_budget = budget * p.geometryBitrateShare
+        attr_budget = budget - geo_budget
+
+        def search(vb, vtype, target_bytes, cache_key) -> int:
+            if vb is None:
+                return 32
+            cached = self._rc_cache.get(cache_key)
+            if cached is not None:
+                qp, size = cached
+                if abs(size - target_bytes) <= 0.2 * target_bytes:
+                    payload = rbv.requantize(vb.data, qp)
+                    atlas.set_video_bitstream(VideoBitstream(vtype, payload))
+                    return qp
+            lo, hi = 4, 48
+            best = hi
+            best_payload = None
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                payload = rbv.requantize(vb.data, mid)
+                if len(payload) <= target_bytes:
+                    best = mid
+                    best_payload = payload
+                    hi = mid - 1
+                else:
+                    lo = mid + 1
+            if best_payload is None:
+                best_payload = rbv.requantize(vb.data, best)
+            self._rc_cache[cache_key] = (best, len(best_payload))
+            atlas.set_video_bitstream(VideoBitstream(vtype, best_payload))
+            return best
+
+        geo_qp = search(geo_vb, VideoType.GEOMETRY, geo_budget, "geo")
+        attr_qp = search(attr_vb, VideoType.ATTRIBUTE, attr_budget, "attr")
+        return geo_qp, attr_qp
 
     # ------------------------------------------------------------------
     def _refresh_hash_sei(self, atlas) -> None:

@@ -155,3 +155,57 @@ class TestMetricsModule:
         assert abs(m.d1_psnr - expected) < 1e-6
         # D2 <= D1: plane projection only shrinks error
         assert m.d2_mse <= m.d1_mse + 1e-9
+
+
+class TestRateControl:
+    def test_abr_hits_target(self, stream):
+        sources, path = stream
+        import os
+
+        reader = V3CReader()
+        for mbps in (2.0, 6.0):
+            context = reader.decode(reader.read_file(path)[0])
+            tc = Transcoder(TranscoderParameters(
+                rate_mode="abr", targetBitrateMbps=mbps,
+            ))
+            tc.transcode(context)
+            from rabbit_transcoding_tpu.bitstream import V3CWriter
+
+            w = V3CWriter()
+            out = w.write(w.encode(context))
+            frames = 2
+            budget = mbps * 1e6 / 8.0 * frames / 30.0
+            # occupancy + metadata are outside the video budget; the video
+            # payloads must land at or under ~1.3x the target
+            geo = len(context.atlas(0).get_video_bitstream(
+                VideoType.GEOMETRY).data)
+            attr = len(context.atlas(0).get_video_bitstream(
+                VideoType.ATTRIBUTE).data)
+            assert geo + attr <= 1.3 * budget + 2048, (mbps, geo + attr, budget)
+
+    def test_abr_rate_ordering(self, stream):
+        sources, path = stream
+        reader = V3CReader()
+        sizes = []
+        for mbps in (2.0, 8.0):
+            context = reader.decode(reader.read_file(path)[0])
+            Transcoder(TranscoderParameters(
+                rate_mode="abr", targetBitrateMbps=mbps,
+            )).transcode(context)
+            sizes.append(len(context.atlas(0).get_video_bitstream(
+                VideoType.ATTRIBUTE).data))
+        assert sizes[0] < sizes[1]
+
+    def test_qp_cache_reused(self, stream):
+        sources, path = stream
+        reader = V3CReader()
+        tc = Transcoder(TranscoderParameters(
+            rate_mode="abr", targetBitrateMbps=1.0,
+        ))
+        ctx = reader.decode(reader.read_file(path)[0])
+        tc.transcode(ctx)
+        assert "geo" in tc._rc_cache and "attr" in tc._rc_cache
+        cached = dict(tc._rc_cache)
+        ctx2 = reader.decode(reader.read_file(path)[0])
+        tc.transcode(ctx2)
+        assert tc._rc_cache["geo"][0] == cached["geo"][0]
