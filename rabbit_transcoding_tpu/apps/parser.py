@@ -54,7 +54,16 @@ def main(argv=None) -> int:
                         f"{' lossless' if info['lossless'] else ''}"
                     )
                 except ValueError:
-                    line += "  (non-RBV payload)"
+                    from ..video.hevc_probe import probe_hevc
+
+                    info = probe_hevc(u.payload)
+                    if info:
+                        line += (
+                            f"  HEVC {info['width']}x{info['height']} "
+                            f"{info['bitdepth']}bit"
+                        )
+                    else:
+                        line += "  (unknown payload)"
             print(line)
     print(reader.stat.report())
     return 0

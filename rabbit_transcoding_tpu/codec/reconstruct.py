@@ -54,14 +54,16 @@ class ReconstructionEngine:
 
     # ------------------------------------------------------------------
     def occupancy_maps(
-        self, occ_video: Video, width: int, height: int
+        self, occ_video: Video, width: int, height: int,
+        threshold: int = 0,
     ) -> np.ndarray:
-        """Occupancy video (possibly precision-downscaled) -> (F, H, W)
-        binary maps at full atlas resolution."""
+        """Occupancy video (possibly precision-downscaled, possibly lossy)
+        -> (F, H, W) binary maps at full atlas resolution.  `threshold` is
+        the OI lossy-occupancy threshold (0 for lossless streams)."""
         plane = np.asarray(occ_video.planes[0])
         f, oh, ow = plane.shape
         factor = width // ow
-        occ = occ_ops.binarize(jnp.asarray(plane))
+        occ = occ_ops.binarize(jnp.asarray(plane), threshold)
         if factor > 1:
             occ = occ_ops.upsample_nearest(occ, factor)
         occ = np.asarray(occ)[:, :height, :width]

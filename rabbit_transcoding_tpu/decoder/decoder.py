@@ -69,7 +69,13 @@ class Decoder:
 
         engine = ReconstructionEngine(GeneratePointCloudParameters())
         with self.timer.stage("generateOccupancyMaps"):
-            occ_maps = engine.occupancy_maps(occ_video, width, height)
+            occ_threshold = (
+                vps_atlas.occupancy_information
+                .oi_lossy_occupancy_compression_threshold
+            )
+            occ_maps = engine.occupancy_maps(
+                occ_video, width, height, occ_threshold
+            )
 
         with self.timer.stage("generatePointCloud"):
             map_count = (

@@ -218,19 +218,38 @@ class Encoder:
         occ_small = np.asarray(
             downscale_maxpool(jnp.asarray(occ_planes), p.occupancyPrecision)
         )
-        occ_video = Video(
-            width // p.occupancyPrecision, height // p.occupancyPrecision,
-            8, ColorFormat.YUV400, [occ_small],
-        )
-        occ_payload, _ = VideoEncoder.create(CodecId.RBV_LOSSLESS).encode(
-            occ_video, VideoEncoderParams(lossless=True)
-        )
+        use_lossy_occ = p.lossyOccupancyMap and not p.enhancedOccupancyMapCode
+        occ_threshold = 127 if use_lossy_occ else 0
+        if use_lossy_occ:
+            # scale to 0/255 so the DCT codec sees full-range content, then
+            # binarise at the OI threshold on both sides
+            occ_video = Video(
+                width // p.occupancyPrecision, height // p.occupancyPrecision,
+                8, ColorFormat.YUV400,
+                [(occ_small > 0).astype(np.uint8) * 255],
+            )
+            occ_payload, occ_recon = VideoEncoder.create(CodecId.RBV).encode(
+                occ_video,
+                VideoEncoderParams(qp=p.occupancyMapQP, all_intra=True),
+            )
+            occ_small_dec = (
+                np.asarray(occ_recon.planes[0]) > occ_threshold
+            ).astype(np.uint8)
+        else:
+            occ_video = Video(
+                width // p.occupancyPrecision, height // p.occupancyPrecision,
+                8, ColorFormat.YUV400, [occ_small],
+            )
+            occ_payload, _ = VideoEncoder.create(CodecId.RBV_LOSSLESS).encode(
+                occ_video, VideoEncoderParams(lossless=True)
+            )
+            occ_small_dec = occ_small
         # decoder-side occupancy: precision blocks become fully occupied —
         # the closed loop below must reconstruct exactly what a decoder sees
         from ..ops.occupancy import upsample_nearest
 
         occ_decoded = np.asarray(
-            upsample_nearest(jnp.asarray(occ_small), p.occupancyPrecision)
+            upsample_nearest(jnp.asarray(occ_small_dec), p.occupancyPrecision)
         )[:, :height, :width]
 
         # 4. geometry video: background fill + lossy encode (closed loop)
@@ -555,6 +574,8 @@ class Encoder:
         va.vps_map_absolute_coding_enabled_flag = [True] * (p.mapCountMinus1 + 1)
         va.vps_map_predictor_index_diff = [0] * (p.mapCountMinus1 + 1)
         va.occupancy_information.oi_occupancy_2d_bitdepth_minus1 = 7
+        if p.lossyOccupancyMap and not p.enhancedOccupancyMapCode:
+            va.occupancy_information.oi_lossy_occupancy_compression_threshold = 127
         va.geometry_information.gi_geometry_2d_bitdepth_minus1 = (
             p.geometryNominal2dBitdepth - 1
         )

@@ -35,6 +35,10 @@ class EncoderParameters:
     # PLR: synthesize a second layer per patch in single-map mode (reference:
     # pointLocalReconstruction + PLR search, PCCEncoder.cpp:350,5364)
     pointLocalReconstruction: bool = False
+    # lossy occupancy: occupancy coded as a lossy video, binarised at the
+    # OI threshold (reference: lossyOccupancyMap + occupancyMapQP)
+    lossyOccupancyMap: bool = False
+    occupancyMapQP: int = 38
 
     # rate points
     geometryQP: int = 28

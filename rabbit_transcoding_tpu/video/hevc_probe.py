@@ -1,0 +1,94 @@
+"""Minimal HEVC (H.265) bitstream probe.
+
+Capability parity with the role PccLibHevcParser plays in the reference
+(SURVEY.md §2.6): probing width/height/bitdepth/chroma out of an HEVC
+sub-bitstream so the transcoder/parser can describe foreign V3C streams
+(PCCHMAppVideoDecoder.cpp:60-61 uses it the same way).  This parses the SPS
+(ITU-T H.265 §7.3.2.2) — only the fields up to the bit depths — after
+removing emulation-prevention bytes.
+"""
+
+from __future__ import annotations
+
+from ..bitstream.bitio import BitReader
+from ..bitstream.video_bitstream import split_annexb
+
+HEVC_NAL_SPS = 33
+
+
+def _strip_emulation_prevention(data: bytes) -> bytes:
+    """Remove 0x03 from 00 00 03 xx sequences (H.265 §7.4.2)."""
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _skip_profile_tier_level(br: BitReader, max_sub_layers_minus1: int) -> None:
+    br.u(8)   # general_profile_space/tier/idc
+    br.u(32)  # general_profile_compatibility_flags
+    br.u(32)  # general constraint flags (48 bits total)
+    br.u(16)
+    br.u(8)   # general_level_idc
+    sub_profile = [bool(br.u(1)) for _ in range(max_sub_layers_minus1)]
+    sub_level = [bool(br.u(1)) for _ in range(max_sub_layers_minus1)]
+    if max_sub_layers_minus1 > 0:
+        for _ in range(8 - max_sub_layers_minus1):
+            br.u(2)  # reserved
+    for i in range(max_sub_layers_minus1):
+        if sub_profile[i]:
+            br.u(32)
+            br.u(32)
+            br.u(24)  # 88 bits
+        if sub_level[i]:
+            br.u(8)
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    """SPS RBSP (emulation prevention already removed) -> stream params."""
+    br = BitReader(rbsp)
+    br.u(4)  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = br.u(3)
+    br.u(1)  # sps_temporal_id_nesting_flag
+    _skip_profile_tier_level(br, max_sub_layers_minus1)
+    br.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = br.ue()
+    if chroma_format_idc == 3:
+        br.u(1)  # separate_colour_plane_flag
+    width = br.ue()
+    height = br.ue()
+    if br.u(1):  # conformance_window_flag
+        left, right, top, bottom = br.ue(), br.ue(), br.ue(), br.ue()
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        width -= (left + right) * sub_w
+        height -= (top + bottom) * sub_h
+    bit_depth_luma = br.ue() + 8
+    bit_depth_chroma = br.ue() + 8
+    return {
+        "width": width,
+        "height": height,
+        "bitdepth": bit_depth_luma,
+        "bitdepth_chroma": bit_depth_chroma,
+        "chroma_format_idc": chroma_format_idc,
+    }
+
+
+def probe_hevc(data: bytes) -> dict | None:
+    """Annex-B HEVC elementary stream -> params from the first SPS, or None."""
+    for nal in split_annexb(data):
+        if len(nal) < 3:
+            continue
+        nal_type = (nal[0] >> 1) & 0x3F
+        if nal_type == HEVC_NAL_SPS:
+            rbsp = _strip_emulation_prevention(nal[2:])
+            try:
+                return parse_sps(rbsp)
+            except (EOFError, ValueError):
+                return None
+    return None

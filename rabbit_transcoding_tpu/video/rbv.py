@@ -448,8 +448,18 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
 
     if params.lossless:
         for p in video.planes:
-            blobs.append(zlib.compress(np.ascontiguousarray(p).tobytes(),
-                                       params.zlib_level))
+            # binary planes (occupancy) bit-pack 8:1 before DEFLATE
+            if p.dtype == np.uint8 and p.max(initial=0) <= 1:
+                packed = np.packbits(p.reshape(-1))
+                blobs.append(
+                    b"P" + zlib.compress(packed.tobytes(), params.zlib_level)
+                )
+            else:
+                blobs.append(
+                    b"Z" + zlib.compress(
+                        np.ascontiguousarray(p).tobytes(), params.zlib_level
+                    )
+                )
             recon_planes.append(p.copy())
     else:
         b = params.block_size
@@ -512,9 +522,18 @@ def decode(payload: bytes) -> Video:
     planes: list[np.ndarray] = []
     for (h, w), blob in zip(dims, _iter_blobs(payload, len(dims))):
         if lossless:
-            planes.append(
-                np.frombuffer(zlib.decompress(blob), dtype=dtype).reshape(f, h, w)
-            )
+            if blob[:1] == b"P":
+                bits = np.unpackbits(
+                    np.frombuffer(zlib.decompress(blob[1:]), np.uint8),
+                    count=f * h * w,
+                )
+                planes.append(bits.astype(dtype).reshape(f, h, w))
+            else:
+                planes.append(
+                    np.frombuffer(
+                        zlib.decompress(blob[1:]), dtype=dtype
+                    ).reshape(f, h, w)
+                )
         else:
             ph = h + ((-h) % block)
             pw = w + ((-w) % block)

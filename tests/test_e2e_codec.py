@@ -163,3 +163,32 @@ class TestReflectance:
         assert hits
         exact = sum(dec.reflectances[i] == src_map[t] for i, t in hits)
         assert exact >= 0.9 * len(hits), (exact, len(hits))
+
+
+class TestOccupancyCoding:
+    def test_bitpacked_lossless_occupancy_small(self, encoded):
+        sources, context, _ = encoded
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        occ = context.atlas(0).get_video_bitstream(VideoType.OCCUPANCY)
+        # 2 frames of 256-wide occupancy must bit-pack well under 8 KB
+        assert len(occ.data) < 8192, len(occ.data)
+
+    def test_lossy_occupancy_roundtrip(self, small_params):
+        import dataclasses
+
+        src = make_sphere_cloud(seed=2)
+        params = dataclasses.replace(
+            small_params, lossyOccupancyMap=True, occupancyMapQP=32
+        )
+        encoder = Encoder(params)
+        context, recon = encoder.encode(GroupOfFrames([src]))
+        oi = context.vps.atlas(0).occupancy_information
+        assert oi.oi_lossy_occupancy_compression_threshold == 127
+
+        writer = V3CWriter()
+        data = writer.write(writer.encode(context))
+        dec = Decoder().decode(V3CReader().decode(V3CReader().read(data)[0]))[0]
+        assert dec.compute_checksum() == recon[0].compute_checksum()
+        d = nn_dist(src.positions, dec.positions)
+        assert np.mean(d ** 2) < 4.0

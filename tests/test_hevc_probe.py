@@ -1,0 +1,64 @@
+"""HEVC SPS probe against a hand-built spec-conformant SPS."""
+
+from rabbit_transcoding_tpu.bitstream.bitio import BitWriter
+from rabbit_transcoding_tpu.video.hevc_probe import (
+    _strip_emulation_prevention,
+    probe_hevc,
+)
+
+
+def build_sps_rbsp(width=1024, height=1024, bitdepth=10, chroma=1):
+    """Assemble an SPS per H.265 §7.3.2.2 field by field."""
+    bw = BitWriter()
+    bw.u(4, 0)       # sps_video_parameter_set_id
+    bw.u(3, 0)       # sps_max_sub_layers_minus1
+    bw.u(1, 1)       # sps_temporal_id_nesting_flag
+    # profile_tier_level (general only, 0 sub-layers): 12 bytes
+    bw.u(8, 0x01)    # profile_space/tier/idc
+    bw.u(32, 0x60000000)  # compatibility flags
+    bw.u(32, 0x90000000)  # constraint flags hi
+    bw.u(16, 0)           # constraint flags lo
+    bw.u(8, 120)     # general_level_idc
+    bw.ue(0)         # sps_seq_parameter_set_id
+    bw.ue(chroma)    # chroma_format_idc
+    if chroma == 3:
+        bw.u(1, 0)   # separate_colour_plane_flag
+    bw.ue(width)
+    bw.ue(height)
+    bw.u(1, 0)       # conformance_window_flag
+    bw.ue(bitdepth - 8)
+    bw.ue(bitdepth - 8)
+    bw.zero_align()
+    return bw.data()
+
+
+def wrap_annexb_sps(rbsp: bytes) -> bytes:
+    # HEVC NAL header: forbidden(1)=0, type(6)=33, layer(6)=0, tid+1(3)=1
+    header = bytes([(33 << 1), 1])
+    return b"\x00\x00\x00\x01" + header + rbsp + b"\x00\x00\x00\x01" + bytes(
+        [(1 << 1), 1]
+    ) + b"\xde\xad"
+
+
+class TestHevcProbe:
+    def test_probe_sps(self):
+        data = wrap_annexb_sps(build_sps_rbsp(1024, 1024, 10, 1))
+        info = probe_hevc(data)
+        assert info is not None
+        assert info["width"] == 1024 and info["height"] == 1024
+        assert info["bitdepth"] == 10 and info["chroma_format_idc"] == 1
+
+    def test_probe_8bit_444(self):
+        data = wrap_annexb_sps(build_sps_rbsp(640, 480, 8, 3))
+        info = probe_hevc(data)
+        assert info["width"] == 640 and info["height"] == 480
+        assert info["bitdepth"] == 8 and info["chroma_format_idc"] == 3
+
+    def test_no_sps_returns_none(self):
+        data = b"\x00\x00\x00\x01" + bytes([(1 << 1), 1]) + b"\x00\x01"
+        assert probe_hevc(data) is None
+
+    def test_emulation_prevention(self):
+        assert _strip_emulation_prevention(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+        assert _strip_emulation_prevention(b"\x00\x00\x03\x03") == b"\x00\x00\x03"
+        assert _strip_emulation_prevention(b"\x01\x02\x03") == b"\x01\x02\x03"
