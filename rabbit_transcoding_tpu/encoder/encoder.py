@@ -273,7 +273,8 @@ class Encoder:
             geo_gop = max(1, geo_gop)
             geo_payload, geo_recon = VideoEncoder.create(CodecId.RBV).encode(
                 geo_video,
-                VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop),
+                VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
+                                   motion=p.motionEstimation),
             )
 
         # 5. reconstruct geometry from *decoded* planes (decoder-identical)
@@ -375,7 +376,8 @@ class Encoder:
             attr_gop = max(1, n_maps * (1 if p.allIntra else p.videoGopSize))
             attr_payload, attr_recon = VideoEncoder.create(CodecId.RBV).encode(
                 attr_video,
-                VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop),
+                VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop,
+                                   motion=p.motionEstimation),
             )
 
         # 6b. reflectance attribute (second attribute sub-stream, lossless)

@@ -45,6 +45,8 @@ class EncoderParameters:
     attributeQP: int = 37
     allIntra: bool = False
     videoGopSize: int = 2
+    # motion-compensated P frames in the video codec (HM-ME analog)
+    motionEstimation: bool = True
 
     # segmentation
     surfaceThickness: int = 4

@@ -33,6 +33,7 @@ class VideoEncoderParams:
     all_intra: bool = False
     lossless: bool = False
     block_size: int = 16
+    motion: bool = False   # motion-compensated P frames
     # reserved for external backends
     config_path: str = ""
     extra_args: str = ""
@@ -77,6 +78,7 @@ class RbvVideoEncoder(VideoEncoder):
             block_size=params.block_size,
             gop_size=1 if params.all_intra else params.gop_size,
             lossless=params.lossless or self.force_lossless,
+            motion=params.motion and not params.all_intra,
         )
         return rbv.encode(video, rp)
 

@@ -98,6 +98,56 @@ def _quantize(c, qstep, dz):
     )
 
 
+# --- motion compensation ---------------------------------------------------
+# Block motion search: +/-_MC_RANGE in steps of _MC_STEP (odd grid keeps the
+# zero-motion candidate).  The search is S edge-padded shifted-frame SAD
+# reductions — pure batched element-wise work, no gather in the hot loop.
+_MC_RANGE = 6
+_MC_STEP = 2
+_MC_OFFSETS = tuple(
+    (dy, dx)
+    for dy in range(-_MC_RANGE, _MC_RANGE + 1, _MC_STEP)
+    for dx in range(-_MC_RANGE, _MC_RANGE + 1, _MC_STEP)
+)
+
+
+def _mc_search(frame, prev, block: int):
+    """-> (mv_idx (nby, nbx) int32, pred (H, W) f32): best SAD candidate."""
+    h, w = frame.shape
+    nby, nbx = h // block, w // block
+    r = _MC_RANGE
+    padded = jnp.pad(prev, ((r, r), (r, r)), mode="edge")
+    best_cost = jnp.full((nby, nbx), jnp.inf, jnp.float32)
+    best_idx = jnp.zeros((nby, nbx), jnp.int32)
+    pred = prev
+    for si, (dy, dx) in enumerate(_MC_OFFSETS):
+        shifted = jax.lax.dynamic_slice(padded, (r + dy, r + dx), (h, w))
+        diff = jnp.abs(frame - shifted)
+        cost = diff.reshape(nby, block, nbx, block).sum(axis=(1, 3))
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best_idx = jnp.where(better, si, best_idx)
+        bet_px = jnp.repeat(jnp.repeat(better, block, 0), block, 1)
+        pred = jnp.where(bet_px, shifted, pred)
+    return best_idx, pred
+
+
+def _mc_predict(prev, mv_idx, block: int):
+    """Apply per-block motion vectors: clipped-index gather (equivalent to
+    the edge padding the search used)."""
+    h, w = prev.shape
+    offs = jnp.asarray(_MC_OFFSETS, jnp.int32)
+    dy = jnp.repeat(jnp.repeat(offs[mv_idx, 0], block, 0), block, 1)
+    dx = jnp.repeat(jnp.repeat(offs[mv_idx, 1], block, 0), block, 1)
+    ys = jnp.clip(
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + dy, 0, h - 1
+    )
+    xs = jnp.clip(
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + dx, 0, w - 1
+    )
+    return prev[ys, xs]
+
+
 def _encode_impl(frames, qstep, maxval, block: int, gop: int):
     """frames (F, H, W) any-int/float -> (coeffs int16 (F,nby,nbx,B,B),
     recon uint16 (F,H,W)).  Composable (not jitted)."""
@@ -167,7 +217,119 @@ def _decode_impl(coeffs, qstep, maxval, block: int, gop: int):
     return rec.reshape(f, h, w)
 
 
+def _encode_impl_mc(frames, qstep, maxval, block: int, gop: int):
+    """Motion-compensated variant: P frames search the previous recon.
+    -> (coeffs, mv (F, nby, nbx) int32, recon)."""
+    frames = frames.astype(jnp.float32)
+    f, h, w = frames.shape
+    nby, nbx = h // block, w // block
+    n_gops = f // gop
+    gframes = frames.reshape(n_gops, gop, h, w)
+
+    def code(frame, pred, dz):
+        res = frame - pred
+        q = _quantize(dct2d(blockify(res, block)), qstep, dz)
+        rec = pred + deblockify(idct2d(q * qstep))
+        return q.astype(jnp.int16), jnp.clip(jnp.round(rec), 0.0, maxval)
+
+    def one_gop(g):
+        q0, rec0 = code(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
+        mv0 = jnp.zeros((nby, nbx), jnp.int32)
+
+        def step(prev_rec, frame):
+            mv, pred = _mc_search(frame, prev_rec, block)
+            q, rec = code(frame, pred, _DZ_INTER)
+            return rec, (q, mv, rec)
+
+        _, (qs, mvs, recs) = jax.lax.scan(step, rec0, g[1:])
+        return (
+            jnp.concatenate([q0[None], qs], axis=0),
+            jnp.concatenate([mv0[None], mvs], axis=0),
+            jnp.concatenate([rec0[None], recs], axis=0),
+        )
+
+    q, mv, rec = jax.vmap(one_gop)(gframes)
+    return (
+        q.reshape(f, nby, nbx, block, block),
+        mv.reshape(f, nby, nbx),
+        rec.reshape(f, h, w).astype(jnp.uint16),
+    )
+
+
+def _decode_impl_mc(coeffs, mv, qstep, maxval, block: int, gop: int):
+    f, nby, nbx, b, _ = coeffs.shape
+    h, w = nby * b, nbx * b
+    n_gops = f // gop
+    g = coeffs.reshape(n_gops, gop, nby, nbx, b, b).astype(jnp.float32)
+    gmv = mv.reshape(n_gops, gop, nby, nbx)
+
+    def decode_frame(q, pred):
+        rec = pred + deblockify(idct2d(q * qstep))
+        return jnp.clip(jnp.round(rec), 0.0, maxval)
+
+    def one_gop(gq, gm):
+        rec0 = decode_frame(gq[0], jnp.zeros((h, w), jnp.float32))
+
+        def step(prev_rec, x):
+            q, m = x
+            rec = decode_frame(q, _mc_predict(prev_rec, m, b))
+            return rec, rec
+
+        _, recs = jax.lax.scan(step, rec0, (gq[1:], gm[1:]))
+        return jnp.concatenate([rec0[None], recs], axis=0)
+
+    rec = jax.vmap(one_gop)(g, gmv)
+    return rec.reshape(f, h, w)
+
+
+def _reencode_with_mv(pixels, mv, qstep, maxval, block: int, gop: int):
+    """Re-encode a pixel chain reusing existing motion vectors (the standard
+    transcoding shortcut: no second motion search)."""
+    f, h, w = pixels.shape
+    nby, nbx = h // block, w // block
+    n_gops = f // gop
+    g = pixels.reshape(n_gops, gop, h, w)
+    gmv = mv.reshape(n_gops, gop, nby, nbx)
+
+    def code(frame, pred, dz):
+        res = frame - pred
+        q = _quantize(dct2d(blockify(res, block)), qstep, dz)
+        rec = pred + deblockify(idct2d(q * qstep))
+        return q.astype(jnp.int16), jnp.clip(jnp.round(rec), 0.0, maxval)
+
+    def one_gop(gp, gm):
+        q0, rec0 = code(gp[0], jnp.zeros((h, w), jnp.float32), _DZ_INTRA)
+
+        def step(prev_rec, x):
+            frame, m = x
+            q, rec = code(frame, _mc_predict(prev_rec, m, block), _DZ_INTER)
+            return rec, q
+
+        _, qs = jax.lax.scan(step, rec0, (gp[1:], gm[1:]))
+        return jnp.concatenate([q0[None], qs], axis=0)
+
+    q = jax.vmap(one_gop)(g, gmv)
+    return q.reshape(f, nby, nbx, block, block)
+
+
 _encode_device = partial(jax.jit, static_argnames=("block", "gop"))(_encode_impl)
+_encode_device_mc = partial(
+    jax.jit, static_argnames=("block", "gop")
+)(_encode_impl_mc)
+
+
+@partial(jax.jit, static_argnames=("block", "gop"))
+def _decode_device_mc(coeffs, mv, qstep, maxval, block: int, gop: int):
+    return _decode_impl_mc(coeffs, mv, qstep, maxval, block, gop).astype(
+        jnp.uint16
+    )
+
+
+@partial(jax.jit, static_argnames=("block", "gop"))
+def _transcode_device_mc(coeffs, mv, qs_in, qs_out, maxval, block, gop):
+    """Fused MC decode -> MV-reuse re-encode (pixels stay on device)."""
+    pixels = _decode_impl_mc(coeffs, mv, qs_in, maxval, block, gop)
+    return _reencode_with_mv(pixels, mv, qs_out, maxval, block, gop)
 
 
 @partial(jax.jit, static_argnames=("block", "gop"))
@@ -300,6 +462,22 @@ def _bucket_kmax(k: int, b2: int) -> int:
 # ===========================================================================
 # Host entropy coding (plane blobs)
 # ===========================================================================
+def _encode_mv_section(mv: np.ndarray, level: int) -> bytes:
+    z = zlib.compress(mv.astype(np.uint8).tobytes(), level)
+    return b"M" + struct.pack("<I", len(z)) + z
+
+
+def _split_mv_section(blob: bytes, f: int, nby: int, nbx: int):
+    """-> (mv (F, nby, nbx) int32 or None, coefficient blob)."""
+    if blob[:1] != b"M":
+        return None, blob
+    (zlen,) = struct.unpack_from("<I", blob, 1)
+    mv = np.frombuffer(
+        zlib.decompress(blob[5 : 5 + zlen]), np.uint8
+    ).reshape(f, nby, nbx).astype(np.int32)
+    return mv, blob[5 + zlen :]
+
+
 def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
     """Device coefficient tensor -> entropy blob via the frequency slab:
     only zigzag frequencies [0, kmax) carry energy and only they cross the
@@ -419,6 +597,8 @@ class RbvParams:
     gop_size: int = 2
     lossless: bool = False
     zlib_level: int = 6
+    # motion-compensated P frames (block search on device, flags bit 1)
+    motion: bool = False
 
 
 def _plane_dims(width: int, height: int, fmt: ColorFormat) -> list[tuple[int, int]]:
@@ -436,7 +616,8 @@ def _pack_header(params_tuple) -> bytes:
 def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
     """Encode a Video -> (payload bytes, closed-loop reconstruction)."""
     f = video.frame_count
-    flags = 1 if params.lossless else 0
+    use_mc = params.motion and not params.lossless and params.gop_size > 1
+    flags = (1 if params.lossless else 0) | (2 if use_mc else 0)
     header = _HEADER.pack(
         _MAGIC, 2, flags, video.width, video.height, video.bitdepth,
         int(video.format), f, params.block_size, params.gop_size,
@@ -473,10 +654,19 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
                 padded = np.concatenate(
                     [padded, np.repeat(padded[-1:], fpad, axis=0)], axis=0
                 )
-            q, rec = _encode_device(
-                jnp.asarray(padded), qstep, jnp.float32(maxval), b, gop
-            )
-            blobs.append(_encode_coeff_blob(q[:f], params.zlib_level))
+            if use_mc:
+                q, mv, rec = _encode_device_mc(
+                    jnp.asarray(padded), qstep, jnp.float32(maxval), b, gop
+                )
+                blobs.append(
+                    _encode_mv_section(np.asarray(mv)[:f], params.zlib_level)
+                    + _encode_coeff_blob(q[:f], params.zlib_level)
+                )
+            else:
+                q, rec = _encode_device(
+                    jnp.asarray(padded), qstep, jnp.float32(maxval), b, gop
+                )
+                blobs.append(_encode_coeff_blob(q[:f], params.zlib_level))
             rec = np.asarray(rec)[: f, :orig_h, :orig_w]
             recon_planes.append(rec.astype(p.dtype))
 
@@ -516,6 +706,7 @@ def decode(payload: bytes) -> Video:
     )
     fmt = ColorFormat(chroma)
     lossless = bool(flags & 1)
+    use_mc = bool(flags & 2)
     dims = _plane_dims(width, height, fmt)
     dtype = np.uint8 if bitdepth <= 8 else np.uint16
     maxval = float((1 << bitdepth) - 1)
@@ -538,14 +729,27 @@ def decode(payload: bytes) -> Video:
             ph = h + ((-h) % block)
             pw = w + ((-w) % block)
             fp = f + ((-f) % gop)
-            q = _decode_coeff_blob(blob, f, ph // block, pw // block, block)
+            mv, cblob = _split_mv_section(
+                blob, f, ph // block, pw // block
+            )
+            q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
             if fp != f:
                 q = jnp.concatenate(
                     [q, jnp.repeat(q[-1:], fp - f, axis=0)], axis=0
                 )
-            rec = _decode_device(
-                q, jnp.float32(qstep_of(qp)), jnp.float32(maxval), block, gop
-            )
+            if use_mc and mv is not None:
+                mvp = np.concatenate(
+                    [mv, np.repeat(mv[-1:], fp - f, axis=0)], axis=0
+                ) if fp != f else mv
+                rec = _decode_device_mc(
+                    q, jnp.asarray(mvp), jnp.float32(qstep_of(qp)),
+                    jnp.float32(maxval), block, gop,
+                )
+            else:
+                rec = _decode_device(
+                    q, jnp.float32(qstep_of(qp)), jnp.float32(maxval),
+                    block, gop,
+                )
             planes.append(np.asarray(rec)[: f, :h, :w].astype(dtype))
     return Video(width, height, bitdepth, fmt, planes)
 
@@ -573,9 +777,15 @@ def requantize(payload: bytes, new_qp: int, zlib_level: int = 6) -> bytes:
     for (h, w), blob in zip(dims, _iter_blobs(payload, len(dims))):
         ph = h + ((-h) % block)
         pw = w + ((-w) % block)
-        q = _decode_coeff_blob(blob, f, ph // block, pw // block, block)
+        mv_section = b""
+        cblob = blob
+        if flags & 2:
+            mv, cblob = _split_mv_section(blob, f, ph // block, pw // block)
+            if mv is not None:
+                mv_section = _encode_mv_section(mv, zlib_level)
+        q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
         q2 = _requant_device(q, qs_old, qs_new)
-        new_blob = _encode_coeff_blob(q2, zlib_level)
+        new_blob = mv_section + _encode_coeff_blob(q2, zlib_level)
         out.extend(struct.pack("<I", len(new_blob)))
         out.extend(new_blob)
     return bytes(out)
@@ -596,7 +806,9 @@ def transcode_payload(
     )
     if flags & 1:
         return payload
-    gop_out = new_gop or gop
+    use_mc = bool(flags & 2)
+    # MC streams keep their GOP structure (motion vectors are bound to it)
+    gop_out = gop if use_mc else (new_gop or gop)
     header = _HEADER.pack(
         _MAGIC, 2, flags, width, height, bitdepth, chroma, f, block, gop_out,
         new_qp, 0,
@@ -609,13 +821,32 @@ def transcode_payload(
     # phase 1: dispatch every plane's device program (async — the device
     # pipeline runs ahead while the host does entropy in phase 2)
     q2s = []
+    mv_sections = []
     for (h, w), blob in zip(dims, _iter_blobs(payload, len(dims))):
         ph = h + ((-h) % block)
         pw = w + ((-w) % block)
-        q = _decode_coeff_blob(blob, f, ph // block, pw // block, block)
+        mv = None
+        cblob = blob
+        if use_mc:
+            mv, cblob = _split_mv_section(blob, f, ph // block, pw // block)
+        q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
         fp_in = f + ((-f) % gop)
         if fp_in != f:
             q = jnp.concatenate([q, jnp.repeat(q[-1:], fp_in - f, axis=0)], axis=0)
+        if use_mc and mv is not None:
+            mvp = (
+                np.concatenate([mv, np.repeat(mv[-1:], fp_in - f, axis=0)])
+                if fp_in != f
+                else mv
+            )
+            mv_sections.append(_encode_mv_section(mv, zlib_level))
+            q2s.append(
+                _transcode_device_mc(
+                    q, jnp.asarray(mvp), qs_in, qs_out, maxval, block, gop
+                )[:f]
+            )
+            continue
+        mv_sections.append(b"")
         fp_out = fp_in + ((-fp_in) % gop_out)
         if fp_out != fp_in:
             q = jnp.concatenate([q, jnp.repeat(q[-1:], fp_out - fp_in, axis=0)],
@@ -640,9 +871,10 @@ def transcode_payload(
     out = bytearray(header)
     with cf.ThreadPoolExecutor(max_workers=max(1, len(q2s))) as ex:
         blobs = list(ex.map(lambda q2: _encode_coeff_blob(q2, zlib_level), q2s))
-    for new_blob in blobs:
-        out.extend(struct.pack("<I", len(new_blob)))
-        out.extend(new_blob)
+    for mv_section, new_blob in zip(mv_sections, blobs):
+        full = mv_section + new_blob
+        out.extend(struct.pack("<I", len(full)))
+        out.extend(full)
     return bytes(out)
 
 
