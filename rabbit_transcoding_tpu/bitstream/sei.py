@@ -241,7 +241,375 @@ class SeiOccupancySynthesis(Sei):
         return s
 
 
+@dataclasses.dataclass
+class SeiUserDataUnregistered(Sei):
+    payload_type: int = SeiPayloadType.USER_DATA_UNREGISTERED
+    uuid: bytes = b"\x00" * 16
+    user_data: bytes = b""
+
+    def payload_bytes(self) -> bytes:
+        return self.uuid + self.user_data
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiUserDataUnregistered":
+        return cls(uuid=payload[:16], user_data=payload[16:])
+
+
+@dataclasses.dataclass
+class SeiRecoveryPoint(Sei):
+    payload_type: int = SeiPayloadType.RECOVERY_POINT
+    rp_recovery_afoc_cnt: int = 0
+    rp_exact_match_flag: bool = True
+    rp_broken_link_flag: bool = False
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.se(self.rp_recovery_afoc_cnt)
+        bw.u(1, self.rp_exact_match_flag)
+        bw.u(1, self.rp_broken_link_flag)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiRecoveryPoint":
+        br = BitReader(payload)
+        return cls(
+            rp_recovery_afoc_cnt=br.se(),
+            rp_exact_match_flag=bool(br.u(1)),
+            rp_broken_link_flag=bool(br.u(1)),
+        )
+
+
+@dataclasses.dataclass
+class SeiNoReconstruction(Sei):
+    payload_type: int = SeiPayloadType.NO_RECONSTRUCTION
+
+    def payload_bytes(self) -> bytes:
+        return b""
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiNoReconstruction":
+        return cls()
+
+
+@dataclasses.dataclass
+class SeiTimeCode(Sei):
+    payload_type: int = SeiPayloadType.TIME_CODE
+    tc_hours: int = 0
+    tc_minutes: int = 0
+    tc_seconds: int = 0
+    tc_n_frames: int = 0
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(5, self.tc_hours)
+        bw.u(6, self.tc_minutes)
+        bw.u(6, self.tc_seconds)
+        bw.u(9, self.tc_n_frames)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiTimeCode":
+        br = BitReader(payload)
+        return cls(
+            tc_hours=br.u(5), tc_minutes=br.u(6), tc_seconds=br.u(6),
+            tc_n_frames=br.u(9),
+        )
+
+
+@dataclasses.dataclass
+class SeiActiveSubBitstreams(Sei):
+    payload_type: int = SeiPayloadType.ACTIVE_SUB_BITSTREAMS
+    asb_active_attributes_changes_flag: bool = False
+    asb_active_maps_changes_flag: bool = False
+    asb_auxiliary_substreams_active_flag: bool = False
+    asb_active_attribute_idx: list[int] = field(default_factory=list)
+    asb_active_map_idx: list[int] = field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(1, self.asb_active_attributes_changes_flag)
+        bw.u(1, self.asb_active_maps_changes_flag)
+        bw.u(1, self.asb_auxiliary_substreams_active_flag)
+        if self.asb_active_attributes_changes_flag:
+            bw.u(7, len(self.asb_active_attribute_idx))
+            for i in self.asb_active_attribute_idx:
+                bw.u(7, i)
+        if self.asb_active_maps_changes_flag:
+            bw.u(4, len(self.asb_active_map_idx))
+            for i in self.asb_active_map_idx:
+                bw.u(4, i)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiActiveSubBitstreams":
+        br = BitReader(payload)
+        s = cls()
+        s.asb_active_attributes_changes_flag = bool(br.u(1))
+        s.asb_active_maps_changes_flag = bool(br.u(1))
+        s.asb_auxiliary_substreams_active_flag = bool(br.u(1))
+        if s.asb_active_attributes_changes_flag:
+            n = br.u(7)
+            s.asb_active_attribute_idx = [br.u(7) for _ in range(n)]
+        if s.asb_active_maps_changes_flag:
+            n = br.u(4)
+            s.asb_active_map_idx = [br.u(4) for _ in range(n)]
+        return s
+
+
+@dataclasses.dataclass
+class SeiObjectLabelInformation(Sei):
+    payload_type: int = SeiPayloadType.OBJECT_LABEL_INFORMATION
+    oli_cancel_flag: bool = False
+    oli_labels: list[tuple[int, str]] = field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(1, self.oli_cancel_flag)
+        if not self.oli_cancel_flag:
+            bw.ue(len(self.oli_labels))
+            for idx, label in self.oli_labels:
+                bw.ue(idx)
+                raw = label.encode("utf-8")
+                bw.ue(len(raw))
+                for b in raw:
+                    bw.u(8, b)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiObjectLabelInformation":
+        br = BitReader(payload)
+        s = cls()
+        s.oli_cancel_flag = bool(br.u(1))
+        if not s.oli_cancel_flag:
+            n = br.ue()
+            for _ in range(n):
+                idx = br.ue()
+                ln = br.ue()
+                label = bytes(br.u(8) for _ in range(ln)).decode("utf-8")
+                s.oli_labels.append((idx, label))
+        return s
+
+
+@dataclasses.dataclass
+class SeiVolumetricRectangleInformation(Sei):
+    payload_type: int = SeiPayloadType.VOLUMETRIC_RECTANGLE_INFORMATION
+    # list of (rect_id, x, y, w, h, object_idx)
+    rectangles: list[tuple[int, int, int, int, int, int]] = field(
+        default_factory=list
+    )
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.ue(len(self.rectangles))
+        for rid, x, y, w, h, obj in self.rectangles:
+            bw.ue(rid)
+            bw.ue(x)
+            bw.ue(y)
+            bw.ue(w)
+            bw.ue(h)
+            bw.ue(obj)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiVolumetricRectangleInformation":
+        br = BitReader(payload)
+        s = cls()
+        n = br.ue()
+        for _ in range(n):
+            s.rectangles.append(
+                (br.ue(), br.ue(), br.ue(), br.ue(), br.ue(), br.ue())
+            )
+        return s
+
+
+@dataclasses.dataclass
+class SeiViewportCameraParameters(Sei):
+    payload_type: int = SeiPayloadType.VIEWPORT_CAMERA_PARAMETERS
+    vcp_camera_id: int = 0
+    vcp_cancel_flag: bool = False
+    vcp_camera_type: int = 0       # 0 equirect, 1 perspective, 2 ortho
+    vcp_fov_milli_deg: int = 60000
+    vcp_aspect_milli: int = 1778
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(10, self.vcp_camera_id)
+        bw.u(1, self.vcp_cancel_flag)
+        if not self.vcp_cancel_flag:
+            bw.u(3, self.vcp_camera_type)
+            bw.u(32, self.vcp_fov_milli_deg)
+            bw.u(32, self.vcp_aspect_milli)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiViewportCameraParameters":
+        br = BitReader(payload)
+        s = cls()
+        s.vcp_camera_id = br.u(10)
+        s.vcp_cancel_flag = bool(br.u(1))
+        if not s.vcp_cancel_flag:
+            s.vcp_camera_type = br.u(3)
+            s.vcp_fov_milli_deg = br.u(32)
+            s.vcp_aspect_milli = br.u(32)
+        return s
+
+
+@dataclasses.dataclass
+class SeiViewportPosition(Sei):
+    payload_type: int = SeiPayloadType.VIEWPORT_POSITION
+    vp_viewport_id: int = 0
+    vp_camera_attached_flag: bool = False
+    vp_position: tuple[int, int, int] = (0, 0, 0)
+    vp_rotation_qxyz: tuple[int, int, int] = (0, 0, 0)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.ue(self.vp_viewport_id)
+        bw.u(1, self.vp_camera_attached_flag)
+        for c in self.vp_position:
+            bw.se(c)
+        for c in self.vp_rotation_qxyz:
+            bw.se(c)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiViewportPosition":
+        br = BitReader(payload)
+        s = cls()
+        s.vp_viewport_id = br.ue()
+        s.vp_camera_attached_flag = bool(br.u(1))
+        s.vp_position = (br.se(), br.se(), br.se())
+        s.vp_rotation_qxyz = (br.se(), br.se(), br.se())
+        return s
+
+
+@dataclasses.dataclass
+class SeiAttributeTransformationParams(Sei):
+    payload_type: int = SeiPayloadType.ATTRIBUTE_TRANSFORMATION_PARAMS
+    atp_cancel_flag: bool = False
+    # (attribute_idx, dimension, scale_q16, offset)
+    atp_params: list[tuple[int, int, int, int]] = field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(1, self.atp_cancel_flag)
+        if not self.atp_cancel_flag:
+            bw.ue(len(self.atp_params))
+            for ai, dim, scale, off in self.atp_params:
+                bw.u(7, ai)
+                bw.u(6, dim)
+                bw.u(32, scale)
+                bw.se(off)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiAttributeTransformationParams":
+        br = BitReader(payload)
+        s = cls()
+        s.atp_cancel_flag = bool(br.u(1))
+        if not s.atp_cancel_flag:
+            n = br.ue()
+            for _ in range(n):
+                s.atp_params.append((br.u(7), br.u(6), br.u(32), br.se()))
+        return s
+
+
+@dataclasses.dataclass
+class SeiSceneObjectInformation(Sei):
+    payload_type: int = SeiPayloadType.SCENE_OBJECT_INFORMATION
+    soi_cancel_flag: bool = False
+    # (object_idx, cancel, label_idx, (bx, by, bz, dx, dy, dz) or None)
+    objects: list[tuple[int, bool, int, tuple | None]] = field(
+        default_factory=list
+    )
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(1, self.soi_cancel_flag)
+        if not self.soi_cancel_flag:
+            bw.ue(len(self.objects))
+            for idx, cancel, label, bbox in self.objects:
+                bw.ue(idx)
+                bw.u(1, cancel)
+                if not cancel:
+                    bw.ue(label)
+                    bw.u(1, bbox is not None)
+                    if bbox is not None:
+                        for c in bbox:
+                            bw.ue(c)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiSceneObjectInformation":
+        br = BitReader(payload)
+        s = cls()
+        s.soi_cancel_flag = bool(br.u(1))
+        if not s.soi_cancel_flag:
+            n = br.ue()
+            for _ in range(n):
+                idx = br.ue()
+                cancel = bool(br.u(1))
+                label = 0
+                bbox = None
+                if not cancel:
+                    label = br.ue()
+                    if br.u(1):
+                        bbox = tuple(br.ue() for _ in range(6))
+                s.objects.append((idx, cancel, label, bbox))
+        return s
+
+
+@dataclasses.dataclass
+class SeiManifest(Sei):
+    payload_type: int = SeiPayloadType.SEI_MANIFEST
+    # (sei_payload_type, description: 0 unknown/1 mandatory/2 optional)
+    entries: list[tuple[int, int]] = field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(16, len(self.entries))
+        for pt, desc in self.entries:
+            bw.u(16, pt)
+            bw.u(8, desc)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiManifest":
+        br = BitReader(payload)
+        s = cls()
+        n = br.u(16)
+        for _ in range(n):
+            s.entries.append((br.u(16), br.u(8)))
+        return s
+
+
 _SEI_CLASSES: dict[int, type[Sei]] = {
+    SeiPayloadType.USER_DATA_UNREGISTERED: SeiUserDataUnregistered,
+    SeiPayloadType.RECOVERY_POINT: SeiRecoveryPoint,
+    SeiPayloadType.NO_RECONSTRUCTION: SeiNoReconstruction,
+    SeiPayloadType.TIME_CODE: SeiTimeCode,
+    SeiPayloadType.ACTIVE_SUB_BITSTREAMS: SeiActiveSubBitstreams,
+    SeiPayloadType.OBJECT_LABEL_INFORMATION: SeiObjectLabelInformation,
+    SeiPayloadType.VOLUMETRIC_RECTANGLE_INFORMATION: (
+        SeiVolumetricRectangleInformation
+    ),
+    SeiPayloadType.VIEWPORT_CAMERA_PARAMETERS: SeiViewportCameraParameters,
+    SeiPayloadType.VIEWPORT_POSITION: SeiViewportPosition,
+    SeiPayloadType.ATTRIBUTE_TRANSFORMATION_PARAMS: (
+        SeiAttributeTransformationParams
+    ),
+    SeiPayloadType.SCENE_OBJECT_INFORMATION: SeiSceneObjectInformation,
+    SeiPayloadType.SEI_MANIFEST: SeiManifest,
     SeiPayloadType.DECODED_ATLAS_INFORMATION_HASH: SeiDecodedAtlasInformationHash,
     SeiPayloadType.COMPONENT_CODEC_MAPPING: SeiComponentCodecMapping,
     SeiPayloadType.GEOMETRY_SMOOTHING: SeiGeometrySmoothing,

@@ -327,3 +327,55 @@ class TestFullStream:
         writer.write(units)
         assert writer.stat.sizes[V3CUnitType.V3C_AVD] > 0
         assert writer.stat.total() > 0
+
+
+class TestExtendedSei:
+    def test_all_typed_seis_roundtrip(self):
+        from rabbit_transcoding_tpu.bitstream import sei as sei_mod
+
+        seis_in = [
+            sei_mod.SeiUserDataUnregistered(uuid=bytes(range(16)),
+                                            user_data=b"hello"),
+            sei_mod.SeiRecoveryPoint(rp_recovery_afoc_cnt=-2),
+            sei_mod.SeiNoReconstruction(),
+            sei_mod.SeiTimeCode(tc_hours=12, tc_minutes=34, tc_seconds=56,
+                                tc_n_frames=7),
+            sei_mod.SeiActiveSubBitstreams(
+                asb_active_attributes_changes_flag=True,
+                asb_active_attribute_idx=[0, 1],
+            ),
+            sei_mod.SeiObjectLabelInformation(
+                oli_labels=[(0, "person"), (3, "chair")]
+            ),
+            sei_mod.SeiVolumetricRectangleInformation(
+                rectangles=[(0, 1, 2, 100, 200, 5)]
+            ),
+            sei_mod.SeiViewportCameraParameters(vcp_camera_id=7,
+                                                vcp_camera_type=1),
+            sei_mod.SeiViewportPosition(vp_viewport_id=1,
+                                        vp_position=(10, -20, 30)),
+            sei_mod.SeiAttributeTransformationParams(
+                atp_params=[(0, 2, 65536, -5)]
+            ),
+            sei_mod.SeiSceneObjectInformation(
+                objects=[(0, False, 2, (1, 2, 3, 10, 20, 30)),
+                         (1, True, 0, None)]
+            ),
+            sei_mod.SeiManifest(entries=[(21, 1), (66, 2)]),
+        ]
+        bw = BitWriter()
+        sei_mod.write_sei_rbsp(bw, seis_in)
+        seis_out = sei_mod.read_sei_rbsp(BitReader(bw.data()), prefix=True)
+        assert len(seis_out) == len(seis_in)
+        for a, b in zip(seis_in, seis_out):
+            assert type(a) is type(b), (type(a), type(b))
+        assert seis_out[0].user_data == b"hello"
+        assert seis_out[1].rp_recovery_afoc_cnt == -2
+        assert seis_out[3].tc_minutes == 34
+        assert seis_out[4].asb_active_attribute_idx == [0, 1]
+        assert seis_out[5].oli_labels == [(0, "person"), (3, "chair")]
+        assert seis_out[6].rectangles == [(0, 1, 2, 100, 200, 5)]
+        assert seis_out[8].vp_position == (10, -20, 30)
+        assert seis_out[9].atp_params == [(0, 2, 65536, -5)]
+        assert seis_out[10].objects[0][3] == (1, 2, 3, 10, 20, 30)
+        assert seis_out[11].entries == [(21, 1), (66, 2)]
