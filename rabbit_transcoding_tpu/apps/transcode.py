@@ -21,12 +21,23 @@ from .common import build_registry, parse_or_help
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     params = TranscoderParameters()
-    reg = build_registry(params)
+    reg = build_registry(
+        params,
+        extra={"profile": ("", "write a JAX profiler trace to this directory")},
+    )
     if parse_or_help(reg, argv, params, "rabbit-transcode") is None:
         return 0
     if not params.compressedStreamPath:
         print("error: --compressedStreamPath is required", file=sys.stderr)
         return 1
+
+    profile_dir = reg["profile"]
+    profiler_cm = None
+    if profile_dir:
+        import jax
+
+        profiler_cm = jax.profiler.trace(profile_dir)
+        profiler_cm.__enter__()
 
     sw = Stopwatch()
     sw.start()
@@ -49,6 +60,9 @@ def main(argv=None) -> int:
         print(f"GOF {gof_idx}: {context.atlas_count} atlas(es) transcoded")
     n = writer.write_file(out_units, params.outStreamPath)
     sw.stop()
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {profile_dir}")
 
     print(f"output: {params.outStreamPath} ({n} bytes)")
     print(transcoder.timer.report())

@@ -79,6 +79,70 @@ def parse_sps(rbsp: bytes) -> dict:
     }
 
 
+# --- AVC (H.264) probe ------------------------------------------------------
+AVC_NAL_SPS = 7
+
+_AVC_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+                      134, 135}
+
+
+def parse_avc_sps(rbsp: bytes) -> dict:
+    """AVC SPS (H.264 §7.3.2.1.1) -> stream params (frame-coded streams)."""
+    br = BitReader(rbsp)
+    profile_idc = br.u(8)
+    br.u(8)   # constraint flags + reserved
+    br.u(8)   # level_idc
+    br.ue()   # seq_parameter_set_id
+    chroma_format_idc = 1
+    bit_depth_luma = 8
+    if profile_idc in _AVC_HIGH_PROFILES:
+        chroma_format_idc = br.ue()
+        if chroma_format_idc == 3:
+            br.u(1)  # separate_colour_plane_flag
+        bit_depth_luma = br.ue() + 8
+        br.ue()      # bit_depth_chroma_minus8
+        br.u(1)      # qpprime_y_zero_transform_bypass_flag
+        if br.u(1):  # seq_scaling_matrix_present_flag
+            raise ValueError("scaling matrices unsupported in probe")
+    br.ue()  # log2_max_frame_num_minus4
+    pic_order_cnt_type = br.ue()
+    if pic_order_cnt_type == 0:
+        br.ue()
+    elif pic_order_cnt_type == 1:
+        br.u(1)
+        br.se()
+        br.se()
+        for _ in range(br.ue()):
+            br.se()
+    br.ue()  # max_num_ref_frames
+    br.u(1)  # gaps_in_frame_num_value_allowed_flag
+    width_mbs = br.ue() + 1
+    height_units = br.ue() + 1
+    frame_mbs_only = br.u(1)
+    width = width_mbs * 16
+    height = height_units * 16 * (1 if frame_mbs_only else 2)
+    return {
+        "width": width,
+        "height": height,
+        "bitdepth": bit_depth_luma,
+        "chroma_format_idc": chroma_format_idc,
+    }
+
+
+def probe_avc(data: bytes) -> dict | None:
+    """Annex-B AVC elementary stream -> params from the first SPS, or None."""
+    for nal in split_annexb(data):
+        if len(nal) < 2:
+            continue
+        if (nal[0] & 0x1F) == AVC_NAL_SPS:
+            rbsp = _strip_emulation_prevention(nal[1:])
+            try:
+                return parse_avc_sps(rbsp)
+            except (EOFError, ValueError):
+                return None
+    return None
+
+
 def probe_hevc(data: bytes) -> dict | None:
     """Annex-B HEVC elementary stream -> params from the first SPS, or None."""
     for nal in split_annexb(data):

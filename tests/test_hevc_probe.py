@@ -62,3 +62,46 @@ class TestHevcProbe:
         assert _strip_emulation_prevention(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
         assert _strip_emulation_prevention(b"\x00\x00\x03\x03") == b"\x00\x00\x03"
         assert _strip_emulation_prevention(b"\x01\x02\x03") == b"\x01\x02\x03"
+
+
+def build_avc_sps_rbsp(width_mbs=80, height_mbs=45, profile=100, bitdepth=8):
+    bw = BitWriter()
+    bw.u(8, profile)
+    bw.u(8, 0)           # constraints
+    bw.u(8, 41)          # level
+    bw.ue(0)             # sps id
+    if profile == 100:
+        bw.ue(1)         # chroma_format_idc 4:2:0
+        bw.ue(bitdepth - 8)
+        bw.ue(bitdepth - 8)
+        bw.u(1, 0)       # transform bypass
+        bw.u(1, 0)       # scaling matrix
+    bw.ue(4)             # log2_max_frame_num_minus4
+    bw.ue(2)             # pic_order_cnt_type (no extra fields)
+    bw.ue(4)             # max_num_ref_frames
+    bw.u(1, 0)
+    bw.ue(width_mbs - 1)
+    bw.ue(height_mbs - 1)
+    bw.u(1, 1)           # frame_mbs_only
+    bw.zero_align()
+    return bw.data()
+
+
+class TestAvcProbe:
+    def test_probe_avc_sps(self):
+        from rabbit_transcoding_tpu.video.hevc_probe import probe_avc
+
+        rbsp = build_avc_sps_rbsp(80, 45)  # 1280x720
+        data = b"\x00\x00\x00\x01" + bytes([0x67]) + rbsp
+        info = probe_avc(data)
+        assert info is not None
+        assert info["width"] == 1280 and info["height"] == 720
+        assert info["bitdepth"] == 8
+
+    def test_probe_avc_baseline(self):
+        from rabbit_transcoding_tpu.video.hevc_probe import probe_avc
+
+        rbsp = build_avc_sps_rbsp(40, 30, profile=66)  # 640x480 baseline
+        data = b"\x00\x00\x00\x01" + bytes([0x67]) + rbsp
+        info = probe_avc(data)
+        assert info["width"] == 640 and info["height"] == 480
