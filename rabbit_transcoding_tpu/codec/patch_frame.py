@@ -23,21 +23,35 @@ from ..core.patch import Patch
 from ..utils.enums import AtlasTileType, PatchOrientation, PatchType
 
 
-def _axes_of(projection_id: int) -> tuple[int, int, int, int]:
-    """projection id (0..5) -> (normal, tangent, bitangent, projection_mode).
+def _axes_of(projection_id: int) -> tuple[int, int, int, int, int]:
+    """projection id -> (normal, tangent, bitangent, projection_mode,
+    rotation_axis).
 
-    The six canonical V-PCC projection planes: ids 0/1/2 project onto the
-    min-X/Y/Z planes (mode 0), ids 3/4/5 onto max planes (mode 1)."""
-    axis = projection_id % 3
-    mode = 0 if projection_id < 3 else 1
-    if axis == 0:
-        return 0, 2, 1, mode
-    if axis == 1:
-        return 1, 2, 0, mode
-    return 2, 0, 1, mode
+    Ids 0..5: the six canonical V-PCC projection planes (min-X/Y/Z mode 0,
+    max planes mode 1).  Ids 6..9 (asps_extended_projection): the four
+    45-degree-about-Y planes; their axes live in the rotated space
+    r = (x+z, y, z-x+offset) and rotation_axis = 2 flags the inverse
+    rotation at reconstruction."""
+    if projection_id < 6:
+        axis = projection_id % 3
+        mode = 0 if projection_id < 3 else 1
+        if axis == 0:
+            return 0, 2, 1, mode, 0
+        if axis == 1:
+            return 1, 2, 0, mode, 0
+        return 2, 0, 1, mode, 0
+    k = projection_id - 6
+    mode = 0 if k < 2 else 1
+    if k % 2 == 0:   # normal along rotated-x
+        return 0, 2, 1, mode, 2
+    return 2, 0, 1, mode, 2
 
 
-def projection_id_of(normal_axis: int, projection_mode: int) -> int:
+def projection_id_of(
+    normal_axis: int, projection_mode: int, rotation_axis: int = 0
+) -> int:
+    if rotation_axis == 2:
+        return 6 + (0 if normal_axis == 0 else 1) + (2 if projection_mode else 0)
     return normal_axis + (3 if projection_mode else 0)
 
 
@@ -112,7 +126,10 @@ def decode_tile_patches(
         du = pid.data
         idx = len(patches)
         if isinstance(du, PatchDataUnit):
-            p = _intra_patch(du, idx, ppbs, qx, qy, min_d_shift)
+            # rotated-space coords need one extra bit; offset = half the
+            # rotated range (2^(geom3d bitdepth - 1))
+            rot_off = 1 << asps.asps_geometry_3d_bitdepth_minus1
+            p = _intra_patch(du, idx, ppbs, qx, qy, min_d_shift, rot_off)
             # intra positions are tile-relative; refs of inter/merge/skip
             # patches are already atlas-global, so only intra shifts
             p.u0 += tile_origin[0] // ppbs
@@ -174,9 +191,10 @@ def decode_tile_patches(
 
 
 def _intra_patch(
-    du: PatchDataUnit, idx: int, ppbs: int, qx: int, qy: int, min_d_shift: int
+    du: PatchDataUnit, idx: int, ppbs: int, qx: int, qy: int, min_d_shift: int,
+    rot_offset: int = 1024,
 ) -> Patch:
-    normal, tangent, bitangent, mode = _axes_of(du.pdu_projection_id)
+    normal, tangent, bitangent, mode, rot = _axes_of(du.pdu_projection_id)
     size_u = (du.pdu_2d_size_x_minus1 + 1) * qx
     size_v = (du.pdu_2d_size_y_minus1 + 1) * qy
     return Patch(
@@ -201,6 +219,8 @@ def _intra_patch(
         lod_y=du.pdu_lod_scale_y_idc + 1 if du.pdu_lod_enabled_flag else 1,
         patch_type=PatchType.INTRA,
         plr_mode=du.plrd_mode,
+        rotation_axis=rot,
+        rot_offset=rot_offset,
     )
 
 

@@ -49,6 +49,12 @@ class Patch:
     patch_type: PatchType = PatchType.INTRA
     # point-local-reconstruction mode (0 = none; 1 = fill D0+1), single-map
     plr_mode: int = 0
+    # 45-degree extended projection: 0 = none, 2 = rotated about Y.
+    # Rotated space r = (x+z, y, z-x+rot_offset) — an EXACT integer bijection
+    # (u+w is always even), so inverse rotation loses nothing on clean data
+    # and rounds half-units under geometry quantisation error.
+    rotation_axis: int = 0
+    rot_offset: int = 1024
     # inter prediction bookkeeping
     ref_index: int = -1
     best_match_idx: int = -1
@@ -129,11 +135,13 @@ class Patch:
     # ------------------------------------------------------------------
     def generate_point(self, u, v, depth):
         """Patch coords + depth -> 3D point (vectorised).
-        Behavioural parity with PCCPatch::generatePoint (PCCPatch.h:201)."""
+        Behavioural parity with PCCPatch::generatePoint (PCCPatch.h:201);
+        45-degree patches compute in rotated space then inverse-rotate
+        (inverseRotatePosition45DegreeOnAxis analog, PCCCodec.cpp:2503)."""
         u = np.asarray(u)
         v = np.asarray(v)
         depth = np.asarray(depth)
-        pts = np.zeros(np.broadcast(u, v, depth).shape + (3,), np.int32)
+        pts = np.zeros(np.broadcast(u, v, depth).shape + (3,), np.int64)
         if self.projection_mode == 0:
             d = self.d1 + depth
         else:
@@ -141,7 +149,13 @@ class Patch:
         pts[..., self.normal_axis] = d
         pts[..., self.tangent_axis] = self.u1 + u * self.lod_x
         pts[..., self.bitangent_axis] = self.v1 + v * self.lod_y
-        return pts
+        if self.rotation_axis == 2:
+            rx = pts[..., 0]
+            rz = pts[..., 2] - self.rot_offset
+            x = (rx - rz + 1) >> 1
+            z = (rx + rz + 1) >> 1
+            pts = np.stack([x, pts[..., 1], z], axis=-1)
+        return pts.astype(np.int32)
 
     def canvas_to_3d(self, x, y, depth):
         """Canvas pixel + depth -> 3D point (PCCPatch::canvasTo3D analog)."""
@@ -187,6 +201,8 @@ class Patch:
                 int(self.orientation),
                 self.lod_x,
                 self.lod_y,
+                self.rotation_axis,
+                self.rot_offset,
             ],
             np.int32,
         )
@@ -197,4 +213,5 @@ PATCH_FIELDS = (
     "x0", "y0", "w", "h", "u1", "v1", "d1",
     "normal_axis", "tangent_axis", "bitangent_axis",
     "projection_mode", "orientation", "lod_x", "lod_y",
+    "rotation_axis", "rot_offset",
 )

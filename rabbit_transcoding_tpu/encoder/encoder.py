@@ -75,6 +75,8 @@ class Encoder:
             ),
             surface_thickness=p.surfaceThickness,
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
+            additional_projection_planes=p.additionalProjectionPlaneMode > 0,
+            rot_offset=1 << p.geometry3dCoordinatesBitdepth,
         )
 
         if p.enhancedOccupancyMapCode and p.occupancyPrecision != 1:
@@ -595,10 +597,21 @@ class Encoder:
         context.vps_list.append(vps)
 
         atlas = context.atlas(0)
+        # rotated-space coordinates span one extra bit when 45-degree
+        # projections are active
+        geom3d_bits = p.geometry3dCoordinatesBitdepth + (
+            1 if p.additionalProjectionPlaneMode > 0 else 0
+        )
         asps = AtlasSequenceParameterSetRbsp(
             asps_frame_width=width,
             asps_frame_height=height,
-            asps_geometry_3d_bitdepth_minus1=p.geometry3dCoordinatesBitdepth - 1,
+            asps_geometry_3d_bitdepth_minus1=geom3d_bits - 1,
+            asps_extended_projection_enabled_flag=(
+                p.additionalProjectionPlaneMode > 0
+            ),
+            asps_max_number_projections_minus1=(
+                9 if p.additionalProjectionPlaneMode > 0 else 5
+            ),
             asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
             asps_patch_size_quantizer_present_flag=True,
             asps_map_count_minus1=p.mapCountMinus1,
@@ -711,7 +724,8 @@ class Encoder:
                             pdu_3d_offset_d=patch.d1,
                             pdu_3d_range_d=patch.size_d,
                             pdu_projection_id=projection_id_of(
-                                patch.normal_axis, patch.projection_mode
+                                patch.normal_axis, patch.projection_mode,
+                                patch.rotation_axis,
                             ),
                             pdu_orientation_index=int(patch.orientation),
                             plrd_mode=patch.plr_mode,

@@ -112,6 +112,7 @@ def match_patches(
             if (
                 c.patch.normal_axis != pr.patch.normal_axis
                 or c.patch.projection_mode != pr.patch.projection_mode
+                or c.patch.rotation_axis != pr.patch.rotation_axis
             ):
                 continue
             iou = _iou(c, pr)

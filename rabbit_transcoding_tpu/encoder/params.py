@@ -39,6 +39,8 @@ class EncoderParameters:
     # OI threshold (reference: lossyOccupancyMap + occupancyMapQP)
     lossyOccupancyMap: bool = False
     occupancyMapQP: int = 38
+    # 45-degree extended projection planes (reference name)
+    additionalProjectionPlaneMode: int = 0  # 0 off, 1 = rotate about Y
 
     # rate points
     geometryQP: int = 28

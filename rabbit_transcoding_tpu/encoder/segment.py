@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,14 +29,40 @@ from ..core.patch import Patch
 from ..utils.enums import PatchType
 from .normals import compute_normals, knn_indices
 
-# the 6 canonical projection directions (+X,+Y,+Z,-X,-Y,-Z), ppi order
-_DIRECTIONS = np.array(
+# the 6 canonical projection directions (+X,+Y,+Z,-X,-Y,-Z), ppi order;
+# ppi 6..9 are the 45-degree-about-Y diagonals (asps extended projection)
+_SQ2 = float(np.sqrt(0.5))
+_DIRECTIONS_6 = np.array(
     [
         [1, 0, 0], [0, 1, 0], [0, 0, 1],
         [-1, 0, 0], [0, -1, 0], [0, 0, -1],
     ],
     np.float32,
 )
+_DIRECTIONS_10 = np.concatenate(
+    [
+        _DIRECTIONS_6,
+        np.array(
+            [
+                [_SQ2, 0, _SQ2],    # ppi 6: rotated-x, mode 0
+                [-_SQ2, 0, _SQ2],   # ppi 7: rotated-z, mode 0
+                [-_SQ2, 0, -_SQ2],  # ppi 8: rotated-x, mode 1
+                [_SQ2, 0, -_SQ2],   # ppi 9: rotated-z, mode 1
+            ],
+            np.float32,
+        ),
+    ]
+)
+
+
+def rotate45_y(points: np.ndarray, offset: int) -> np.ndarray:
+    """Exact integer rotation about Y: (x, y, z) -> (x+z, y, z-x+offset)."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    return np.stack(
+        [x.astype(np.int64) + z, y.astype(np.int64),
+         z.astype(np.int64) - x + offset],
+        axis=1,
+    )
 
 
 @dataclasses.dataclass
@@ -53,6 +81,9 @@ class SegmenterParams:
     # KNN edges longer than this do not connect components (a kNN graph
     # otherwise links arbitrarily distant clutter into one bogus patch)
     max_cc_edge_distance: float = 5.0
+    # 45-degree extended projection planes (additionalProjectionPlaneMode)
+    additional_projection_planes: bool = False
+    rot_offset: int = 1024
 
 
 @dataclasses.dataclass
@@ -67,26 +98,30 @@ class SegmentedPatch:
     eom: np.ndarray | None = None  # (size_u, size_v) uint8 between-layer bits
 
 
-@jax.jit
-def _ppi_scores(normals: jax.Array) -> jax.Array:
-    return jnp.einsum("nc,dc->nd", normals, jnp.asarray(_DIRECTIONS))
+@partial(jax.jit, static_argnames=("extended",))
+def _ppi_scores(normals: jax.Array, extended: bool = False) -> jax.Array:
+    dirs = _DIRECTIONS_10 if extended else _DIRECTIONS_6
+    return jnp.einsum("nc,dc->nd", normals, jnp.asarray(dirs))
 
 
 @jax.jit
 def _refine_step(
     ppi: jax.Array, scores: jax.Array, nbr_idx: jax.Array, lam_over_k: jax.Array
 ) -> jax.Array:
+    ndirs = scores.shape[1]
     nbr_ppi = ppi[nbr_idx]                                  # (N, k)
-    one_hot = jax.nn.one_hot(nbr_ppi, 6, dtype=jnp.float32)  # (N, k, 6)
-    smooth = one_hot.sum(axis=1)                            # (N, 6)
+    one_hot = jax.nn.one_hot(nbr_ppi, ndirs, dtype=jnp.float32)
+    smooth = one_hot.sum(axis=1)                            # (N, ndirs)
     return jnp.argmax(scores + lam_over_k * smooth, axis=1).astype(jnp.int32)
 
 
-def initial_segmentation(normals: np.ndarray) -> np.ndarray:
+def initial_segmentation(
+    normals: np.ndarray, extended: bool = False
+) -> np.ndarray:
     """PPI = argmax normal . direction (PCCPatchSegmenter3::initialSegmentation)."""
-    return np.asarray(jnp.argmax(_ppi_scores(jnp.asarray(normals)), axis=1)).astype(
-        np.int32
-    )
+    return np.asarray(
+        jnp.argmax(_ppi_scores(jnp.asarray(normals), extended), axis=1)
+    ).astype(np.int32)
 
 
 def refine_segmentation(
@@ -96,7 +131,9 @@ def refine_segmentation(
     params: SegmenterParams,
 ) -> np.ndarray:
     """Iterative KNN smoothing of the PPI partition (refineSegmentation)."""
-    scores = _ppi_scores(jnp.asarray(normals))
+    scores = _ppi_scores(
+        jnp.asarray(normals), params.additional_projection_planes
+    )
     p = jnp.asarray(ppi)
     idx = jnp.asarray(nbr_idx[:, : params.max_nn_count_refine_segmentation])
     lam_over_k = jnp.float32(params.lambda_refine_segmentation / idx.shape[1])
@@ -183,8 +220,11 @@ def _build_patch(
     params: SegmenterParams,
     patch_index: int,
 ) -> SegmentedPatch | None:
-    normal, tangent, bitangent, mode = _axes_of(ppi)
-    pts = points[idx]
+    normal, tangent, bitangent, mode, rot = _axes_of(ppi)
+    if rot == 2:
+        pts = rotate45_y(points[idx], params.rot_offset)
+    else:
+        pts = points[idx]
     u = pts[:, tangent]
     v = pts[:, bitangent]
     d = pts[:, normal]
@@ -234,6 +274,8 @@ def _build_patch(
 
     patch = Patch(
         index=patch_index,
+        rotation_axis=rot,
+        rot_offset=params.rot_offset,
         size_u=size_u,
         size_v=size_v,
         size_u0=(size_u + 15) // 16,
@@ -269,6 +311,6 @@ def segment_frame(
         points, k=params.nn_normal_estimation,
         nbr_idx=nbr[:, : params.nn_normal_estimation],
     )
-    ppi = initial_segmentation(normals)
+    ppi = initial_segmentation(normals, params.additional_projection_planes)
     ppi = refine_segmentation(normals, ppi, nbr, params)
     return segment_patches(points, ppi, nbr, params)

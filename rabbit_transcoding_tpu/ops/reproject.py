@@ -31,11 +31,12 @@ import numpy as np
 
 from ..core.patch import Patch
 
-PATCH_TABLE_FIELDS = 16
+PATCH_TABLE_FIELDS = 18
 
 (
     F_CX0, F_CY0, F_CW, F_CH, F_W, F_H, F_U1, F_V1, F_D1,
     F_NORMAL, F_TANGENT, F_BITANGENT, F_PROJ_MODE, F_ORIENT, F_LODX, F_LODY,
+    F_ROT, F_ROT_OFFSET,
 ) = range(PATCH_TABLE_FIELDS)
 
 
@@ -57,6 +58,7 @@ def build_patch_table(
                 p.u1, p.v1, p.d1,
                 p.normal_axis, p.tangent_axis, p.bitangent_axis,
                 p.projection_mode, int(p.orientation), p.lod_x, p.lod_y,
+                p.rotation_axis, p.rot_offset,
             ]
     return table, counts
 
@@ -154,6 +156,17 @@ def reproject(
         b_oh = params[..., F_BITANGENT, None] == axes
         pts = (
             d[..., None] * n_oh + tang[..., None] * t_oh + bitang[..., None] * b_oh
+        )
+        # 45-degree patches: coordinates are in rotated-about-Y space; apply
+        # the exact integer inverse rotation (x,z) = ((rx-rz')/2, (rx+rz')/2)
+        is_rot = params[..., F_ROT] == 2
+        rz_c = pts[..., 2] - params[..., F_ROT_OFFSET]
+        rot_x = (pts[..., 0] - rz_c + 1) >> 1
+        rot_z = (pts[..., 0] + rz_c + 1) >> 1
+        pts = jnp.where(
+            is_rot[..., None],
+            jnp.stack([rot_x, pts[..., 1], rot_z], axis=-1),
+            pts,
         )
         return pts.reshape(h * w, 3), valid.reshape(h * w)
 

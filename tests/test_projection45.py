@@ -1,0 +1,86 @@
+"""45-degree extended projection planes (additionalProjectionPlaneMode)."""
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+from rabbit_transcoding_tpu.codec.patch_frame import decode_patch_frames
+from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+from rabbit_transcoding_tpu.core.patch import Patch
+from rabbit_transcoding_tpu.core.pointset import PointSet
+from rabbit_transcoding_tpu.decoder.decoder import Decoder
+from rabbit_transcoding_tpu.encoder.encoder import Encoder
+from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+from rabbit_transcoding_tpu.encoder.segment import rotate45_y
+
+
+def diagonal_wall_cloud():
+    """A wall at 45 degrees to the X/Z axes — the case diagonal planes fix."""
+    g = np.mgrid[10:80, 10:80].reshape(2, -1).T  # (s, y)
+    s, y = g[:, 0], g[:, 1]
+    # wall along the x=z diagonal with small ripple thickness
+    pts = []
+    for dz in range(2):
+        x = s
+        z = s + dz
+        pts.append(np.column_stack([x, y, z]))
+    pos = np.concatenate(pts).astype(np.int32)
+    colors = np.clip(
+        np.stack([pos[:, 0] * 3, pos[:, 1] * 3, 128 + pos[:, 2]], 1), 0, 255
+    ).astype(np.uint8)
+    return PointSet(positions=pos, colors=colors).remove_duplicates()
+
+
+class TestRotation:
+    def test_rotation_exact_inverse(self):
+        rng = np.random.default_rng(0)
+        pts = rng.integers(0, 1024, (1000, 3)).astype(np.int32)
+        rot = rotate45_y(pts, 1024)
+        p = Patch(rotation_axis=2, rot_offset=1024)
+        # inverse via generate_point identity path: feed rotated coords as
+        # (tangent=rx? ...) — test the raw formulas instead
+        rx, ry, rz = rot[:, 0], rot[:, 1], rot[:, 2]
+        rzc = rz - 1024
+        x = (rx - rzc + 1) >> 1
+        z = (rx + rzc + 1) >> 1
+        np.testing.assert_array_equal(x, pts[:, 0])
+        np.testing.assert_array_equal(z, pts[:, 2])
+        np.testing.assert_array_equal(ry, pts[:, 1])
+
+
+class TestProjection45:
+    def _roundtrip(self, mode):
+        src = diagonal_wall_cloud()
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=4, attributeQP=8, occupancyPrecision=2,
+            flagGeometrySmoothing=False, constrainedPack=False,
+            additionalProjectionPlaneMode=mode, useRawPointsPatch=False,
+        ))
+        ctx, recon = enc.encode(GroupOfFrames([src]))
+        w = V3CWriter()
+        data = w.write(w.encode(ctx))
+        ctx2 = V3CReader().decode(V3CReader().read(data)[0])
+        return src, ctx2, Decoder().decode(ctx2)[0], recon[0]
+
+    def test_diagonal_patches_used_and_quality(self):
+        src, ctx, dec, recon = self._roundtrip(mode=1)
+        asps = ctx.atlas(0).asps_list[0]
+        assert asps.asps_extended_projection_enabled_flag
+        patches = decode_patch_frames(ctx.atlas(0))[0]
+        assert any(p.rotation_axis == 2 for p in patches), (
+            "no 45-degree patches on a diagonal wall"
+        )
+        d = cKDTree(dec.positions).query(src.positions, k=1)[0]
+        assert np.mean(d ** 2) < 1.0, np.mean(d ** 2)
+
+    def test_45_beats_canonical_on_diagonal_wall(self):
+        src, _, dec_45, _ = self._roundtrip(mode=1)
+        _, _, dec_06, _ = self._roundtrip(mode=0)
+        d45 = cKDTree(dec_45.positions).query(src.positions, k=1)[0]
+        d06 = cKDTree(dec_06.positions).query(src.positions, k=1)[0]
+        assert np.mean(d45 ** 2) <= np.mean(d06 ** 2) + 1e-9
+
+    def test_closed_loop_with_45(self):
+        src, ctx, dec, recon = self._roundtrip(mode=1)
+        assert dec.compute_checksum() == recon.compute_checksum()

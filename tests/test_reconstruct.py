@@ -73,9 +73,16 @@ class TestColorOps:
 class TestAxes:
     def test_axes_projection_roundtrip(self):
         for pid in range(6):
-            n, t, b, mode = _axes_of(pid)
+            n, t, b, mode, rot = _axes_of(pid)
             assert {n, t, b} == {0, 1, 2}
+            assert rot == 0
             assert projection_id_of(n, mode) == pid
+
+    def test_extended_axes_roundtrip(self):
+        for pid in range(6, 10):
+            n, t, b, mode, rot = _axes_of(pid)
+            assert rot == 2 and {n, t, b} == {0, 1, 2}
+            assert projection_id_of(n, mode, rot) == pid
 
 
 def synthesize_atlas(patches, width=256, height=256, seed=0):
