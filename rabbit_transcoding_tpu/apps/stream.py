@@ -39,6 +39,9 @@ from .common import build_registry, parse_or_help
 class StreamParams(TranscoderParameters):
     resume: bool = False
     onError: str = "abort"   # abort | skip
+    # GOFs in flight: >1 overlaps host entropy of one GOF with device
+    # compute of the next (GOFs are independent; writes stay ordered)
+    pipelineDepth: int = 2
 
 
 def _params_key(params: StreamParams) -> str:
@@ -83,25 +86,35 @@ def transcode_stream(path_in: str, path_out: str, params: StreamParams) -> dict:
     transcoder = Transcoder(params)
     failures = []
     t0 = time.perf_counter()
+
+    def process(gi: int) -> bytes | None:
+        context = reader.decode(gofs[gi])
+        for atlas in list(context.atlases):
+            transcoder.transcode(context, atlas.atlas_id)
+        writer = V3CWriter()
+        return write_sample_stream_units(writer.encode(context), 4)
+
+    depth = max(1, params.pipelineDepth)
     with open(path_out, mode) as out_f:
         if mode == "wb":
             # one sample-stream header per FILE; GOFs append units only
             out_f.write(sample_stream_header(4))
-        for gi in range(done, len(gofs)):
-            try:
-                context = reader.decode(gofs[gi])
-                for atlas in list(context.atlases):
-                    transcoder.transcode(context, atlas.atlas_id)
-                writer = V3CWriter()
-                blob = write_sample_stream_units(writer.encode(context), 4)
-                out_f.write(blob)
-                out_f.flush()
-            except Exception as e:  # per-GOF failure containment
-                if params.onError == "abort":
-                    raise
-                failures.append({"gof": gi, "error": repr(e)})
-                print(f"{path_in} GOF {gi}: skipped ({e})", file=sys.stderr)
-            done = gi + 1
+        with cf.ThreadPoolExecutor(max_workers=depth) as ex:
+            futures = {
+                gi: ex.submit(process, gi) for gi in range(done, len(gofs))
+            }
+            for gi in range(done, len(gofs)):
+                try:
+                    blob = futures[gi].result()
+                    out_f.write(blob)
+                    out_f.flush()
+                except Exception as e:  # per-GOF failure containment
+                    if params.onError == "abort":
+                        raise
+                    failures.append({"gof": gi, "error": repr(e)})
+                    print(f"{path_in} GOF {gi}: skipped ({e})",
+                          file=sys.stderr)
+                done = gi + 1
             json.dump(
                 {
                     "input": path_in,

@@ -46,7 +46,7 @@ from ..utils.enums import (
 )
 from ..utils.timing import StageTimer
 from .matching import align_matched_patch, match_patches
-from .packing import pack_patches, pack_patches_consistent
+from .packing import pack_gof_global, pack_patches, pack_patches_consistent
 from .params import EncoderParameters
 from .rasterize import rasterize_frame
 from .segment import SegmenterParams, segment_frame
@@ -107,7 +107,50 @@ class Encoder:
             use_inter = p.constrainedPack and p.tileCount <= 1 and len(
                 frame_segs
             ) > 1
-            if p.tileCount <= 1:
+            if use_inter and p.globalPatchAllocation:
+                # GPA: match+align every adjacent pair, then pack the whole
+                # GOF on one chain-owned grid; finally impose decode order
+                # and remap reference indices through the permutations
+                for fi in range(1, len(frame_segs)):
+                    match_patches(frame_segs[fi - 1], frame_segs[fi])
+                    for seg in frame_segs[fi]:
+                        ri = seg.patch.best_match_idx
+                        if ri >= 0:
+                            align_matched_patch(
+                                seg, frame_segs[fi - 1][ri],
+                                max_depth=(
+                                    (1 << p.geometryNominal2dBitdepth) - 1
+                                ),
+                            )
+                height = pack_gof_global(
+                    frame_segs, width, max(p.minimumImageHeight, 64),
+                    block=p.occupancyResolution,
+                    try_orientations=p.packingTryOrientations,
+                )
+                height = -(-height // 64) * 64
+                tile_band = height
+                prev_perm = list(range(len(frame_segs[0])))
+                for fi in range(1, len(frame_segs)):
+                    segs = frame_segs[fi]
+                    old_to_new = {old: new for new, old in
+                                  enumerate(prev_perm)}
+                    for seg in segs:
+                        ri = seg.patch.best_match_idx
+                        if ri >= 0:
+                            seg.patch.best_match_idx = old_to_new[ri]
+                    order = sorted(
+                        range(len(segs)),
+                        key=lambda i: (
+                            (0, segs[i].patch.best_match_idx)
+                            if segs[i].patch.best_match_idx >= 0
+                            else (1, i)
+                        ),
+                    )
+                    frame_segs[fi] = [segs[i] for i in order]
+                    prev_perm = order
+                    for i2, seg in enumerate(frame_segs[fi]):
+                        seg.patch.index = i2
+            elif p.tileCount <= 1:
                 height = p.minimumImageHeight
                 for fi, segs in enumerate(frame_segs):
                     if use_inter and fi > 0:
@@ -153,6 +196,7 @@ class Encoder:
                             segs, width, max(height, 64),
                             block=p.occupancyResolution,
                             try_orientations=p.packingTryOrientations,
+                            tetris=p.packingStrategy == 1,
                         )
                     height = max(height, h)
                 height = -(-height // 64) * 64
@@ -174,6 +218,7 @@ class Encoder:
                                 group, width, 64,
                                 block=p.occupancyResolution,
                                 try_orientations=p.packingTryOrientations,
+                                tetris=p.packingStrategy == 1,
                             )
                             band = max(band, h)
                 band = -(-band // 64) * 64

@@ -66,6 +66,11 @@ class EncoderParameters:
     # temporally consistent packing + inter patch coding (reference:
     # constrainedPack / spatialConsistencyPackFlexible)
     constrainedPack: bool = True
+    # one packing grid for the whole GOF; matched chains own their blocks
+    # (reference: globalPatchAllocation / performDataAdaptiveGPAMethod)
+    globalPatchAllocation: bool = False
+    # packTetris-style lowest-skyline placement instead of first-fit
+    packingStrategy: int = 0  # 0 = flexible/first-fit, 1 = tetris
 
     # reconstruction / attribute
     removeDuplicatePoints: bool = True

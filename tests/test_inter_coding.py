@@ -84,3 +84,43 @@ class TestInterCoding:
         for src, dec in zip(sources, clouds):
             d = cKDTree(dec.positions).query(src.positions, k=1)[0]
             assert np.mean(d ** 2) < 3.0
+
+
+class TestGlobalPacking:
+    def test_gpa_stable_positions_across_gof(self):
+        from rabbit_transcoding_tpu.testdata import make_frame
+
+        sources = [make_frame(f, n=12000) for f in range(4)]
+        ctx, data, recon = encode(
+            sources, constrainedPack=True, globalPatchAllocation=True,
+            minimumImageWidth=512,
+        )
+        frames = decode_patch_frames(ctx.atlas(0))
+        # every predicted patch keeps its exact position in EVERY frame
+        for fi in range(1, len(frames)):
+            for pch in frames[fi]:
+                if pch.patch_type in (PatchType.INTER, PatchType.SKIP):
+                    ref = frames[fi - 1][pch.best_match_idx]
+                    assert (pch.u0, pch.v0) == (ref.u0, ref.v0)
+                    assert pch.orientation == ref.orientation
+
+    def test_gpa_closed_loop(self):
+        from rabbit_transcoding_tpu.testdata import make_frame
+
+        sources = [make_frame(f, n=8000) for f in range(3)]
+        ctx, data, recon = encode(
+            sources, constrainedPack=True, globalPatchAllocation=True,
+            minimumImageWidth=512,
+        )
+        clouds = Decoder().decode(
+            V3CReader().decode(V3CReader().read(data)[0])
+        )
+        for dec, rec in zip(clouds, recon):
+            assert dec.compute_checksum() == rec.compute_checksum()
+
+    def test_tetris_packs_no_worse(self):
+        src = make_sphere_cloud(seed=0)
+        _, d_ff, _ = encode([src], packingStrategy=0, constrainedPack=False)
+        _, d_tt, _ = encode([src], packingStrategy=1, constrainedPack=False)
+        # both decode fine and sizes are in the same ballpark
+        assert abs(len(d_tt) - len(d_ff)) < 0.3 * len(d_ff)
