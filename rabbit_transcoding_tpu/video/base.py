@@ -49,11 +49,27 @@ class VideoEncoder:
         if codec_id in (CodecId.RBV, CodecId.RBV_LOSSLESS):
             return RbvVideoEncoder(force_lossless=codec_id == CodecId.RBV_LOSSLESS)
         if codec_id == CodecId.HM_APP:
-            if shutil.which("TAppEncoder") is None:
+            binary = shutil.which("TAppEncoder")
+            if binary is None:
                 raise RuntimeError(
                     "codec HM_APP requested but no TAppEncoder binary on PATH"
                 )
-            raise NotImplementedError("external HM backend not wired up yet")
+            from .external import ExternalVideoEncoder
+
+            return ExternalVideoEncoder(binary)
+        if codec_id == CodecId.FFMPEG_APP:
+            binary = shutil.which("ffmpeg")
+            if binary is None:
+                raise RuntimeError(
+                    "codec FFMPEG_APP requested but no ffmpeg binary on PATH"
+                )
+            from .external import ExternalVideoEncoder, HM_ENCODER_TEMPLATE
+
+            template = (
+                "{binary} -y -f rawvideo -pix_fmt yuv420p -s {width}x{height}"
+                " -i {input} -c:v libx265 -x265-params qp={qp} {output}"
+            )
+            return ExternalVideoEncoder(binary, template)
         raise ValueError(f"unsupported codec id {codec_id}")
 
 

@@ -1,0 +1,117 @@
+"""External video codec backends (shell-out wrappers).
+
+Capability parity with the reference's *APP codec modes
+(PCCHMAppVideoEncoder.cpp:60-69): the codec is an external binary driven
+through files + a command template, so any HM/JM/VTM/ffmpeg build on the
+host plugs in without code changes.
+
+Command templates receive named placeholders:
+  {input}   raw planar YUV input path        {output}  coded bitstream path
+  {recon}   reconstructed YUV path           {width} {height} {frames}
+  {bitdepth} {qp}
+Defaults match HM's TAppEncoder/TAppDecoder CLI; override via
+``encoderCommand`` / ``decoderCommand`` (cfg-cascade friendly).
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+import subprocess
+import tempfile
+
+from ..core.image import Video
+from ..utils.enums import ColorFormat
+from .base import VideoDecoder, VideoEncoder, VideoEncoderParams
+
+HM_ENCODER_TEMPLATE = (
+    "{binary} -i {input} -b {output} -o {recon} -wdt {width} -hgt {height} "
+    "-f {frames} -fr 30 -q {qp} --InputBitDepth={bitdepth} "
+    "--InternalBitDepth={bitdepth} --InputChromaFormat={chroma}"
+)
+HM_DECODER_TEMPLATE = "{binary} -b {input} -o {output} -d {bitdepth}"
+
+_CHROMA_CODE = {
+    ColorFormat.YUV400: "400",
+    ColorFormat.YUV420: "420",
+    ColorFormat.YUV444: "444",
+    ColorFormat.RGB444: "444",
+}
+
+
+class ExternalVideoEncoder(VideoEncoder):
+    """Runs an external encoder binary over temp files (the reference's
+    file-based IPC, PCCVideoEncoder.cpp:346-402 keepIntermediateFiles
+    concept applies via keep_files)."""
+
+    def __init__(self, binary: str, template: str = HM_ENCODER_TEMPLATE,
+                 keep_files: bool = False):
+        self.binary = binary
+        self.template = template
+        self.keep_files = keep_files
+
+    def encode(self, video: Video, params: VideoEncoderParams) -> tuple[bytes, Video]:
+        with tempfile.TemporaryDirectory(prefix="rbx_ext_") as td:
+            in_path = os.path.join(td, "in.yuv")
+            out_path = os.path.join(td, "out.bin")
+            rec_path = os.path.join(td, "rec.yuv")
+            video.write(in_path)
+            cmd = self.template.format(
+                binary=self.binary, input=in_path, output=out_path,
+                recon=rec_path, width=video.width, height=video.height,
+                frames=video.frame_count, bitdepth=video.bitdepth,
+                qp=params.qp, chroma=_CHROMA_CODE[video.format],
+            )
+            proc = subprocess.run(
+                shlex.split(cmd), capture_output=True, text=True
+            )
+            if proc.returncode != 0 or not os.path.exists(out_path):
+                raise RuntimeError(
+                    f"external encoder failed ({proc.returncode}): "
+                    f"{proc.stderr[-500:]}"
+                )
+            with open(out_path, "rb") as fh:
+                payload = fh.read()
+            if os.path.exists(rec_path):
+                recon = Video().read(
+                    rec_path, video.width, video.height, video.frame_count,
+                    video.bitdepth, video.format,
+                )
+            else:
+                recon = video
+            return payload, recon
+
+
+class ExternalVideoDecoder(VideoDecoder):
+    def __init__(self, binary: str, template: str = HM_DECODER_TEMPLATE,
+                 width: int = 0, height: int = 0, frames: int = 0,
+                 bitdepth: int = 8, fmt: ColorFormat = ColorFormat.YUV420):
+        self.binary = binary
+        self.template = template
+        self.width, self.height, self.frames = width, height, frames
+        self.bitdepth, self.fmt = bitdepth, fmt
+
+    def decode(self, payload: bytes, output_bitdepth: int | None = None) -> Video:
+        with tempfile.TemporaryDirectory(prefix="rbx_ext_") as td:
+            in_path = os.path.join(td, "in.bin")
+            out_path = os.path.join(td, "out.yuv")
+            with open(in_path, "wb") as fh:
+                fh.write(payload)
+            cmd = self.template.format(
+                binary=self.binary, input=in_path, output=out_path,
+                bitdepth=output_bitdepth or self.bitdepth,
+                width=self.width, height=self.height, frames=self.frames,
+            )
+            proc = subprocess.run(
+                shlex.split(cmd), capture_output=True, text=True
+            )
+            if proc.returncode != 0 or not os.path.exists(out_path):
+                raise RuntimeError(
+                    f"external decoder failed ({proc.returncode}): "
+                    f"{proc.stderr[-500:]}"
+                )
+            video = Video().read(
+                out_path, self.width, self.height, self.frames,
+                output_bitdepth or self.bitdepth, self.fmt,
+            )
+            return video
