@@ -818,11 +818,15 @@ def transcode_payload(
     qs_out = jnp.float32(qstep_of(new_qp))
     maxval = jnp.float32((1 << bitdepth) - 1)
 
-    # phase 1: dispatch every plane's device program (async — the device
-    # pipeline runs ahead while the host does entropy in phase 2)
-    q2s = []
-    mv_sections = []
-    for (h, w), blob in zip(dims, _iter_blobs(payload, len(dims))):
+    # per-plane tasks run in a thread pool: host entropy (inflate/deflate)
+    # overlaps across planes while the device queue serialises the compute;
+    # output order is preserved by ex.map
+    import concurrent.futures as cf
+
+    plane_blobs = list(_iter_blobs(payload, len(dims)))
+
+    def one_plane(args):
+        (h, w), blob = args
         ph = h + ((-h) % block)
         pw = w + ((-w) % block)
         mv = None
@@ -832,47 +836,42 @@ def transcode_payload(
         q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
         fp_in = f + ((-f) % gop)
         if fp_in != f:
-            q = jnp.concatenate([q, jnp.repeat(q[-1:], fp_in - f, axis=0)], axis=0)
+            q = jnp.concatenate(
+                [q, jnp.repeat(q[-1:], fp_in - f, axis=0)], axis=0
+            )
         if use_mc and mv is not None:
             mvp = (
                 np.concatenate([mv, np.repeat(mv[-1:], fp_in - f, axis=0)])
                 if fp_in != f
                 else mv
             )
-            mv_sections.append(_encode_mv_section(mv, zlib_level))
-            q2s.append(
-                _transcode_device_mc(
-                    q, jnp.asarray(mvp), qs_in, qs_out, maxval, block, gop
-                )[:f]
+            q2 = _transcode_device_mc(
+                q, jnp.asarray(mvp), qs_in, qs_out, maxval, block, gop
+            )[:f]
+            return _encode_mv_section(mv, zlib_level) + _encode_coeff_blob(
+                q2, zlib_level
             )
-            continue
-        mv_sections.append(b"")
         fp_out = fp_in + ((-fp_in) % gop_out)
         if fp_out != fp_in:
-            q = jnp.concatenate([q, jnp.repeat(q[-1:], fp_out - fp_in, axis=0)],
-                                axis=0)
+            q = jnp.concatenate(
+                [q, jnp.repeat(q[-1:], fp_out - fp_in, axis=0)], axis=0
+            )
         if _use_pallas() and gop_out == gop:
             from ..ops.pallas_transcode import transcode_coeffs_pallas
 
-            q2s.append(
-                transcode_coeffs_pallas(
-                    q, gop, float(qs_in), float(qs_out), float(maxval)
-                )[:f]
-            )
+            q2 = transcode_coeffs_pallas(
+                q, gop, float(qs_in), float(qs_out), float(maxval)
+            )[:f]
         else:
-            q2s.append(
-                _transcode_device(q, qs_in, qs_out, maxval, block, gop,
-                                  gop_out)[:f]
-            )
-
-    # phase 2: entropy-code the planes in parallel (zlib releases the GIL)
-    import concurrent.futures as cf
+            q2 = _transcode_device(
+                q, qs_in, qs_out, maxval, block, gop, gop_out
+            )[:f]
+        return _encode_coeff_blob(q2, zlib_level)
 
     out = bytearray(header)
-    with cf.ThreadPoolExecutor(max_workers=max(1, len(q2s))) as ex:
-        blobs = list(ex.map(lambda q2: _encode_coeff_blob(q2, zlib_level), q2s))
-    for mv_section, new_blob in zip(mv_sections, blobs):
-        full = mv_section + new_blob
+    with cf.ThreadPoolExecutor(max_workers=max(1, len(dims))) as ex:
+        blobs = list(ex.map(one_plane, zip(dims, plane_blobs)))
+    for full in blobs:
         out.extend(struct.pack("<I", len(full)))
         out.extend(full)
     return bytes(out)
