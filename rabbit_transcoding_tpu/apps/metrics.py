@@ -22,6 +22,7 @@ class MetricsAppParams:
     frameCount: int = 1
     resolution: int = 1023
     dropDuplicates: bool = True
+    csvFile: str = ""   # per-frame metric lines (PCCMetrics::writeLine analog)
 
 
 def main(argv=None) -> int:
@@ -63,6 +64,13 @@ def main(argv=None) -> int:
         print(m.print())
     print(f"--- average over {len(per_frame)} frames ---")
     print(summary.print())
+    if params.csvFile:
+        with open(params.csvFile, "w", encoding="utf-8") as f:
+            f.write("frame;d1_psnr;d2_psnr;hausdorff_psnr;y;u;v\n")
+            for i, m in enumerate(per_frame):
+                f.write(f"{params.startFrameNumber + i};{m.csv_line()}\n")
+            f.write(f"avg;{summary.csv_line()}\n")
+        print(f"csv written to {params.csvFile}")
     sw.stop()
     print_run_footer("rabbit-metrics", sw)
     return 0

@@ -23,7 +23,7 @@ from scipy.spatial import cKDTree
 def knn_indices(points: np.ndarray, k: int) -> np.ndarray:
     """(N, 3) -> (N, k) neighbor indices (self included as first column)."""
     tree = cKDTree(points)
-    _, idx = tree.query(points, k=min(k, len(points)))
+    _, idx = tree.query(points, k=min(k, len(points)), workers=-1)
     if idx.ndim == 1:
         idx = idx[:, None]
     if idx.shape[1] < k:  # tiny clouds: pad with self

@@ -142,30 +142,37 @@ def refine_segmentation(
     return np.asarray(p)
 
 
-def _connected_components(
+def _candidate_edges(
     nbr_idx: np.ndarray,
-    mask: np.ndarray,
     ppi: np.ndarray,
     points: np.ndarray,
     max_edge_dist: float,
-) -> tuple[np.ndarray, int]:
-    """Connected components of the KNN graph restricted to `mask` points with
-    equal PPI and edge length <= max_edge_dist.
-    Returns (labels (N,), n_components); labels -1 off-mask."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Static edge set (same-PPI, within max_edge_dist) computed ONCE per
+    frame; the missed-points loop only re-filters by its shrinking mask."""
     n, k = nbr_idx.shape
-    src = np.repeat(np.arange(n), k)
+    src = np.repeat(np.arange(n, dtype=np.int32), k)
     dst = nbr_idx.reshape(-1)
-    edge_d2 = np.sum(
-        (points[src].astype(np.int64) - points[dst].astype(np.int64)) ** 2,
-        axis=1,
+    diff = points[src].astype(np.int32) - points[dst].astype(np.int32)
+    edge_d2 = np.einsum("nc,nc->n", diff, diff)
+    keep = (ppi[src] == ppi[dst]) & (
+        edge_d2 <= int(max_edge_dist * max_edge_dist)
     )
-    keep = (
-        mask[src] & mask[dst] & (ppi[src] == ppi[dst])
-        & (edge_d2 <= max_edge_dist * max_edge_dist)
-    )
-    src, dst = src[keep], dst[keep]
+    return src[keep], dst[keep]
+
+
+def _connected_components(
+    src: np.ndarray,
+    dst: np.ndarray,
+    mask: np.ndarray,
+    n: int,
+) -> tuple[np.ndarray, int]:
+    """Connected components over the precomputed edge set restricted to
+    `mask`.  Returns (labels (N,), n_components); labels -1 off-mask."""
+    keep = mask[src] & mask[dst]
+    s2, d2 = src[keep], dst[keep]
     graph = sp.coo_matrix(
-        (np.ones(len(src), np.int8), (src, dst)), shape=(n, n)
+        (np.ones(len(s2), np.int8), (s2, d2)), shape=(n, n)
     ).tocsr()
     ncomp, labels = sp.csgraph.connected_components(graph, directed=False)
     labels = labels.copy()
@@ -187,18 +194,28 @@ def segment_patches(
     n = len(points)
     remaining = np.ones(n, bool)
     patches: list[SegmentedPatch] = []
+    edge_src, edge_dst = _candidate_edges(
+        nbr_idx, ppi, points, params.max_cc_edge_distance
+    )
 
     for _ in range(params.max_missed_point_iterations):
         if remaining.sum() < params.min_point_count_per_cc_patch_segmentation:
             break
         labels, ncomp = _connected_components(
-            nbr_idx, remaining, ppi, points, params.max_cc_edge_distance
+            edge_src, edge_dst, remaining, n
         )
         if ncomp == 0:
             break
+        # group point indices by component via one sort (the per-component
+        # nonzero() scan is O(ncomp * N) and ncomp can be ~N)
+        on_mask = labels >= 0
+        order = np.argsort(labels[on_mask], kind="stable")
+        pts_sorted = np.nonzero(on_mask)[0][order]
+        uniq, starts = np.unique(labels[pts_sorted], return_index=True)
+        bounds = np.append(starts, len(pts_sorted))
         made_progress = False
-        for c in range(ncomp):
-            idx = np.nonzero(labels == c)[0]
+        for ci in range(len(uniq)):
+            idx = pts_sorted[bounds[ci] : bounds[ci + 1]]
             if len(idx) < params.min_point_count_per_cc_patch_segmentation:
                 continue
             seg = _build_patch(points, idx, int(ppi[idx[0]]), params, len(patches))

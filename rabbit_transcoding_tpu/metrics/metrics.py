@@ -71,7 +71,7 @@ def _geom_psnr(mse: float, resolution: int) -> float:
 def _one_direction(a: PointSet, b: PointSet, b_normals: np.ndarray | None):
     """A->B errors: (d1 sq dists, d2 sq plane dists, nn indices in B)."""
     tree = cKDTree(b.positions)
-    dist, idx = tree.query(a.positions, k=1)
+    dist, idx = tree.query(a.positions, k=1, workers=-1)
     d1 = dist ** 2
     if b_normals is not None:
         err = a.positions.astype(np.float64) - b.positions[idx].astype(np.float64)

@@ -30,9 +30,9 @@ def transfer_colors(
         return np.zeros((0, 3), np.uint8)
     tree = cKDTree(src_points)
     if k == 1:
-        _, idx = tree.query(dst_points, k=1)
+        _, idx = tree.query(dst_points, k=1, workers=-1)
         return src_colors[idx]
-    dist, idx = tree.query(dst_points, k=min(k, len(src_points)))
+    dist, idx = tree.query(dst_points, k=min(k, len(src_points)), workers=-1)
     if idx.ndim == 1:
         return src_colors[idx]
     w = 1.0 / np.maximum(dist, 1e-9)
