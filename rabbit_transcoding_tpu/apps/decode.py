@@ -30,6 +30,7 @@ def main(argv=None) -> int:
             "resolution": (1023, "geometry PSNR peak resolution"),
             "nbThread": (0, "thread count (0 = auto)"),
             "trace": (False, "write dec_* conformance trace logs"),
+            "profile": ("", "write a JAX profiler trace to this directory"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-decode") is None:
@@ -37,6 +38,13 @@ def main(argv=None) -> int:
     if not params.compressedStreamPath:
         print("error: --compressedStreamPath is required", file=sys.stderr)
         return 1
+
+    profiler_cm = None
+    if reg["profile"]:
+        import jax
+
+        profiler_cm = jax.profiler.trace(reg["profile"])
+        profiler_cm.__enter__()
 
     sw = Stopwatch()
     sw.start()
@@ -87,6 +95,9 @@ def main(argv=None) -> int:
 
     if tracer is not None:
         tracer.close()
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {reg['profile']}")
     decoder.timer.write("timings_decoder.txt")
     print(decoder.timer.report())
     print_run_footer("rabbit-decode", sw)

@@ -28,6 +28,7 @@ def main(argv=None) -> int:
             "nbThread": (0, "thread count (0 = auto)"),
             "computeChecksum": (True, "record reconstruction checksums"),
             "trace": (False, "write enc_* conformance trace logs"),
+            "profile": ("", "write a JAX profiler trace to this directory"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-encode") is None:
@@ -38,6 +39,13 @@ def main(argv=None) -> int:
     template = os.path.join(
         reg["uncompressedDataFolder"], params.uncompressedDataPath
     )
+
+    profiler_cm = None
+    if reg["profile"]:
+        import jax
+
+        profiler_cm = jax.profiler.trace(reg["profile"])
+        profiler_cm.__enter__()
 
     sw = Stopwatch()
     sw.start()
@@ -77,6 +85,9 @@ def main(argv=None) -> int:
         gof_index += 1
     n = writer.write_file(units, params.compressedStreamPath)
     sw.stop()
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {reg['profile']}")
 
     print(f"output: {params.compressedStreamPath} ({n} bytes)")
     print(writer.stat.report())

@@ -115,6 +115,21 @@ class AtlasHLS:
             plr_mode_bits=max(
                 1, asps.asps_plr_number_of_modes_minus1.bit_length()
             ),
+            packing_block_size=(
+                1 << asps.asps_log2_patch_packing_block_size
+            ),
+            patch_size_x_quantizer=(
+                1 << ath.ath_patch_size_x_info_quantizer
+                if asps.asps_patch_size_quantizer_present_flag
+                and ath is not None
+                else 1 << asps.asps_log2_patch_packing_block_size
+            ),
+            patch_size_y_quantizer=(
+                1 << ath.ath_patch_size_y_info_quantizer
+                if asps.asps_patch_size_quantizer_present_flag
+                and ath is not None
+                else 1 << asps.asps_log2_patch_packing_block_size
+            ),
         )
 
 

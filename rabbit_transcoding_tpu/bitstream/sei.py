@@ -256,6 +256,157 @@ class SeiUserDataUnregistered(Sei):
 
 
 @dataclasses.dataclass
+class SeiFillerPayload(Sei):
+    """filler_payload (23090-5 F.2.5): ff_byte run, discarded semantics."""
+    payload_type: int = SeiPayloadType.FILLER_PAYLOAD
+    size: int = 0
+
+    def payload_bytes(self) -> bytes:
+        return b"\xff" * self.size
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiFillerPayload":
+        return cls(size=len(payload))
+
+
+@dataclasses.dataclass
+class SeiUserDataRegisteredItuTT35(Sei):
+    """user_data_registered_itu_t_t35 (23090-5 F.2.6)."""
+    payload_type: int = SeiPayloadType.USER_DATA_REGISTERED_ITUTT35
+    country_code: int = 0xB5
+    country_code_extension: int = 0      # only coded when country_code==0xFF
+    user_data: bytes = b""
+
+    def payload_bytes(self) -> bytes:
+        head = bytes([self.country_code])
+        if self.country_code == 0xFF:
+            head += bytes([self.country_code_extension])
+        return head + self.user_data
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiUserDataRegisteredItuTT35":
+        cc = payload[0] if payload else 0
+        if cc == 0xFF:
+            return cls(country_code=cc, country_code_extension=payload[1],
+                       user_data=payload[2:])
+        return cls(country_code=cc, user_data=payload[1:])
+
+
+@dataclasses.dataclass
+class SeiAtlasObjectInformation(Sei):
+    """atlas_object_information / aoi (23090-5 F.2.13): which tracked
+    objects appear in which atlases."""
+    payload_type: int = SeiPayloadType.ATLAS_OBJECT_INFORMATION
+    aoi_persistence_flag: bool = False
+    aoi_reset_flag: bool = False
+    aoi_num_atlases_minus1: int = 0
+    aoi_log2_max_object_idx_tracked_minus1: int = 0
+    # [(object_idx, [present_in_atlas_j ...])]
+    updates: list = dataclasses.field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(1, self.aoi_persistence_flag)
+        bw.u(1, self.aoi_reset_flag)
+        bw.u(6, self.aoi_num_atlases_minus1)
+        bw.ue(len(self.updates))
+        if self.updates:
+            bw.u(5, self.aoi_log2_max_object_idx_tracked_minus1)
+            obits = self.aoi_log2_max_object_idx_tracked_minus1 + 1
+            for obj_idx, present in self.updates:
+                bw.u(obits, obj_idx)
+                for j in range(self.aoi_num_atlases_minus1 + 1):
+                    bw.u(1, bool(present[j]))
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiAtlasObjectInformation":
+        br = BitReader(payload)
+        s = cls(
+            aoi_persistence_flag=bool(br.u(1)),
+            aoi_reset_flag=bool(br.u(1)),
+            aoi_num_atlases_minus1=br.u(6),
+        )
+        n = br.ue()
+        if n:
+            s.aoi_log2_max_object_idx_tracked_minus1 = br.u(5)
+            obits = s.aoi_log2_max_object_idx_tracked_minus1 + 1
+            for _ in range(n):
+                obj_idx = br.u(obits)
+                present = [
+                    bool(br.u(1))
+                    for _ in range(s.aoi_num_atlases_minus1 + 1)
+                ]
+                s.updates.append((obj_idx, present))
+        return s
+
+
+@dataclasses.dataclass
+class SeiPatchInformation(Sei):
+    """patch_information / pi (23090-5 F.2.15): per-tile patch->object
+    associations.  tiles: [(tile_id, cancel_flag, [(patch_idx, cancel,
+    [object_idx ...]) ...]) ...]."""
+    payload_type: int = SeiPayloadType.PATCH_INFORMATION
+    pi_persistence_flag: bool = False
+    pi_reset_flag: bool = False
+    pi_log2_max_object_idx_tracked_minus1: int = 0
+    pi_log2_max_patch_idx_updated_minus1: int = 0
+    tiles: list = dataclasses.field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(1, self.pi_persistence_flag)
+        bw.u(1, self.pi_reset_flag)
+        bw.ue(len(self.tiles))
+        if self.tiles:
+            bw.u(5, self.pi_log2_max_object_idx_tracked_minus1)
+            bw.u(4, self.pi_log2_max_patch_idx_updated_minus1)
+            obits = self.pi_log2_max_object_idx_tracked_minus1 + 1
+            pbits = self.pi_log2_max_patch_idx_updated_minus1 + 1
+            for tile_id, tile_cancel, patches in self.tiles:
+                bw.ue(tile_id)
+                bw.u(1, bool(tile_cancel))
+                bw.ue(len(patches))
+                for patch_idx, cancel, objects in patches:
+                    bw.u(pbits, patch_idx)
+                    bw.u(1, bool(cancel))
+                    if not cancel:
+                        bw.ue(len(objects) - 1)
+                        for o in objects:
+                            bw.u(obits, o)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiPatchInformation":
+        br = BitReader(payload)
+        s = cls(
+            pi_persistence_flag=bool(br.u(1)),
+            pi_reset_flag=bool(br.u(1)),
+        )
+        n_tiles = br.ue()
+        if n_tiles:
+            s.pi_log2_max_object_idx_tracked_minus1 = br.u(5)
+            s.pi_log2_max_patch_idx_updated_minus1 = br.u(4)
+            obits = s.pi_log2_max_object_idx_tracked_minus1 + 1
+            pbits = s.pi_log2_max_patch_idx_updated_minus1 + 1
+            for _ in range(n_tiles):
+                tile_id = br.ue()
+                tile_cancel = bool(br.u(1))
+                patches = []
+                for _ in range(br.ue()):
+                    patch_idx = br.u(pbits)
+                    cancel = bool(br.u(1))
+                    objects = []
+                    if not cancel:
+                        objects = [br.u(obits) for _ in range(br.ue() + 1)]
+                    patches.append((patch_idx, cancel, objects))
+                s.tiles.append((tile_id, tile_cancel, patches))
+        return s
+
+
+@dataclasses.dataclass
 class SeiRecoveryPoint(Sei):
     payload_type: int = SeiPayloadType.RECOVERY_POINT
     rp_recovery_afoc_cnt: int = 0
@@ -615,7 +766,14 @@ _SEI_CLASSES: dict[int, type[Sei]] = {
     SeiPayloadType.GEOMETRY_SMOOTHING: SeiGeometrySmoothing,
     SeiPayloadType.ATTRIBUTE_SMOOTHING: SeiAttributeSmoothing,
     SeiPayloadType.OCCUPANCY_SYNTHESIS: SeiOccupancySynthesis,
+    SeiPayloadType.FILLER_PAYLOAD: SeiFillerPayload,
+    SeiPayloadType.USER_DATA_REGISTERED_ITUTT35: SeiUserDataRegisteredItuTT35,
+    SeiPayloadType.ATLAS_OBJECT_INFORMATION: SeiAtlasObjectInformation,
+    SeiPayloadType.PATCH_INFORMATION: SeiPatchInformation,
 }
+# Not typed on purpose: BUFFERING_PERIOD / ATLAS_FRAME_TIMING /
+# SEI_PREFIX_INDICATION carry HRD timing whose bit widths depend on
+# out-of-band HRD context; they pass through byte-exact as RawSei.
 
 
 def write_sei_rbsp(bw: BitWriter, seis: list[Sei]) -> None:

@@ -533,6 +533,43 @@ class AtlasFrameParameterSetRbsp:
 # ===========================================================================
 # Patch data units
 # ===========================================================================
+def _write_plrd(bw, ctx, mode: int, block_modes) -> None:
+    """Point-local-reconstruction data (23090-5 8.3.7.9 plrd).
+
+    plrd_level_flag=0 -> one present flag + mode per packing block of the
+    patch (patch-local raster order); =1 -> a single patch-level mode.
+    Behavioural parity with TMC2's writePLRData
+    (/root/reference/source/lib/PccLibBitstreamWriter, plrd loop)."""
+    if block_modes is not None:
+        bw.u(1, 0)  # plrd_level_flag: block level
+        for m in block_modes:
+            bw.u(1, m > 0)
+            if m > 0:
+                bw.u(ctx.plr_mode_bits, m - 1)
+    else:
+        bw.u(1, 1)  # plrd_level_flag: patch level
+        bw.u(1, mode > 0)
+        if mode > 0:
+            bw.u(ctx.plr_mode_bits, mode - 1)
+
+
+def _read_plrd(br, ctx, size_x_minus1: int, size_y_minus1: int):
+    """-> (patch_mode, block_modes|None).  Block count is derived from the
+    coded 2D sizes exactly as patch_frame derives size_u0/size_v0."""
+    level = br.u(1)
+    if level == 1:
+        mode = br.u(ctx.plr_mode_bits) + 1 if br.u(1) else 0
+        return mode, None
+    ppbs = ctx.packing_block_size
+    bu = ((size_x_minus1 + 1) * ctx.patch_size_x_quantizer + ppbs - 1) // ppbs
+    bv = ((size_y_minus1 + 1) * ctx.patch_size_y_quantizer + ppbs - 1) // ppbs
+    block_modes = []
+    for _ in range(max(1, bu) * max(1, bv)):
+        block_modes.append(br.u(ctx.plr_mode_bits) + 1 if br.u(1) else 0)
+    mode = 1 if any(block_modes) else 0
+    return mode, block_modes
+
+
 @dataclasses.dataclass
 class PatchDataUnit:
     """Intra patch (pdu_*, 23090-5 8.3.7.3)."""
@@ -552,6 +589,10 @@ class PatchDataUnit:
     pdu_lod_scale_y_idc: int = 0
     # point-local-reconstruction data (patch level): 0 = none, m>0 = mode m
     plrd_mode: int = 0
+    # block-level PLR (plrd_level_flag=0): one mode per packing block of the
+    # patch, patch-local raster order (v-major), length = size_u0 * size_v0;
+    # 0 = off.  None -> patch-level signalling.
+    plrd_block_modes: list[int] | None = None
 
     def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
         bw.ue(self.pdu_2d_pos_x)
@@ -571,11 +612,7 @@ class PatchDataUnit:
                 bw.ue(self.pdu_lod_scale_x_minus1)
                 bw.ue(self.pdu_lod_scale_y_idc)
         if ctx.plr_enabled:
-            # plrd_level_flag=1 (patch level) + present flag + mode
-            bw.u(1, 1)
-            bw.u(1, self.plrd_mode > 0)
-            if self.plrd_mode > 0:
-                bw.u(ctx.plr_mode_bits, self.plrd_mode - 1)
+            _write_plrd(bw, ctx, self.plrd_mode, self.plrd_block_modes)
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "PatchDataUnit":
@@ -597,10 +634,10 @@ class PatchDataUnit:
                 s.pdu_lod_scale_x_minus1 = br.ue()
                 s.pdu_lod_scale_y_idc = br.ue()
         if ctx.plr_enabled:
-            level = br.u(1)
-            assert level == 1, "block-level PLR not implemented"
-            if br.u(1):
-                s.plrd_mode = br.u(ctx.plr_mode_bits) + 1
+            s.plrd_mode, s.plrd_block_modes = _read_plrd(
+                br, ctx,
+                s.pdu_2d_size_x_minus1, s.pdu_2d_size_y_minus1,
+            )
         return s
 
 
@@ -810,6 +847,10 @@ class SyntaxContext:
     raw_3d_offset_bits: int = 10
     plr_enabled: bool = False
     plr_mode_bits: int = 1
+    # block-level plrd sizing: coded-size -> packing-block conversion
+    packing_block_size: int = 16
+    patch_size_x_quantizer: int = 16  # pixels per coded size unit (qx)
+    patch_size_y_quantizer: int = 16
 
 
 # ===========================================================================

@@ -9,6 +9,8 @@ running-predictor reference indexing, plus raw/EOM patch bookkeeping.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..bitstream.hls import AtlasHLS
 from ..bitstream.syntax import (
     AtlasTileLayerRbsp,
@@ -197,6 +199,11 @@ def _intra_patch(
     normal, tangent, bitangent, mode, rot = _axes_of(du.pdu_projection_id)
     size_u = (du.pdu_2d_size_x_minus1 + 1) * qx
     size_v = (du.pdu_2d_size_y_minus1 + 1) * qy
+    blk = None
+    if du.plrd_block_modes is not None:
+        bu = (size_u + ppbs - 1) // ppbs
+        bv = (size_v + ppbs - 1) // ppbs
+        blk = np.asarray(du.plrd_block_modes, np.uint8).reshape(bv, bu)
     return Patch(
         index=idx,
         u0=du.pdu_2d_pos_x,
@@ -219,6 +226,7 @@ def _intra_patch(
         lod_y=du.pdu_lod_scale_y_idc + 1 if du.pdu_lod_enabled_flag else 1,
         patch_type=PatchType.INTRA,
         plr_mode=du.plrd_mode,
+        plr_block_modes=blk,
         rotation_axis=rot,
         rot_offset=rot_offset,
     )

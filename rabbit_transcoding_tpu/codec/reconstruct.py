@@ -48,6 +48,56 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def apply_block_plr(
+    plr_masks: np.ndarray,
+    patch_lists: list[list[Patch]],
+    h: int,
+    w: int,
+    owner: np.ndarray,
+) -> None:
+    """Refine patch-level PLR masks with block-level modes (plrd_level=0).
+
+    plr_masks is (F, H*W) bool, already ANDed with per-patch flags; for
+    patches carrying plr_block_modes, pixels whose PATCH-LOCAL packing block
+    has mode 0 are cleared in place.  owner is the (F, H*W) pixel-level
+    patch index (-1 = none) — patch bounding boxes may interleave, so only
+    pixels owned by the patch are touched.  Canvas pixels map to patch-local
+    coords via canvas_to_patch, so the block grid is orientation-free — used
+    identically by the decoder and the encoder's closed loop."""
+    from ..utils.enums import PatchOrientation
+
+    swapped = {
+        PatchOrientation.SWAP, PatchOrientation.ROT90,
+        PatchOrientation.ROT270, PatchOrientation.MROT90,
+    }
+    for fi, pl in enumerate(patch_lists):
+        frame_mask = plr_masks[fi].reshape(h, w)
+        frame_owner = owner[fi].reshape(h, w)
+        for pi, p in enumerate(pl):
+            if p.plr_block_modes is None or p.plr_mode == 0:
+                continue
+            res = p.occupancy_resolution
+            x0 = p.u0 * res
+            y0 = p.v0 * res
+            if p.orientation in swapped:
+                wc, hc = p.size_v_pix, p.size_u_pix
+            else:
+                wc, hc = p.size_u_pix, p.size_v_pix
+            wc = min(wc, w - x0)
+            hc = min(hc, h - y0)
+            if wc <= 0 or hc <= 0:
+                continue
+            yy, xx = np.mgrid[y0:y0 + hc, x0:x0 + wc]
+            u, v = p.canvas_to_patch(xx, yy)
+            bv, bu = p.plr_block_modes.shape
+            bi = np.clip(v // res, 0, bv - 1)
+            bj = np.clip(u // res, 0, bu - 1)
+            off = (p.plr_block_modes[bi, bj] == 0) & (
+                frame_owner[y0:y0 + hc, x0:x0 + wc] == pi
+            )
+            frame_mask[y0:y0 + hc, x0:x0 + wc] &= ~off
+
+
 class ReconstructionEngine:
     def __init__(self, params: GeneratePointCloudParameters | None = None):
         self.params = params or GeneratePointCloudParameters()
@@ -130,6 +180,11 @@ class ReconstructionEngine:
             plr_masks = valid & plr_flags[
                 np.arange(f)[:, None], np.clip(owner, 0, max_patches - 1)
             ]
+            if any(
+                p.plr_block_modes is not None
+                for pl in patch_lists for p in pl
+            ):
+                apply_block_plr(plr_masks, patch_lists, h, w, owner)
             pts_maps.append(pts_plr)
 
         refl_maps = None

@@ -49,6 +49,10 @@ class Patch:
     patch_type: PatchType = PatchType.INTRA
     # point-local-reconstruction mode (0 = none; 1 = fill D0+1), single-map
     plr_mode: int = 0
+    # block-level PLR: (size_v0, size_u0) uint8 mode grid in PATCH-LOCAL
+    # block coords (orientation-free on both encode and decode sides, which
+    # map canvas pixels through canvas_to_patch); None = patch-level only
+    plr_block_modes: "np.ndarray | None" = None
     # 45-degree extended projection: 0 = none, 2 = rotated about Y.
     # Rotated space r = (x+z, y, z-x+rot_offset) — an EXACT integer bijection
     # (u+w is always even), so inverse rotation loses nothing on clean data

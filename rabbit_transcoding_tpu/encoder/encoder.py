@@ -77,6 +77,8 @@ class Encoder:
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
             additional_projection_planes=p.additionalProjectionPlaneMode > 0,
             rot_offset=1 << p.geometry3dCoordinatesBitdepth,
+            level_of_detail_x=p.levelOfDetailX,
+            level_of_detail_y=p.levelOfDetailY,
         )
 
         if p.enhancedOccupancyMapCode and p.occupancyPrecision != 1:
@@ -234,11 +236,37 @@ class Encoder:
         # analog, PCCEncoder.cpp:5364 — patch-level decision here)
         use_plr = p.pointLocalReconstruction and p.mapCountMinus1 == 0
         if use_plr:
+            ppbs = p.occupancyResolution
             for segs in frame_segs:
                 for seg in segs:
                     occ = seg.occupancy
-                    if occ.any():
-                        thick = (seg.depth1[occ] > seg.depth0[occ]).mean()
+                    if not occ.any():
+                        continue
+                    thick_px = (seg.depth1 > seg.depth0) & occ
+                    if p.plrLevel == 0:
+                        # block-level decision: mode 1 only for packing
+                        # blocks whose occupied pixels show real thickness.
+                        # seg arrays are (size_u, size_v) u-major; the plrd
+                        # grid is (size_v0, size_u0) v-major -> transpose.
+                        su, sv = occ.shape
+                        bu = (su + ppbs - 1) // ppbs
+                        bv = (sv + ppbs - 1) // ppbs
+                        occ_p = np.zeros((bu * ppbs, bv * ppbs), bool)
+                        occ_p[:su, :sv] = occ
+                        thick_p = np.zeros_like(occ_p)
+                        thick_p[:su, :sv] = thick_px
+                        occ_b = occ_p.reshape(bu, ppbs, bv, ppbs).sum((1, 3))
+                        thick_b = thick_p.reshape(
+                            bu, ppbs, bv, ppbs
+                        ).sum((1, 3))
+                        modes = (
+                            (thick_b > 0.2 * np.maximum(occ_b, 1))
+                            & (occ_b > 0)
+                        ).astype(np.uint8).T
+                        seg.patch.plr_block_modes = modes
+                        seg.patch.plr_mode = int(modes.any())
+                    else:
+                        thick = thick_px[occ].mean()
                         seg.patch.plr_mode = 1 if thick > 0.2 else 0
 
         # 2. rasterize occupancy + geometry planes (map-interleaved layout:
@@ -507,6 +535,14 @@ class Encoder:
                     np.arange(n_frames)[:, None],
                     np.clip(owner, 0, table.shape[1] - 1),
                 ]
+                if p.plrLevel == 0:
+                    from ..codec.reconstruct import apply_block_plr
+
+                    apply_block_plr(
+                        plr_masks,
+                        [[s2.patch for s2 in segs] for segs in frame_segs],
+                        height, width, owner,
+                    )
 
             recon_clouds = []
             for i in range(n_frames):
@@ -674,7 +710,11 @@ class Encoder:
             ],
         )
         atlas.asps_list.append(asps)
-        afps = AtlasFrameParameterSetRbsp()
+        afps = AtlasFrameParameterSetRbsp(
+            afps_lod_mode_enabled_flag=(
+                p.levelOfDetailX > 1 or p.levelOfDetailY > 1
+            ),
+        )
         n_tiles = max(1, p.tileCount)
         if n_tiles > 1:
             afti = afps.atlas_frame_tile_information
@@ -773,7 +813,17 @@ class Encoder:
                                 patch.rotation_axis,
                             ),
                             pdu_orientation_index=int(patch.orientation),
+                            pdu_lod_enabled_flag=(
+                                patch.lod_x > 1 or patch.lod_y > 1
+                            ),
+                            pdu_lod_scale_x_minus1=patch.lod_x - 1,
+                            pdu_lod_scale_y_idc=patch.lod_y - 1,
                             plrd_mode=patch.plr_mode,
+                            plrd_block_modes=(
+                                patch.plr_block_modes.flatten().tolist()
+                                if patch.plr_block_modes is not None
+                                else None
+                            ),
                         ),
                     )
                 )

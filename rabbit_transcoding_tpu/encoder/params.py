@@ -35,6 +35,9 @@ class EncoderParameters:
     # PLR: synthesize a second layer per patch in single-map mode (reference:
     # pointLocalReconstruction + PLR search, PCCEncoder.cpp:350,5364)
     pointLocalReconstruction: bool = False
+    # plrd_level_flag: 1 = one PLR mode per patch (default), 0 = one mode per
+    # packing block (finer rate/quality trade, 23090-5 8.3.7.9 block level)
+    plrLevel: int = 1
     # lossy occupancy: occupancy coded as a lossy video, binarised at the
     # OI threshold (reference: lossyOccupancyMap + occupancyMapQP)
     lossyOccupancyMap: bool = False
@@ -52,6 +55,11 @@ class EncoderParameters:
 
     # segmentation
     surfaceThickness: int = 4
+    # LoD patch subsampling (levelOfDetailX/Y): code every Nth tangent /
+    # bitangent sample; off-grid points fall to the raw patch when
+    # useRawPointsPatch is on (lossy otherwise)
+    levelOfDetailX: int = 1
+    levelOfDetailY: int = 1
     minPointCountPerCCPatchSegmentation: int = 16
     maxNNCountRefineSegmentation: int = 48
     iterationCountRefineSegmentation: int = 10

@@ -84,6 +84,10 @@ class SegmenterParams:
     # 45-degree extended projection planes (additionalProjectionPlaneMode)
     additional_projection_planes: bool = False
     rot_offset: int = 1024
+    # LoD subsampling (levelOfDetailX/Y): keep only points on the lod grid;
+    # off-grid points stay in the missed set (raw-patch recovery)
+    level_of_detail_x: int = 1
+    level_of_detail_y: int = 1
 
 
 @dataclasses.dataclass
@@ -96,6 +100,9 @@ class SegmentedPatch:
     occupancy: np.ndarray   # (size_u, size_v) bool
     point_indices: np.ndarray  # indices into the source cloud covered by [D0, D1]
     eom: np.ndarray | None = None  # (size_u, size_v) uint8 between-layer bits
+    # points intentionally dropped by LoD subsampling: consumed (never
+    # retried at shifted alignments) but reported missed for raw recovery
+    lod_dropped: np.ndarray | None = None
 
 
 @partial(jax.jit, static_argnames=("extended",))
@@ -194,6 +201,7 @@ def segment_patches(
     n = len(points)
     remaining = np.ones(n, bool)
     patches: list[SegmentedPatch] = []
+    lod_missed: list[np.ndarray] = []
     edge_src, edge_dst = _candidate_edges(
         nbr_idx, ppi, points, params.max_cc_edge_distance
     )
@@ -223,11 +231,17 @@ def segment_patches(
                 continue
             patches.append(seg)
             remaining[seg.point_indices] = False
+            if seg.lod_dropped is not None:
+                remaining[seg.lod_dropped] = False
+                lod_missed.append(seg.lod_dropped)
             made_progress = True
         if not made_progress:
             break
 
-    return patches, np.nonzero(remaining)[0]
+    missed = np.nonzero(remaining)[0]
+    if lod_missed:
+        missed = np.unique(np.concatenate([missed] + lod_missed))
+    return patches, missed
 
 
 def _build_patch(
@@ -246,6 +260,22 @@ def _build_patch(
     v = pts[:, bitangent]
     d = pts[:, normal]
     u1, v1 = int(u.min()), int(v.min())
+    lod_x, lod_y = params.level_of_detail_x, params.level_of_detail_y
+    lod_dropped = None
+    if lod_x > 1 or lod_y > 1:
+        # LoD: only points on the (lod_x, lod_y) tangent grid are coded;
+        # the rest go straight to the missed set (NOT retried, which would
+        # just re-cover them at shifted grid alignments); patch grid coords
+        # are divided, reconstruction multiplies back via pdu_lod_scale_*
+        on_grid = ((u - u1) % lod_x == 0) & ((v - v1) % lod_y == 0)
+        if on_grid.sum() < params.min_point_count_per_cc_patch_segmentation:
+            return None
+        lod_dropped = idx[~on_grid]
+        idx = idx[on_grid]
+        pts = pts[on_grid]
+        u, v, d = pts[:, tangent], pts[:, bitangent], pts[:, normal]
+        u = (u - u1) // lod_x + u1
+        v = (v - v1) // lod_y + v1
     size_u = int(u.max()) - u1 + 1
     size_v = int(v.max()) - v1 + 1
     uu = (u - u1).astype(np.int64)
@@ -306,6 +336,8 @@ def _build_patch(
         bitangent_axis=bitangent,
         projection_mode=mode,
         patch_type=PatchType.INTRA,
+        lod_x=lod_x,
+        lod_y=lod_y,
     )
     return SegmentedPatch(
         patch=patch,
@@ -314,6 +346,7 @@ def _build_patch(
         occupancy=occupied.reshape(size_u, size_v),
         point_indices=idx[covered],
         eom=eom,
+        lod_dropped=lod_dropped,
     )
 
 

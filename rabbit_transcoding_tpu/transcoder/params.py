@@ -44,6 +44,11 @@ class TranscoderParameters:
     # incoming stream is finer); 0 = leave untouched
     occupancyPrecision: int = 0
 
+    # SHVC spatial-layer selection: keep NAL layers <= this id in HEVC
+    # video payloads (enhancement-layer discard, no pixel re-encode);
+    # -1 = disabled.  N/A for RBV payloads (single-layer by construction).
+    shvcLayerIndex: int = -1
+
     # pipeline selection
     mode: str = "reencode"            # 'reencode' | 'requant'
     transcodeBaseline: bool = False   # full decode->re-encode (same as

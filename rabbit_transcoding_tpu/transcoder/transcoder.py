@@ -78,6 +78,8 @@ class Transcoder:
         vb = atlas.video_bitstreams.get(VideoType.OCCUPANCY)
         if vb is None or p.occupancyPrecision <= 0:
             return
+        if not vb.data.startswith(b"RBV"):
+            return  # foreign occupancy payload: pass through untouched
         info = rbv.probe(vb.data)
         # incoming precision is implicit: atlas width / occupancy video width
         asps = atlas.asps_list[0]
@@ -108,6 +110,28 @@ class Transcoder:
         p = self.params
         vb = atlas.video_bitstreams.get(vtype)
         if vb is None:
+            return
+        if not vb.data.startswith(b"RBV"):
+            # Foreign (HEVC/AVC Annex-B) video payload: re-encode needs an
+            # external codec binary (none in this environment).  What we CAN
+            # do bitstream-level is the SHVC spatial-layer transcode — drop
+            # enhancement-layer NALs above the target layer, a conforming
+            # lower-rate/-resolution sub-bitstream with no pixel re-encode
+            # (the reference's shvcLayerIndex path over PccShvcParser).
+            # Otherwise pass the payload through untouched.  Payloads that
+            # are neither RBV nor Annex-B are corrupt: raise, so the stream
+            # driver's failure containment sees the error.
+            if (vb.data[:4] != b"\x00\x00\x00\x01"
+                    and vb.data[:3] != b"\x00\x00\x01"):
+                raise ValueError(
+                    f"unrecognized {vtype.name} video payload "
+                    f"(not RBV, not Annex-B)"
+                )
+            from ..video.hevc_probe import filter_hevc_layers, hevc_layer_ids
+
+            if p.shvcLayerIndex >= 0 and len(hevc_layer_ids(vb.data)) > 1:
+                payload = filter_hevc_layers(vb.data, p.shvcLayerIndex)
+                atlas.set_video_bitstream(VideoBitstream(vtype, payload))
             return
         if p.mode == "requant" and not p.transcodeBaseline:
             payload = rbv.requantize(vb.data, qp)
@@ -152,8 +176,8 @@ class Transcoder:
         attr_budget = budget - geo_budget
 
         def search(vb, vtype, target_bytes, cache_key) -> int:
-            if vb is None:
-                return 32
+            if vb is None or not vb.data.startswith(b"RBV"):
+                return 32  # foreign payload: ABR requant not applicable
             cached = self._rc_cache.get(cache_key)
             if cached is not None:
                 qp, size = cached

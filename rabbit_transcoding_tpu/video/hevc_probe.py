@@ -156,3 +156,34 @@ def probe_hevc(data: bytes) -> dict | None:
             except (EOFError, ValueError):
                 return None
     return None
+
+
+# ---------------------------------------------------------------------------
+# SHVC (scalable HEVC) layer handling
+# ---------------------------------------------------------------------------
+def hevc_layer_ids(data: bytes) -> set[int]:
+    """All nuh_layer_id values present in an Annex-B HEVC stream (H.265
+    §7.3.1.2: 6 bits straddling the two NAL header bytes).  An SHVC stream
+    carries >1 layer; a plain HEVC stream only layer 0."""
+    layers: set[int] = set()
+    for nal in split_annexb(data):
+        if len(nal) < 2:
+            continue
+        layers.add(((nal[0] & 0x01) << 5) | (nal[1] >> 3))
+    return layers
+
+
+def filter_hevc_layers(data: bytes, max_layer_id: int) -> bytes:
+    """Drop NAL units with nuh_layer_id > max_layer_id (SHVC enhancement-
+    layer discard).  This is RABBIT's SHVC spatial-layer transcode: keeping
+    only layers <= N yields a conforming lower-resolution sub-bitstream with
+    NO pixel re-encode (the role shvcLayerIndex plays in the reference's
+    transcoder, SURVEY.md §2.6 PccShvcParser)."""
+    out = bytearray()
+    for nal in split_annexb(data):
+        if len(nal) < 2:
+            continue
+        layer = ((nal[0] & 0x01) << 5) | (nal[1] >> 3)
+        if layer <= max_layer_id:
+            out += b"\x00\x00\x00\x01" + nal
+    return bytes(out)

@@ -362,6 +362,20 @@ class TestExtendedSei:
                          (1, True, 0, None)]
             ),
             sei_mod.SeiManifest(entries=[(21, 1), (66, 2)]),
+            sei_mod.SeiFillerPayload(size=5),
+            sei_mod.SeiUserDataRegisteredItuTT35(
+                country_code=0xB5, user_data=b"\x00\x01t35"
+            ),
+            sei_mod.SeiAtlasObjectInformation(
+                aoi_num_atlases_minus1=1,
+                aoi_log2_max_object_idx_tracked_minus1=3,
+                updates=[(5, [True, False]), (9, [False, True])],
+            ),
+            sei_mod.SeiPatchInformation(
+                pi_log2_max_object_idx_tracked_minus1=3,
+                pi_log2_max_patch_idx_updated_minus1=5,
+                tiles=[(0, False, [(7, False, [5, 9]), (8, True, [])])],
+            ),
         ]
         bw = BitWriter()
         sei_mod.write_sei_rbsp(bw, seis_in)
@@ -379,3 +393,10 @@ class TestExtendedSei:
         assert seis_out[9].atp_params == [(0, 2, 65536, -5)]
         assert seis_out[10].objects[0][3] == (1, 2, 3, 10, 20, 30)
         assert seis_out[11].entries == [(21, 1), (66, 2)]
+        assert seis_out[12].size == 5
+        assert seis_out[13].user_data == b"\x00\x01t35"
+        assert seis_out[14].updates == [(5, [True, False]),
+                                        (9, [False, True])]
+        assert seis_out[15].tiles == [
+            (0, False, [(7, False, [5, 9]), (8, True, [])])
+        ]

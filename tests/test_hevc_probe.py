@@ -105,3 +105,60 @@ class TestAvcProbe:
         data = b"\x00\x00\x00\x01" + bytes([0x67]) + rbsp
         info = probe_avc(data)
         assert info["width"] == 640 and info["height"] == 480
+
+
+def hevc_nal(nal_type: int, layer_id: int, payload: bytes = b"\x80") -> bytes:
+    """Annex-B NAL with the 2-byte HEVC header (type u6 | layer u6 | tid u3)."""
+    b0 = (nal_type & 0x3F) << 1 | (layer_id >> 5)
+    b1 = ((layer_id & 0x1F) << 3) | 1  # temporal_id_plus1 = 1
+    return b"\x00\x00\x00\x01" + bytes([b0, b1]) + payload
+
+
+class TestShvcLayers:
+    def test_layer_ids_and_filter(self):
+        from rabbit_transcoding_tpu.video.hevc_probe import (
+            filter_hevc_layers,
+            hevc_layer_ids,
+        )
+
+        stream = (
+            hevc_nal(32, 0)      # VPS, base layer
+            + hevc_nal(33, 0)    # SPS L0
+            + hevc_nal(33, 1)    # SPS L1 (enhancement)
+            + hevc_nal(1, 0, b"\x01\x02")   # slice L0
+            + hevc_nal(1, 1, b"\x03\x04")   # slice L1
+            + hevc_nal(1, 2, b"\x05\x06")   # slice L2
+        )
+        assert hevc_layer_ids(stream) == {0, 1, 2}
+        base = filter_hevc_layers(stream, 0)
+        assert hevc_layer_ids(base) == {0}
+        assert len(base) < len(stream)
+        mid = filter_hevc_layers(stream, 1)
+        assert hevc_layer_ids(mid) == {0, 1}
+        # idempotent on single-layer streams
+        assert filter_hevc_layers(base, 0) == base
+
+    def test_transcoder_drops_enhancement_layers(self):
+        from rabbit_transcoding_tpu.bitstream.video_bitstream import (
+            VideoBitstream,
+        )
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+        from rabbit_transcoding_tpu.video.hevc_probe import hevc_layer_ids
+
+        class FakeAtlas:
+            def __init__(self, vb):
+                self.video_bitstreams = {vb.type: vb}
+
+            def set_video_bitstream(self, vb):
+                self.video_bitstreams[vb.type] = vb
+
+        stream = hevc_nal(33, 0) + hevc_nal(1, 0) + hevc_nal(1, 1)
+        atlas = FakeAtlas(VideoBitstream(VideoType.GEOMETRY, stream))
+        tc = Transcoder(TranscoderParameters(shvcLayerIndex=0))
+        tc._transcode_video(atlas, VideoType.GEOMETRY, qp=32)
+        out = atlas.video_bitstreams[VideoType.GEOMETRY].data
+        assert hevc_layer_ids(out) == {0}

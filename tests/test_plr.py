@@ -59,3 +59,49 @@ class TestPlr:
         )
         assert not ctx.atlas(0).asps_list[0].asps_plr_enabled_flag
         assert dec.compute_checksum() == recon.compute_checksum()
+
+
+class TestBlockLevelPlr:
+    """plrd_level_flag=0: per-packing-block PLR modes (23090-5 8.3.7.9)."""
+
+    def test_block_modes_survive_syntax(self):
+        src = thin_slab_cloud(thickness=2)
+        ctx, dec, recon = roundtrip(
+            src, pointLocalReconstruction=True, plrLevel=0,
+        )
+        patches = decode_patch_frames(ctx.atlas(0))[0]
+        with_blocks = [p for p in patches if p.plr_block_modes is not None]
+        assert with_blocks, "no block-level PLR patches decoded"
+        for p in with_blocks:
+            assert p.plr_block_modes.shape == (p.size_v0, p.size_u0)
+            assert p.plr_mode == int(p.plr_block_modes.any())
+
+    def test_block_level_closed_loop(self):
+        src = thin_slab_cloud(thickness=2)
+        ctx, dec, recon = roundtrip(
+            src, pointLocalReconstruction=True, plrLevel=0,
+        )
+        assert dec.compute_checksum() == recon.compute_checksum()
+
+    def test_block_level_selective(self):
+        """A half-thick half-flat slab: block level keeps PLR on the thick
+        half only, so it synthesizes fewer points than patch level while
+        still beating PLR-off."""
+        src = thin_slab_cloud(thickness=1)
+        # flatten one half: remove second-layer points on x < median
+        half = src.positions[:, 0] < np.median(src.positions[:, 0])
+        zmin = src.positions[:, 2].min()
+        keep = ~(half & (src.positions[:, 2] > zmin))
+        from rabbit_transcoding_tpu.core.pointset import PointSet
+        src2 = PointSet(
+            positions=src.positions[keep], colors=src.colors[keep]
+        ).remove_duplicates()
+        _, dec_blk, _ = roundtrip(
+            src2, pointLocalReconstruction=True, plrLevel=0,
+        )
+        _, dec_patch, _ = roundtrip(
+            src2, pointLocalReconstruction=True, plrLevel=1,
+        )
+        _, dec_off, _ = roundtrip(src2, pointLocalReconstruction=False)
+        assert dec_blk.point_count <= dec_patch.point_count
+        assert dec_blk.point_count >= dec_off.point_count

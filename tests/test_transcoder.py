@@ -209,3 +209,54 @@ class TestRateControl:
         ctx2 = reader.decode(reader.read_file(path)[0])
         tc.transcode(ctx2)
         assert tc._rc_cache["geo"][0] == cached["geo"][0]
+
+
+class TestMultiAtlas:
+    """Multi-atlas V3C streams: vuh_atlas_id demux, per-atlas transcode and
+    decode (the reference loops atlases in PCCDecoder::decode and the
+    transcoder units; see SURVEY.md §2.3 multi-atlas support)."""
+
+    def test_two_atlas_roundtrip_transcode_decode(self):
+        sources = [
+            GroupOfFrames([make_sphere_cloud(seed=0)]),
+            GroupOfFrames([make_sphere_cloud(seed=3)]),
+        ]
+        enc_params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=8, attributeQP=12, occupancyPrecision=2,
+        )
+        ctx0, _ = Encoder(enc_params).encode(sources[0])
+        ctx1, _ = Encoder(enc_params).encode(sources[1])
+
+        # graft the second encode's atlas in as atlas_id=1
+        a1 = ctx1.atlases[0]
+        a1.atlas_id = 1
+        ctx0.atlases.append(a1)
+        va = ctx1.vps_list[0].atlases[0]
+        va.vps_atlas_id = 1
+        vps = ctx0.vps_list[0]
+        vps.atlases.append(va)
+        vps.vps_atlas_count_minus1 = 1
+
+        data = V3CWriter().write(V3CWriter().encode(ctx0))
+        reader = V3CReader()
+        ctx = reader.decode(reader.read(data)[0])
+        assert ctx.atlas_count == 2
+        assert {a.atlas_id for a in ctx.atlases} == {0, 1}
+
+        tc = Transcoder(TranscoderParameters(
+            geometryQP=26, attributeQP=34, mode="requant",
+        ))
+        for atlas in list(ctx.atlases):
+            tc.transcode(ctx, atlas.atlas_id)
+        for aid in (0, 1):
+            vb = ctx.atlas(aid).get_video_bitstream(VideoType.GEOMETRY)
+            assert rbv.probe(vb.data)["qp"] == 26
+
+        dec = Decoder()
+        for aid, src in zip((0, 1), sources):
+            clouds = dec.decode(ctx, aid)
+            m = compute_metrics(
+                src[0], clouds[0], MetricsParams(resolution=255)
+            )
+            assert m.d1_psnr > 30, (aid, m.print())
