@@ -79,6 +79,10 @@ class Encoder:
             rot_offset=1 << p.geometry3dCoordinatesBitdepth,
             level_of_detail_x=p.levelOfDetailX,
             level_of_detail_y=p.levelOfDetailY,
+            grid_based_segmentation=p.gridBasedSegmentation,
+            voxel_dimension_grid_based_segmentation=(
+                p.voxelDimensionGridBasedSegmentation
+            ),
         )
 
         if p.enhancedOccupancyMapCode and p.occupancyPrecision != 1:

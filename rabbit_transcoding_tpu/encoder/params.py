@@ -60,6 +60,10 @@ class EncoderParameters:
     # useRawPointsPatch is on (lossy otherwise)
     levelOfDetailX: int = 1
     levelOfDetailY: int = 1
+    # gridBasedSegmentation: voxelize before normals/PPI/refine/CC
+    # (PCCEncoderParameters.h:101-102) — big encode speedup on dense clouds
+    gridBasedSegmentation: bool = False
+    voxelDimensionGridBasedSegmentation: int = 2
     minPointCountPerCCPatchSegmentation: int = 16
     maxNNCountRefineSegmentation: int = 48
     iterationCountRefineSegmentation: int = 10

@@ -241,3 +241,58 @@ class TestLevelOfDetail:
         # back by lod), not at compressed/unscaled positions
         d = nn_dist(dec_lod.positions, src.positions)
         assert np.percentile(d, 90) <= 3.0, np.percentile(d, 90)
+
+
+class TestGridBasedSegmentation:
+    """gridBasedSegmentation: voxelized normals/PPI/CC expanded to points
+    (convertPointsToVoxels, PCCPatchSegmenter.cpp:78,148)."""
+
+    def test_voxel_segmentation_equivalent_quality(self):
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.decoder.decoder import Decoder
+        from rabbit_transcoding_tpu.metrics.metrics import (
+            MetricsParams,
+            compute_metrics,
+        )
+
+        src = make_sphere_cloud(seed=0)
+
+        def run(**kw):
+            params = EncoderParameters(
+                minimumImageWidth=256, minimumImageHeight=64,
+                geometryQP=4, attributeQP=8, occupancyPrecision=2, **kw,
+            )
+            ctx, recon = Encoder(params).encode(GroupOfFrames([src]))
+            w = V3CWriter()
+            data = w.write(w.encode(ctx))
+            ctx2 = V3CReader().decode(V3CReader().read(data)[0])
+            dec = Decoder().decode(ctx2)[0]
+            return data, dec, recon[0]
+
+        data_v, dec_v, recon_v = run(gridBasedSegmentation=True)
+        data_f, dec_f, _ = run()
+
+        # closed loop still exact with voxelized segmentation
+        assert dec_v.compute_checksum() == recon_v.compute_checksum()
+        # within 2% of the full-resolution pipeline's rate
+        assert len(data_v) < 1.02 * len(data_f)
+        m_v = compute_metrics(src, dec_v, MetricsParams(resolution=255))
+        m_f = compute_metrics(src, dec_f, MetricsParams(resolution=255))
+        assert m_v.d1_psnr > m_f.d1_psnr - 0.5, (m_v.d1_psnr, m_f.d1_psnr)
+
+    def test_voxel_coverage_matches_full(self):
+        from rabbit_transcoding_tpu.encoder.segment import (
+            SegmenterParams,
+            segment_frame,
+        )
+
+        src = make_sphere_cloud(seed=3)
+        _, missed_full = segment_frame(src.positions, SegmenterParams())
+        _, missed_vox = segment_frame(
+            src.positions,
+            SegmenterParams(grid_based_segmentation=True),
+        )
+        n = len(src.positions)
+        assert len(missed_vox) <= max(20, 2 * len(missed_full)), (
+            len(missed_vox), len(missed_full), n,
+        )
