@@ -67,6 +67,9 @@ def apply_geometry_smoothing(
             min_neighbors=MIN_NEIGHBORS,
             grid_size=grid_size,
             coord_bits=coord_bits,
+            # only patch-boundary points may move (identifyBoundaryPoints);
+            # clouds without type tags keep the move-anything behavior
+            eligible=None if ps.types is None else ps.types == 1,
         )
         ps2 = PointSet(
             positions=pos[keep],
@@ -74,6 +77,7 @@ def apply_geometry_smoothing(
             reflectances=(
                 None if ps.reflectances is None else ps.reflectances[keep]
             ),
+            types=None if ps.types is None else ps.types[keep],
         )
         out.append(ps2.remove_duplicates())
     return out

@@ -48,6 +48,24 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def occupancy_boundary(occ: np.ndarray) -> np.ndarray:
+    """(F, H, W) occupancy -> (F, H*W) bool marking occupied pixels missing
+    a 4-neighbor (or on the atlas border) — the points the reference tags
+    via identifyBoundaryPoints (PCCCodec.cpp:266).  Geometry smoothing only
+    moves these; interior surface points stay put."""
+    b = occ.astype(bool)
+    interior = b.copy()
+    interior[:, 1:, :] &= b[:, :-1, :]
+    interior[:, :-1, :] &= b[:, 1:, :]
+    interior[:, :, 1:] &= b[:, :, :-1]
+    interior[:, :, :-1] &= b[:, :, 1:]
+    interior[:, 0, :] = False
+    interior[:, -1, :] = False
+    interior[:, :, 0] = False
+    interior[:, :, -1] = False
+    return (b & ~interior).reshape(occ.shape[0], -1)
+
+
 def apply_block_plr(
     plr_masks: np.ndarray,
     patch_lists: list[list[Patch]],
@@ -209,10 +227,14 @@ class ReconstructionEngine:
                 for m in range(map_count)
             ]
 
+        boundary = occupancy_boundary(occ_maps[:, :h, :w])
         clouds: list[PointSet] = []
         for fi in range(f):
             msk = valid[fi]
             pos_parts = [pm[fi][msk] for pm in pts_maps[:map_count]]
+            typ_parts = [
+                boundary[fi][msk].astype(np.uint8)
+            ] * map_count
             col_parts = (
                 [cm[fi][msk] for cm in colors_maps]
                 if colors_maps is not None
@@ -221,6 +243,7 @@ class ReconstructionEngine:
             if plr_masks is not None:
                 pmsk = plr_masks[fi]
                 pos_parts.append(pts_maps[map_count][fi][pmsk])
+                typ_parts.append(boundary[fi][pmsk].astype(np.uint8))
                 if col_parts is not None:
                     # PLR points take their pixel's (map-0) color
                     col_parts.append(colors_maps[0][fi][pmsk])
@@ -233,7 +256,8 @@ class ReconstructionEngine:
                 if plr_masks is not None:
                     refl_parts.append(refl_maps[0][fi][plr_masks[fi]])
                 refl = np.concatenate(refl_parts, axis=0)
-            ps = PointSet(positions=pos, colors=col, reflectances=refl)
+            ps = PointSet(positions=pos, colors=col, reflectances=refl,
+                          types=np.concatenate(typ_parts))
             if self.params.remove_duplicate_points:
                 ps = ps.remove_duplicates()
             clouds.append(ps)

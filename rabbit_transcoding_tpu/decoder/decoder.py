@@ -145,6 +145,12 @@ class Decoder:
                                 np.zeros(len(pts), np.uint16),
                             ]
                         ),
+                        # raw/EOM points are exact: never boundary-smoothed
+                        types=None
+                        if ps.types is None
+                        else np.concatenate(
+                            [ps.types, np.zeros(len(pts), np.uint8)]
+                        ),
                     )
                     clouds[fi] = merged.remove_duplicates()
 
@@ -226,6 +232,12 @@ class Decoder:
                                 ps.reflectances,
                                 np.zeros(len(pts), np.uint16),
                             ]
+                        ),
+                        # raw/EOM points are exact: never boundary-smoothed
+                        types=None
+                        if ps.types is None
+                        else np.concatenate(
+                            [ps.types, np.zeros(len(pts), np.uint8)]
                         ),
                     )
                     clouds[fi] = merged.remove_duplicates()

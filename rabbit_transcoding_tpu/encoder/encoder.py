@@ -548,12 +548,22 @@ class Encoder:
                         height, width, owner,
                     )
 
+            from ..codec.reconstruct import occupancy_boundary
+
+            boundary = occupancy_boundary(occ_decoded[:, :height, :width])
             recon_clouds = []
             for i in range(n_frames):
                 msk = valid[i]
                 pos_list = [pts_maps[m][i][msk] for m in range(n_maps)]
+                typ_list = [boundary[i][msk].astype(np.uint8)] * n_maps
                 if plr_masks is not None:
                     pos_list.append(plr_pts[i][plr_masks[i]])
+                    typ_list.append(
+                        boundary[i][plr_masks[i]].astype(np.uint8)
+                    )
+                typ_list.append(np.zeros(
+                    len(raw_points[i]) + len(eom_points[i]), np.uint8
+                ))
                 pos = np.concatenate(
                     pos_list + [raw_points[i], eom_points[i]],
                     axis=0,
@@ -595,7 +605,8 @@ class Encoder:
                         )
                     )
                     refl = np.concatenate(refl_parts)
-                ps = PointSet(positions=pos, colors=col, reflectances=refl)
+                ps = PointSet(positions=pos, colors=col, reflectances=refl,
+                              types=np.concatenate(typ_list))
                 if p.removeDuplicatePoints:
                     ps = ps.remove_duplicates()
                 recon_clouds.append(ps)

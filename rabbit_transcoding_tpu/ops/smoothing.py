@@ -32,6 +32,8 @@ def grid_smooth(
     valid: jax.Array,         # (N,) bool
     threshold: jax.Array,     # scalar: sq distance triggering the centroid snap
     min_neighbors: jax.Array, # scalar: below this 27-cell count -> drop point
+    eligible: jax.Array,      # (N,) bool: only these may MOVE (boundary
+                              # points, identifyBoundaryPoints analog)
     grid_size: int = 8,
     grid_dim: int = 128,
 ):
@@ -56,7 +58,7 @@ def grid_smooth(
     d2 = jnp.sum((points.astype(jnp.float32) - centroid) ** 2, axis=1)
     # density test: the point itself contributes 1
     keep = valid & (count > min_neighbors)
-    move = keep & (d2 > threshold) & (count > 4.0)
+    move = keep & eligible & (d2 > threshold) & (count > 4.0)
     out = jnp.where(
         move[:, None], jnp.round(centroid).astype(jnp.int32), points
     )
@@ -133,8 +135,12 @@ def smooth_cloud(
     min_neighbors: int = 4,
     grid_size: int = 8,
     coord_bits: int = 10,
+    eligible: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Host wrapper: pad to a static-shape bucket, run, trim.
+    eligible: optional (N,) bool — only these points may move (the
+    reference smooths patch-BOUNDARY points only, identifyBoundaryPoints,
+    PCCCodec.cpp:266); None = all movable.
     Returns (positions, keep mask over input order, moved count)."""
     n = len(positions)
     if n == 0:
@@ -144,10 +150,12 @@ def smooth_cloud(
     pts[:n] = positions
     valid = np.zeros((cap,), bool)
     valid[:n] = True
+    elig = np.zeros((cap,), bool)
+    elig[:n] = True if eligible is None else eligible
     grid_dim = max(2, (1 << coord_bits) // grid_size)
     out, keep, moved = grid_smooth(
         jnp.asarray(pts), jnp.asarray(valid), jnp.float32(threshold),
-        jnp.float32(min_neighbors), grid_size, grid_dim,
+        jnp.float32(min_neighbors), jnp.asarray(elig), grid_size, grid_dim,
     )
     keep = np.asarray(keep)[:n]
     return np.asarray(out)[:n], keep, int(np.asarray(moved).sum())

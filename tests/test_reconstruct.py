@@ -244,3 +244,65 @@ class TestPatchFrameDecode:
         assert f1[0].u0 == f0[0].u0 + 1 and f1[0].u1 == f0[0].u1 + 5
         assert f1[1].best_match_idx == 1
         assert f1[1].size_u0 == f0[1].size_u0 + 1
+
+
+class TestBoundarySmoothing:
+    """Geometry smoothing moves only patch-boundary points
+    (identifyBoundaryPoints analog, PCCCodec.cpp:266)."""
+
+    def test_ineligible_points_never_move(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.ops.smoothing import smooth_cloud
+
+        rng = np.random.default_rng(0)
+        # a plane plus strong outliers that the centroid snap WOULD move
+        base = np.stack([
+            rng.integers(0, 64, 4000), rng.integers(0, 64, 4000),
+            np.full(4000, 32),
+        ], 1).astype(np.int32)
+        outliers = base.copy()[:50]
+        outliers[:, 2] += 14
+        pts = np.concatenate([base, outliers])
+        elig = np.zeros(len(pts), bool)
+        elig[len(base):] = True
+
+        out_all, keep_a, moved_all = smooth_cloud(
+            pts, threshold=64.0, min_neighbors=0, coord_bits=7,
+        )
+        out_b, keep_b, moved_b = smooth_cloud(
+            pts, threshold=64.0, min_neighbors=0, coord_bits=7,
+            eligible=elig,
+        )
+        assert moved_all > moved_b > 0
+        # non-eligible points are bit-identical to their inputs
+        assert np.array_equal(out_b[: len(base)], pts[: len(base)])
+
+    def test_decoder_clouds_carry_boundary_types(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        import numpy as np
+        from test_e2e_codec import make_sphere_cloud
+
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.decoder.decoder import Decoder
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+
+        src = make_sphere_cloud(seed=0)
+        params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=4, attributeQP=8, occupancyPrecision=2,
+            flagGeometrySmoothing=False,  # keep types observable (smoothing
+        )                                 # output is deduped anyway)
+        ctx, recon = Encoder(params).encode(GroupOfFrames([src]))
+        w = V3CWriter()
+        ctx2 = V3CReader().decode(V3CReader().read(w.write(w.encode(ctx)))[0])
+        dec = Decoder().decode(ctx2)[0]
+        assert dec.types is not None
+        n_boundary = int((dec.types == 1).sum())
+        # a sphere atlas has real patch borders, but most points are interior
+        assert 0 < n_boundary < 0.9 * dec.point_count
+        assert dec.compute_checksum() == recon[0].compute_checksum()
