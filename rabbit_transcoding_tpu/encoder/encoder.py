@@ -83,6 +83,10 @@ class Encoder:
             voxel_dimension_grid_based_segmentation=(
                 p.voxelDimensionGridBasedSegmentation
             ),
+            high_gradient_separation=p.highGradientSeparation,
+            min_gradient=p.minGradient,
+            min_num_high_gradient_points=p.minNumHighGradientPoints,
+            max_cc_edge_distance=p.maxCCEdgeDistance,
         )
 
         if p.enhancedOccupancyMapCode and p.occupancyPrecision != 1:

@@ -64,11 +64,18 @@ class EncoderParameters:
     # (PCCEncoderParameters.h:101-102) — big encode speedup on dense clouds
     gridBasedSegmentation: bool = False
     voxelDimensionGridBasedSegmentation: int = 2
+    # highGradientSeparation (PCCEncoderParameters.h:223-225): evict
+    # edge-on cells from patches and repartition to a non-parallel axis
+    highGradientSeparation: bool = False
+    minGradient: float = 15.0
+    minNumHighGradientPoints: int = 256
     minPointCountPerCCPatchSegmentation: int = 16
     maxNNCountRefineSegmentation: int = 48
     iterationCountRefineSegmentation: int = 10
     lambdaRefineSegmentation: float = 3.0
     nnNormalEstimation: int = 16
+    # KNN edges longer than this never join a connected component
+    maxCCEdgeDistance: float = 5.0
 
     # packing
     packingTryOrientations: bool = True

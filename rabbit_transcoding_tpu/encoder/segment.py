@@ -94,6 +94,14 @@ class SegmenterParams:
     # clouds with near-identical patch structure
     grid_based_segmentation: bool = False
     voxel_dimension_grid_based_segmentation: int = 2
+    # highGradientSeparation (separateHighGradientPoints,
+    # PCCPatchSegmenter.cpp:1520): cells whose D0 depth jumps more than
+    # min_gradient vs an occupied neighbor cell are edge-on surfaces —
+    # evict their points and repartition them to a non-parallel axis
+    # (point mode only; ignored under grid_based_segmentation)
+    high_gradient_separation: bool = False
+    min_gradient: float = 15.0
+    min_num_high_gradient_points: int = 256
 
 
 @dataclasses.dataclass
@@ -109,6 +117,9 @@ class SegmentedPatch:
     # points intentionally dropped by LoD subsampling: consumed (never
     # retried at shifted alignments) but reported missed for raw recovery
     lod_dropped: np.ndarray | None = None
+    # points evicted by high-gradient separation: stay unconsumed and get
+    # repartitioned to a non-parallel axis before the next CC round
+    hg_dropped: np.ndarray | None = None
 
 
 @partial(jax.jit, static_argnames=("extended",))
@@ -199,6 +210,7 @@ def segment_patches(
     nbr_idx: np.ndarray,
     params: SegmenterParams,
     voxel_map: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    normals: np.ndarray | None = None,
 ) -> tuple[list[SegmentedPatch], np.ndarray]:
     """Connected components -> patches with D0 depth maps; missed points are
     re-segmented for up to max_missed_point_iterations rounds
@@ -213,6 +225,8 @@ def segment_patches(
     remaining = np.ones(n, bool)
     patches: list[SegmentedPatch] = []
     lod_missed: list[np.ndarray] = []
+    hg_batch: list[np.ndarray] = []
+    ppi = np.asarray(ppi).copy()  # high-gradient eviction repartitions in place
     if voxel_map is None:
         inv = None
         n_nodes = n
@@ -261,7 +275,32 @@ def segment_patches(
             if seg.lod_dropped is not None:
                 remaining[seg.lod_dropped] = False
                 lod_missed.append(seg.lod_dropped)
+            if seg.hg_dropped is not None:
+                hg_batch.append(seg.hg_dropped)
             made_progress = True
+        if hg_batch and normals is not None:
+            # repartition evicted high-gradient points to their best
+            # NON-parallel axial direction and extend the edge set so the
+            # next CC round can regroup (or rejoin) them there
+            hg = np.concatenate(hg_batch)
+            hg_batch = []
+            dirs = np.asarray(_DIRECTIONS_6, np.float32)
+            sc = normals[hg].astype(np.float32) @ dirs.T      # (M, 6)
+            old_axis = (ppi[hg] % 3)[:, None]
+            sc = np.where(np.arange(6)[None, :] % 3 == old_axis,
+                          -np.inf, sc)
+            ppi[hg] = np.argmax(sc, axis=1).astype(ppi.dtype)
+            src = np.repeat(hg.astype(np.int32), nbr_idx.shape[1])
+            dst = nbr_idx[hg].reshape(-1)
+            diff = points[src].astype(np.int32) - points[dst].astype(
+                np.int32
+            )
+            d2 = np.einsum("nc,nc->n", diff, diff)
+            lim = int(params.max_cc_edge_distance ** 2)
+            keep = (ppi[src] == ppi[dst]) & (d2 <= lim)
+            edge_src = np.concatenate([edge_src, src[keep]])
+            edge_dst = np.concatenate([edge_dst, dst[keep]])
+            made_progress = made_progress or bool(keep.any())
         if not made_progress:
             break
 
@@ -324,6 +363,32 @@ def _build_patch(
     rel[too_deep] = -1
     occupied &= ~too_deep
 
+    # high-gradient separation: cells whose D0 depth jumps sharply vs an
+    # occupied 4-neighbor are edge-on surfaces projected badly on this axis
+    # (separateHighGradientPoints, PCCPatchSegmenter.cpp:1520); evict them
+    hg_dropped = None
+    if (params.high_gradient_separation
+            and not params.grid_based_segmentation):
+        grid = rel.reshape(size_u, size_v)
+        og = grid >= 0
+        g = np.zeros((size_u, size_v), np.int64)
+        du_ = np.abs(grid[1:, :] - grid[:-1, :])
+        m = og[1:, :] & og[:-1, :]
+        g[1:, :] = np.maximum(g[1:, :], np.where(m, du_, 0))
+        g[:-1, :] = np.maximum(g[:-1, :], np.where(m, du_, 0))
+        dv_ = np.abs(grid[:, 1:] - grid[:, :-1])
+        m = og[:, 1:] & og[:, :-1]
+        g[:, 1:] = np.maximum(g[:, 1:], np.where(m, dv_, 0))
+        g[:, :-1] = np.maximum(g[:, :-1], np.where(m, dv_, 0))
+        high = (og & (g > params.min_gradient)).reshape(-1)
+        in_high = high[flat]
+        if in_high.sum() >= params.min_num_high_gradient_points:
+            hg_dropped = idx[in_high]
+            rel[high] = -1
+            occupied &= ~high
+            if not occupied.any():
+                return None
+
     # points covered: within surface_thickness of the D0 surface
     cell_rel = rel[flat]
     pt_rel = dd - d1
@@ -374,6 +439,7 @@ def _build_patch(
         point_indices=idx[covered],
         eom=eom,
         lod_dropped=lod_dropped,
+        hg_dropped=hg_dropped,
     )
 
 
@@ -415,4 +481,4 @@ def segment_frame(
     )
     ppi = initial_segmentation(normals, params.additional_projection_planes)
     ppi = refine_segmentation(normals, ppi, nbr, params)
-    return segment_patches(points, ppi, nbr, params)
+    return segment_patches(points, ppi, nbr, params, normals=normals)

@@ -130,3 +130,69 @@ class TestRecolor:
         dst = np.array([[1, 0, 0]], np.float32)
         out = transfer_colors(src, col, dst, k=2)
         assert 90 <= out[0, 0] <= 110  # midpoint blends to ~100
+
+
+class TestHighGradientSeparation:
+    """separateHighGradientPoints analog: edge-on cells are evicted and
+    repartitioned to a non-parallel axis (PCCPatchSegmenter.cpp:1520)."""
+
+    def _cliff_cloud(self):
+        import numpy as np
+
+        xs, ys = np.mgrid[0:32, 0:64]
+        floor = np.stack(
+            [xs.ravel(), ys.ravel(), np.full(xs.size, 32)], 1
+        )
+        # steep ramp: depth jumps 6 per x step (edge-on for a z projection)
+        rx, ry = np.mgrid[32:40, 0:64]
+        ramp = np.stack(
+            [rx.ravel(), ry.ravel(), 32 + (rx.ravel() - 31) * 6], 1
+        )
+        return np.concatenate([floor, ramp]).astype(np.int32)
+
+    def test_evicted_points_get_new_axis(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.encoder.segment import (
+            SegmenterParams,
+            segment_frame,
+        )
+
+        pts = self._cliff_cloud()
+        # heavy PPI smoothing drags the (minority) ramp onto the floor's
+        # z axis — exactly the misassignment high-gradient separation fixes
+        base = dict(
+            min_point_count_per_cc_patch_segmentation=16,
+            max_cc_edge_distance=8.0,
+            surface_thickness=2,
+            lambda_refine_segmentation=40.0,
+            iteration_count_refine_segmentation=20,
+        )
+        p_off = SegmenterParams(**base)
+        p_on = SegmenterParams(
+            high_gradient_separation=True, min_gradient=4.0,
+            min_num_high_gradient_points=32, **base,
+        )
+        segs_off, missed_off = segment_frame(pts, p_off)
+        segs_on, missed_on = segment_frame(pts, p_on)
+
+        axes_off = {s.patch.normal_axis for s in segs_off}
+        axes_on = {s.patch.normal_axis for s in segs_on}
+        # with separation, the ramp is re-projected along a non-z axis
+        assert 0 in axes_on or 1 in axes_on, axes_on
+        # coverage must not get worse
+        cov_off = sum(len(s.point_indices) for s in segs_off)
+        cov_on = sum(len(s.point_indices) for s in segs_on)
+        assert cov_on >= cov_off, (cov_on, cov_off)
+        # and the evicted edge-on points LEFT the z patches for a
+        # re-projected non-z patch of their own
+        zpts_off = sum(
+            len(s.point_indices) for s in segs_off
+            if s.patch.normal_axis == 2
+        )
+        zpts_on = sum(
+            len(s.point_indices) for s in segs_on
+            if s.patch.normal_axis == 2
+        )
+        assert zpts_on < zpts_off, (zpts_on, zpts_off)
+        assert len(segs_on) > len(segs_off), (len(segs_on), len(segs_off))
