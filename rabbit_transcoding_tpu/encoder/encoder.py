@@ -136,6 +136,7 @@ class Encoder:
                     frame_segs, width, max(p.minimumImageHeight, 64),
                     block=p.occupancyResolution,
                     try_orientations=p.packingTryOrientations,
+                            safeguard=p.safeGuardDistance,
                 )
                 height = -(-height // 64) * 64
                 tile_band = height
@@ -179,6 +180,7 @@ class Encoder:
                             segs, prev, width, max(height, 64),
                             block=p.occupancyResolution,
                             try_orientations=p.packingTryOrientations,
+                            safeguard=p.safeGuardDistance,
                         )
                         # demote matches whose placement lost non-codeable
                         # inter fields (orientation is inherited, not coded)
@@ -206,6 +208,7 @@ class Encoder:
                             segs, width, max(height, 64),
                             block=p.occupancyResolution,
                             try_orientations=p.packingTryOrientations,
+                            safeguard=p.safeGuardDistance,
                             tetris=p.packingStrategy == 1,
                         )
                     height = max(height, h)
@@ -228,6 +231,7 @@ class Encoder:
                                 group, width, 64,
                                 block=p.occupancyResolution,
                                 try_orientations=p.packingTryOrientations,
+                            safeguard=p.safeGuardDistance,
                                 tetris=p.packingStrategy == 1,
                             )
                             band = max(band, h)

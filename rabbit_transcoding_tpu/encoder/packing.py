@@ -69,7 +69,8 @@ class Packer:
     re-claim its own blocks across the GOF)."""
 
     def __init__(self, width: int, height: int, block: int = 16,
-                 try_orientations: bool = True, max_height: int = 4096):
+                 try_orientations: bool = True, max_height: int = 4096,
+                 safeguard: int = 0):
         self.width = width
         self.block = block
         self.nbx = width // block
@@ -82,6 +83,10 @@ class Packer:
         )
         self.max_height = max_height
         self.used_height = 0
+        # safeGuardDistance (checkFitPatchCanvas, PCCPatch.cpp:318): keep
+        # this many free blocks between different patches — pays height for
+        # less background-fill bleeding into dilated lossy occupancy
+        self.safeguard = safeguard
 
     @property
     def used(self) -> np.ndarray:
@@ -98,9 +103,29 @@ class Packer:
         self.used_height = max(self.used_height, (by + h_b) * self.block)
 
     def _conflicts(self, cfp: np.ndarray, bx: int, by: int, chain: int) -> bool:
+        s = self.safeguard
+        if s:
+            cfp = self._dilated(cfp, s)
+            bx, by = bx - s, by - s
         w_b, h_b = cfp.shape
-        region = self.owner[by : by + h_b, bx : bx + w_b]
-        return bool(((region >= 0) & (region != chain) & cfp.T).any())
+        x0, y0 = max(bx, 0), max(by, 0)
+        x1 = min(bx + w_b, self.nbx)
+        y1 = min(by + h_b, self.owner.shape[0])
+        if x1 <= x0 or y1 <= y0:
+            return False
+        region = self.owner[y0:y1, x0:x1]
+        sub = cfp[x0 - bx : x1 - bx, y0 - by : y1 - by]
+        return bool(((region >= 0) & (region != chain) & sub.T).any())
+
+    @staticmethod
+    def _dilated(cfp: np.ndarray, s: int) -> np.ndarray:
+        """Footprint dilated by the safeguard radius (chebyshev)."""
+        w_b, h_b = cfp.shape
+        out = np.zeros((w_b + 2 * s, h_b + 2 * s), bool)
+        for dx in range(2 * s + 1):
+            for dy in range(2 * s + 1):
+                out[dx : dx + w_b, dy : dy + h_b] |= cfp
+        return out
 
     def try_place_at(self, seg: SegmentedPatch, bx: int, by: int,
                      o: PatchOrientation, chain: int = 0) -> bool:
@@ -121,31 +146,97 @@ class Packer:
 
     def place(self, seg: SegmentedPatch, chain: int = 0,
               tetris: bool = False) -> None:
+        if tetris:
+            return self._place_tetris(seg, chain)
         fp = _block_footprint(seg, self.block)
         while True:
-            best = None  # (skyline_top, by, bx, o, cfp)
             for o in self.orientations:
                 cfp = _oriented_footprint(fp, o)
                 w_b, h_b = cfp.shape
                 if w_b > self.nbx or h_b > self.owner.shape[0]:
                     continue
-                pos = _first_fit(self.used, cfp)
+                if self.safeguard:
+                    s = self.safeguard
+                    used_p = np.zeros(
+                        (self.owner.shape[0] + 2 * s, self.nbx + 2 * s), bool
+                    )
+                    used_p[s:-s, s:-s] = self.used
+                    # dilated footprint in border-padded grid: found padded
+                    # position == the patch origin in real coordinates
+                    pos = _first_fit(used_p, self._dilated(cfp, s))
+                else:
+                    pos = _first_fit(self.used, cfp)
                 if pos is None:
                     continue
                 by, bx = pos
-                if not tetris:
-                    self._mark(seg, cfp, bx, by, o, chain)
-                    return
-                top = by + h_b
-                if best is None or top < best[0]:
-                    best = (top, by, bx, o, cfp)
-            if best is not None:
-                _, by, bx, o, cfp = best
                 self._mark(seg, cfp, bx, by, o, chain)
                 return
             if not self._grow():
                 raise RuntimeError(
                     f"atlas overflow: cannot pack patch of "
+                    f"{seg.occupancy.sum()} blocks into width {self.width} "
+                    f"below max height {self.max_height}"
+                )
+
+    # ------------------------------------------------------------------
+    def _horizon(self) -> np.ndarray:
+        """Skyline: per canvas column, first free row above everything used."""
+        used = self.used
+        rows = used.shape[0]
+        any_col = used.any(axis=0)
+        return np.where(
+            any_col, rows - np.argmax(used[::-1, :], axis=0), 0
+        ).astype(np.int64)
+
+    def _place_tetris(self, seg: SegmentedPatch, chain: int = 0) -> None:
+        """Scored tetris placement (packTetris, PCCEncoder.cpp:3290 +
+        PCCPatch::calculateWastedSpace, PCCPatch.cpp:423): drop every
+        orientation onto the skyline at every column and take the position
+        with the least wasted space
+            100*v0 + gap-under-the-patch + internal holes
+        (the 100*v0 term biases toward the canvas top, exactly the
+        reference's lambda)."""
+        fp = _block_footprint(seg, self.block)
+        LAM = 100
+        while True:
+            horizon = self._horizon()
+            best = None  # (score, bx, by, o, cfp)
+            for o in self.orientations:
+                cfp = _oriented_footprint(fp, o)
+                w_b, h_b = cfp.shape
+                if w_b > self.nbx:
+                    continue
+                occ2 = cfp.T                       # (h_b rows, w_b cols)
+                col_any = occ2.any(axis=0)
+                bottom = np.where(col_any, np.argmax(occ2, axis=0), h_b)
+                internal = int(
+                    ((h_b - np.where(
+                        col_any, np.argmax(occ2[::-1, :], axis=0), h_b
+                    ) - bottom) * col_any).sum() - occ2.sum()
+                )
+                for bx in range(self.nbx - w_b + 1):
+                    hseg = horizon[bx:bx + w_b]
+                    by = int(((hseg - bottom) * col_any).max()) if (
+                        col_any.any()
+                    ) else 0
+                    by = max(by, 0)
+                    # skyline drop can overlap blocks hidden in holes
+                    while (by + h_b <= self.owner.shape[0]
+                           and self._conflicts(cfp, bx, by, chain)):
+                        by += 1
+                    if by + h_b > self.owner.shape[0]:
+                        continue
+                    external = int(((by + bottom - hseg) * col_any).sum())
+                    score = LAM * by + external + internal
+                    if best is None or score < best[0]:
+                        best = (score, bx, by, o, cfp)
+            if best is not None:
+                _, bx, by, o, cfp = best
+                self._mark(seg, cfp, bx, by, o, chain)
+                return
+            if not self._grow():
+                raise RuntimeError(
+                    f"atlas overflow: cannot tetris-pack patch of "
                     f"{seg.occupancy.sum()} blocks into width {self.width} "
                     f"below max height {self.max_height}"
                 )
@@ -168,12 +259,14 @@ def pack_patches(
     try_orientations: bool = True,
     max_height: int = 4096,
     tetris: bool = False,
+    safeguard: int = 0,
 ) -> int:
     """Assign (u0, v0, orientation) to every patch in place; returns the used
     atlas height (multiple of `block`, may exceed `height` up to max_height).
     tetris=True uses the lowest-skyline orientation choice (packTetris
     analog) instead of plain first-fit."""
-    packer = Packer(width, height, block, try_orientations, max_height)
+    packer = Packer(width, height, block, try_orientations, max_height,
+                    safeguard=safeguard)
     order = sorted(
         range(len(segs)),
         key=lambda i: segs[i].occupancy.sum(),
@@ -192,12 +285,14 @@ def pack_patches_consistent(
     block: int = 16,
     try_orientations: bool = True,
     max_height: int = 4096,
+    safeguard: int = 0,
 ) -> int:
     """Spatially consistent packing (spatialConsistencyPackFlexible analog):
     patches matched to the previous frame (patch.best_match_idx set by
     encoder.matching) keep the reference's position/orientation when those
     blocks are free; everything else first-fits into the gaps."""
-    packer = Packer(width, height, block, try_orientations, max_height)
+    packer = Packer(width, height, block, try_orientations, max_height,
+                    safeguard=safeguard)
     deferred = []
     order = sorted(
         range(len(segs)),
@@ -226,6 +321,7 @@ def pack_gof_global(
     block: int = 16,
     try_orientations: bool = True,
     max_height: int = 4096,
+    safeguard: int = 0,
 ) -> int:
     """Global patch allocation (performDataAdaptiveGPAMethod analog,
     PCCEncoder.cpp:6792): ONE packing grid for the whole GOF.  Temporally
@@ -233,7 +329,8 @@ def pack_gof_global(
     may re-claim and grow its own region; nothing else may), so every
     matched patch keeps its position across ALL frames.  Requires
     patch.best_match_idx set frame-to-frame (encoder.matching)."""
-    packer = Packer(width, height, block, try_orientations, max_height)
+    packer = Packer(width, height, block, try_orientations, max_height,
+                    safeguard=safeguard)
     next_chain = 0
     chains_prev: list[int] = []
     for fi, segs in enumerate(frame_segs):

@@ -90,6 +90,9 @@ class EncoderParameters:
     globalPatchAllocation: bool = False
     # packTetris-style lowest-skyline placement instead of first-fit
     packingStrategy: int = 0  # 0 = flexible/first-fit, 1 = tetris
+    # free blocks kept between different patches (PCCPatch.cpp:318); >0
+    # trades atlas height for less fill bleeding into dilated occupancy
+    safeGuardDistance: int = 0
 
     # reconstruction / attribute
     removeDuplicatePoints: bool = True
