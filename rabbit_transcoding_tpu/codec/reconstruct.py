@@ -42,6 +42,12 @@ class GeneratePointCloudParameters:
     remove_duplicate_points: bool = True
     pixel_deinterleaving: bool = False
     point_local_reconstruction: bool = False
+    # occupancy synthesis / PBF (from the SeiOccupancySynthesis SEI):
+    # erode dilated occupancy rims whose geometry deviates off-surface
+    pbf_enable: bool = False
+    pbf_passes: int = 2
+    pbf_filter_size: int = 3
+    pbf_threshold: float = 4.0
 
 
 def round_up(x: int, m: int) -> int:
@@ -160,6 +166,24 @@ class ReconstructionEngine:
         table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
         block = patch_lists[0][0].occupancy_resolution if patch_lists and patch_lists[0] else 16
 
+        if self.params.pbf_enable:
+            geo0_pbf = np.asarray(
+                geo_video.planes[0]
+            )[::map_count][:f, :h, :w].astype(np.int32)
+            b2p_blk = np.asarray(repro_ops.block_to_patch(
+                jnp.asarray(occ_maps), jnp.asarray(table),
+                jnp.asarray(counts), block,
+            ))
+            owner_px = np.repeat(
+                np.repeat(b2p_blk, block, axis=1), block, axis=2
+            )[:, :h, :w].astype(np.int32)
+            occ_maps = np.asarray(occ_ops.pbf_refine(
+                jnp.asarray(occ_maps), jnp.asarray(geo0_pbf),
+                jnp.asarray(owner_px),
+                jnp.float32(self.params.pbf_threshold),
+                passes=self.params.pbf_passes,
+                radius=max(1, self.params.pbf_filter_size // 2),
+            )).astype(np.uint8)
         occ_dev = jnp.asarray(occ_maps)
         table_dev = jnp.asarray(table)
         counts_dev = jnp.asarray(counts)

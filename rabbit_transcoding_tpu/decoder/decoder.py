@@ -67,7 +67,18 @@ class Decoder:
                     atlas.get_video_bitstream(VideoType.ATTRIBUTE_REFL).data
                 )
 
-        engine = ReconstructionEngine(GeneratePointCloudParameters())
+        gpc = GeneratePointCloudParameters()
+        from ..bitstream.sei import SeiOccupancySynthesis
+
+        for sei in atlas.seis_prefix + atlas.seis_suffix:
+            if isinstance(sei, SeiOccupancySynthesis) and sei.os_method_type:
+                gpc.pbf_enable = True
+                gpc.pbf_passes = sei.os_pbf_passes_count_minus1 + 1
+                gpc.pbf_filter_size = sei.os_pbf_filter_size_minus1 + 1
+                gpc.pbf_threshold = float(
+                    1 << (sei.os_pbf_log2_threshold_minus1 + 1)
+                )
+        engine = ReconstructionEngine(gpc)
         with self.timer.stage("generateOccupancyMaps"):
             occ_threshold = (
                 vps_atlas.occupancy_information

@@ -371,10 +371,31 @@ class Encoder:
                 1, -(-max(len(pl) for pl in patch_lists) // 32) * 32
             )
             table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
+            geo_rec_p0 = np.asarray(geo_recon.planes[0], np.int32)
+            if p.pbfEnableFlag:
+                # occupancy synthesis (PBF): erode dilated rims whose decoded
+                # geometry is off-surface — EXACTLY as the decoder will (the
+                # SEI emitted below carries the same passes/size/threshold)
+                from ..ops.occupancy import pbf_refine
+
+                b2p_blk = np.asarray(repro_ops.block_to_patch(
+                    jnp.asarray(occ_decoded), jnp.asarray(table),
+                    jnp.asarray(counts), p.occupancyResolution,
+                ))
+                owner_px = np.repeat(
+                    np.repeat(b2p_blk, p.occupancyResolution, axis=1),
+                    p.occupancyResolution, axis=2,
+                )[:, :height, :width].astype(np.int32)
+                occ_decoded = np.asarray(pbf_refine(
+                    jnp.asarray(occ_decoded),
+                    jnp.asarray(geo_rec_p0[::n_maps][:n_frames]),
+                    jnp.asarray(owner_px),
+                    jnp.float32(4.0), passes=2, radius=1,
+                )).astype(np.uint8)
             occ_dev = jnp.asarray(occ_decoded)
             table_dev = jnp.asarray(table)
             counts_dev = jnp.asarray(counts)
-            geo_rec_planes = np.asarray(geo_recon.planes[0], np.int32)
+            geo_rec_planes = geo_rec_p0
             pts_maps = []
             valid = None
             b2p0 = None
@@ -660,6 +681,12 @@ class Encoder:
                 tile_band=tile_band, eom_points=eom_points,
                 refl_payload=refl_payload,
             )
+            if p.pbfEnableFlag:
+                from ..bitstream.sei import SeiOccupancySynthesis
+
+                # defaults encode threshold=4, 2 passes, size 3 — the same
+                # constants the closed loop above used
+                context.atlas(0).seis_prefix.append(SeiOccupancySynthesis())
             if smoothing_sei is not None:
                 context.atlas(0).seis_prefix.append(smoothing_sei)
             if color_sei is not None:

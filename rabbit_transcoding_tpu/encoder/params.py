@@ -93,6 +93,10 @@ class EncoderParameters:
     # free blocks kept between different patches (PCCPatch.cpp:318); >0
     # trades atlas height for less fill bleeding into dilated occupancy
     safeGuardDistance: int = 0
+    # occupancy synthesis / patch-border filtering (PatchBlockFiltering,
+    # PCCPatch.h:301-435): emit the SEI and erode dilated occupancy rims
+    # whose decoded geometry deviates off-surface (decoder applies the same)
+    pbfEnableFlag: bool = False
 
     # reconstruction / attribute
     removeDuplicatePoints: bool = True

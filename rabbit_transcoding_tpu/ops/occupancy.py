@@ -35,3 +35,67 @@ def binarize(occ: jax.Array, threshold: int = 0) -> jax.Array:
     """Occupancy video plane -> binary map (lossy-occupancy threshold,
     OccupancyInformation.oi_lossy_occupancy_compression_threshold)."""
     return (occ > threshold).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("passes", "radius"))
+def pbf_refine(
+    occ: jax.Array,        # (F, H, W) bool/uint8 (precision-upsampled)
+    geo: jax.Array,        # (F, H, W) decoded near-layer geometry
+    owner: jax.Array,      # (F, H, W) int32 pixel patch ownership (0 = none)
+    threshold: jax.Array,  # depth deviation beyond which a rim pixel drops
+    passes: int = 2,
+    radius: int = 1,
+) -> jax.Array:
+    """Patch-border filtering (occupancy synthesis SEI, the
+    PatchBlockFiltering role, PCCPatch.h:301-435): precision-upsampled
+    occupancy marks whole blocks occupied, so the rim carries background-
+    fill geometry.  Each pass drops BOUNDARY pixels whose depth deviates
+    more than `threshold` from the windowed mean of SAME-PATCH interior
+    pixels (the reference's per-patch depth maps) — eroding dilated rims
+    whose fill has drifted off the surface (e.g. toward a tightly packed
+    neighbor patch) while leaving true surface pixels, which the fill
+    extends smoothly, alone.  Fully vectorised shifted-window sums."""
+    o = occ.astype(bool)
+    g = geo.astype(jnp.float32)
+
+    def shift(x, dy, dx, fill):
+        out = jnp.roll(jnp.roll(x, dy, axis=1), dx, axis=2)
+        if dy == 1:
+            out = out.at[:, 0, :].set(fill)
+        elif dy == -1:
+            out = out.at[:, -1, :].set(fill)
+        if dx == 1:
+            out = out.at[:, :, 0].set(fill)
+        elif dx == -1:
+            out = out.at[:, :, -1].set(fill)
+        return out
+
+    offsets = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if (dy, dx) != (0, 0)
+    ]
+    for _ in range(passes):
+        # interior = occupied with all 4 neighbors occupied AND same patch
+        # (a seam between two tightly packed patches IS a patch border even
+        # though occupancy is contiguous across it)
+        interior = o
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            interior = interior & shift(o, dy, dx, False) & (
+                shift(owner, dy, dx, -1) == owner
+            )
+        boundary = o & ~interior
+        num = jnp.zeros_like(g)
+        den = jnp.zeros_like(g)
+        for dy, dx in offsets:
+            sup = (
+                shift(interior, dy, dx, False)
+                & (shift(owner, dy, dx, 0) == owner)
+            ).astype(jnp.float32)
+            num = num + sup * shift(g, dy, dx, 0.0)
+            den = den + sup
+        ref = num / jnp.maximum(den, 1.0)
+        bad = boundary & (den > 0) & (jnp.abs(g - ref) > threshold)
+        o = o & ~bad
+    return o

@@ -306,3 +306,73 @@ class TestBoundarySmoothing:
         # a sphere atlas has real patch borders, but most points are interior
         assert 0 < n_boundary < 0.9 * dec.point_count
         assert dec.compute_checksum() == recon[0].compute_checksum()
+
+
+class TestPbfRefine:
+    """Occupancy synthesis / patch-border filtering (SeiOccupancySynthesis)."""
+
+    def test_off_surface_rim_eroded(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rabbit_transcoding_tpu.ops.occupancy import pbf_refine
+
+        occ = np.zeros((1, 32, 32), np.uint8)
+        occ[0, 4:28, 4:28] = 1                      # 24x24 patch
+        geo = np.full((1, 32, 32), 100, np.int32)
+        # the outer ring of the patch carries off-surface fill (+40)
+        geo[0, 4:28, 4] = 140
+        geo[0, 4:28, 27] = 140
+        geo[0, 4, 4:28] = 140
+        geo[0, 27, 4:28] = 140
+        owner = occ.astype(np.int32)                # single patch id 1
+        out = np.asarray(pbf_refine(
+            jnp.asarray(occ), jnp.asarray(geo), jnp.asarray(owner),
+            jnp.float32(4.0), passes=2, radius=1,
+        ))
+        # rim dropped, interior intact
+        assert not out[0, 4, 10] and not out[0, 10, 4]
+        assert out[0, 6:26, 6:26].all()
+
+    def test_on_surface_rim_kept(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rabbit_transcoding_tpu.ops.occupancy import pbf_refine
+
+        occ = np.zeros((1, 32, 32), np.uint8)
+        occ[0, 4:28, 4:28] = 1
+        geo = np.full((1, 32, 32), 100, np.int32)   # smooth everywhere
+        owner = occ.astype(np.int32)
+        out = np.asarray(pbf_refine(
+            jnp.asarray(occ), jnp.asarray(geo), jnp.asarray(owner),
+            jnp.float32(4.0), passes=2, radius=1,
+        ))
+        assert (out.astype(bool) == occ.astype(bool)).all()
+
+    def test_e2e_pbf_sei_closed_loop(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_e2e_codec import make_sphere_cloud
+
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.bitstream.sei import SeiOccupancySynthesis
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.decoder.decoder import Decoder
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+
+        src = make_sphere_cloud(seed=0)
+        params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=4, attributeQP=8, occupancyPrecision=4,
+            pbfEnableFlag=True,
+        )
+        ctx, recon = Encoder(params).encode(GroupOfFrames([src]))
+        w = V3CWriter()
+        ctx2 = V3CReader().decode(V3CReader().read(w.write(w.encode(ctx)))[0])
+        assert any(isinstance(s, SeiOccupancySynthesis)
+                   for s in ctx2.atlas(0).seis_prefix)
+        dec = Decoder().decode(ctx2)[0]
+        assert dec.compute_checksum() == recon[0].compute_checksum()
