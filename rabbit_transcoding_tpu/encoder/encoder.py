@@ -60,6 +60,42 @@ class Encoder:
         self.timer = StageTimer()
 
     # ------------------------------------------------------------------
+    def _gpa_beneficial(self, frame_segs, width: int, p) -> bool:
+        """The DATA-ADAPTIVE part of GPA (performDataAdaptiveGPAMethod,
+        PCCEncoder.cpp:6792): trial-pack the GOF both globally (one chain-
+        owned grid, positions stable all GOF) and per-frame (spatially
+        consistent), then keep GPA only if its atlas height cost is within
+        gpaHeightTolerance of the per-frame packing.  Trials run on deep
+        copies; the winner is packed for real by the caller."""
+        import copy
+
+        kw = dict(
+            block=p.occupancyResolution,
+            try_orientations=p.packingTryOrientations,
+            safeguard=p.safeGuardDistance,
+        )
+        min_h = max(p.minimumImageHeight, 64)
+        trial_g = copy.deepcopy(frame_segs)
+        for fi in range(1, len(trial_g)):
+            match_patches(trial_g[fi - 1], trial_g[fi])
+        try:
+            h_gpa = pack_gof_global(trial_g, width, min_h, **kw)
+        except RuntimeError:
+            return False  # global grid overflowed: per-frame it is
+        trial_f = copy.deepcopy(frame_segs)
+        h_frame = 0
+        for fi, segs in enumerate(trial_f):
+            if fi > 0:
+                match_patches(trial_f[fi - 1], segs)
+                h = pack_patches_consistent(
+                    segs, trial_f[fi - 1], width, min_h, **kw
+                )
+            else:
+                h = pack_patches(segs, width, min_h, **kw)
+            h_frame = max(h_frame, h)
+        return h_gpa <= h_frame * p.gpaHeightTolerance
+
+    # ------------------------------------------------------------------
     def encode(
         self, sources: GroupOfFrames
     ) -> tuple[Context, list[PointSet]]:
@@ -117,7 +153,9 @@ class Encoder:
             use_inter = p.constrainedPack and p.tileCount <= 1 and len(
                 frame_segs
             ) > 1
-            if use_inter and p.globalPatchAllocation:
+            if use_inter and p.globalPatchAllocation and (
+                self._gpa_beneficial(frame_segs, width, p)
+            ):
                 # GPA: match+align every adjacent pair, then pack the whole
                 # GOF on one chain-owned grid; finally impose decode order
                 # and remap reference indices through the permutations

@@ -88,6 +88,11 @@ class EncoderParameters:
     # one packing grid for the whole GOF; matched chains own their blocks
     # (reference: globalPatchAllocation / performDataAdaptiveGPAMethod)
     globalPatchAllocation: bool = False
+    # adaptive GPA decision: keep the global packing unless its atlas
+    # height blows past per-frame packing x this factor (GOF-stable
+    # positions are worth real extra area — chains reserve space across
+    # frames — but not unbounded), or the global grid overflows outright
+    gpaHeightTolerance: float = 2.0
     # packTetris-style lowest-skyline placement instead of first-fit
     packingStrategy: int = 0  # 0 = flexible/first-fit, 1 = tetris
     # free blocks kept between different patches (PCCPatch.cpp:318); >0
