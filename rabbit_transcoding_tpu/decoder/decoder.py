@@ -67,6 +67,34 @@ class Decoder:
                     atlas.get_video_bitstream(VideoType.ATTRIBUTE_REFL).data
                 )
 
+        if (atlas.asps_list
+                and atlas.asps_list[0].asps_pixel_deinterleaving_flag):
+            # single-map pixel interleaving: restore the dual-map
+            # frame-interleaved layout the reconstruction engine expects
+            import jax.numpy as jnp
+
+            from ..core.image import Video
+            from ..ops.interleave import deinterleave_maps
+            from ..utils.enums import ColorFormat
+
+            def _deinterleave(video, cf):
+                planes = []
+                for pl in video.planes:
+                    m0, m1 = deinterleave_maps(jnp.asarray(pl))
+                    rec = np.empty(
+                        (2 * pl.shape[0],) + pl.shape[1:],
+                        np.asarray(pl).dtype,
+                    )
+                    rec[0::2] = np.asarray(m0)
+                    rec[1::2] = np.asarray(m1)
+                    planes.append(rec)
+                return Video(video.width, video.height, video.bitdepth,
+                             cf, planes)
+
+            geo_video = _deinterleave(geo_video, ColorFormat.YUV400)
+            if attr_video is not None:
+                attr_video = _deinterleave(attr_video, ColorFormat.YUV420)
+
         gpc = GeneratePointCloudParameters()
         from ..bitstream.sei import SeiOccupancySynthesis
 

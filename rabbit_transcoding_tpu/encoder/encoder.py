@@ -396,11 +396,42 @@ class Encoder:
             # packing) the next frame's D0 predicts the previous D1
             geo_gop = n_maps * (1 if p.allIntra else p.videoGopSize)
             geo_gop = max(1, geo_gop)
+            use_pi = p.singleMapPixelInterleaving and n_maps == 2
+            if use_pi:
+                # single-map pixel interleaving: both maps checkerboard
+                # into ONE F-frame video (asps_pixel_deinterleaving_flag)
+                from ..ops.interleave import interleave_maps
+
+                gpl = geo_video.planes[0]
+                geo_video = Video(
+                    width, height, p.geometryNominal2dBitdepth,
+                    ColorFormat.YUV400,
+                    [np.asarray(interleave_maps(
+                        jnp.asarray(gpl[0::2]), jnp.asarray(gpl[1::2])
+                    ))],
+                )
+                geo_gop = max(1, 1 if p.allIntra else p.videoGopSize)
             geo_payload, geo_recon = VideoEncoder.create(CodecId.RBV).encode(
                 geo_video,
                 VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
                                    motion=p.motionEstimation),
             )
+            if use_pi:
+                # closed loop continues in dual-map layout: de-interleave
+                # the DECODED plane exactly as the decoder will
+                from ..ops.interleave import deinterleave_maps
+
+                m0, m1 = deinterleave_maps(jnp.asarray(geo_recon.planes[0]))
+                rec = np.empty(
+                    (2 * n_frames, height, width),
+                    np.asarray(geo_recon.planes[0]).dtype,
+                )
+                rec[0::2] = np.asarray(m0)
+                rec[1::2] = np.asarray(m1)
+                geo_recon = Video(
+                    width, height, p.geometryNominal2dBitdepth,
+                    ColorFormat.YUV400, [rec],
+                )
 
         # 5. reconstruct geometry from *decoded* planes (decoder-identical)
         with self.timer.stage("reconstructGeometry"):
@@ -520,11 +551,39 @@ class Encoder:
                 [np.asarray(y), np.asarray(u), np.asarray(v)],
             )
             attr_gop = max(1, n_maps * (1 if p.allIntra else p.videoGopSize))
+            if use_pi:
+                from ..ops.interleave import interleave_maps
+
+                attr_video = Video(
+                    width, height, 8, ColorFormat.YUV420,
+                    [
+                        np.asarray(interleave_maps(
+                            jnp.asarray(pl[0::2]), jnp.asarray(pl[1::2])
+                        ))
+                        for pl in attr_video.planes
+                    ],
+                )
+                attr_gop = max(1, 1 if p.allIntra else p.videoGopSize)
             attr_payload, attr_recon = VideoEncoder.create(CodecId.RBV).encode(
                 attr_video,
                 VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop,
                                    motion=p.motionEstimation),
             )
+            if use_pi:
+                from ..ops.interleave import deinterleave_maps
+
+                rec_planes = []
+                for pl in attr_recon.planes:
+                    m0, m1 = deinterleave_maps(jnp.asarray(pl))
+                    rec = np.empty(
+                        (2 * n_frames,) + pl.shape[1:], np.asarray(pl).dtype
+                    )
+                    rec[0::2] = np.asarray(m0)
+                    rec[1::2] = np.asarray(m1)
+                    rec_planes.append(rec)
+                attr_recon = Video(
+                    width, height, 8, ColorFormat.YUV420, rec_planes,
+                )
 
         # 6b. reflectance attribute (second attribute sub-stream, lossless)
         refl_payload = None
@@ -717,7 +776,7 @@ class Encoder:
                 occ_payload, geo_payload, attr_payload,
                 raw_points, raw_geo_payload, raw_attr_payload,
                 tile_band=tile_band, eom_points=eom_points,
-                refl_payload=refl_payload,
+                refl_payload=refl_payload, use_pi=use_pi,
             )
             if p.pbfEnableFlag:
                 from ..bitstream.sei import SeiOccupancySynthesis
@@ -735,7 +794,7 @@ class Encoder:
     def _build_context(
         self, frame_segs, width, height, occ_payload, geo_payload, attr_payload,
         raw_points=None, raw_geo_payload=None, raw_attr_payload=None,
-        tile_band=None, eom_points=None, refl_payload=None,
+        tile_band=None, eom_points=None, refl_payload=None, use_pi=False,
     ) -> Context:
         p = self.params
         context = Context()
@@ -784,6 +843,7 @@ class Encoder:
             asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
             asps_patch_size_quantizer_present_flag=True,
             asps_map_count_minus1=p.mapCountMinus1,
+            asps_pixel_deinterleaving_flag=use_pi,
             asps_raw_patch_enabled_flag=raw_geo_payload is not None,
             asps_eom_patch_enabled_flag=p.enhancedOccupancyMapCode,
             asps_plr_enabled_flag=(

@@ -38,6 +38,10 @@ class EncoderParameters:
     # plrd_level_flag: 1 = one PLR mode per patch (default), 0 = one mode per
     # packing block (finer rate/quality trade, 23090-5 8.3.7.9 block level)
     plrLevel: int = 1
+    # single-map pixel interleaving (PCCEncoderParameters.h:218): both depth
+    # maps checkerboard into ONE geometry/attribute video
+    # (asps_pixel_deinterleaving_flag); requires mapCountMinus1 = 1
+    singleMapPixelInterleaving: bool = False
     # lossy occupancy: occupancy coded as a lossy video, binarised at the
     # OI threshold (reference: lossyOccupancyMap + occupancyMapQP)
     lossyOccupancyMap: bool = False

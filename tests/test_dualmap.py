@@ -71,3 +71,75 @@ class TestDualMap:
         )
         src, dec, recon = _roundtrip(params)
         assert dec.compute_checksum() == recon.compute_checksum()
+
+
+class TestPixelInterleaving:
+    """Single-map pixel interleaving (asps_pixel_deinterleaving_flag,
+    singleMapPixelInterleaving): both maps checkerboard into ONE video."""
+
+    def test_pixel_interleave_roundtrip(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        import numpy as np
+        from test_e2e_codec import make_sphere_cloud, nn_dist
+
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.decoder.decoder import Decoder
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        src = make_sphere_cloud(seed=0)
+
+        def run(**kw):
+            params = EncoderParameters(
+                minimumImageWidth=256, minimumImageHeight=64,
+                geometryQP=4, attributeQP=8, occupancyPrecision=2, **kw,
+            )
+            ctx, recon = Encoder(params).encode(GroupOfFrames([src]))
+            w = V3CWriter()
+            data = w.write(w.encode(ctx))
+            ctx2 = V3CReader().decode(V3CReader().read(data)[0])
+            return data, ctx2, Decoder().decode(ctx2)[0], recon[0]
+
+        data_pi, ctx_pi, dec_pi, recon_pi = run(
+            singleMapPixelInterleaving=True,
+        )
+        data_dual, _, dec_dual, _ = run()
+
+        asps = ctx_pi.atlas(0).asps_list[0]
+        assert asps.asps_pixel_deinterleaving_flag
+        assert asps.asps_map_count_minus1 == 1
+        # ONE geometry video of F frames (not 2F)
+        from rabbit_transcoding_tpu.video import rbv
+
+        geo_vb = ctx_pi.atlas(0).get_video_bitstream(VideoType.GEOMETRY)
+        assert rbv.probe(geo_vb.data)["frame_count"] == 1
+
+        # closed loop exact; materially smaller; quality still reasonable
+        assert dec_pi.compute_checksum() == recon_pi.compute_checksum()
+        assert len(data_pi) < 0.85 * len(data_dual)
+        d = nn_dist(src.positions, dec_pi.positions)
+        assert np.mean(d ** 2) < 2.0, np.mean(d ** 2)
+
+    def test_deinterleave_inverts_interleave_on_own_samples(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rabbit_transcoding_tpu.ops.interleave import (
+            deinterleave_maps,
+            interleave_maps,
+        )
+
+        rng = np.random.default_rng(0)
+        m0 = rng.integers(0, 1000, (2, 16, 16)).astype(np.uint16)
+        m1 = rng.integers(0, 1000, (2, 16, 16)).astype(np.uint16)
+        plane = np.asarray(interleave_maps(jnp.asarray(m0), jnp.asarray(m1)))
+        r0, r1 = map(np.asarray, deinterleave_maps(jnp.asarray(plane)))
+        yy, xx = np.mgrid[0:16, 0:16]
+        par0 = ((yy + xx) % 2) == 0
+        # coded samples are exact; the opposite-parity ones are interpolated
+        assert (r0[:, par0] == m0[:, par0]).all()
+        assert (r1[:, ~par0] == m1[:, ~par0]).all()
