@@ -23,7 +23,11 @@ def main(argv=None) -> int:
     params = TranscoderParameters()
     reg = build_registry(
         params,
-        extra={"profile": ("", "write a JAX profiler trace to this directory")},
+        extra={
+            "profile": ("", "write a JAX profiler trace to this directory"),
+            "trace": (False, "write enc_* conformance trace logs for the "
+                             "transcoded stream (PCCLogger analog)"),
+        },
     )
     if parse_or_help(reg, argv, params, "rabbit-transcode") is None:
         return 0
@@ -52,10 +56,27 @@ def main(argv=None) -> int:
     transcoder = Transcoder(params)
     writer = V3CWriter()
     out_units = []
+    tracer = None
+    if reg["trace"]:
+        from ..utils.tracing import TraceCategory, Tracer
+
+        tracer = Tracer(prefix="enc_").enable(*TraceCategory)
     for gof_idx, gof in enumerate(gofs):
         context = reader.decode(gof)
         for atlas in list(context.atlases):
             transcoder.transcode(context, atlas.atlas_id)
+        if tracer is not None:
+            from ..codec.patch_frame import decode_patch_frames
+            from ..codec.trace import emit_conformance_traces
+            from ..decoder.decoder import Decoder
+
+            # reconstruct the transcoded GOF so the pcframe log exists —
+            # the conformance comparator requires every enc_/dec_ pair
+            emit_conformance_traces(
+                tracer, context.atlas(0),
+                decode_patch_frames(context.atlas(0)),
+                Decoder().decode(context),
+            )
         out_units.extend(writer.encode(context))
         print(f"GOF {gof_idx}: {context.atlas_count} atlas(es) transcoded")
     n = writer.write_file(out_units, params.outStreamPath)
@@ -67,6 +88,8 @@ def main(argv=None) -> int:
     print(f"output: {params.outStreamPath} ({n} bytes)")
     print(transcoder.timer.report())
     print(writer.stat.report())
+    if tracer is not None:
+        tracer.close()
     write_wall_seconds(params.test_name, sw)
     print_run_footer("rabbit-transcode", sw)
     return 0
