@@ -31,6 +31,8 @@ class V3CReader:
     # ------------------------------------------------------------------
     def read(self, data: bytes) -> list[list[V3CUnit]]:
         """File bytes -> list of GOFs (each a V3C unit list)."""
+        if not data:
+            raise ValueError("empty V3C stream (no sample-stream header)")
         units = read_sample_stream_v3c(data)
         for u in units:
             self.stat.add(u.header.unit_type, len(u.payload) + 4)

@@ -1,0 +1,92 @@
+"""Bitstream robustness: malformed inputs fail cleanly, not catastrophically.
+
+The stream driver's failure containment (rabbit-stream --onError=skip)
+relies on every parse/decode error being an ordinary exception — never a
+hang, never silent garbage output that passes for success.
+"""
+
+import numpy as np
+import pytest
+
+from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+from rabbit_transcoding_tpu.decoder.decoder import Decoder
+from rabbit_transcoding_tpu.encoder.encoder import Encoder
+from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+
+from test_e2e_codec import make_sphere_cloud
+
+
+@pytest.fixture(scope="module")
+def good_stream():
+    src = make_sphere_cloud(seed=0)
+    params = EncoderParameters(
+        minimumImageWidth=256, minimumImageHeight=64,
+        geometryQP=8, attributeQP=12, occupancyPrecision=2,
+    )
+    ctx, _ = Encoder(params).encode(GroupOfFrames([src]))
+    w = V3CWriter()
+    return w.write(w.encode(ctx))
+
+
+def try_decode(data: bytes):
+    reader = V3CReader()
+    gofs = reader.read(data)
+    for gof in gofs:
+        ctx = reader.decode(list(gof))
+        Decoder().decode(ctx)
+
+
+class TestMalformedStreams:
+    def test_empty_stream(self):
+        with pytest.raises(Exception):
+            try_decode(b"")
+
+    def test_garbage_stream(self):
+        rng = np.random.default_rng(0)
+        with pytest.raises(Exception):
+            try_decode(rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+
+    def test_truncated_everywhere(self, good_stream):
+        """Truncation at any coarse offset either raises or (for cuts that
+        only drop whole trailing units) yields fewer-but-valid clouds —
+        never a hang or crash-to-death."""
+        n = len(good_stream)
+        for frac in (0.05, 0.3, 0.6, 0.9, 0.99):
+            cut = good_stream[: int(n * frac)]
+            try:
+                try_decode(cut)
+            except Exception:
+                pass  # clean failure is the contract
+
+    def test_bitflips_in_payload(self, good_stream):
+        """Flipping bytes mid-stream must not hang or segfault; wrong output
+        or an exception are both acceptable."""
+        for pos in (len(good_stream) // 3, len(good_stream) // 2,
+                    2 * len(good_stream) // 3):
+            corrupted = bytearray(good_stream)
+            corrupted[pos] ^= 0xFF
+            try:
+                try_decode(bytes(corrupted))
+            except Exception:
+                pass
+
+    def test_wrong_magic_video_payload(self, good_stream):
+        """Replacing a video payload with junk raises (the transcoder path
+        asserts this too: unrecognized payload -> ValueError)."""
+        from rabbit_transcoding_tpu.bitstream import VideoBitstream
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        reader = V3CReader()
+        ctx = reader.decode(reader.read(good_stream)[0])
+        ctx.atlas(0).set_video_bitstream(
+            VideoBitstream(VideoType.GEOMETRY, b"JUNKJUNKJUNK")
+        )
+        with pytest.raises(Exception):
+            Transcoder(TranscoderParameters(computeHashSei=False)).transcode(
+                ctx
+            )
