@@ -90,3 +90,60 @@ class TestMalformedStreams:
             Transcoder(TranscoderParameters(computeHashSei=False)).transcode(
                 ctx
             )
+
+
+class TestConcurrencyDeterminism:
+    """The race-detection analog (SURVEY.md §5.2): the transcode stack —
+    jitted device programs + per-plane host thread pools + the native rANS
+    coder via ctypes — must be deterministic under concurrent use (the
+    multi-stream driver and the GOF pipeline both rely on it)."""
+
+    def test_concurrent_transcodes_bit_identical(self, good_stream):
+        import concurrent.futures as cf
+
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        reader = V3CReader()
+        units = reader.read(good_stream)[0]
+
+        def one() -> tuple[bytes, bytes]:
+            ctx = V3CReader().decode(list(units))
+            Transcoder(TranscoderParameters(
+                geometryQP=26, attributeQP=34, computeHashSei=False,
+            )).transcode(ctx)
+            return (
+                ctx.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data,
+                ctx.atlas(0).get_video_bitstream(VideoType.ATTRIBUTE).data,
+            )
+
+        ref = one()  # sequential reference (also warms the jit cache)
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(lambda _: one(), range(8)))
+        for geo, attr in results:
+            assert geo == ref[0]
+            assert attr == ref[1]
+
+    def test_native_rans_concurrent_roundtrips(self):
+        import concurrent.futures as cf
+
+        from rabbit_transcoding_tpu import native
+
+        if not native.available():
+            pytest.skip("native rANS not built in this environment")
+        rng = np.random.default_rng(3)
+        arrays = [
+            rng.integers(-300, 300, rng.integers(10, 5000)).astype(np.int16)
+            for _ in range(64)
+        ]
+
+        def roundtrip(a):
+            return native.decompress_i16(native.compress_i16(a), len(a))
+
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            outs = list(ex.map(roundtrip, arrays))
+        for a, o in zip(arrays, outs):
+            assert np.array_equal(a, np.asarray(o))
