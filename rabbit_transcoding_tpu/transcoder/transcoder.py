@@ -43,10 +43,22 @@ class Transcoder:
         self._rc_cache: dict[str, tuple[int, int]] = {}
 
     # ------------------------------------------------------------------
+    def _keep_intermediate(self, atlas, stage: str) -> None:
+        """keepIntermediateFiles (PCCTranscoder analog): dump each video
+        sub-stream payload before/after transcoding for debugging."""
+        if not self.params.keepIntermediateFiles:
+            return
+        base = self.params.test_name or "transcode"
+        for vtype, vb in atlas.video_bitstreams.items():
+            path = f"{base}_{stage}_{vtype.name.lower()}_atlas{atlas.atlas_id}.bin"
+            with open(path, "wb") as f:
+                f.write(vb.data)
+
     def transcode(self, context: Context, atlas_id: int = 0) -> Context:
         """Transcode one GOF's atlas in place (PCCTranscoder::transcode)."""
         p = self.params
         atlas = context.atlas(atlas_id)
+        self._keep_intermediate(atlas, "in")
 
         with self.timer.stage("transcodeOccupancy"):
             self._transcode_occupancy(atlas)
@@ -67,6 +79,7 @@ class Transcoder:
         if p.computeHashSei:
             with self.timer.stage("createHashSEI"):
                 self._refresh_hash_sei(atlas)
+        self._keep_intermediate(atlas, "out")
         return context
 
     # ------------------------------------------------------------------
