@@ -30,7 +30,7 @@ def main(argv=None) -> int:
             "resolution": (1023, "geometry PSNR peak resolution"),
             "nbThread": (0, "thread count (0 = auto)"),
             "trace": (False, "write dec_* conformance trace logs"),
-            "profile": ("", "write a JAX profiler trace to this directory"),
+            "profileDir": ("", "write a JAX profiler trace to this directory"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-decode") is None:
@@ -40,10 +40,10 @@ def main(argv=None) -> int:
         return 1
 
     profiler_cm = None
-    if reg["profile"]:
+    if reg["profileDir"]:
         import jax
 
-        profiler_cm = jax.profiler.trace(reg["profile"])
+        profiler_cm = jax.profiler.trace(reg["profileDir"])
         profiler_cm.__enter__()
 
     sw = Stopwatch()
@@ -97,7 +97,7 @@ def main(argv=None) -> int:
         tracer.close()
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
-        print(f"profiler trace written to {reg['profile']}")
+        print(f"profiler trace written to {reg['profileDir']}")
     decoder.timer.write("timings_decoder.txt")
     print(decoder.timer.report())
     print_run_footer("rabbit-decode", sw)

@@ -28,7 +28,7 @@ def main(argv=None) -> int:
             "nbThread": (0, "thread count (0 = auto)"),
             "computeChecksum": (True, "record reconstruction checksums"),
             "trace": (False, "write enc_* conformance trace logs"),
-            "profile": ("", "write a JAX profiler trace to this directory"),
+            "profileDir": ("", "write a JAX profiler trace to this directory"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-encode") is None:
@@ -41,10 +41,10 @@ def main(argv=None) -> int:
     )
 
     profiler_cm = None
-    if reg["profile"]:
+    if reg["profileDir"]:
         import jax
 
-        profiler_cm = jax.profiler.trace(reg["profile"])
+        profiler_cm = jax.profiler.trace(reg["profileDir"])
         profiler_cm.__enter__()
 
     sw = Stopwatch()
@@ -87,7 +87,7 @@ def main(argv=None) -> int:
     sw.stop()
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
-        print(f"profiler trace written to {reg['profile']}")
+        print(f"profiler trace written to {reg['profileDir']}")
 
     print(f"output: {params.compressedStreamPath} ({n} bytes)")
     print(writer.stat.report())

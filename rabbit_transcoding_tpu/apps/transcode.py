@@ -24,7 +24,7 @@ def main(argv=None) -> int:
     reg = build_registry(
         params,
         extra={
-            "profile": ("", "write a JAX profiler trace to this directory"),
+            "profileDir": ("", "write a JAX profiler trace to this directory"),
             "trace": (False, "write enc_* conformance trace logs for the "
                              "transcoded stream (PCCLogger analog)"),
         },
@@ -35,7 +35,7 @@ def main(argv=None) -> int:
         print("error: --compressedStreamPath is required", file=sys.stderr)
         return 1
 
-    profile_dir = reg["profile"]
+    profile_dir = reg["profileDir"]
     profiler_cm = None
     if profile_dir:
         import jax
