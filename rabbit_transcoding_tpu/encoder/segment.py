@@ -139,6 +139,20 @@ def _refine_step(
     return jnp.argmax(scores + lam_over_k * smooth, axis=1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("n_iter",))
+def _refine_all(
+    ppi: jax.Array, scores: jax.Array, nbr_idx: jax.Array,
+    lam_over_k: jax.Array, n_iter: int,
+) -> jax.Array:
+    """All smoothing iterations in ONE device program (a lax.fori_loop) —
+    one host round trip instead of n_iter, which matters on high-latency
+    links and lets XLA keep the one-hot buffers on chip."""
+    def body(_, p):
+        return _refine_step(p, scores, nbr_idx, lam_over_k)
+
+    return jax.lax.fori_loop(0, n_iter, body, ppi)
+
+
 def initial_segmentation(
     normals: np.ndarray, extended: bool = False
 ) -> np.ndarray:
@@ -161,8 +175,10 @@ def refine_segmentation(
     p = jnp.asarray(ppi)
     idx = jnp.asarray(nbr_idx[:, : params.max_nn_count_refine_segmentation])
     lam_over_k = jnp.float32(params.lambda_refine_segmentation / idx.shape[1])
-    for _ in range(params.iteration_count_refine_segmentation):
-        p = _refine_step(p, scores, idx, lam_over_k)
+    p = _refine_all(
+        p, scores, idx, lam_over_k,
+        params.iteration_count_refine_segmentation,
+    )
     return np.asarray(p)
 
 
