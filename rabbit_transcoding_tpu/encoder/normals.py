@@ -55,6 +55,25 @@ def _orient_sweep(normals: jax.Array, nbr_idx: jax.Array) -> jax.Array:
     return jnp.where(vote[:, None] < 0, -normals, normals)
 
 
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def _orient_all(
+    normals: jax.Array, points: jax.Array, nbr_idx: jax.Array, sweeps: int
+) -> jax.Array:
+    """Viewpoint disambiguation + all consistency sweeps + normalisation in
+    ONE device program (one host round trip on high-latency links)."""
+    centroid = points.mean(axis=0, keepdims=True)
+    outward = points - centroid
+    flip = jnp.einsum("nc,nc->n", normals, outward) < 0
+    n = jnp.where(flip[:, None], -normals, normals)
+    n = jax.lax.fori_loop(
+        0, sweeps, lambda _, x: _orient_sweep(x, nbr_idx), n
+    )
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+
+
 def compute_normals(
     points: np.ndarray,
     k: int = 16,
@@ -68,12 +87,6 @@ def compute_normals(
     pts = jnp.asarray(points.astype(np.float32))
     idx = jnp.asarray(nbr_idx)
     n = _pca_normals(pts, idx)
-    # viewpoint disambiguation: outward from centroid
-    centroid = pts.mean(axis=0, keepdims=True)
-    outward = pts - centroid
-    flip = jnp.einsum("nc,nc->n", n, outward) < 0
-    n = jnp.where(flip[:, None], -n, n)
-    for _ in range(orient_sweeps):
-        n = _orient_sweep(n, idx)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    # viewpoint disambiguation + consistency sweeps, fused into one program
+    n = _orient_all(n, pts, idx, orient_sweeps)
     return np.asarray(n), np.asarray(nbr_idx)
