@@ -87,6 +87,24 @@ def transcode_stream(path_in: str, path_out: str, params: StreamParams) -> dict:
     failures = []
     t0 = time.perf_counter()
 
+    def write_state(done_now: int, out_bytes: int) -> None:
+        # atomic replace so a crash mid-dump never leaves a torn sidecar
+        tmp = spath + ".tmp"
+        with open(tmp, "w") as sf:
+            json.dump(
+                {
+                    "input": path_in,
+                    "input_md5": input_md5,
+                    "params": pkey,
+                    "gofs_done": done_now,
+                    "gofs_total": len(gofs),
+                    "out_bytes": out_bytes,
+                    "failures": failures,
+                },
+                sf,
+            )
+        os.replace(tmp, spath)
+
     def process(gi: int) -> bytes | None:
         context = reader.decode(gofs[gi])
         for atlas in list(context.atlases):
@@ -115,18 +133,10 @@ def transcode_stream(path_in: str, path_out: str, params: StreamParams) -> dict:
                     print(f"{path_in} GOF {gi}: skipped ({e})",
                           file=sys.stderr)
                 done = gi + 1
-            json.dump(
-                {
-                    "input": path_in,
-                    "input_md5": input_md5,
-                    "params": pkey,
-                    "gofs_done": done,
-                    "gofs_total": len(gofs),
-                    "out_bytes": out_f.tell(),
-                    "failures": failures,
-                },
-                open(spath, "w"),
-            )
+                # checkpoint AFTER each GOF's write+flush, not once at the
+                # end: a mid-run crash must leave a state that --resume can
+                # continue from (the documented contract)
+                write_state(done, out_f.tell())
     return {
         "stream": path_in,
         "gofs": len(gofs),

@@ -78,6 +78,17 @@ class Encoder:
         trial_g = copy.deepcopy(frame_segs)
         for fi in range(1, len(trial_g)):
             match_patches(trial_g[fi - 1], trial_g[fi])
+            # the real GPA path aligns matched patches (which GROWS them,
+            # up to max_grow px/axis) before packing — the trial must do the
+            # same or its height underestimates and the real pack can
+            # overflow where the trial said it fit
+            for seg in trial_g[fi]:
+                ri = seg.patch.best_match_idx
+                if ri >= 0:
+                    align_matched_patch(
+                        seg, trial_g[fi - 1][ri],
+                        max_depth=(1 << p.geometryNominal2dBitdepth) - 1,
+                    )
         try:
             h_gpa = pack_gof_global(trial_g, width, min_h, **kw)
         except RuntimeError:

@@ -70,10 +70,14 @@ def transcode_compute_step(
     variant runs per-GOP via lax.scan in video.rbv); returns
     (new_coeffs, recon, mse) where mse is a global scalar — the cross-chip
     reduction that exercises ICI collectives."""
+    from ..video.rbv import _DZ_INTRA, _quantize
+
     pixels = deblockify(idct2d(coeffs.astype(jnp.float32) * qstep_in))
     pixels = jnp.clip(jnp.round(pixels), 0.0, maxval)
     c2 = dct2d(blockify(pixels, coeffs.shape[-1]))
-    q2 = jnp.clip(jnp.round(c2 / qstep_out), -32767, 32767).astype(jnp.int32)
+    # same deadzone quantiser as the production RBV intra path so the
+    # sharded step reproduces the single-chip transcode arithmetic exactly
+    q2 = _quantize(c2, qstep_out, _DZ_INTRA).astype(jnp.int32)
     recon = deblockify(idct2d(q2.astype(jnp.float32) * qstep_out))
     recon = jnp.clip(jnp.round(recon), 0.0, maxval)
     mse = jnp.mean((recon - pixels) ** 2)  # all-reduce over every axis

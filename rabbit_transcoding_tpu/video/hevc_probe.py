@@ -35,8 +35,13 @@ def _skip_profile_tier_level(br: BitReader, max_sub_layers_minus1: int) -> None:
     br.u(32)  # general constraint flags (48 bits total)
     br.u(16)
     br.u(8)   # general_level_idc
-    sub_profile = [bool(br.u(1)) for _ in range(max_sub_layers_minus1)]
-    sub_level = [bool(br.u(1)) for _ in range(max_sub_layers_minus1)]
+    # H.265 §7.3.3: the profile/level present flags are INTERLEAVED per
+    # sub-layer, not grouped (misreading them breaks any SPS with >=2
+    # sub-layers, a common HM temporal-layer config)
+    sub_profile, sub_level = [], []
+    for _ in range(max_sub_layers_minus1):
+        sub_profile.append(bool(br.u(1)))
+        sub_level.append(bool(br.u(1)))
     if max_sub_layers_minus1 > 0:
         for _ in range(8 - max_sub_layers_minus1):
             br.u(2)  # reserved
