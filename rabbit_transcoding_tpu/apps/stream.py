@@ -7,14 +7,18 @@ that explicit and robust:
 
  * completed GOFs append to the output immediately; a sidecar
    ``<out>.state.json`` records input identity (md5), parameters, and the
-   completed-GOF count + output size;
+   completed-GOF count + output size — updated atomically after EVERY GOF;
  * ``--resume`` continues from the first unfinished GOF after a crash or
    restart (state and partial output are validated first);
  * ``--onError=skip`` drops a failing GOF and keeps the stream alive
    (``abort`` preserves reference behaviour);
  * multiple input streams (comma-separated) are transcoded concurrently —
    per-stream threads overlap host entropy with device compute
-   (the BASELINE config-5 multi-stream mode).
+   (the BASELINE config-5 multi-stream mode);
+ * ``--sharded=1`` + multiple inputs: all streams' GOFs are batched through
+   ONE mesh-sharded device program per plane (transcoder/multistream.py) —
+   the multi-chip scaling path (DP over streams, SP over atlas rows).
+   Output bitstreams are byte-identical to the unsharded mode.
 """
 
 from __future__ import annotations
@@ -42,11 +46,15 @@ class StreamParams(TranscoderParameters):
     # GOFs in flight: >1 overlaps host entropy of one GOF with device
     # compute of the next (GOFs are independent; writes stay ordered)
     pipelineDepth: int = 2
+    # batch all input streams' GOFs through one mesh-sharded device
+    # program (requires >1 input; output is byte-identical to unsharded)
+    sharded: bool = False
 
 
 def _params_key(params: StreamParams) -> str:
     d = dataclasses.asdict(params)
-    for k in ("compressedStreamPath", "outStreamPath", "resume"):
+    for k in ("compressedStreamPath", "outStreamPath", "resume", "sharded",
+              "pipelineDepth"):
         d.pop(k, None)
     return hashlib.md5(json.dumps(d, sort_keys=True).encode()).hexdigest()
 
@@ -55,95 +63,187 @@ def _state_path(out_path: str) -> str:
     return out_path + ".state.json"
 
 
-def transcode_stream(path_in: str, path_out: str, params: StreamParams) -> dict:
-    """Transcode one stream GOF-by-GOF with checkpointed progress."""
-    with open(path_in, "rb") as f:
-        data = f.read()
-    input_md5 = hashlib.md5(data).hexdigest()
-    reader = V3CReader()
-    gofs = reader.read(data)
-    pkey = _params_key(params)
+class _StreamIO:
+    """One stream's input GOFs + checkpointed output (file + sidecar)."""
 
-    done = 0
-    mode = "wb"
-    spath = _state_path(path_out)
-    if params.resume and os.path.exists(spath):
-        try:
-            state = json.load(open(spath))
-            if (
-                state.get("input_md5") == input_md5
-                and state.get("params") == pkey
-                and os.path.exists(path_out)
-                and os.path.getsize(path_out) == state.get("out_bytes", -1)
-            ):
-                done = state.get("gofs_done", 0)
-                mode = "ab"
-            else:
-                print(f"{path_out}: stale state, restarting", file=sys.stderr)
-        except (json.JSONDecodeError, OSError):
-            print(f"{spath}: unreadable state, restarting", file=sys.stderr)
+    def __init__(self, path_in: str, path_out: str, params: StreamParams):
+        self.path_in = path_in
+        self.path_out = path_out
+        self.params = params
+        with open(path_in, "rb") as f:
+            data = f.read()
+        self.input_md5 = hashlib.md5(data).hexdigest()
+        self.reader = V3CReader()
+        self.gofs = self.reader.read(data)
+        self.pkey = _params_key(params)
+        self.failures: list[dict] = []
+        self.t0 = time.perf_counter()
 
-    transcoder = Transcoder(params)
-    failures = []
-    t0 = time.perf_counter()
+        self.done = 0
+        self._mode = "wb"
+        spath = _state_path(path_out)
+        if params.resume and os.path.exists(spath):
+            try:
+                state = json.load(open(spath))
+                if (
+                    state.get("input_md5") == self.input_md5
+                    and state.get("params") == self.pkey
+                    and os.path.exists(path_out)
+                    and os.path.getsize(path_out) == state.get("out_bytes", -1)
+                ):
+                    self.done = state.get("gofs_done", 0)
+                    self._mode = "ab"
+                else:
+                    print(f"{path_out}: stale state, restarting",
+                          file=sys.stderr)
+            except (json.JSONDecodeError, OSError):
+                print(f"{spath}: unreadable state, restarting",
+                      file=sys.stderr)
+        self._f = None
 
-    def write_state(done_now: int, out_bytes: int) -> None:
+    def __enter__(self):
+        self._f = open(self.path_out, self._mode)
+        if self._mode == "wb":
+            # one sample-stream header per FILE; GOFs append units only
+            self._f.write(sample_stream_header(4))
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+        self._f = None
+
+    def _write_state(self) -> None:
         # atomic replace so a crash mid-dump never leaves a torn sidecar
+        spath = _state_path(self.path_out)
         tmp = spath + ".tmp"
         with open(tmp, "w") as sf:
             json.dump(
                 {
-                    "input": path_in,
-                    "input_md5": input_md5,
-                    "params": pkey,
-                    "gofs_done": done_now,
-                    "gofs_total": len(gofs),
-                    "out_bytes": out_bytes,
-                    "failures": failures,
+                    "input": self.path_in,
+                    "input_md5": self.input_md5,
+                    "params": self.pkey,
+                    "gofs_done": self.done,
+                    "gofs_total": len(self.gofs),
+                    "out_bytes": self._f.tell(),
+                    "failures": self.failures,
                 },
                 sf,
             )
         os.replace(tmp, spath)
 
-    def process(gi: int) -> bytes | None:
-        context = reader.decode(gofs[gi])
-        for atlas in list(context.atlases):
-            transcoder.transcode(context, atlas.atlas_id)
-        writer = V3CWriter()
-        return write_sample_stream_units(writer.encode(context), 4)
+    def write_gof(self, blob: bytes) -> None:
+        self._f.write(blob)
+        self._f.flush()
+        self.done += 1
+        self._write_state()
 
-    depth = max(1, params.pipelineDepth)
-    with open(path_out, mode) as out_f:
-        if mode == "wb":
-            # one sample-stream header per FILE; GOFs append units only
-            out_f.write(sample_stream_header(4))
+    def skip_gof(self, gi: int, err: Exception) -> None:
+        if self.params.onError == "abort":
+            raise err
+        self.failures.append({"gof": gi, "error": repr(err)})
+        print(f"{self.path_in} GOF {gi}: skipped ({err})", file=sys.stderr)
+        self.done += 1
+        self._write_state()
+
+    def result(self) -> dict:
+        return {
+            "stream": self.path_in,
+            "gofs": len(self.gofs),
+            "failures": len(self.failures),
+            "seconds": time.perf_counter() - self.t0,
+            "out_bytes": os.path.getsize(self.path_out),
+        }
+
+
+def transcode_stream(path_in: str, path_out: str, params: StreamParams) -> dict:
+    """Transcode one stream GOF-by-GOF with checkpointed progress."""
+    transcoder = Transcoder(params)
+
+    with _StreamIO(path_in, path_out, params) as sio:
+
+        def process(gi: int) -> bytes:
+            context = sio.reader.decode(sio.gofs[gi])
+            for atlas in list(context.atlases):
+                transcoder.transcode(context, atlas.atlas_id)
+            writer = V3CWriter()
+            return write_sample_stream_units(writer.encode(context), 4)
+
+        depth = max(1, params.pipelineDepth)
         with cf.ThreadPoolExecutor(max_workers=depth) as ex:
             futures = {
-                gi: ex.submit(process, gi) for gi in range(done, len(gofs))
+                gi: ex.submit(process, gi)
+                for gi in range(sio.done, len(sio.gofs))
             }
-            for gi in range(done, len(gofs)):
+            for gi in sorted(futures):
                 try:
-                    blob = futures[gi].result()
-                    out_f.write(blob)
-                    out_f.flush()
+                    sio.write_gof(futures[gi].result())
                 except Exception as e:  # per-GOF failure containment
-                    if params.onError == "abort":
-                        raise
-                    failures.append({"gof": gi, "error": repr(e)})
-                    print(f"{path_in} GOF {gi}: skipped ({e})",
-                          file=sys.stderr)
-                done = gi + 1
-                # checkpoint AFTER each GOF's write+flush, not once at the
-                # end: a mid-run crash must leave a state that --resume can
-                # continue from (the documented contract)
-                write_state(done, out_f.tell())
-    return {
-        "stream": path_in,
-        "gofs": len(gofs),
-        "failures": len(failures),
-        "seconds": time.perf_counter() - t0,
-        "out_bytes": os.path.getsize(path_out),
-    }
+                    sio.skip_gof(gi, e)
+        return sio.result()
+
+
+def transcode_streams_sharded(
+    inputs: list[str], outputs: list[str], params: StreamParams
+) -> list[dict]:
+    """All streams lockstep: each round takes the next pending GOF of every
+    stream and transcodes them through ONE mesh-sharded device program
+    (transcoder/multistream.py).  Failure containment stays per-stream: a
+    stream whose GOF fails to decode is dropped from the round (and skipped
+    or aborted per --onError); if the batched call itself fails, the round
+    falls back to per-stream transcoding so one poison stream cannot take
+    down the others."""
+    from ..transcoder.multistream import MultiStreamTranscoder
+
+    mst = MultiStreamTranscoder(params)
+    sios = [_StreamIO(i, o, params) for i, o in zip(inputs, outputs)]
+    for sio in sios:
+        sio.__enter__()
+    try:
+        while True:
+            active = [s for s in sios if s.done < len(s.gofs)]
+            if not active:
+                break
+
+            def decode_one(sio: _StreamIO):
+                return sio.reader.decode(sio.gofs[sio.done])
+
+            contexts: dict[int, object] = {}
+            round_sios: list[_StreamIO] = []
+            with cf.ThreadPoolExecutor(max_workers=len(active)) as ex:
+                futs = {ex.submit(decode_one, s): s for s in active}
+                for fu, s in futs.items():
+                    try:
+                        contexts[id(s)] = fu.result()
+                        round_sios.append(s)
+                    except Exception as e:
+                        s.skip_gof(s.done, e)
+            if not round_sios:
+                continue
+            batch = [contexts[id(s)] for s in round_sios]
+            ids = [sios.index(s) for s in round_sios]
+            try:
+                mst.transcode_many(batch, stream_ids=ids)
+                per_stream_fallback = False
+            except Exception:
+                per_stream_fallback = True
+            for s, ctx, sid in zip(round_sios, batch, ids):
+                try:
+                    if per_stream_fallback:
+                        # the failed batch may have partially mutated the
+                        # context: re-decode from the original units
+                        ctx = s.reader.decode(s.gofs[s.done])
+                        tr = mst.single(sid)
+                        for atlas in list(ctx.atlases):
+                            tr.transcode(ctx, atlas.atlas_id)
+                    writer = V3CWriter()
+                    blob = write_sample_stream_units(writer.encode(ctx), 4)
+                    s.write_gof(blob)
+                except Exception as e:
+                    s.skip_gof(s.done, e)
+    finally:
+        for sio in sios:
+            sio.__exit__()
+    return [s.result() for s in sios]
 
 
 def main(argv=None) -> int:
@@ -175,6 +275,9 @@ def main(argv=None) -> int:
     results = []
     if len(inputs) == 1:
         results.append(transcode_stream(inputs[0], outputs[0], params))
+    elif params.sharded:
+        # one batched, mesh-sharded device program per plane per round
+        results.extend(transcode_streams_sharded(inputs, outputs, params))
     else:
         # concurrent streams: threads overlap host entropy with device work
         with cf.ThreadPoolExecutor(max_workers=len(inputs)) as ex:

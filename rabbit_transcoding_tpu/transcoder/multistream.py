@@ -1,0 +1,144 @@
+"""Multi-stream transcoder: N GOF contexts through one sharded device program.
+
+The product-path integration of parallel/multistream.py (BASELINE.json
+config #5: N concurrent 8i sequences, batched live transcode).  Everything a
+single-stream Transcoder does per GOF happens here too — occupancy
+downscale, hash-SEI refresh, foreign-payload handling, ABR — but the video
+hot loop (geometry + attribute of ALL streams) runs as ONE batched, mesh-
+sharded device call per plane instead of N sequential ones.
+
+Output contract: byte-identical bitstreams to running Transcoder.transcode
+on each context separately (tests/test_parallel.py asserts this).
+"""
+
+from __future__ import annotations
+
+from jax.sharding import Mesh
+
+from ..bitstream.hls import Context
+from ..bitstream.video_bitstream import VideoBitstream
+from ..parallel.mesh import make_mesh
+from ..parallel.multistream import transcode_payloads
+from ..utils.enums import VideoType
+from ..utils.timing import StageTimer
+from .params import TranscoderParameters
+from .transcoder import Transcoder
+
+
+class MultiStreamTranscoder:
+    def __init__(
+        self,
+        params: TranscoderParameters | None = None,
+        mesh: Mesh | None = None,
+    ):
+        self.params = params or TranscoderParameters()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.timer = StageTimer()
+        # one per-stream Transcoder each: keeps per-stream state (ABR QP
+        # cache) correct and reuses all non-video stages unchanged
+        self._singles: list[Transcoder] = []
+
+    def single(self, i: int) -> Transcoder:
+        """Stream i's own Transcoder (per-stream ABR QP cache lives here)."""
+        while len(self._singles) <= i:
+            self._singles.append(Transcoder(self.params))
+        return self._singles[i]
+
+    # ------------------------------------------------------------------
+    def transcode_many(
+        self,
+        contexts: list[Context],
+        stream_ids: list[int] | None = None,
+    ) -> list[Context]:
+        """Transcode one GOF of each stream in place — every atlas each
+        context carries — batching each atlas_id's video payloads across
+        streams.  stream_ids ties contexts to stable per-stream state (ABR
+        QP caches) when the caller's batch membership varies by round."""
+        ids = stream_ids if stream_ids is not None else list(
+            range(len(contexts))
+        )
+        atlas_ids = sorted(
+            {a.atlas_id for ctx in contexts for a in ctx.atlases}
+        )
+        for aid in atlas_ids:
+            sub = [
+                (i, ctx) for i, ctx in zip(ids, contexts)
+                if any(a.atlas_id == aid for a in ctx.atlases)
+            ]
+            self._transcode_atlases(
+                [ctx.atlas(aid) for _, ctx in sub], [i for i, _ in sub]
+            )
+        return contexts
+
+    def transcode(
+        self, contexts: list[Context], atlas_id: int = 0
+    ) -> list[Context]:
+        """Transcode one GOF of each stream in place, batched on the mesh."""
+        self._transcode_atlases(
+            [ctx.atlas(atlas_id) for ctx in contexts],
+            list(range(len(contexts))),
+        )
+        return contexts
+
+    # ------------------------------------------------------------------
+    def _transcode_atlases(self, atlases, stream_ids: list[int]) -> None:
+        p = self.params
+
+        with self.timer.stage("transcodeOccupancy"):
+            for i, atlas in zip(stream_ids, atlases):
+                self.single(i)._transcode_occupancy(atlas)
+
+        if p.rate_mode == "abr" and p.targetBitrateMbps > 0:
+            # ABR searches per-stream state (budget, cached QPs): the probe
+            # requantisations are already one cheap device pass each
+            with self.timer.stage("rateControl"):
+                for i, atlas in zip(stream_ids, atlases):
+                    self.single(i)._rate_control(atlas)
+        else:
+            with self.timer.stage("transcodeGeometry"):
+                self._transcode_video_batched(
+                    atlases, stream_ids, VideoType.GEOMETRY,
+                    p.effective_geometry_qp(),
+                )
+            with self.timer.stage("transcodeAttribute"):
+                self._transcode_video_batched(
+                    atlases, stream_ids, VideoType.ATTRIBUTE,
+                    p.effective_attribute_qp(),
+                )
+
+        if p.computeHashSei:
+            with self.timer.stage("createHashSEI"):
+                for i, atlas in zip(stream_ids, atlases):
+                    self.single(i)._refresh_hash_sei(atlas)
+
+    # ------------------------------------------------------------------
+    def _transcode_video_batched(
+        self, atlases, stream_ids: list[int], vtype: VideoType, qp: int
+    ) -> None:
+        p = self.params
+        batch_idx: list[int] = []
+        batch_payloads: list[bytes] = []
+        for k, atlas in enumerate(atlases):
+            vb = atlas.video_bitstreams.get(vtype)
+            if vb is None:
+                continue
+            if not vb.data.startswith(b"RBV"):
+                # foreign payloads: the single-stream path already handles
+                # SHVC layer filtering / passthrough / containment
+                self.single(stream_ids[k])._transcode_video(atlas, vtype, qp)
+                continue
+            batch_idx.append(k)
+            batch_payloads.append(vb.data)
+        if not batch_payloads:
+            return
+        mode = "requant" if (p.mode == "requant"
+                             and not p.transcodeBaseline) else "reencode"
+        new_payloads = transcode_payloads(
+            batch_payloads,
+            qp,
+            mesh=self.mesh,
+            new_gop=1 if p.allIntra else p.videoGopSize,
+            mode=mode,
+        )
+        for i, payload in zip(batch_idx, new_payloads):
+            atlases[i].set_video_bitstream(VideoBitstream(vtype, payload))

@@ -35,8 +35,9 @@ class TranscoderParameters:
     qualityValGeo: int = -1   # alias used by the reference's ffmpeg path
     qualityValAtt: int = -1
     # rate_mode="abr": search QPs to hit targetBitrateMbps (per stream, at
-    # 30 fps); the DCT-domain requant path makes size probes cheap.
+    # frameRate fps); the DCT-domain requant path makes size probes cheap.
     targetBitrateMbps: float = 0.0
+    frameRate: float = 30.0
     # fraction of the video budget given to geometry (rest -> attribute)
     geometryBitrateShare: float = 0.35
 

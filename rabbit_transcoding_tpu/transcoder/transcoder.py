@@ -184,7 +184,9 @@ class Transcoder:
         geo_vb = atlas.video_bitstreams.get(VideoType.GEOMETRY)
         attr_vb = atlas.video_bitstreams.get(VideoType.ATTRIBUTE)
         frames = gof_frames(geo_vb or attr_vb)
-        budget = p.targetBitrateMbps * 1e6 / 8.0 * frames / 30.0
+        budget = p.targetBitrateMbps * 1e6 / 8.0 * frames / max(
+            1e-6, p.frameRate
+        )
         geo_budget = budget * p.geometryBitrateShare
         attr_budget = budget - geo_budget
 

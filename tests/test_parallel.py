@@ -72,3 +72,82 @@ class TestMesh:
         sh = stream_batch_sharding(mesh)
         arr = jax.device_put(np.zeros((4, 2, 4, 8), np.float32), sh)
         assert len(arr.sharding.device_set) == 8
+
+
+# ===========================================================================
+# The PRODUCT multi-stream path: N payloads through one sharded device
+# program, byte-identical to the sequential per-stream transcode.
+# ===========================================================================
+from rabbit_transcoding_tpu.core.image import Video
+from rabbit_transcoding_tpu.parallel.multistream import transcode_payloads
+from rabbit_transcoding_tpu.utils.enums import ColorFormat
+from rabbit_transcoding_tpu.video import rbv
+from rabbit_transcoding_tpu.video.rbv import RbvParams
+
+
+def _payload(qp, f=4, h=64, w=96, mc=False, gop=2):
+    planes = [
+        (300 + 200 * np.sin(
+            np.linalg.norm(np.mgrid[0:h, 0:w], axis=0) / 9 + i
+        )).astype(np.uint16)
+        for i in range(f)
+    ]
+    v = Video(w, h, 10, ColorFormat.YUV400, [np.stack(planes)])
+    p, _ = rbv.encode(v, RbvParams(qp=qp, gop_size=gop, motion=mc))
+    return p
+
+
+class TestMultiStreamPayloads:
+    def test_mixed_qps_bit_identical(self, mesh):
+        # 3 streams does NOT divide the 4-wide stream axis: exercises padding
+        pays = [_payload(16), _payload(20), _payload(24)]
+        seq = [rbv.transcode_payload(p, 32) for p in pays]
+        bat = transcode_payloads(pays, 32, mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_motion_compensated_bit_identical(self, mesh):
+        pays = [_payload(16, mc=True), _payload(22, mc=True)]
+        seq = [rbv.transcode_payload(p, 34) for p in pays]
+        bat = transcode_payloads(pays, 34, mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_requant_mode_bit_identical(self, mesh):
+        pays = [_payload(16), _payload(20)]
+        seq = [rbv.requantize(p, 30) for p in pays]
+        bat = transcode_payloads(pays, 30, mesh=mesh, mode="requant")
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_rows_not_divisible_by_space_axis(self, mesh):
+        # 48px -> 3 block rows: not divisible by the space axis (2 or 4)
+        pays = [_payload(18, h=48, w=48), _payload(26, h=48, w=48)]
+        seq = [rbv.transcode_payload(p, 36) for p in pays]
+        bat = transcode_payloads(pays, 36, mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_gop_restructure_bit_identical(self, mesh):
+        pays = [_payload(16), _payload(20)]
+        seq = [rbv.transcode_payload(p, 32, new_gop=1) for p in pays]
+        bat = transcode_payloads(pays, 32, mesh=mesh, new_gop=1)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_per_stream_qps(self, mesh):
+        pays = [_payload(16), _payload(16)]
+        seq = [rbv.transcode_payload(pays[0], 28),
+               rbv.transcode_payload(pays[1], 40)]
+        bat = transcode_payloads(pays, [28, 40], mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_lossless_passthrough(self, mesh):
+        occ = (np.arange(4 * 32 * 32).reshape(4, 32, 32) % 7 == 0).astype(
+            np.uint8
+        )
+        v = Video(32, 32, 8, ColorFormat.YUV400, [occ])
+        p, _ = rbv.encode(v, RbvParams(lossless=True))
+        assert transcode_payloads([p, p], 32, mesh=mesh) == [p, p]
+
+    def test_mixed_shapes_grouped(self, mesh):
+        # incompatible shapes form separate groups, all still correct
+        pays = [_payload(16), _payload(20, h=32, w=32), _payload(24)]
+        seq = [rbv.transcode_payload(p, 30) for p in pays]
+        bat = transcode_payloads(pays, 30, mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))

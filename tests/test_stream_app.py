@@ -120,3 +120,112 @@ class TestStreamDriver:
                 broken, str(tmp_path / "out2.bin"),
                 StreamParams(geometryQP=24, attributeQP=32, onError="abort"),
             )
+
+
+# ===========================================================================
+# --sharded: all streams batched through one mesh-sharded device program,
+# byte-identical outputs to the sequential per-stream mode.
+# ===========================================================================
+@pytest.fixture(scope="module")
+def two_streams(tmp_path_factory):
+    """Two different 2-GOF streams (different content + input QPs)."""
+    d = tmp_path_factory.mktemp("shard")
+    writer = V3CWriter()
+    paths = []
+    for si, (gqp, aqp) in enumerate([(8, 16), (12, 20)]):
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=gqp, attributeQP=aqp, occupancyPrecision=2,
+            groupOfFramesSize=1,
+        ))
+        units = []
+        for gi in range(2):
+            ctx, _ = enc.encode(
+                GroupOfFrames([make_sphere_cloud(seed=10 * si + gi)])
+            )
+            units.extend(writer.encode(ctx))
+        path = str(d / f"in{si}.bin")
+        writer.write_file(units, path)
+        paths.append(path)
+    return paths
+
+
+class TestShardedStreams:
+    def test_multistream_transcoder_matches_sequential(self, two_streams):
+        from rabbit_transcoding_tpu.transcoder.multistream import (
+            MultiStreamTranscoder,
+        )
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+
+        params = TranscoderParameters(geometryQP=28, attributeQP=36)
+        reader = V3CReader()
+
+        seq_out = []
+        for path in two_streams:
+            ctx = reader.decode(reader.read_file(path)[0])
+            Transcoder(params).transcode(ctx)
+            seq_out.append(V3CWriter().write(V3CWriter().encode(ctx)))
+
+        ctxs = [
+            reader.decode(reader.read_file(path)[0]) for path in two_streams
+        ]
+        MultiStreamTranscoder(params).transcode_many(ctxs)
+        bat_out = [V3CWriter().write(V3CWriter().encode(c)) for c in ctxs]
+        assert bat_out == seq_out
+
+    def test_app_sharded_matches_unsharded(self, two_streams, tmp_path):
+        from rabbit_transcoding_tpu.apps.stream import (
+            transcode_streams_sharded,
+        )
+
+        params = StreamParams(geometryQP=26, attributeQP=34)
+        plain = [str(tmp_path / f"plain{i}.bin") for i in range(2)]
+        shard = [str(tmp_path / f"shard{i}.bin") for i in range(2)]
+        for i, path in enumerate(two_streams):
+            transcode_stream(path, plain[i], params)
+        results = transcode_streams_sharded(two_streams, shard, params)
+        assert all(r["failures"] == 0 for r in results)
+        for p, s in zip(plain, shard):
+            assert open(p, "rb").read() == open(s, "rb").read()
+            state = json.load(open(s + ".state.json"))
+            assert state["gofs_done"] == state["gofs_total"] == 2
+
+    def test_sharded_failure_containment(self, two_streams, tmp_path):
+        """A poison GOF in one stream must not take down the other."""
+        from rabbit_transcoding_tpu.bitstream.video_bitstream import (
+            VideoBitstream,
+        )
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        reader = V3CReader()
+        writer = V3CWriter()
+        gofs = reader.read_file(two_streams[0])
+        units = list(writer.encode(reader.decode(gofs[0])))
+        bad_ctx = reader.decode(gofs[1])
+        # neither RBV nor Annex-B: the transcoder must raise (containment)
+        bad_ctx.atlas(0).set_video_bitstream(
+            VideoBitstream(VideoType.GEOMETRY, b"GARBAGE" * 64)
+        )
+        units.extend(writer.encode(bad_ctx))
+        bad_path = str(tmp_path / "bad.bin")
+        writer.write_file(units, bad_path)
+
+        params = StreamParams(
+            geometryQP=26, attributeQP=34, onError="skip"
+        )
+        from rabbit_transcoding_tpu.apps.stream import (
+            transcode_streams_sharded,
+        )
+
+        outs = [str(tmp_path / f"o{i}.bin") for i in range(2)]
+        results = transcode_streams_sharded(
+            [bad_path, two_streams[1]], outs, params
+        )
+        # bad stream: GOF 1 skipped, GOF 0 delivered; good stream: clean
+        assert results[0]["failures"] == 1
+        assert len(V3CReader().read_file(outs[0])) == 1
+        assert results[1]["failures"] == 0
+        assert len(V3CReader().read_file(outs[1])) == 2
