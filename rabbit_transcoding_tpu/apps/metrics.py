@@ -21,7 +21,11 @@ class MetricsAppParams:
     startFrameNumber: int = 0
     frameCount: int = 1
     resolution: int = 1023
-    dropDuplicates: bool = True
+    # reference option names + defaults (PccAppMetrics.cpp:94-102):
+    # dropDuplicates 0 keep | 1 drop | 2 average colors of co-located points
+    dropDuplicates: int = 2
+    # neighborsProc 0 first | 1 average | 2 weighted avg | 3 min | 4 max
+    neighborsProc: int = 1
     csvFile: str = ""   # per-frame metric lines (PCCMetrics::writeLine analog)
 
 
@@ -57,7 +61,8 @@ def main(argv=None) -> int:
     per_frame, summary = compute_sequence_metrics(
         list(src), list(rec),
         MetricsParams(resolution=params.resolution,
-                      drop_duplicates=params.dropDuplicates),
+                      drop_duplicates=int(params.dropDuplicates),
+                      neighbors_proc=params.neighborsProc),
     )
     for i, m in enumerate(per_frame):
         print(f"frame {params.startFrameNumber + i}:")

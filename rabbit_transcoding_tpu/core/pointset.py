@@ -85,14 +85,32 @@ class PointSet:
         return self.positions.min(axis=0), self.positions.max(axis=0)
 
     # ------------------------------------------------------------------
-    def remove_duplicates(self) -> "PointSet":
+    def remove_duplicates(self, mode: int = 1) -> "PointSet":
         """Drop points with identical positions (keeps first occurrence),
-        parity with PCCPointSet3::removeDuplicate (PCCPointSet.cpp:43-169)."""
+        parity with PCCPointSet3::removeDuplicate (PCCPointSet.cpp:43-218).
+        mode 1 keeps the first co-located point's attributes; mode 2 keeps
+        the first point but averages the COLORS of all co-located points
+        (integer floor division, exactly the reference's size_t division)."""
         if self.point_count == 0:
             return self
-        _, idx = np.unique(self.positions, axis=0, return_index=True)
+        _, idx, inv = np.unique(
+            self.positions, axis=0, return_index=True, return_inverse=True
+        )
+        if len(idx) == self.point_count:
+            return self
         idx.sort()
-        return self.select(idx)
+        out = self.select(idx)
+        if mode == 2 and self.has_colors:
+            # group colors by position, floor-averaged (r / listIndex.size())
+            inv = inv.reshape(-1)
+            counts = np.bincount(inv)
+            sums = np.zeros((len(counts), 3), np.int64)
+            np.add.at(sums, inv, self.colors.astype(np.int64))
+            avg = (sums // counts[:, None]).astype(self.colors.dtype)
+            # map unique-group order back to the kept (first-occurrence) rows
+            out_groups = inv[idx]
+            out.colors = avg[out_groups]
+        return out
 
     def select(self, idx: np.ndarray) -> "PointSet":
         return PointSet(
