@@ -148,9 +148,13 @@ def main() -> int:
     reader = V3CReader()
     units = reader.read(data)[0]
 
-    def one_gof() -> int:
+    # ONE Transcoder per stream, exactly like rabbit-stream: per-stream
+    # state (the ABR QP cache) must persist across that stream's GOFs
+    transcoders = [Transcoder(params) for _ in range(max(1, n_streams))]
+
+    def one_gof(stream_idx: int = 0) -> int:
         context = reader.decode(list(units))
-        Transcoder(params).transcode(context)
+        transcoders[stream_idx].transcode(context)
         w = V3CWriter()
         out = w.write(w.encode(context))
         return len(out)
@@ -192,13 +196,58 @@ def main() -> int:
         t0 = time.perf_counter()
         with cf.ThreadPoolExecutor(max_workers=n_streams) as ex:
             list(ex.map(
-                lambda _: [one_gof() for _ in range(n_gofs)],
+                lambda si: [one_gof(si) for _ in range(n_gofs)],
                 range(n_streams),
             ))
         wall = time.perf_counter() - t0
         total_frames = frames * n_gofs * n_streams
     fps = total_frames / wall
     log(f"{total_frames} frames in {wall:.2f}s -> {fps:.2f} fps/chip")
+
+    if n_streams <= 1 and os.environ.get("BENCH_MULTI", "1") != "0":
+        # record the 4-stream aggregate alongside the headline (BASELINE
+        # config #5), one window, per-stream Transcoders
+        import concurrent.futures as cf
+
+        ms_transcoders = [Transcoder(params) for _ in range(4)]
+
+        def ms_gofs(si: int) -> None:
+            for _ in range(n_gofs):
+                context = reader.decode(list(units))
+                ms_transcoders[si].transcode(context)
+                w = V3CWriter()
+                w.write(w.encode(context))
+
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(ms_gofs, range(4)))
+        ms_wall = time.perf_counter() - t0
+        ms_fps = frames * n_gofs * 4 / ms_wall
+        log(f"4-stream aggregate: {frames * n_gofs * 4} frames in "
+            f"{ms_wall:.2f}s -> {ms_fps:.2f} fps/chip")
+
+    # quality half of the north star: D1 delta of the live transcode vs the
+    # full decode->re-encode baseline at the same QPs (<=0.05 dB target).
+    # Runs as a CPU subprocess (the probe is a latency-bound CLI loop) and
+    # is cached in /tmp keyed by the package source hash.
+    try:
+        import subprocess
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        q = json.loads(subprocess.run(
+            [sys.executable, "-m",
+             "rabbit_transcoding_tpu.metrics.quality_probe",
+             str(params.geometryQP), str(params.attributeQP)],
+            capture_output=True, text=True, timeout=900, env=env, check=True,
+        ).stdout.strip().splitlines()[-1])
+        log(
+            f"quality: D1 live={q['d1_live']:.2f} dB vs "
+            f"baseline={q['d1_baseline']:.2f} dB -> d1_delta="
+            f"{q['d1_delta']:+.4f} dB (target <=0.05); "
+            f"Y delta={q['y_delta']:+.4f} dB"
+        )
+    except Exception as e:  # the fps headline must survive a probe failure
+        log(f"quality probe failed: {e!r}")
 
     suffix = f"_{n_streams}streams" if n_streams > 1 else ""
     print(json.dumps({

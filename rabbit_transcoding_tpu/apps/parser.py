@@ -54,10 +54,24 @@ def main(argv=None) -> int:
                         f"{' lossless' if info['lossless'] else ''}"
                     )
                 except ValueError:
-                    from ..video.hevc_probe import probe_hevc
+                    from ..video.hevc_probe import hevc_layer_ids, probe_hevc
 
                     info = probe_hevc(u.payload)
-                    if info:
+                    if info and len(hevc_layer_ids(u.payload)) > 1:
+                        # SHVC: per-layer formats via the VPS rep_format
+                        # table (PccShvcParser::getVideoSize parity)
+                        from ..video.shvc import probe_shvc_layers
+
+                        try:
+                            layers = probe_shvc_layers(u.payload)
+                            line += "  SHVC " + ", ".join(
+                                f"L{lid}:{v['width']}x{v['height']}"
+                                f"@{v['bitdepth']}bit"
+                                for lid, v in sorted(layers.items())
+                            )
+                        except ValueError as e:
+                            line += f"  SHVC (probe failed: {e})"
+                    elif info:
                         line += (
                             f"  HEVC {info['width']}x{info['height']} "
                             f"{info['bitdepth']}bit"

@@ -1,4 +1,9 @@
-"""External app-codec backend, exercised with a stub codec binary."""
+"""External codec shell-out plumbing, tested with mock binaries.
+
+No HM/ffmpeg exists in this environment, so the template/file-IPC path
+(the reference's PCCHMAppVideoEncoder.cpp:60-69 pattern) is validated with
+/bin/sh fake codecs: a 'store-raw' encoder whose decode is the identity,
+plus failure-path binaries."""
 
 import os
 import stat
@@ -15,63 +20,122 @@ from rabbit_transcoding_tpu.video.external import (
 )
 
 
+def _script(path: str, body: str) -> str:
+    with open(path, "w") as f:
+        f.write("#!/bin/sh\n" + body)
+    os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+    return path
+
+
 @pytest.fixture()
-def stub_codec(tmp_path):
-    """A fake 'codec': encode = copy yuv to bitstream + recon; decode = copy
-    back.  Validates the subprocess/temp-file/template plumbing."""
-    enc = tmp_path / "stubenc"
-    enc.write_text("#!/bin/sh\ncp \"$1\" \"$2\"\ncp \"$1\" \"$3\"\n")
-    dec = tmp_path / "stubdec"
-    dec.write_text("#!/bin/sh\ncp \"$1\" \"$2\"\n")
-    for f in (enc, dec):
-        f.chmod(f.stat().st_mode | stat.S_IEXEC)
-    return str(enc), str(dec)
+def fake_codec(tmp_path):
+    """A 'codec' that stores the raw YUV as the bitstream: encoder copies
+    input->output and input->recon; decoder copies back."""
+    enc = _script(
+        str(tmp_path / "fakeenc.sh"),
+        'in=""; out=""; rec=""\n'
+        'while [ $# -gt 0 ]; do\n'
+        '  case "$1" in\n'
+        '    -i) in="$2"; shift 2;;\n'
+        '    -b) out="$2"; shift 2;;\n'
+        '    -o) rec="$2"; shift 2;;\n'
+        '    *) shift;;\n'
+        '  esac\n'
+        'done\n'
+        'cp "$in" "$out" && cp "$in" "$rec"\n',
+    )
+    dec = _script(
+        str(tmp_path / "fakedec.sh"),
+        'in=""; out=""\n'
+        'while [ $# -gt 0 ]; do\n'
+        '  case "$1" in\n'
+        '    -b) in="$2"; shift 2;;\n'
+        '    -o) out="$2"; shift 2;;\n'
+        '    *) shift;;\n'
+        '  esac\n'
+        'done\n'
+        'cp "$in" "$out"\n',
+    )
+    return enc, dec
 
 
-def make_video():
+def _video(frames=2, w=16, h=8):
     rng = np.random.default_rng(0)
-    v = Video.zeros(2, 32, 16, 8, ColorFormat.YUV420)
-    for p in v.planes:
-        p[...] = rng.integers(0, 255, p.shape)
-    return v
+    y = rng.integers(0, 256, size=(frames, h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, size=(frames, h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, size=(frames, h // 2, w // 2)).astype(np.uint8)
+    return Video(w, h, 8, ColorFormat.YUV420, [y, u, v])
 
 
-class TestExternalBackend:
-    def test_roundtrip_through_stub(self, stub_codec):
-        enc_bin, dec_bin = stub_codec
-        v = make_video()
-        enc = ExternalVideoEncoder(
-            enc_bin, template="{binary} {input} {output} {recon}"
+class TestExternalCodecPlumbing:
+    def test_encode_decode_roundtrip(self, fake_codec):
+        enc_bin, dec_bin = fake_codec
+        video = _video()
+        payload, recon = ExternalVideoEncoder(enc_bin).encode(
+            video, VideoEncoderParams(qp=32)
         )
-        payload, recon = enc.encode(v, VideoEncoderParams(qp=30))
-        assert len(payload) == sum(p.nbytes for p in v.planes) * 1
-        for a, b in zip(v.planes, recon.planes):
-            np.testing.assert_array_equal(a, b)
+        # the fake 'bitstream' is the raw planar YUV
+        assert len(payload) == sum(p.nbytes for p in video.planes)
+        # recon was read back through the file IPC
+        np.testing.assert_array_equal(recon.planes[0], video.planes[0])
 
         dec = ExternalVideoDecoder(
-            dec_bin, template="{binary} {input} {output}",
-            width=32, height=16, frames=2, bitdepth=8,
-            fmt=ColorFormat.YUV420,
+            dec_bin, width=video.width, height=video.height,
+            frames=video.frame_count, bitdepth=8, fmt=ColorFormat.YUV420,
         )
         out = dec.decode(payload)
-        for a, b in zip(v.planes, out.planes):
+        for a, b in zip(out.planes, video.planes):
             np.testing.assert_array_equal(a, b)
 
-    def test_failing_binary_raises(self, tmp_path):
-        bad = tmp_path / "bad"
-        bad.write_text("#!/bin/sh\nexit 3\n")
-        bad.chmod(bad.stat().st_mode | stat.S_IEXEC)
-        enc = ExternalVideoEncoder(str(bad), template="{binary} {input}")
+    def test_template_placeholders_expanded(self, fake_codec, tmp_path):
+        """All template placeholders reach the binary's argv."""
+        log = str(tmp_path / "argv.txt")
+        spy = _script(
+            str(tmp_path / "spy.sh"),
+            f'echo "$@" > {log}\n'
+            'in=""; out=""; rec=""\n'
+            'while [ $# -gt 0 ]; do\n'
+            '  case "$1" in\n'
+            '    -i) in="$2"; shift 2;;\n'
+            '    -b) out="$2"; shift 2;;\n'
+            '    -o) rec="$2"; shift 2;;\n'
+            '    *) shift;;\n'
+            '  esac\n'
+            'done\n'
+            'cp "$in" "$out" && cp "$in" "$rec"\n',
+        )
+        video = _video(frames=3, w=32, h=16)
+        ExternalVideoEncoder(spy).encode(video, VideoEncoderParams(qp=27))
+        argv = open(log).read()
+        for token in ["-wdt 32", "-hgt 16", "-f 3", "-q 27",
+                      "--InputBitDepth=8", "--InputChromaFormat=420"]:
+            assert token in argv, f"missing {token!r} in {argv!r}"
+
+    def test_encoder_failure_raises(self, tmp_path):
+        bad = _script(str(tmp_path / "bad.sh"), "echo boom >&2; exit 3\n")
         with pytest.raises(RuntimeError, match="external encoder failed"):
-            enc.encode(make_video(), VideoEncoderParams())
+            ExternalVideoEncoder(bad).encode(
+                _video(), VideoEncoderParams(qp=32)
+            )
 
-    def test_factory_errors_without_binary(self):
-        from rabbit_transcoding_tpu.utils.enums import CodecId
-        from rabbit_transcoding_tpu.video.base import VideoEncoder
+    def test_encoder_missing_output_raises(self, tmp_path):
+        noout = _script(str(tmp_path / "noout.sh"), "exit 0\n")
+        with pytest.raises(RuntimeError, match="external encoder failed"):
+            ExternalVideoEncoder(noout).encode(
+                _video(), VideoEncoderParams(qp=32)
+            )
 
-        if os.environ.get("PATH") and not any(
-            os.path.exists(os.path.join(d, "TAppEncoder"))
-            for d in os.environ["PATH"].split(":")
-        ):
-            with pytest.raises(RuntimeError, match="TAppEncoder"):
-                VideoEncoder.create(CodecId.HM_APP)
+    def test_decoder_failure_raises(self, tmp_path):
+        bad = _script(str(tmp_path / "bad.sh"), "exit 1\n")
+        dec = ExternalVideoDecoder(bad, width=16, height=8, frames=1)
+        with pytest.raises(RuntimeError, match="external decoder failed"):
+            dec.decode(b"xx")
+
+    def test_custom_template(self, fake_codec, tmp_path):
+        """encoderCommand-style template override (cfg cascade hook)."""
+        enc_bin, _ = fake_codec
+        payload, _ = ExternalVideoEncoder(
+            enc_bin,
+            template="{binary} -i {input} -b {output} -o {recon}",
+        ).encode(_video(), VideoEncoderParams(qp=32))
+        assert payload
