@@ -46,7 +46,12 @@ from ..utils.enums import (
 )
 from ..utils.timing import StageTimer
 from .matching import align_matched_patch, match_patches
-from .packing import pack_gof_global, pack_patches, pack_patches_consistent
+from .packing import (
+    pack_gof_adaptive,
+    pack_gof_global,
+    pack_patches,
+    pack_patches_consistent,
+)
 from .params import EncoderParameters
 from .rasterize import rasterize_frame
 from .segment import SegmenterParams, segment_frame
@@ -90,7 +95,7 @@ class Encoder:
                         max_depth=(1 << p.geometryNominal2dBitdepth) - 1,
                     )
         try:
-            h_gpa = pack_gof_global(trial_g, width, min_h, **kw)
+            h_gpa = pack_gof_adaptive(trial_g, width, min_h, **kw)
         except RuntimeError:
             return False  # global grid overflowed: per-frame it is
         trial_f = copy.deepcopy(frame_segs)
@@ -181,11 +186,11 @@ class Encoder:
                                     (1 << p.geometryNominal2dBitdepth) - 1
                                 ),
                             )
-                height = pack_gof_global(
+                height = pack_gof_adaptive(
                     frame_segs, width, max(p.minimumImageHeight, 64),
                     block=p.occupancyResolution,
                     try_orientations=p.packingTryOrientations,
-                            safeguard=p.safeGuardDistance,
+                    safeguard=p.safeGuardDistance,
                 )
                 height = -(-height // 64) * 64
                 tile_band = height

@@ -149,6 +149,15 @@ class Packer:
         if tetris:
             return self._place_tetris(seg, chain)
         fp = _block_footprint(seg, self.block)
+        bx, by, o, cfp = self.place_footprint(fp, chain)
+        self._mark(seg, cfp, bx, by, o, chain)
+
+    def place_footprint(self, fp: np.ndarray, chain: int = 0):
+        """First-fit a raw patch-space block footprint ([bu, bv] bool) with
+        orientation search; marks the blocks and returns (bx, by,
+        orientation, canvas footprint).  Raises RuntimeError on overflow —
+        this is the placement core place() wraps, also used directly for
+        GPA union patches (which have no SegmentedPatch)."""
         while True:
             for o in self.orientations:
                 cfp = _oriented_footprint(fp, o)
@@ -169,14 +178,27 @@ class Packer:
                 if pos is None:
                     continue
                 by, bx = pos
-                self._mark(seg, cfp, bx, by, o, chain)
-                return
+                region = self.owner[by : by + h_b, bx : bx + w_b]
+                region[cfp.T] = chain
+                self.used_height = max(
+                    self.used_height, (by + h_b) * self.block
+                )
+                return bx, by, o, cfp
             if not self._grow():
                 raise RuntimeError(
-                    f"atlas overflow: cannot pack patch of "
-                    f"{seg.occupancy.sum()} blocks into width {self.width} "
+                    f"atlas overflow: cannot pack footprint of "
+                    f"{int(fp.sum())} blocks into width {self.width} "
                     f"below max height {self.max_height}"
                 )
+
+    def reserve(self, mask: np.ndarray, chain: int = 1 << 30) -> None:
+        """Pre-mark canvas blocks ([by, bx] bool) as owned by an immovable
+        pseudo-chain (GPA: per-frame packers see the union grid as taken)."""
+        while mask.shape[0] > self.owner.shape[0]:
+            if not self._grow():
+                raise RuntimeError("atlas overflow reserving GPA unions")
+        region = self.owner[: mask.shape[0]]
+        region[mask & (region < 0)] = chain
 
     # ------------------------------------------------------------------
     def _horizon(self) -> np.ndarray:
@@ -374,3 +396,148 @@ def _first_fit(used: np.ndarray, cfp: np.ndarray):
             if not (window[:, bx : bx + w_b] & fpT).any():
                 return by, bx
     return None
+
+
+def pack_gof_adaptive(
+    frame_segs: list[list[SegmentedPatch]],
+    width: int,
+    height: int,
+    block: int = 16,
+    try_orientations: bool = True,
+    max_height: int = 4096,
+    safeguard: int = 0,
+    min_union_ratio: float = 0.15,
+) -> int:
+    """Data-adaptive GPA with union packing, ITERATIVE re-allocation and
+    subcontext splitting (performDataAdaptiveGPAMethod parity,
+    PCCEncoder.cpp:6792-6900):
+
+     * temporally matched patch chains spanning the current subcontext are
+       packed as UNION patches (OR of the members' block footprints) — every
+       member gets the union's position/orientation, stable for the whole
+       subcontext;
+     * patches NOT in a spanning chain pack per frame into the gaps, so
+       different frames' transient patches may SHARE canvas area (the win
+       over one GOF-exclusive grid);
+     * each time a frame joins the subcontext the unions are RE-packed from
+       scratch (the iterative re-allocation); when the union/track ratio
+       drops below 0.15 (badPatchCount), or unions or a frame overflow
+       (badUnionsHeight/badGPAPacking), the subcontext ENDS at the previous
+       frame — its last good packing stands — and a new one starts.
+
+    Requires patch.best_match_idx chains (encoder.matching).  Mismatched
+    orientations across a chain break are handled downstream by the encoder
+    (inter patches inherit orientation, encoder.py drops the match if it
+    changed).  Returns the atlas height."""
+    n = len(frame_segs)
+    # chain labels: follow best_match_idx links frame to frame
+    chain_of: list[list[int]] = []
+    next_chain = 0
+    for fi, segs in enumerate(frame_segs):
+        row = []
+        for seg in segs:
+            ri = seg.patch.best_match_idx
+            if fi > 0 and 0 <= ri < len(chain_of[fi - 1]):
+                row.append(chain_of[fi - 1][ri])
+            else:
+                row.append(next_chain)
+                next_chain += 1
+        chain_of.append(row)
+    members: dict[int, list[tuple[int, int]]] = {}
+    for fi, row in enumerate(chain_of):
+        for i, c in enumerate(row):
+            members.setdefault(c, []).append((fi, i))
+
+    def pack_window(s: int, e: int):
+        """Pack frames [s, e] -> (placements, height) or None if bad."""
+        window = range(s, e + 1)
+        alive = {chain_of[fi][i] for fi in window
+                 for i in range(len(frame_segs[fi]))}
+        spanning = [
+            c for c in sorted(alive)
+            if len({fi for fi, _ in members[c] if s <= fi <= e})
+            == e - s + 1
+        ]
+        if e > s and len(spanning) < min_union_ratio * len(alive):
+            return None  # badPatchCount
+        # union footprints, packed on one grid (re-packed per window)
+        upacker = Packer(width, height, block, try_orientations,
+                         max_height, safeguard=safeguard)
+        union_pos: dict[int, tuple[int, int, PatchOrientation]] = {}
+        unions = []
+        for c in spanning:
+            fps = [
+                _block_footprint(frame_segs[fi][i], block)
+                for fi, i in members[c] if s <= fi <= e
+            ]
+            nbu = max(f.shape[0] for f in fps)
+            nbv = max(f.shape[1] for f in fps)
+            u = np.zeros((nbu, nbv), bool)
+            for f in fps:
+                u[: f.shape[0], : f.shape[1]] |= f
+            unions.append((c, u))
+        unions.sort(key=lambda cu: int(cu[1].sum()), reverse=True)
+        for c, u in unions:
+            bx, by, o, _ = upacker.place_footprint(u, chain=c)
+            union_pos[c] = (bx, by, o)
+        reserved = upacker.used.copy()
+        h = max(upacker.used_height, block)
+
+        plc: dict[tuple[int, int], tuple[int, int, PatchOrientation]] = {}
+        span_set = set(spanning)
+        for fi in window:
+            fpk = Packer(width, height, block, try_orientations,
+                         max_height, safeguard=safeguard)
+            fpk.reserve(reserved)
+            order = sorted(
+                (i for i in range(len(frame_segs[fi]))
+                 if chain_of[fi][i] not in span_set),
+                key=lambda i: int(frame_segs[fi][i].occupancy.sum()),
+                reverse=True,
+            )
+            for i in order:
+                seg = frame_segs[fi][i]
+                # spatial consistency: keep the previous frame's position
+                # for matched transients when those blocks are free
+                ri = seg.patch.best_match_idx
+                if (fi > s and 0 <= ri < len(frame_segs[fi - 1])
+                        and (fi - 1, ri) in plc):
+                    pu, pv, po = plc[(fi - 1, ri)]
+                    if fpk.try_place_at(seg, pu, pv, po, chain=i + 1):
+                        plc[(fi, i)] = (pu, pv, po)
+                        continue
+                fpk.place(seg, chain=i + 1)
+                plc[(fi, i)] = (
+                    seg.patch.u0, seg.patch.v0, seg.patch.orientation
+                )
+            h = max(h, fpk.used_height)
+        for c in spanning:
+            for fi, i in members[c]:
+                if s <= fi <= e:
+                    plc[(fi, i)] = union_pos[c]
+        return plc, h
+
+    total_h = block
+    s = 0
+    while s < n:
+        last_good = None
+        for e in range(s, n):
+            try:
+                res = pack_window(s, e)
+            except RuntimeError:
+                res = None
+            if res is None:
+                break
+            last_good = (e, *res)
+        if last_good is None:
+            raise RuntimeError(
+                f"atlas overflow: GPA cannot pack frame {s} into width "
+                f"{width} below max height {max_height}"
+            )
+        e_good, plc, h = last_good
+        for (fi, i), (u0, v0, o) in plc.items():
+            p = frame_segs[fi][i].patch
+            p.u0, p.v0, p.orientation = u0, v0, o
+        total_h = max(total_h, h)
+        s = e_good + 1
+    return total_h

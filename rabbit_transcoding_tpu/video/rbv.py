@@ -104,6 +104,10 @@ def _quantize(c, qstep, dz):
 # reductions — pure batched element-wise work, no gather in the hot loop.
 _MC_RANGE = 6
 _MC_STEP = 2
+# MV rate-cost weight in quantiser-step units (calibrated with
+# scripts/rbv_rd.py: high enough that position-stable atlas video picks
+# zero MVs everywhere, low enough that truly translating content wins)
+_MC_LAMBDA_SCALE = 16.0
 _MC_OFFSETS = tuple(
     (dy, dx)
     for dy in range(-_MC_RANGE, _MC_RANGE + 1, _MC_STEP)
@@ -111,8 +115,14 @@ _MC_OFFSETS = tuple(
 )
 
 
-def _mc_search(frame, prev, block: int):
-    """-> (mv_idx (nby, nbx) int32, pred (H, W) f32): best SAD candidate."""
+def _mc_search(frame, prev, block: int, lam=0.0):
+    """-> (mv_idx (nby, nbx) int32, pred (H, W) f32): best rate-biased SAD
+    candidate.  cost = SAD + lam * (4 + |dy| + |dx|) for nonzero motion
+    (zero extra for the zero MV): without this bias, blocks grab tiny SAD
+    wins with nonzero MVs and the resulting per-block shift discontinuities
+    cost far more DCT bits than they save (measured +18..+345% BD-rate on
+    position-stable atlas video, scripts/rbv_rd.py).  lam = qstep puts the
+    penalty in quantiser units, the usual lambda*R_mv term."""
     h, w = frame.shape
     nby, nbx = h // block, w // block
     r = _MC_RANGE
@@ -124,6 +134,8 @@ def _mc_search(frame, prev, block: int):
         shifted = jax.lax.dynamic_slice(padded, (r + dy, r + dx), (h, w))
         diff = jnp.abs(frame - shifted)
         cost = diff.reshape(nby, block, nbx, block).sum(axis=(1, 3))
+        if dy or dx:
+            cost = cost + lam * (4.0 + abs(dy) + abs(dx))
         better = cost < best_cost
         best_cost = jnp.where(better, cost, best_cost)
         best_idx = jnp.where(better, si, best_idx)
@@ -232,12 +244,14 @@ def _encode_impl_mc(frames, qstep, maxval, block: int, gop: int):
         rec = pred + deblockify(idct2d(q * qstep))
         return q.astype(jnp.int16), jnp.clip(jnp.round(rec), 0.0, maxval)
 
+    lam = qstep * _MC_LAMBDA_SCALE
+
     def one_gop(g):
         q0, rec0 = code(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
         mv0 = jnp.zeros((nby, nbx), jnp.int32)
 
         def step(prev_rec, frame):
-            mv, pred = _mc_search(frame, prev_rec, block)
+            mv, pred = _mc_search(frame, prev_rec, block, lam)
             q, rec = code(frame, pred, _DZ_INTER)
             return rec, (q, mv, rec)
 

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""RBV inter-coding RD study (VERDICT round-1 item #5).
+
+Measures bytes + PSNR of the RBV codec over realistic V-PCC atlas video
+(geometry + attribute planes produced by the real encoder pipeline) for
+GOP sizes 1/2/4/8 with motion compensation on/off across a QP ladder, and
+reports BD-rate vs the gop=2 no-MC anchor.  Results feed the
+random-access condition defaults (cfg/condition/ctc-random-access.cfg).
+
+Run: JAX_PLATFORMS=cpu python scripts/rbv_rd.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray, maxval: float) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return float("inf") if mse == 0 else 10.0 * np.log10(maxval**2 / mse)
+
+
+def bd_rate(anchor: list[tuple[float, float]],
+            test: list[tuple[float, float]]) -> float:
+    """Bjontegaard delta-rate (%) between (bits, psnr) ladders: average
+    horizontal gap of the log-rate-vs-PSNR curves over the common PSNR
+    interval (cubic fit, the standard formulation)."""
+    ra, pa = np.log10([r for r, _ in anchor]), [p for _, p in anchor]
+    rt, pt = np.log10([r for r, _ in test]), [p for _, p in test]
+    fa = np.polyfit(pa, ra, 3)
+    ft = np.polyfit(pt, rt, 3)
+    lo, hi = max(min(pa), min(pt)), min(max(pa), max(pt))
+    ia = np.polyint(fa)
+    it = np.polyint(ft)
+    avg_a = (np.polyval(ia, hi) - np.polyval(ia, lo)) / (hi - lo)
+    avg_t = (np.polyval(it, hi) - np.polyval(it, lo)) / (hi - lo)
+    return float((10 ** (avg_t - avg_a) - 1) * 100)
+
+
+def make_atlas_video(frames: int = 8):
+    """Realistic test content: the actual geometry + attribute videos the
+    V-PCC encoder produces (patch layout + push-pull padding), recovered
+    by decoding a near-lossless encode's video payloads."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+    from rabbit_transcoding_tpu.encoder.encoder import Encoder
+    from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+    from rabbit_transcoding_tpu.testdata import make_frame
+    from rabbit_transcoding_tpu.utils.enums import CodecId, VideoType
+    from rabbit_transcoding_tpu.video import VideoDecoder
+
+    sources = GroupOfFrames([make_frame(i, n=30000) for i in range(frames)])
+    enc = Encoder(EncoderParameters(
+        minimumImageWidth=512, minimumImageHeight=128,
+        geometryQP=4, attributeQP=4, occupancyPrecision=2,
+    ))
+    context, _ = enc.encode(sources)
+    atlas = context.atlas(0)
+    dec = VideoDecoder.create(CodecId.RBV)
+    geo = dec.decode(atlas.video_bitstreams[VideoType.GEOMETRY].data)
+    attr = dec.decode(atlas.video_bitstreams[VideoType.ATTRIBUTE].data)
+    return geo, attr
+
+
+def ladder(video, qps, gop: int, motion: bool):
+    from rabbit_transcoding_tpu.video import rbv
+
+    maxval = (1 << video.bitdepth) - 1
+    points = []
+    for qp in qps:
+        payload, recon = rbv.encode(
+            video, rbv.RbvParams(qp=qp, gop_size=gop, motion=motion)
+        )
+        p = np.mean([
+            psnr(a, b, maxval) for a, b in zip(video.planes, recon.planes)
+        ])
+        points.append((len(payload), float(p)))
+    return points
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    qps = [16, 22, 28, 34]
+    geo, attr = make_atlas_video()
+    print(f"content: geometry {geo.width}x{geo.height}x{geo.frame_count} "
+          f"{geo.bitdepth}bit; attribute {attr.width}x{attr.height} "
+          f"{attr.bitdepth}bit", file=sys.stderr)
+
+    # third content type: genuinely translating texture (4 px/frame) —
+    # where motion compensation must win (it cannot win on position-stable
+    # atlas video, whose optimal MV is zero everywhere)
+    from scipy.ndimage import gaussian_filter
+
+    from rabbit_transcoding_tpu.core.image import Video
+    from rabbit_transcoding_tpu.utils.enums import ColorFormat
+
+    rng = np.random.default_rng(0)
+    h = w = 256
+    f = 8
+    base = gaussian_filter(
+        rng.normal(size=(h + f * 4, w + f * 4)), 4
+    ) * 400 + 500
+    moving = Video(w, h, 10, ColorFormat.YUV400, [np.stack([
+        np.clip(base[4 * i:4 * i + h, 4 * i:4 * i + w], 0, 1023).astype(
+            np.uint16
+        )
+        for i in range(f)
+    ])])
+
+    configs = [(g, m) for g in (1, 2, 4, 8) for m in (False, True)
+               if not (g == 1 and m)]
+    for name, video in (("geometry", geo), ("attribute", attr),
+                        ("moving-texture", moving)):
+        results = {}
+        for gop, motion in configs:
+            results[(gop, motion)] = ladder(video, qps, gop, motion)
+        anchor = results[(2, False)]
+        print(f"\n=== {name} ===")
+        print(f"{'config':14s} " + " ".join(
+            f"qp{q}: bytes/psnr" for q in qps
+        ))
+        for (gop, motion), pts in results.items():
+            label = f"gop{gop}{'+mc' if motion else '    '}"
+            row = " ".join(f"{r:7d}/{p:6.2f}" for r, p in pts)
+            bd = bd_rate(anchor, pts) if (gop, motion) != (2, False) else 0.0
+            print(f"{label:14s} {row}  BD-rate {bd:+6.2f}%")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -196,3 +196,96 @@ class TestHighGradientSeparation:
         )
         assert zpts_on < zpts_off, (zpts_on, zpts_off)
         assert len(segs_on) > len(segs_off), (len(segs_on), len(segs_off))
+
+
+class TestAdaptiveGPA:
+    """pack_gof_adaptive (performDataAdaptiveGPAMethod parity): union
+    packing with iterative re-allocation and subcontext splitting."""
+
+    def _mk(self, w, h, match=-1):
+        from rabbit_transcoding_tpu.core.patch import Patch
+        from rabbit_transcoding_tpu.encoder.segment import SegmentedPatch
+
+        return SegmentedPatch(
+            patch=Patch(size_u=w, size_v=h, size_u0=(w + 15) // 16,
+                        size_v0=(h + 15) // 16, best_match_idx=match),
+            depth0=np.zeros((w, h), np.int32),
+            depth1=np.zeros((w, h), np.int32),
+            occupancy=np.ones((w, h), bool),
+            point_indices=np.arange(w * h),
+        )
+
+    def test_iterative_beats_greedy_on_transients(self):
+        """A big patch alive only in frames 0-1 and another only in frames
+        2-3: the GOF-exclusive greedy grid pays for both areas; the
+        adaptive packer's per-frame fill reuses the space."""
+        from rabbit_transcoding_tpu.encoder.packing import (
+            pack_gof_adaptive,
+            pack_gof_global,
+        )
+
+        def make_gof():
+            # one small patch spans all 4 frames (keeps the union ratio ok)
+            f0 = [self._mk(32, 32), self._mk(96, 96)]
+            f1 = [self._mk(32, 32, match=0), self._mk(96, 96, match=1)]
+            f2 = [self._mk(32, 32, match=0), self._mk(96, 96)]  # B is new
+            f3 = [self._mk(32, 32, match=0), self._mk(96, 96, match=1)]
+            return [f0, f1, f2, f3]
+
+        h_greedy = pack_gof_global(make_gof(), width=128, height=64)
+        h_adapt = pack_gof_adaptive(make_gof(), width=128, height=64)
+        assert h_adapt < h_greedy  # 96+96 stacked vs shared
+
+    def test_union_positions_stable_across_subcontext(self):
+        from rabbit_transcoding_tpu.encoder.packing import pack_gof_adaptive
+
+        gof = [
+            [self._mk(48, 32), self._mk(32, 48)],
+            [self._mk(48, 32, match=0), self._mk(32, 48, match=1)],
+            [self._mk(48, 32, match=0), self._mk(32, 48, match=1)],
+        ]
+        pack_gof_adaptive(gof, width=128, height=64)
+        for chain in range(2):
+            pos = {
+                (f[chain].patch.u0, f[chain].patch.v0,
+                 f[chain].patch.orientation)
+                for f in gof
+            }
+            assert len(pos) == 1  # stable the whole GOF
+
+    def test_no_overlap_within_each_frame(self):
+        from rabbit_transcoding_tpu.encoder.packing import pack_gof_adaptive
+
+        rng = np.random.default_rng(3)
+        gof = []
+        prev_count = 0
+        for fi in range(4):
+            segs = []
+            for i in range(5):
+                w, h = rng.integers(16, 64, 2)
+                m = i if (fi > 0 and i < prev_count and i < 3) else -1
+                segs.append(self._mk(int(w), int(h), match=m))
+            prev_count = len(segs)
+            gof.append(segs)
+        h = pack_gof_adaptive(gof, width=128, height=64)
+        for segs in gof:
+            used = np.zeros((h // 16 + 8, 128 // 16), int)
+            for s in segs:
+                x0, y0, w, h2 = s.patch.canvas_bounds()
+                used[y0 // 16:(y0 + h2) // 16, x0 // 16:(x0 + w) // 16] += 1
+            assert used.max() <= 1
+
+    def test_union_grows_with_member_sizes(self):
+        """Chain members of different sizes: every member must fit at the
+        union position (the union footprint is the OR)."""
+        from rabbit_transcoding_tpu.encoder.packing import pack_gof_adaptive
+
+        gof = [
+            [self._mk(32, 32)],
+            [self._mk(64, 48, match=0)],   # grows
+            [self._mk(48, 64, match=0)],   # different aspect
+        ]
+        h = pack_gof_adaptive(gof, width=128, height=64)
+        pos = {(f[0].patch.u0, f[0].patch.v0) for f in gof}
+        assert len(pos) == 1
+        assert h >= 64
