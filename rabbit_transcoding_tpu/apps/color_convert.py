@@ -24,6 +24,10 @@ class ColorConvertParams:
     frameCount: int = 1
     inputBitDepth: int = 8
     conversion: str = "rgb444toyuv420"  # or yuv420torgb444
+    # filter bank selection (ops/color: _DOWN_FILTERS / _UP_FILTERS —
+    # the PCCInternalColorConverter g_filter tables)
+    downsampleFilter: int = 1   # 0 DF_F0 | 1 DF_F1 | 2 DF_TM5 | 3 DF_FV
+    upsampleFilter: int = 0     # 0 UF_F0 | 3 UF_LS3 | 4 UF_LS4 | 5 UF_TM
 
 
 def main(argv=None) -> int:
@@ -41,7 +45,9 @@ def main(argv=None) -> int:
             params.inputBitDepth, ColorFormat.RGB444,
         )
         rgb = np.stack(video.planes, axis=-1)
-        y, u, v = rgb8_to_yuv420(jnp.asarray(rgb))
+        y, u, v = rgb8_to_yuv420(
+            jnp.asarray(rgb), down_filter=params.downsampleFilter
+        )
         out = Video(params.width, params.height, 8, ColorFormat.YUV420,
                     [np.asarray(y), np.asarray(u), np.asarray(v)])
     elif params.conversion == "yuv420torgb444":
@@ -50,7 +56,10 @@ def main(argv=None) -> int:
             params.inputBitDepth, ColorFormat.YUV420,
         )
         rgb = np.asarray(
-            yuv420_to_rgb8(*[jnp.asarray(p) for p in video.planes])
+            yuv420_to_rgb8(
+                *[jnp.asarray(p) for p in video.planes],
+                up_filter=params.upsampleFilter,
+            )
         )
         out = Video(params.width, params.height, 8, ColorFormat.RGB444,
                     [rgb[..., 0], rgb[..., 1], rgb[..., 2]])

@@ -59,6 +59,31 @@ from .segment import SegmenterParams, segment_frame
 import jax.numpy as jnp
 
 
+def _patch_id_map(
+    frame_segs, width: int, height: int, block: int
+) -> np.ndarray:
+    """(F, height, width) int32 per-pixel patch owner (-1 background) from
+    the packed patch footprints — the patch information the reference's
+    patchColorSubsampling path consumes (PCCVideoEncoder.cpp:78)."""
+    from .packing import _block_footprint, _oriented_footprint
+
+    nbx, nby = width // block, height // block
+    out = np.full((len(frame_segs), nby, nbx), -1, np.int32)
+    for fi, segs in enumerate(frame_segs):
+        for i, seg in enumerate(segs):
+            cfp = _oriented_footprint(
+                _block_footprint(seg, block), seg.patch.orientation
+            )
+            w_b, h_b = cfp.shape
+            y1 = min(seg.patch.v0 + h_b, nby)
+            x1 = min(seg.patch.u0 + w_b, nbx)
+            region = out[fi, seg.patch.v0:y1, seg.patch.u0:x1]
+            region[cfp.T[: region.shape[0], : region.shape[1]]] = i
+    return np.repeat(
+        np.repeat(out, block, axis=1), block, axis=2
+    )[:, :height, :width]
+
+
 class Encoder:
     def __init__(self, params: EncoderParameters | None = None):
         self.params = params or EncoderParameters()
@@ -559,9 +584,24 @@ class Encoder:
                 filled_rgb.reshape(3, n_frames * n_maps, height, width)
                 .transpose(1, 2, 3, 0)
             )
-            y, u, v = rgb8_to_yuv420(
-                jnp.asarray(np.clip(np.round(filled_rgb), 0, 255).astype(np.uint8))
+            rgb_u8 = jnp.asarray(
+                np.clip(np.round(filled_rgb), 0, 255).astype(np.uint8)
             )
+            if p.patchColorSubsampling:
+                # per-patch chroma subsampling (PCCVideoEncoder.cpp:70-130):
+                # keep 444->420 filter taps inside the owning patch
+                from ..ops.color import rgb8_to_yuv420_patch_aware
+
+                pid = np.repeat(
+                    _patch_id_map(frame_segs, width, height,
+                                  p.occupancyResolution),
+                    n_maps, axis=0,
+                )
+                y, u, v = rgb8_to_yuv420_patch_aware(
+                    rgb_u8, jnp.asarray(pid), p.chromaDownsampleFilter
+                )
+            else:
+                y, u, v = rgb8_to_yuv420(rgb_u8, p.chromaDownsampleFilter)
             attr_video = Video(
                 width, height, 8, ColorFormat.YUV420,
                 [np.asarray(y), np.asarray(u), np.asarray(v)],

@@ -56,6 +56,12 @@ class EncoderParameters:
     videoGopSize: int = 2
     # motion-compensated P frames in the video codec (HM-ME analog)
     motionEstimation: bool = True
+    # 444->420 chroma downsample filter (ops/color._DOWN_FILTERS bank:
+    # 0 DF_F0, 1 DF_F1, 2 DF_TM5, 3 DF_FV — PCCInternalColorConverter.cpp:37)
+    chromaDownsampleFilter: int = 1
+    # per-patch chroma subsampling: filter taps stay inside the owning
+    # patch (patchColorSubsampling, PCCVideoEncoder.cpp:70-130)
+    patchColorSubsampling: bool = False
 
     # segmentation
     surfaceThickness: int = 4
