@@ -24,6 +24,7 @@ from ..core.pointset import PointSet
 from ..ops import occupancy as occ_ops
 from ..ops import reproject as repro_ops
 from ..ops.color import yuv420_to_rgb8
+from ..utils.enums import ColorFormat
 
 
 @dataclasses.dataclass
@@ -239,13 +240,20 @@ class ReconstructionEngine:
 
         colors_maps = None
         if attr_video is not None:
-            rgb = np.asarray(
-                yuv420_to_rgb8(
-                    jnp.asarray(attr_video.planes[0]),
-                    jnp.asarray(attr_video.planes[1]),
-                    jnp.asarray(attr_video.planes[2]),
-                )
-            )[:, :h, :w]
+            if attr_video.format == ColorFormat.RGB444:
+                # 444 streams carry RGB planes directly (attributeVideo444 /
+                # colorTransform=0, no chroma round-trip)
+                rgb = np.stack(
+                    [np.asarray(pl) for pl in attr_video.planes], axis=-1
+                )[:, :h, :w]
+            else:
+                rgb = np.asarray(
+                    yuv420_to_rgb8(
+                        jnp.asarray(attr_video.planes[0]),
+                        jnp.asarray(attr_video.planes[1]),
+                        jnp.asarray(attr_video.planes[2]),
+                    )
+                )[:, :h, :w]
             colors_maps = [
                 rgb[m::map_count][:f].reshape(f, h * w, 3)
                 for m in range(map_count)

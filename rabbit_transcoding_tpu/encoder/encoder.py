@@ -170,6 +170,21 @@ class Encoder:
             # EOM bit planes ride the occupancy samples; any downscale
             # destroys them (reference couples EOM with lossless occupancy)
             p.occupancyPrecision = 1
+        if p.losslessGeo:
+            # lossless geometry: exact occupancy (precision blocks would add
+            # spurious points), no decoder-side point-moving post-processing,
+            # no synthesis modes (the reference's lossless common cfg pins
+            # the same couplings, ctc-common-lossless-geometry.cfg)
+            p.occupancyPrecision = 1
+            p.flagGeometrySmoothing = False
+            p.flagColorSmoothing = False
+            p.pbfEnableFlag = False
+            p.pointLocalReconstruction = False
+            p.singleMapPixelInterleaving = False
+            p.lossyOccupancyMap = False
+        if p.attributeVideo444:
+            # 444 planes cannot checkerboard through the 420 interleave path
+            p.singleMapPixelInterleaving = False
 
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):
@@ -181,10 +196,12 @@ class Encoder:
                     ps.positions.astype(np.int32), seg_params
                 )
                 frame_segs.append(segs)
-                if p.useRawPointsPatch and len(missed):
+                if p.rawPointsPatch and len(missed):
                     raw_points.append(ps.positions[missed].astype(np.int32))
                     raw_colors.append(
-                        ps.colors[missed] if ps.has_colors else None
+                        ps.colors[missed]
+                        if ps.has_colors and not p.noAttributes
+                        else None
                     )
                 else:
                     raw_points.append(np.zeros((0, 3), np.int32))
@@ -376,6 +393,37 @@ class Encoder:
                 geo_planes[i * n_maps] = g0
                 if n_maps > 1:
                     geo_planes[i * n_maps + 1] = g1
+        if p.losslessGeo:
+            # cross-patch block-ownership casualties: a pixel rasterized by
+            # patch A inside a block that b2p precedence awards to patch B
+            # reprojects through B's transform into a spurious point.  Drop
+            # such pixels from occupancy (their source points fall to the
+            # raw patch in the completeness pass below); clearing never
+            # flips a surviving block's owner — remaining pixels belong to
+            # the owner, whose bbox claim is unchanged.
+            patch_lists0 = [[s.patch for s in segs] for segs in frame_segs]
+            maxp0 = max(1, -(-max(len(pl) for pl in patch_lists0) // 32) * 32)
+            tbl0, cnt0 = repro_ops.build_patch_table(patch_lists0, maxp0)
+            b2p_blk0 = np.asarray(repro_ops.block_to_patch(
+                jnp.asarray(occ_planes), jnp.asarray(tbl0), jnp.asarray(cnt0),
+                p.occupancyResolution,
+            ))
+            blk_owner_px = np.repeat(
+                np.repeat(b2p_blk0, p.occupancyResolution, axis=1),
+                p.occupancyResolution, axis=2,
+            )[:, :height, :width]
+            for i, segs in enumerate(frame_segs):
+                pix_owner = np.zeros((height, width), np.int32)
+                for k, seg in enumerate(segs):
+                    u, v = np.nonzero(seg.occupancy)
+                    if len(u):
+                        x, y = seg.patch.patch_to_canvas(u, v)
+                        pix_owner[y, x] = k + 1
+                bad = (occ_planes[i] > 0) & (pix_owner != blk_owner_px[i])
+                if bad.any():
+                    occ_planes[i][bad] = 0
+                    for m in range(n_maps):
+                        geo_planes[i * n_maps + m][bad] = 0
 
         # 3. encode occupancy (precision-downscaled, lossless)
         from ..video import VideoDecoder, VideoEncoder, VideoEncoderParams
@@ -420,13 +468,18 @@ class Encoder:
 
         # 4. geometry video: background fill + lossy encode (closed loop)
         with self.timer.stage("generateGeometryVideo"):
-            occ_rep = np.repeat(occ_planes, n_maps, axis=0)
-            gpad, opad, (oh, ow) = pad_pow2(
-                geo_planes.astype(np.float32), occ_rep
-            )
-            filled = np.asarray(
-                push_pull_fill(jnp.asarray(gpad), jnp.asarray(opad))
-            )[:, :oh, :ow]
+            if p.losslessGeo:
+                # no background fill: occupied pixels must survive exactly
+                # and all-zero background deflates to nothing
+                filled = geo_planes.astype(np.float32)
+            else:
+                occ_rep = np.repeat(occ_planes, n_maps, axis=0)
+                gpad, opad, (oh, ow) = pad_pow2(
+                    geo_planes.astype(np.float32), occ_rep
+                )
+                filled = np.asarray(
+                    push_pull_fill(jnp.asarray(gpad), jnp.asarray(opad))
+                )[:, :oh, :ow]
             geo_video = Video(
                 width, height, p.geometryNominal2dBitdepth, ColorFormat.YUV400,
                 [np.clip(np.round(filled), 0,
@@ -452,11 +505,18 @@ class Encoder:
                     ))],
                 )
                 geo_gop = max(1, 1 if p.allIntra else p.videoGopSize)
-            geo_payload, geo_recon = VideoEncoder.create(CodecId.RBV).encode(
-                geo_video,
-                VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
-                                   motion=p.motionEstimation),
-            )
+            if p.losslessGeo:
+                geo_payload, geo_recon = VideoEncoder.create(
+                    CodecId.RBV_LOSSLESS
+                ).encode(geo_video, VideoEncoderParams(lossless=True))
+            else:
+                geo_payload, geo_recon = VideoEncoder.create(
+                    CodecId.RBV
+                ).encode(
+                    geo_video,
+                    VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
+                                       motion=p.motionEstimation),
+                )
             if use_pi:
                 # closed loop continues in dual-map layout: de-interleave
                 # the DECODED plane exactly as the decoder will
@@ -541,14 +601,51 @@ class Encoder:
                 )
                 eom_points[i] = pts
                 src = sources[i]
-                if len(pts) and src.has_colors:
+                if len(pts) and src.has_colors and not p.noAttributes:
                     eom_colors[i] = transfer_colors(
                         src.positions.astype(np.float32), src.colors,
                         pts.astype(np.float32), k=p.recolorNeighborCount,
                     )
 
+        # 5c. lossless completeness: any source point absent from the
+        # closed-loop reconstruction (patch maps + EOM + raw) joins the raw
+        # patch — the reference's maxAllowedDist2RawPointsSelection=0
+        # post-reconstruction sweep (PCCPatchSegmenter.cpp missed-points
+        # selection + PCCEncoder::generateRawPointsPatch)
+        if p.losslessGeo and p.rawPointsPatch:
+
+            def _keys(a: np.ndarray) -> np.ndarray:
+                a = a.astype(np.int64)
+                return (a[:, 0] << 42) | (a[:, 1] << 21) | a[:, 2]
+
+            for i, src in enumerate(sources):
+                have = [pts_maps[m][i][valid[i]] for m in range(n_maps)]
+                have.append(eom_points[i])
+                have.append(raw_points[i])
+                have = [h for h in have if len(h)]
+                have_k = (
+                    np.unique(np.concatenate([_keys(h) for h in have]))
+                    if have else np.zeros(0, np.int64)
+                )
+                src_pos = src.positions.astype(np.int32)
+                miss = ~np.isin(_keys(src_pos), have_k)
+                if not miss.any():
+                    continue
+                prev_n = len(raw_points[i])
+                raw_points[i] = np.concatenate([raw_points[i], src_pos[miss]])
+                if src.has_colors and not p.noAttributes:
+                    prev_c = (
+                        raw_colors[i]
+                        if raw_colors[i] is not None
+                        else np.zeros((prev_n, 3), np.uint8)
+                    )
+                    raw_colors[i] = np.concatenate([prev_c, src.colors[miss]])
+
         # 6. recolor reconstructed points from the source cloud (per map)
+        attr_payload = None
+        attr_recon = None
         with self.timer.stage("generateAttributeVideo"):
+          if not p.noAttributes:
             attr_rgb = np.zeros(
                 (n_frames * n_maps, height, width, 3), np.uint8
             )
@@ -567,27 +664,40 @@ class Encoder:
                     canvas[np.nonzero(msk)[0]] = colors
             # fill unoccupied, convert to YUV420, encode; the "trusted color"
             # mask is the per-pixel valid set (decoded-occupancy ∧ patch-owned)
-            valid_mask = np.repeat(
-                valid.reshape(n_frames, height, width).astype(np.uint8),
-                n_maps, axis=0,
-            )
-            rpad, opad2, (oh, ow) = pad_pow2(
-                attr_rgb.astype(np.float32).transpose(3, 0, 1, 2).reshape(
-                    -1, height, width
-                ),
-                np.tile(valid_mask, (3, 1, 1)),
-            )
-            filled_rgb = np.asarray(
-                push_pull_fill(jnp.asarray(rpad), jnp.asarray(opad2))
-            )[:, :oh, :ow]
-            filled_rgb = (
-                filled_rgb.reshape(3, n_frames * n_maps, height, width)
-                .transpose(1, 2, 3, 0)
-            )
+            if p.losslessAttribute:
+                # no background fill: occupied pixels survive exactly and
+                # all-zero background deflates to nothing
+                filled_rgb = attr_rgb.astype(np.float32)
+            else:
+                valid_mask = np.repeat(
+                    valid.reshape(n_frames, height, width).astype(np.uint8),
+                    n_maps, axis=0,
+                )
+                rpad, opad2, (oh, ow) = pad_pow2(
+                    attr_rgb.astype(np.float32).transpose(3, 0, 1, 2).reshape(
+                        -1, height, width
+                    ),
+                    np.tile(valid_mask, (3, 1, 1)),
+                )
+                filled_rgb = np.asarray(
+                    push_pull_fill(jnp.asarray(rpad), jnp.asarray(opad2))
+                )[:, :oh, :ow]
+                filled_rgb = (
+                    filled_rgb.reshape(3, n_frames * n_maps, height, width)
+                    .transpose(1, 2, 3, 0)
+                )
             rgb_u8 = jnp.asarray(
                 np.clip(np.round(filled_rgb), 0, 255).astype(np.uint8)
             )
-            if p.patchColorSubsampling:
+            if p.attributeVideo444:
+                # RGB444: one full-res plane per component, no color
+                # transform (reference colorTransform=0 + attributeVideo444)
+                arr = np.asarray(rgb_u8)
+                attr_video = Video(
+                    width, height, 8, ColorFormat.RGB444,
+                    [arr[..., 0], arr[..., 1], arr[..., 2]],
+                )
+            elif p.patchColorSubsampling:
                 # per-patch chroma subsampling (PCCVideoEncoder.cpp:70-130):
                 # keep 444->420 filter taps inside the owning patch
                 from ..ops.color import rgb8_to_yuv420_patch_aware
@@ -600,12 +710,16 @@ class Encoder:
                 y, u, v = rgb8_to_yuv420_patch_aware(
                     rgb_u8, jnp.asarray(pid), p.chromaDownsampleFilter
                 )
+                attr_video = Video(
+                    width, height, 8, ColorFormat.YUV420,
+                    [np.asarray(y), np.asarray(u), np.asarray(v)],
+                )
             else:
                 y, u, v = rgb8_to_yuv420(rgb_u8, p.chromaDownsampleFilter)
-            attr_video = Video(
-                width, height, 8, ColorFormat.YUV420,
-                [np.asarray(y), np.asarray(u), np.asarray(v)],
-            )
+                attr_video = Video(
+                    width, height, 8, ColorFormat.YUV420,
+                    [np.asarray(y), np.asarray(u), np.asarray(v)],
+                )
             attr_gop = max(1, n_maps * (1 if p.allIntra else p.videoGopSize))
             if use_pi:
                 from ..ops.interleave import interleave_maps
@@ -620,11 +734,18 @@ class Encoder:
                     ],
                 )
                 attr_gop = max(1, 1 if p.allIntra else p.videoGopSize)
-            attr_payload, attr_recon = VideoEncoder.create(CodecId.RBV).encode(
-                attr_video,
-                VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop,
-                                   motion=p.motionEstimation),
-            )
+            if p.losslessAttribute:
+                attr_payload, attr_recon = VideoEncoder.create(
+                    CodecId.RBV_LOSSLESS
+                ).encode(attr_video, VideoEncoderParams(lossless=True))
+            else:
+                attr_payload, attr_recon = VideoEncoder.create(
+                    CodecId.RBV
+                ).encode(
+                    attr_video,
+                    VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop,
+                                       motion=p.motionEstimation),
+                )
             if use_pi:
                 from ..ops.interleave import deinterleave_maps
 
@@ -691,13 +812,20 @@ class Encoder:
 
         # 7. decoder-identical reconstructed clouds (colors from decoded attr)
         with self.timer.stage("reconstructClouds"):
-            rgb_rec = np.asarray(
-                yuv420_to_rgb8(
-                    jnp.asarray(attr_recon.planes[0]),
-                    jnp.asarray(attr_recon.planes[1]),
-                    jnp.asarray(attr_recon.planes[2]),
+            if attr_recon is None:
+                rgb_rec = None
+            elif attr_recon.format == ColorFormat.RGB444:
+                rgb_rec = np.stack(
+                    [np.asarray(pl) for pl in attr_recon.planes], axis=-1
                 )
-            )
+            else:
+                rgb_rec = np.asarray(
+                    yuv420_to_rgb8(
+                        jnp.asarray(attr_recon.planes[0]),
+                        jnp.asarray(attr_recon.planes[1]),
+                        jnp.asarray(attr_recon.planes[2]),
+                    )
+                )
             # PLR second-layer synthesis (mirrors ReconstructionEngine)
             plr_masks = None
             plr_pts = None
@@ -750,25 +878,28 @@ class Encoder:
                     pos_list + [raw_points[i], eom_points[i]],
                     axis=0,
                 )
-                col_parts = [
-                    rgb_rec[i * n_maps + m].reshape(-1, 3)[msk]
-                    for m in range(n_maps)
-                ]
-                if plr_masks is not None:
+                if rgb_rec is None:
+                    col = None
+                else:
+                    col_parts = [
+                        rgb_rec[i * n_maps + m].reshape(-1, 3)[msk]
+                        for m in range(n_maps)
+                    ]
+                    if plr_masks is not None:
+                        col_parts.append(
+                            rgb_rec[i * n_maps].reshape(-1, 3)[plr_masks[i]]
+                        )
                     col_parts.append(
-                        rgb_rec[i * n_maps].reshape(-1, 3)[plr_masks[i]]
+                        raw_colors[i]
+                        if raw_colors[i] is not None
+                        else np.zeros((len(raw_points[i]), 3), np.uint8)
                     )
-                col_parts.append(
-                    raw_colors[i]
-                    if raw_colors[i] is not None
-                    else np.zeros((len(raw_points[i]), 3), np.uint8)
-                )
-                col_parts.append(
-                    eom_colors[i]
-                    if eom_colors[i] is not None
-                    else np.zeros((len(eom_points[i]), 3), np.uint8)
-                )
-                col = np.concatenate(col_parts, axis=0)
+                    col_parts.append(
+                        eom_colors[i]
+                        if eom_colors[i] is not None
+                        else np.zeros((len(eom_points[i]), 3), np.uint8)
+                    )
+                    col = np.concatenate(col_parts, axis=0)
                 refl = None
                 if refl_recon_planes is not None:
                     refl_parts = [
@@ -809,7 +940,7 @@ class Encoder:
 
         # 8. raw-points + EOM aux videos (lossless)
         raw_geo_payload = raw_attr_payload = None
-        if (p.useRawPointsPatch and any(len(r) for r in raw_points)) or any(
+        if (p.rawPointsPatch and any(len(r) for r in raw_points)) or any(
             len(e) for e in eom_points
         ):
             from ..codec.raw_points import build_raw_videos
@@ -821,9 +952,10 @@ class Encoder:
             raw_geo_payload, _ = VideoEncoder.create(
                 CodecId.RBV_LOSSLESS
             ).encode(raw_geo_video, VideoEncoderParams(lossless=True))
-            raw_attr_payload, _ = VideoEncoder.create(
-                CodecId.RBV_LOSSLESS
-            ).encode(raw_attr_video, VideoEncoderParams(lossless=True))
+            if not p.noAttributes:
+                raw_attr_payload, _ = VideoEncoder.create(
+                    CodecId.RBV_LOSSLESS
+                ).encode(raw_attr_video, VideoEncoderParams(lossless=True))
 
         # 9. high-level syntax
         with self.timer.stage("createPatchFrameDataStructure"):
@@ -870,14 +1002,25 @@ class Encoder:
         va.geometry_information.gi_geometry_3d_coordinates_bitdepth_minus1 = (
             p.geometry3dCoordinatesBitdepth - 1
         )
-        va.attribute_information = AttributeInformation(
-            ai_attribute_count=1,
-            ai_attribute_type_id=[0],
-            ai_attribute_codec_id=[0],
-            ai_attribute_dimension_minus1=[2],
-            ai_attribute_2d_bitdepth_minus1=[7],
-            ai_attribute_msb_align_flag=[False],
-        )
+        if attr_payload is None:
+            # geometry-only stream (reference: noAttributes)
+            va.attribute_information = AttributeInformation(
+                ai_attribute_count=0,
+                ai_attribute_type_id=[],
+                ai_attribute_codec_id=[],
+                ai_attribute_dimension_minus1=[],
+                ai_attribute_2d_bitdepth_minus1=[],
+                ai_attribute_msb_align_flag=[],
+            )
+        else:
+            va.attribute_information = AttributeInformation(
+                ai_attribute_count=1,
+                ai_attribute_type_id=[0],
+                ai_attribute_codec_id=[0],
+                ai_attribute_dimension_minus1=[2],
+                ai_attribute_2d_bitdepth_minus1=[7],
+                ai_attribute_msb_align_flag=[False],
+            )
         context.vps_list.append(vps)
 
         atlas = context.atlas(0)
@@ -1069,11 +1212,12 @@ class Encoder:
             VideoBitstream(VideoType.OCCUPANCY, occ_payload)
         )
         atlas.set_video_bitstream(VideoBitstream(VideoType.GEOMETRY, geo_payload))
-        atlas.set_video_bitstream(
-            VideoBitstream(VideoType.ATTRIBUTE, attr_payload)
-        )
+        if attr_payload is not None:
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.ATTRIBUTE, attr_payload)
+            )
         if refl_payload is not None:
-            va.attribute_information.ai_attribute_count = 2
+            va.attribute_information.ai_attribute_count += 1
             va.attribute_information.ai_attribute_type_id.append(3)  # reflectance
             va.attribute_information.ai_attribute_codec_id.append(0)
             va.attribute_information.ai_attribute_dimension_minus1.append(0)

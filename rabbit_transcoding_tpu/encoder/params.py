@@ -28,7 +28,7 @@ class EncoderParameters:
     geometry3dCoordinatesBitdepth: int = 10
     geometryNominal2dBitdepth: int = 10
     mapCountMinus1: int = 1   # 2 maps (D0 near + D1 far), the reference default
-    useRawPointsPatch: bool = True  # missed points -> raw patches in aux video
+    rawPointsPatch: bool = True  # missed points -> raw patches in aux video
     # EOM: code between-layer points in the occupancy bit planes (reference:
     # enhancedOccupancyMapCode; forces occupancyPrecision 1)
     enhancedOccupancyMapCode: bool = False
@@ -49,6 +49,15 @@ class EncoderParameters:
     # 45-degree extended projection planes (reference name)
     additionalProjectionPlaneMode: int = 0  # 0 off, 1 = rotate about Y
 
+    # lossless coding (reference: cfg/common/ctc-common-lossless-geometry*.cfg
+    # + PCCEncoderParameters.h:180-183 noAttributes_/rawPointsPatch_/
+    # attributeVideo444_; video-level losslessness comes from the HM SCC
+    # lossless cfgs there — here it selects the RBV lossless backend)
+    losslessGeo: bool = False        # geometry video coded lossless
+    losslessAttribute: bool = False  # attribute video coded lossless
+    noAttributes: bool = False       # geometry-only stream (ai_attribute_count=0)
+    attributeVideo444: bool = False  # attribute video RGB444 (no 420 subsample)
+
     # rate points
     geometryQP: int = 28
     attributeQP: int = 37
@@ -67,7 +76,7 @@ class EncoderParameters:
     surfaceThickness: int = 4
     # LoD patch subsampling (levelOfDetailX/Y): code every Nth tangent /
     # bitangent sample; off-grid points fall to the raw patch when
-    # useRawPointsPatch is on (lossy otherwise)
+    # rawPointsPatch is on (lossy otherwise)
     levelOfDetailX: int = 1
     levelOfDetailY: int = 1
     # gridBasedSegmentation: voxelize before normals/PPI/refine/CC

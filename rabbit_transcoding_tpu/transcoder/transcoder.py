@@ -60,6 +60,17 @@ class Transcoder:
         atlas = context.atlas(atlas_id)
         self._keep_intermediate(atlas, "in")
 
+        # lossless inputs re-encode through a background-filled pixel path;
+        # grab the exact (pre-downscale) occupancy mask for the fill anchors
+        occ_mask = None
+        if any(
+            (vb := atlas.video_bitstreams.get(t)) is not None
+            and vb.data.startswith(b"RBV")
+            and rbv.probe(vb.data)["lossless"]
+            for t in (VideoType.GEOMETRY, VideoType.ATTRIBUTE)
+        ):
+            occ_mask = self._decode_occupancy_mask(atlas)
+
         with self.timer.stage("transcodeOccupancy"):
             self._transcode_occupancy(atlas)
         if p.rate_mode == "abr" and p.targetBitrateMbps > 0:
@@ -69,11 +80,13 @@ class Transcoder:
         else:
             with self.timer.stage("transcodeGeometry"):
                 self._transcode_video(
-                    atlas, VideoType.GEOMETRY, p.effective_geometry_qp()
+                    atlas, VideoType.GEOMETRY, p.effective_geometry_qp(),
+                    occ_mask=occ_mask,
                 )
             with self.timer.stage("transcodeAttribute"):
                 self._transcode_video(
-                    atlas, VideoType.ATTRIBUTE, p.effective_attribute_qp()
+                    atlas, VideoType.ATTRIBUTE, p.effective_attribute_qp(),
+                    occ_mask=occ_mask,
                 )
 
         if p.computeHashSei:
@@ -119,7 +132,76 @@ class Transcoder:
         atlas.set_video_bitstream(VideoBitstream(VideoType.OCCUPANCY, payload))
 
     # ------------------------------------------------------------------
-    def _transcode_video(self, atlas, vtype: VideoType, qp: int) -> None:
+    def _decode_occupancy_mask(self, atlas) -> np.ndarray | None:
+        """(F, H, W) uint8 atlas-resolution occupancy, upsampled from the
+        current occupancy video (fill anchors for lossless re-encode)."""
+        vb = atlas.video_bitstreams.get(VideoType.OCCUPANCY)
+        if vb is None or not vb.data.startswith(b"RBV") or not atlas.asps_list:
+            return None
+        from ..ops.occupancy import upsample_nearest
+
+        video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
+        asps = atlas.asps_list[0]
+        factor = max(1, asps.asps_frame_width // video.width)
+        occ = (np.asarray(video.planes[0]) > 0).astype(np.uint8)
+        if factor > 1:
+            occ = np.asarray(upsample_nearest(jnp.asarray(occ), factor))
+        return occ[:, : asps.asps_frame_height, : asps.asps_frame_width]
+
+    def _reencode_lossless_filled(
+        self, atlas, vb, qp: int, occ_mask: np.ndarray | None
+    ) -> bytes:
+        """Lossless video input -> lossy at `qp` with occupancy-anchored
+        background fill first (the reference's dilate-before-encode,
+        PCCVideoEncoder.cpp:282 path): unfilled lossless planes ring hard at
+        patch borders and waste bits on background edges."""
+        p = self.params
+        from ..ops.dilate import pad_pow2, push_pull_fill
+        from ..ops.occupancy import downscale_maxpool
+
+        video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
+        map_count = (
+            atlas.asps_list[0].asps_map_count_minus1 + 1
+            if atlas.asps_list
+            else 1
+        )
+        if occ_mask is None:
+            return rbv._reencode_lossless(vb.data, qp, None, 6)
+        occ_rep = np.repeat(occ_mask, map_count, axis=0)[: video.frame_count]
+        maxval = (1 << video.bitdepth) - 1
+        planes = []
+        for pl in video.planes:
+            pl = np.asarray(pl)
+            mask = occ_rep
+            if pl.shape[1:] != occ_rep.shape[1:]:
+                # chroma subsampled plane: pool the mask down
+                fy = occ_rep.shape[1] // pl.shape[1]
+                mask = np.asarray(downscale_maxpool(
+                    jnp.asarray(occ_rep), fy
+                ))
+            mask = mask[:, : pl.shape[1], : pl.shape[2]]
+            gpad, opad, (oh, ow) = pad_pow2(pl.astype(np.float32), mask)
+            filled = np.asarray(
+                push_pull_fill(jnp.asarray(gpad), jnp.asarray(opad))
+            )[:, :oh, :ow]
+            planes.append(
+                np.clip(np.round(filled), 0, maxval).astype(pl.dtype)
+            )
+        out_video = Video(
+            video.width, video.height, video.bitdepth, video.format, planes
+        )
+        gop = max(
+            1, map_count * (1 if p.allIntra else p.videoGopSize)
+        )
+        payload, _ = VideoEncoder.create(CodecId.RBV).encode(
+            out_video, VideoEncoderParams(qp=qp, gop_size=gop)
+        )
+        return payload
+
+    def _transcode_video(
+        self, atlas, vtype: VideoType, qp: int,
+        occ_mask: np.ndarray | None = None,
+    ) -> None:
         p = self.params
         vb = atlas.video_bitstreams.get(vtype)
         if vb is None:
@@ -146,7 +228,9 @@ class Transcoder:
                 payload = filter_hevc_layers(vb.data, p.shvcLayerIndex)
                 atlas.set_video_bitstream(VideoBitstream(vtype, payload))
             return
-        if p.mode == "requant" and not p.transcodeBaseline:
+        if rbv.probe(vb.data)["lossless"]:
+            payload = self._reencode_lossless_filled(atlas, vb, qp, occ_mask)
+        elif p.mode == "requant" and not p.transcodeBaseline:
             payload = rbv.requantize(vb.data, qp)
         else:
             # fused device decode->re-encode: pixels never cross the host link

@@ -768,17 +768,36 @@ def decode(payload: bytes) -> Video:
     return Video(width, height, bitdepth, fmt, planes)
 
 
+def _reencode_lossless(
+    payload: bytes, new_qp: int, new_gop: int | None, zlib_level: int
+) -> bytes:
+    """Lossless input has no coefficient domain: transcoding it to a lossy
+    rate point is a first quantisation — full decode -> encode (the
+    reference transcoder's behavior on lossless HM input,
+    PCCTranscoder.cpp:374 decode/re-encode loop)."""
+    _, _, _, _, _, _, block, gop, _ = _parse_header(payload)
+    video = decode(payload)
+    out, _ = encode(video, RbvParams(
+        qp=new_qp, block_size=block, gop_size=max(1, new_gop or gop),
+        zlib_level=zlib_level,
+    ))
+    return out
+
+
 def requantize(payload: bytes, new_qp: int, zlib_level: int = 6) -> bytes:
     """DCT-domain transcode: re-quantise coefficients to a new QP without a
     pixel-domain round trip.  This is the fast path the reference cannot
     take (its codecs are opaque HM/x265 streams; ours is RBV, so the
     transform domain is directly accessible).  I-frames requantise exactly;
     P-frame residuals requantise open-loop (drift bounded by the GOP length,
-    default 2).  Lossless streams pass through unchanged."""
+    default 2).  Lossless streams take the decode->encode path (a first
+    quantisation — there are no coefficients to requantise)."""
     flags, width, height, bitdepth, chroma, f, block, gop, qp = _parse_header(
         payload
     )
-    if flags & 1 or new_qp == qp:
+    if flags & 1:
+        return _reencode_lossless(payload, new_qp, None, zlib_level)
+    if new_qp == qp:
         return payload
     header = _HEADER.pack(
         _MAGIC, 2, flags, width, height, bitdepth, chroma, f, block, gop,
@@ -819,7 +838,7 @@ def transcode_payload(
         payload
     )
     if flags & 1:
-        return payload
+        return _reencode_lossless(payload, new_qp, new_gop, zlib_level)
     use_mc = bool(flags & 2)
     # MC streams keep their GOP structure (motion vectors are bound to it)
     gop_out = gop if use_mc else (new_gop or gop)

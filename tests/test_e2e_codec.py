@@ -218,12 +218,12 @@ class TestLevelOfDetail:
             ctx2 = V3CReader().decode(V3CReader().read(data)[0])
             return data, ctx2, Decoder().decode(ctx2)[0], recon[0]
 
-        # raw recovery off: LoD actually subsamples (with useRawPointsPatch
+        # raw recovery off: LoD actually subsamples (with rawPointsPatch
         # on, the dropped points ride the aux video and counts stay equal)
         data_lod, ctx_lod, dec_lod, recon_lod = run(
-            levelOfDetailX=2, levelOfDetailY=2, useRawPointsPatch=False,
+            levelOfDetailX=2, levelOfDetailY=2, rawPointsPatch=False,
         )
-        data_full, _, dec_full, _ = run(useRawPointsPatch=False)
+        data_full, _, dec_full, _ = run(rawPointsPatch=False)
 
         # lod scales survive the syntax roundtrip
         patches = decode_patch_frames(ctx_lod.atlas(0))[0]

@@ -55,7 +55,7 @@ class TestProjection45:
             minimumImageWidth=256, minimumImageHeight=64,
             geometryQP=4, attributeQP=8, occupancyPrecision=2,
             flagGeometrySmoothing=False, constrainedPack=False,
-            additionalProjectionPlaneMode=mode, useRawPointsPatch=False,
+            additionalProjectionPlaneMode=mode, rawPointsPatch=False,
         ))
         ctx, recon = enc.encode(GroupOfFrames([src]))
         w = V3CWriter()

@@ -50,7 +50,7 @@ def roundtrip(src, params):
 class TestRawPoints:
     def test_outliers_survive_exactly(self):
         src, outliers = plate_with_outliers()
-        ctx, dec, recon = roundtrip(src, make_params(useRawPointsPatch=True))
+        ctx, dec, recon = roundtrip(src, make_params(rawPointsPatch=True))
         assert VideoType.GEOMETRY_RAW in ctx.atlas(0).video_bitstreams
         dec_set = set(map(tuple, dec.positions.tolist()))
         for o in outliers:
@@ -66,7 +66,7 @@ class TestRawPoints:
 
     def test_outliers_dropped_without_raw_patch(self):
         src, outliers = plate_with_outliers()
-        ctx, dec, _ = roundtrip(src, make_params(useRawPointsPatch=False))
+        ctx, dec, _ = roundtrip(src, make_params(rawPointsPatch=False))
         assert VideoType.GEOMETRY_RAW not in ctx.atlas(0).video_bitstreams
         dec_set = set(map(tuple, dec.positions.tolist()))
         missing = sum(tuple(o) not in dec_set for o in outliers)
@@ -74,13 +74,13 @@ class TestRawPoints:
 
     def test_closed_loop_with_raw_points(self):
         src, _ = plate_with_outliers()
-        ctx, dec, recon = roundtrip(src, make_params(useRawPointsPatch=True))
+        ctx, dec, recon = roundtrip(src, make_params(rawPointsPatch=True))
         assert dec.compute_checksum() == recon.compute_checksum()
 
     def test_d1_improves_with_raw_points(self):
         src, _ = plate_with_outliers()
-        _, dec_raw, _ = roundtrip(src, make_params(useRawPointsPatch=True))
-        _, dec_noraw, _ = roundtrip(src, make_params(useRawPointsPatch=False))
+        _, dec_raw, _ = roundtrip(src, make_params(rawPointsPatch=True))
+        _, dec_noraw, _ = roundtrip(src, make_params(rawPointsPatch=False))
         d_raw = cKDTree(dec_raw.positions).query(src.positions, k=1)[0]
         d_noraw = cKDTree(dec_noraw.positions).query(src.positions, k=1)[0]
         assert np.mean(d_raw ** 2) < np.mean(d_noraw ** 2)
