@@ -25,35 +25,42 @@ from ..core.patch import Patch
 from ..utils.enums import AtlasTileType, PatchOrientation, PatchType
 
 
-def _axes_of(projection_id: int) -> tuple[int, int, int, int, int]:
-    """projection id -> (normal, tangent, bitangent, projection_mode,
-    rotation_axis).
+# projection id (= the reference's viewId, PCCPatch::setViewId,
+# PCCPatch.cpp:111-138) -> (normal, tangent, bitangent, projection_mode,
+# rotation_axis).
+#
+# Ids 0..5: the six canonical V-PCC projection planes (min-X/Y/Z mode 0,
+# max planes mode 1).  Ids 6..17 (asps_extended_projection): the 45-degree
+# planes about Y (6..9), X (10..13) and Z (14..17); their axes live in the
+# exact-integer rotated spaces (see encoder.segment.rotate45) and
+# rotation_axis 1/2/3 flags which inverse rotation applies at
+# reconstruction (the reference's axisOfAdditionalPlane numbering).
+_VIEW_TABLE: tuple[tuple[int, int, int, int, int], ...] = (
+    (0, 2, 1, 0, 0), (1, 2, 0, 0, 0), (2, 0, 1, 0, 0),   # 0-2  axial, mode 0
+    (0, 2, 1, 1, 0), (1, 2, 0, 1, 0), (2, 0, 1, 1, 0),   # 3-5  axial, mode 1
+    (0, 2, 1, 0, 1), (2, 0, 1, 0, 1),                    # 6-7  Y-rot, mode 0
+    (0, 2, 1, 1, 1), (2, 0, 1, 1, 1),                    # 8-9  Y-rot, mode 1
+    (2, 0, 1, 0, 2), (1, 2, 0, 0, 2),                    # 10-11 X-rot, mode 0
+    (2, 0, 1, 1, 2), (1, 2, 0, 1, 2),                    # 12-13 X-rot, mode 1
+    (1, 2, 0, 0, 3), (0, 2, 1, 0, 3),                    # 14-15 Z-rot, mode 0
+    (1, 2, 0, 1, 3), (0, 2, 1, 1, 3),                    # 16-17 Z-rot, mode 1
+)
 
-    Ids 0..5: the six canonical V-PCC projection planes (min-X/Y/Z mode 0,
-    max planes mode 1).  Ids 6..9 (asps_extended_projection): the four
-    45-degree-about-Y planes; their axes live in the rotated space
-    r = (x+z, y, z-x+offset) and rotation_axis = 2 flags the inverse
-    rotation at reconstruction."""
-    if projection_id < 6:
-        axis = projection_id % 3
-        mode = 0 if projection_id < 3 else 1
-        if axis == 0:
-            return 0, 2, 1, mode, 0
-        if axis == 1:
-            return 1, 2, 0, mode, 0
-        return 2, 0, 1, mode, 0
-    k = projection_id - 6
-    mode = 0 if k < 2 else 1
-    if k % 2 == 0:   # normal along rotated-x
-        return 0, 2, 1, mode, 2
-    return 2, 0, 1, mode, 2
+
+def _axes_of(projection_id: int) -> tuple[int, int, int, int, int]:
+    return _VIEW_TABLE[projection_id]
 
 
 def projection_id_of(
     normal_axis: int, projection_mode: int, rotation_axis: int = 0
 ) -> int:
-    if rotation_axis == 2:
-        return 6 + (0 if normal_axis == 0 else 1) + (2 if projection_mode else 0)
+    m = 2 if projection_mode else 0
+    if rotation_axis == 1:   # about Y: normals x'(6) / z'(7)
+        return 6 + (0 if normal_axis == 0 else 1) + m
+    if rotation_axis == 2:   # about X: normals z'(10) / y'(11)
+        return 10 + (0 if normal_axis == 2 else 1) + m
+    if rotation_axis == 3:   # about Z: normals y'(14) / x'(15)
+        return 14 + (0 if normal_axis == 1 else 1) + m
     return normal_axis + (3 if projection_mode else 0)
 
 

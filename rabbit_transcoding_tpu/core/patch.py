@@ -53,10 +53,12 @@ class Patch:
     # block coords (orientation-free on both encode and decode sides, which
     # map canvas pixels through canvas_to_patch); None = patch-level only
     plr_block_modes: "np.ndarray | None" = None
-    # 45-degree extended projection: 0 = none, 2 = rotated about Y.
-    # Rotated space r = (x+z, y, z-x+rot_offset) — an EXACT integer bijection
-    # (u+w is always even), so inverse rotation loses nothing on clean data
-    # and rounds half-units under geometry quantisation error.
+    # 45-degree extended projection — the reference's axisOfAdditionalPlane
+    # numbering (PCCCodec.cpp:2503): 0 = none, 1 = about Y (r = (x+z, y,
+    # z-x+off)), 2 = about X (r = (x, y-z+off, y+z)), 3 = about Z
+    # (r = (x-y+off, x+y, z)).  Each is an EXACT integer bijection (sum and
+    # difference share parity), so inverse rotation loses nothing on clean
+    # data and rounds half-units under geometry quantisation error.
     rotation_axis: int = 0
     rot_offset: int = 1024
     # inter prediction bookkeeping
@@ -153,12 +155,24 @@ class Patch:
         pts[..., self.normal_axis] = d
         pts[..., self.tangent_axis] = self.u1 + u * self.lod_x
         pts[..., self.bitangent_axis] = self.v1 + v * self.lod_y
-        if self.rotation_axis == 2:
+        if self.rotation_axis == 1:   # about Y: sum in x', diff in z'
             rx = pts[..., 0]
             rz = pts[..., 2] - self.rot_offset
             x = (rx - rz + 1) >> 1
             z = (rx + rz + 1) >> 1
             pts = np.stack([x, pts[..., 1], z], axis=-1)
+        elif self.rotation_axis == 2:  # about X: diff in y', sum in z'
+            ry = pts[..., 1] - self.rot_offset
+            rz = pts[..., 2]
+            y = (ry + rz + 1) >> 1
+            z = (rz - ry + 1) >> 1
+            pts = np.stack([pts[..., 0], y, z], axis=-1)
+        elif self.rotation_axis == 3:  # about Z: diff in x', sum in y'
+            rx = pts[..., 0] - self.rot_offset
+            ry = pts[..., 1]
+            x = (rx + ry + 1) >> 1
+            y = (ry - rx + 1) >> 1
+            pts = np.stack([x, y, pts[..., 2]], axis=-1)
         return pts.astype(np.int32)
 
     def canvas_to_3d(self, x, y, depth):

@@ -152,7 +152,7 @@ class Encoder:
             ),
             surface_thickness=p.surfaceThickness,
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
-            additional_projection_planes=p.additionalProjectionPlaneMode > 0,
+            additional_projection_mode=p.additionalProjectionPlaneMode,
             rot_offset=1 << p.geometry3dCoordinatesBitdepth,
             level_of_detail_x=p.levelOfDetailX,
             level_of_detail_y=p.levelOfDetailY,
@@ -1037,7 +1037,9 @@ class Encoder:
                 p.additionalProjectionPlaneMode > 0
             ),
             asps_max_number_projections_minus1=(
-                9 if p.additionalProjectionPlaneMode > 0 else 5
+                {0: 5, 1: 9, 2: 13, 3: 17, 4: 17}[
+                    p.additionalProjectionPlaneMode
+                ]
             ),
             asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
             asps_patch_size_quantizer_present_flag=True,

@@ -39,30 +39,69 @@ _DIRECTIONS_6 = np.array(
     ],
     np.float32,
 )
-_DIRECTIONS_10 = np.concatenate(
-    [
-        _DIRECTIONS_6,
-        np.array(
-            [
-                [_SQ2, 0, _SQ2],    # ppi 6: rotated-x, mode 0
-                [-_SQ2, 0, _SQ2],   # ppi 7: rotated-z, mode 0
-                [-_SQ2, 0, -_SQ2],  # ppi 8: rotated-x, mode 1
-                [_SQ2, 0, -_SQ2],   # ppi 9: rotated-z, mode 1
-            ],
-            np.float32,
-        ),
-    ]
+# the 45-degree diagonal blocks per rotation axis, in the reference's
+# cluster order (orientations10_{Y,X,Z}Axis[6..9] / orientations18[6..17],
+# PCCPatchSegmenter.h:323-383): [+sum, +diff, -sum, -diff] per plane
+_DIAG_Y = np.array(
+    [[_SQ2, 0, _SQ2], [-_SQ2, 0, _SQ2], [-_SQ2, 0, -_SQ2], [_SQ2, 0, -_SQ2]],
+    np.float32,
 )
+_DIAG_X = np.array(
+    [[0, _SQ2, _SQ2], [0, _SQ2, -_SQ2], [0, -_SQ2, -_SQ2], [0, -_SQ2, _SQ2]],
+    np.float32,
+)
+_DIAG_Z = np.array(
+    [[_SQ2, _SQ2, 0], [_SQ2, -_SQ2, 0], [-_SQ2, -_SQ2, 0], [-_SQ2, _SQ2, 0]],
+    np.float32,
+)
+# additionalProjectionPlaneMode -> PPI direction table
+_DIRECTIONS_BY_MODE = {
+    0: _DIRECTIONS_6,
+    1: np.concatenate([_DIRECTIONS_6, _DIAG_Y]),
+    2: np.concatenate([_DIRECTIONS_6, _DIAG_X]),
+    3: np.concatenate([_DIRECTIONS_6, _DIAG_Z]),
+    4: np.concatenate([_DIRECTIONS_6, _DIAG_Y, _DIAG_X, _DIAG_Z]),
+}
+_DIRECTIONS_10 = _DIRECTIONS_BY_MODE[1]
+
+
+def ppi_to_view_id(ppi: int, mode: int) -> int:
+    """Cluster index -> projection/view id (the reference's +4/+8 shift for
+    X-/Z-axis planes, PCCPatchSegmenter.cpp:885-889; mode 4's 18-entry table
+    is already in view-id order)."""
+    if ppi <= 5:
+        return ppi
+    if mode == 2:
+        return ppi + 4
+    if mode == 3:
+        return ppi + 8
+    return ppi
+
+
+def rotate45(points: np.ndarray, axis: int, offset: int) -> np.ndarray:
+    """Exact integer 45-degree rotation about one coordinate axis — an
+    integer bijection (sum and difference of two coords share parity), so
+    the inverse loses nothing on clean data.  Axis numbering follows the
+    reference's axisOfAdditionalPlane (PCCPatchSegmenter.h:238-255 convert):
+    1 = about Y: (x, y, z) -> (x+z, y, z-x+offset)
+    2 = about X: (x, y, z) -> (x, y-z+offset, y+z)
+    3 = about Z: (x, y, z) -> (x-y+offset, x+y, z)
+    """
+    x = points[:, 0].astype(np.int64)
+    y = points[:, 1].astype(np.int64)
+    z = points[:, 2].astype(np.int64)
+    if axis == 1:
+        return np.stack([x + z, y, z - x + offset], axis=1)
+    if axis == 2:
+        return np.stack([x, y - z + offset, y + z], axis=1)
+    if axis == 3:
+        return np.stack([x - y + offset, x + y, z], axis=1)
+    raise ValueError(f"bad rotation axis {axis}")
 
 
 def rotate45_y(points: np.ndarray, offset: int) -> np.ndarray:
     """Exact integer rotation about Y: (x, y, z) -> (x+z, y, z-x+offset)."""
-    x, y, z = points[:, 0], points[:, 1], points[:, 2]
-    return np.stack(
-        [x.astype(np.int64) + z, y.astype(np.int64),
-         z.astype(np.int64) - x + offset],
-        axis=1,
-    )
+    return rotate45(points, 1, offset)
 
 
 @dataclasses.dataclass
@@ -81,8 +120,9 @@ class SegmenterParams:
     # KNN edges longer than this do not connect components (a kNN graph
     # otherwise links arbitrarily distant clutter into one bogus patch)
     max_cc_edge_distance: float = 5.0
-    # 45-degree extended projection planes (additionalProjectionPlaneMode)
-    additional_projection_planes: bool = False
+    # 45-degree extended projection planes (additionalProjectionPlaneMode:
+    # 0 off, 1 about Y, 2 about X, 3 about Z, 4 all three)
+    additional_projection_mode: int = 0
     rot_offset: int = 1024
     # LoD subsampling (levelOfDetailX/Y): keep only points on the lod grid;
     # off-grid points stay in the missed set (raw-patch recovery)
@@ -122,9 +162,9 @@ class SegmentedPatch:
     hg_dropped: np.ndarray | None = None
 
 
-@partial(jax.jit, static_argnames=("extended",))
-def _ppi_scores(normals: jax.Array, extended: bool = False) -> jax.Array:
-    dirs = _DIRECTIONS_10 if extended else _DIRECTIONS_6
+@partial(jax.jit, static_argnames=("mode",))
+def _ppi_scores(normals: jax.Array, mode: int = 0) -> jax.Array:
+    dirs = _DIRECTIONS_BY_MODE[mode]
     return jnp.einsum("nc,dc->nd", normals, jnp.asarray(dirs))
 
 
@@ -154,11 +194,11 @@ def _refine_all(
 
 
 def initial_segmentation(
-    normals: np.ndarray, extended: bool = False
+    normals: np.ndarray, mode: int = 0
 ) -> np.ndarray:
     """PPI = argmax normal . direction (PCCPatchSegmenter3::initialSegmentation)."""
     return np.asarray(
-        jnp.argmax(_ppi_scores(jnp.asarray(normals), extended), axis=1)
+        jnp.argmax(_ppi_scores(jnp.asarray(normals), int(mode)), axis=1)
     ).astype(np.int32)
 
 
@@ -170,7 +210,7 @@ def refine_segmentation(
 ) -> np.ndarray:
     """Iterative KNN smoothing of the PPI partition (refineSegmentation)."""
     scores = _ppi_scores(
-        jnp.asarray(normals), params.additional_projection_planes
+        jnp.asarray(normals), int(params.additional_projection_mode)
     )
     p = jnp.asarray(ppi)
     idx = jnp.asarray(nbr_idx[:, : params.max_nn_count_refine_segmentation])
@@ -333,9 +373,10 @@ def _build_patch(
     params: SegmenterParams,
     patch_index: int,
 ) -> SegmentedPatch | None:
-    normal, tangent, bitangent, mode, rot = _axes_of(ppi)
-    if rot == 2:
-        pts = rotate45_y(points[idx], params.rot_offset)
+    view_id = ppi_to_view_id(ppi, params.additional_projection_mode)
+    normal, tangent, bitangent, mode, rot = _axes_of(view_id)
+    if rot:
+        pts = rotate45(points[idx], rot, params.rot_offset)
     else:
         pts = points[idx]
     u = pts[:, tangent]
@@ -483,7 +524,7 @@ def segment_frame(
             nbr_idx=nbr_v[:, : params.nn_normal_estimation],
         )
         ppi_v = initial_segmentation(
-            normals_v, params.additional_projection_planes
+            normals_v, params.additional_projection_mode
         )
         ppi_v = refine_segmentation(normals_v, ppi_v, nbr_v, params)
         return segment_patches(
@@ -495,6 +536,6 @@ def segment_frame(
         points, k=params.nn_normal_estimation,
         nbr_idx=nbr[:, : params.nn_normal_estimation],
     )
-    ppi = initial_segmentation(normals, params.additional_projection_planes)
+    ppi = initial_segmentation(normals, params.additional_projection_mode)
     ppi = refine_segmentation(normals, ppi, nbr, params)
     return segment_patches(points, ppi, nbr, params, normals=normals)

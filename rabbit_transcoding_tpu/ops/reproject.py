@@ -157,16 +157,33 @@ def reproject(
         pts = (
             d[..., None] * n_oh + tang[..., None] * t_oh + bitang[..., None] * b_oh
         )
-        # 45-degree patches: coordinates are in rotated-about-Y space; apply
-        # the exact integer inverse rotation (x,z) = ((rx-rz')/2, (rx+rz')/2)
-        is_rot = params[..., F_ROT] == 2
-        rz_c = pts[..., 2] - params[..., F_ROT_OFFSET]
-        rot_x = (pts[..., 0] - rz_c + 1) >> 1
-        rot_z = (pts[..., 0] + rz_c + 1) >> 1
-        pts = jnp.where(
-            is_rot[..., None],
-            jnp.stack([rot_x, pts[..., 1], rot_z], axis=-1),
-            pts,
+        # 45-degree patches: coordinates live in a rotated space; apply the
+        # exact integer inverse rotation for the patch's axis (reference
+        # axisOfAdditionalPlane numbering, inverseRotatePosition45DegreeOnAxis
+        # analog, PCCCodec.cpp:2503): 1 = about Y, 2 = about X, 3 = about Z
+        rot = params[..., F_ROT]
+        off = params[..., F_ROT_OFFSET]
+        x_, y_, z_ = pts[..., 0], pts[..., 1], pts[..., 2]
+        # about Y: sum in x', diff in z'
+        y_dz = z_ - off
+        y_x = (x_ - y_dz + 1) >> 1
+        y_z = (x_ + y_dz + 1) >> 1
+        # about X: diff in y', sum in z'
+        x_dy = y_ - off
+        x_y = (x_dy + z_ + 1) >> 1
+        x_z = (z_ - x_dy + 1) >> 1
+        # about Z: diff in x', sum in y'
+        z_dx = x_ - off
+        z_x = (z_dx + y_ + 1) >> 1
+        z_y = (y_ - z_dx + 1) >> 1
+        conds = [rot == 1, rot == 2, rot == 3]
+        pts = jnp.stack(
+            [
+                jnp.select(conds, [y_x, x_, z_x], x_),
+                jnp.select(conds, [y_, x_y, z_y], y_),
+                jnp.select(conds, [y_z, x_z, z_], z_),
+            ],
+            axis=-1,
         )
         return pts.reshape(h * w, 3), valid.reshape(h * w)
 

@@ -1,6 +1,10 @@
-"""45-degree extended projection planes (additionalProjectionPlaneMode)."""
+"""45-degree extended projection planes (additionalProjectionPlaneMode 1-4:
+about Y / X / Z / all three — reference orientations10_{Y,X,Z}Axis +
+orientations18, PCCPatchSegmenter.h:323-383, viewIds 6..17
+PCCPatch.cpp:111-138)."""
 
 import numpy as np
+import pytest
 from scipy.spatial import cKDTree
 
 from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
@@ -11,19 +15,24 @@ from rabbit_transcoding_tpu.core.pointset import PointSet
 from rabbit_transcoding_tpu.decoder.decoder import Decoder
 from rabbit_transcoding_tpu.encoder.encoder import Encoder
 from rabbit_transcoding_tpu.encoder.params import EncoderParameters
-from rabbit_transcoding_tpu.encoder.segment import rotate45_y
+from rabbit_transcoding_tpu.encoder.segment import rotate45
 
 
-def diagonal_wall_cloud():
-    """A wall at 45 degrees to the X/Z axes — the case diagonal planes fix."""
-    g = np.mgrid[10:80, 10:80].reshape(2, -1).T  # (s, y)
-    s, y = g[:, 0], g[:, 1]
-    # wall along the x=z diagonal with small ripple thickness
+def diagonal_wall_cloud(plane_axis: int = 1):
+    """A wall at 45 degrees to two coordinate axes — the case the diagonal
+    projection planes fix.  plane_axis picks the rotation axis the wall is
+    parallel to: 1 = wall along x=z (about Y), 2 = along y=z (about X),
+    3 = along x=y (about Z)."""
+    g = np.mgrid[10:80, 10:80].reshape(2, -1).T  # (s, free)
+    s, free = g[:, 0], g[:, 1]
     pts = []
     for dz in range(2):
-        x = s
-        z = s + dz
-        pts.append(np.column_stack([x, y, z]))
+        if plane_axis == 1:     # diagonal in the x-z plane, y free
+            pts.append(np.column_stack([s, free, s + dz]))
+        elif plane_axis == 2:   # diagonal in the y-z plane, x free
+            pts.append(np.column_stack([free, s, s + dz]))
+        else:                   # diagonal in the x-y plane, z free
+            pts.append(np.column_stack([s, s + dz, free]))
     pos = np.concatenate(pts).astype(np.int32)
     colors = np.clip(
         np.stack([pos[:, 0] * 3, pos[:, 1] * 3, 128 + pos[:, 2]], 1), 0, 255
@@ -32,25 +41,25 @@ def diagonal_wall_cloud():
 
 
 class TestRotation:
-    def test_rotation_exact_inverse(self):
+    @pytest.mark.parametrize("axis", [1, 2, 3])
+    def test_rotation_exact_inverse(self, axis):
         rng = np.random.default_rng(0)
         pts = rng.integers(0, 1024, (1000, 3)).astype(np.int32)
-        rot = rotate45_y(pts, 1024)
-        p = Patch(rotation_axis=2, rot_offset=1024)
-        # inverse via generate_point identity path: feed rotated coords as
-        # (tangent=rx? ...) — test the raw formulas instead
-        rx, ry, rz = rot[:, 0], rot[:, 1], rot[:, 2]
-        rzc = rz - 1024
-        x = (rx - rzc + 1) >> 1
-        z = (rx + rzc + 1) >> 1
-        np.testing.assert_array_equal(x, pts[:, 0])
-        np.testing.assert_array_equal(z, pts[:, 2])
-        np.testing.assert_array_equal(ry, pts[:, 1])
+        rot = rotate45(pts, axis, 1024)
+        # invert via Patch.generate_point's formulas: feed rotated coords
+        # through a patch whose axes are identity in rotated space
+        p = Patch(
+            rotation_axis=axis, rot_offset=1024,
+            normal_axis=0, tangent_axis=1, bitangent_axis=2,
+            u1=0, v1=0, d1=0,
+        )
+        inv = p.generate_point(rot[:, 1], rot[:, 2], rot[:, 0])
+        np.testing.assert_array_equal(inv, pts)
 
 
 class TestProjection45:
-    def _roundtrip(self, mode):
-        src = diagonal_wall_cloud()
+    def _roundtrip(self, mode, plane_axis=1):
+        src = diagonal_wall_cloud(plane_axis)
         enc = Encoder(EncoderParameters(
             minimumImageWidth=256, minimumImageHeight=64,
             geometryQP=4, attributeQP=8, occupancyPrecision=2,
@@ -63,24 +72,37 @@ class TestProjection45:
         ctx2 = V3CReader().decode(V3CReader().read(data)[0])
         return src, ctx2, Decoder().decode(ctx2)[0], recon[0]
 
-    def test_diagonal_patches_used_and_quality(self):
-        src, ctx, dec, recon = self._roundtrip(mode=1)
+    @pytest.mark.parametrize("mode,plane_axis", [(1, 1), (2, 2), (3, 3)])
+    def test_diagonal_patches_used_and_quality(self, mode, plane_axis):
+        src, ctx, dec, recon = self._roundtrip(mode, plane_axis)
         asps = ctx.atlas(0).asps_list[0]
         assert asps.asps_extended_projection_enabled_flag
         patches = decode_patch_frames(ctx.atlas(0))[0]
-        assert any(p.rotation_axis == 2 for p in patches), (
-            "no 45-degree patches on a diagonal wall"
+        assert any(p.rotation_axis == mode for p in patches), (
+            f"no 45-degree patches on a mode-{mode} diagonal wall"
         )
         d = cKDTree(dec.positions).query(src.positions, k=1)[0]
         assert np.mean(d ** 2) < 1.0, np.mean(d ** 2)
 
-    def test_45_beats_canonical_on_diagonal_wall(self):
-        src, _, dec_45, _ = self._roundtrip(mode=1)
-        _, _, dec_06, _ = self._roundtrip(mode=0)
+    @pytest.mark.parametrize("plane_axis", [1, 2, 3])
+    def test_mode4_covers_all_axes(self, plane_axis):
+        """mode 4 (all 18 orientations) picks the right diagonal plane for a
+        wall about ANY axis."""
+        src, ctx, dec, _ = self._roundtrip(4, plane_axis)
+        patches = decode_patch_frames(ctx.atlas(0))[0]
+        assert any(p.rotation_axis == plane_axis for p in patches)
+        d = cKDTree(dec.positions).query(src.positions, k=1)[0]
+        assert np.mean(d ** 2) < 1.0, np.mean(d ** 2)
+
+    @pytest.mark.parametrize("mode,plane_axis", [(1, 1), (2, 2), (3, 3)])
+    def test_45_beats_canonical_on_diagonal_wall(self, mode, plane_axis):
+        src, _, dec_45, _ = self._roundtrip(mode, plane_axis)
+        _, _, dec_06, _ = self._roundtrip(0, plane_axis)
         d45 = cKDTree(dec_45.positions).query(src.positions, k=1)[0]
         d06 = cKDTree(dec_06.positions).query(src.positions, k=1)[0]
         assert np.mean(d45 ** 2) <= np.mean(d06 ** 2) + 1e-9
 
-    def test_closed_loop_with_45(self):
-        src, ctx, dec, recon = self._roundtrip(mode=1)
+    @pytest.mark.parametrize("mode", [1, 2, 3, 4])
+    def test_closed_loop_with_45(self, mode):
+        src, ctx, dec, recon = self._roundtrip(mode, min(mode, 3))
         assert dec.compute_checksum() == recon.compute_checksum()

@@ -79,9 +79,10 @@ class TestAxes:
             assert projection_id_of(n, mode) == pid
 
     def test_extended_axes_roundtrip(self):
-        for pid in range(6, 10):
+        for pid in range(6, 18):
             n, t, b, mode, rot = _axes_of(pid)
-            assert rot == 2 and {n, t, b} == {0, 1, 2}
+            expected_rot = 1 + (pid - 6) // 4
+            assert rot == expected_rot and {n, t, b} == {0, 1, 2}
             assert projection_id_of(n, mode, rot) == pid
 
 
