@@ -92,7 +92,9 @@ class AtlasHLS:
             offset_u_bits=geom3d,
             offset_v_bits=geom3d,
             offset_d_bits=max(1, geom3d - min_d_quant),
-            range_d_bits=max(1, geom2d - 1),
+            # bitCountForMaxDepth = min(geom2d-1, geom3d-1) + 1 - quantizer
+            # (PCCBitstreamReader.cpp:1042; ath_pos_delta_max_d_quantizer 0)
+            range_d_bits=max(1, min(geom2d, geom3d)),
             projection_bits=max(
                 1,
                 (asps.asps_max_number_projections_minus1).bit_length()

@@ -71,6 +71,11 @@ def apply_geometry_smoothing(
             # clouds without type tags keep the move-anything behavior
             eligible=None if ps.types is None else ps.types == 1,
         )
+        if ps.types is not None:
+            # the density filter also only applies to boundary points:
+            # raw/EOM/interior points (types 0) are exact by construction
+            # and must survive smoothing untouched
+            keep = keep | (ps.types != 1)
         ps2 = PointSet(
             positions=pos[keep],
             colors=None if ps.colors is None else ps.colors[keep],

@@ -946,7 +946,12 @@ class Encoder:
             from ..codec.raw_points import build_raw_videos
 
             raw_geo_video, raw_attr_video = build_raw_videos(
-                raw_points, raw_colors, p.geometryNominal2dBitdepth,
+                # raw points carry ABSOLUTE 3D coords: the aux video bitdepth
+                # is the 3D coordinate depth, not the nominal 2D depth
+                # (vox11 content codes depth at 8 bits but coords at 11)
+                raw_points, raw_colors,
+                max(p.geometryNominal2dBitdepth,
+                    p.geometry3dCoordinatesBitdepth),
                 extra_colors=eom_colors,
             )
             raw_geo_payload, _ = VideoEncoder.create(

@@ -642,7 +642,11 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
     maxval = float((1 << video.bitdepth) - 1)
 
     if params.lossless:
+        # serialize in the dtype the header's bitdepth implies — decode
+        # infers it from bitdepth, not from the caller's array dtype
+        ldt = np.uint8 if video.bitdepth <= 8 else np.uint16
         for p in video.planes:
+            p = np.ascontiguousarray(p.astype(ldt))
             # binary planes (occupancy) bit-pack 8:1 before DEFLATE
             if p.dtype == np.uint8 and p.max(initial=0) <= 1:
                 packed = np.packbits(p.reshape(-1))
@@ -651,9 +655,7 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
                 )
             else:
                 blobs.append(
-                    b"Z" + zlib.compress(
-                        np.ascontiguousarray(p).tobytes(), params.zlib_level
-                    )
+                    b"Z" + zlib.compress(p.tobytes(), params.zlib_level)
                 )
             recon_planes.append(p.copy())
     else:
