@@ -1,12 +1,12 @@
-"""SEI messages (23090-5 Annex F subset + raw passthrough).
+"""SEI messages (23090-5 Annex F + raw passthrough).
 
-The reference implements 25 SEI classes (PCCSei.h:43-1762).  This module
-implements the ones the pipelines actively produce/consume —
-DecodedAtlasInformationHash (the conformance self-check, PCCSei.h:1105),
-ComponentCodecMapping (:357), GeometrySmoothing (:1533), AttributeSmoothing
-(:1619), OccupancySynthesis (:1449) — and preserves every other payload
-byte-exactly through a RawSei passthrough, which is what the live transcoder
-needs (SEIs it does not rewrite must survive the remux unmodified).
+The reference implements 25 SEI classes (PCCSei.h:43-1762); all are typed
+here, including the HRD trio (BufferingPeriod, AtlasFrameTiming — whose bit
+widths resolve against the active buffering period — and
+SeiPrefixIndication).  Unknown payload types still pass through byte-exactly
+as RawSei, which is what the live transcoder needs (SEIs it does not rewrite
+must survive the remux unmodified); AtlasFrameTiming also falls back to
+RawSei when no buffering period precedes it in the same rbsp.
 """
 
 from __future__ import annotations
@@ -39,6 +39,211 @@ class RawSei(Sei):
 
     def payload_bytes(self) -> bytes:
         return self.payload
+
+
+@dataclasses.dataclass
+class SeiBufferingPeriod(Sei):
+    """bp_* — buffering period (F.2.13, PCCSei.h:761,
+    PCCBitstreamReader.cpp:1906).  Self-contained: every variable bit width
+    derives from its own length fields."""
+
+    payload_type: int = SeiPayloadType.BUFFERING_PERIOD
+    bp_nal_hrd_params_present_flag: bool = False
+    bp_acl_hrd_params_present_flag: bool = False
+    bp_initial_cab_removal_delay_length_minus1: int = 23
+    bp_au_cab_removal_delay_length_minus1: int = 23
+    bp_dab_output_delay_length_minus1: int = 23
+    bp_irap_cab_params_present_flag: bool = False
+    bp_cab_delay_offset: int = 0
+    bp_dab_delay_offset: int = 0
+    bp_concatenation_flag: bool = False
+    bp_atlas_cab_removal_delay_delta_minus1: int = 0
+    bp_max_sub_layers_minus1: int = 0
+    # per sub-layer: hrd_cab_cnt_minus1 and the 4 delay/offset tables
+    # indexed [sub_layer][cab]; alt tables only when irap params present
+    bp_hrd_cab_cnt_minus1: list = field(default_factory=list)
+    bp_nal_initial_cab_removal_delay: list = field(default_factory=list)
+    bp_nal_initial_cab_removal_offset: list = field(default_factory=list)
+    bp_nal_initial_alt_cab_removal_delay: list = field(default_factory=list)
+    bp_nal_initial_alt_cab_removal_offset: list = field(default_factory=list)
+    bp_acl_initial_cab_removal_delay: list = field(default_factory=list)
+    bp_acl_initial_cab_removal_offset: list = field(default_factory=list)
+    bp_acl_initial_alt_cab_removal_delay: list = field(default_factory=list)
+    bp_acl_initial_alt_cab_removal_offset: list = field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(1, self.bp_nal_hrd_params_present_flag)
+        bw.u(1, self.bp_acl_hrd_params_present_flag)
+        bw.u(5, self.bp_initial_cab_removal_delay_length_minus1)
+        bw.u(5, self.bp_au_cab_removal_delay_length_minus1)
+        bw.u(5, self.bp_dab_output_delay_length_minus1)
+        bw.u(1, self.bp_irap_cab_params_present_flag)
+        if self.bp_irap_cab_params_present_flag:
+            bw.u(self.bp_au_cab_removal_delay_length_minus1 + 1,
+                 self.bp_cab_delay_offset)
+            bw.u(self.bp_dab_output_delay_length_minus1 + 1,
+                 self.bp_dab_delay_offset)
+        bw.u(1, self.bp_concatenation_flag)
+        bw.u(self.bp_au_cab_removal_delay_length_minus1 + 1,
+             self.bp_atlas_cab_removal_delay_delta_minus1)
+        bw.u(3, self.bp_max_sub_layers_minus1)
+        nbits = self.bp_initial_cab_removal_delay_length_minus1 + 1
+        for i in range(self.bp_max_sub_layers_minus1 + 1):
+            bw.u(3, self.bp_hrd_cab_cnt_minus1[i])
+            if self.bp_nal_hrd_params_present_flag:
+                for j in range(self.bp_hrd_cab_cnt_minus1[i] + 1):
+                    bw.u(nbits, self.bp_nal_initial_cab_removal_delay[i][j])
+                    bw.u(nbits, self.bp_nal_initial_cab_removal_offset[i][j])
+                    if self.bp_irap_cab_params_present_flag:
+                        bw.u(nbits,
+                             self.bp_nal_initial_alt_cab_removal_delay[i][j])
+                        bw.u(nbits,
+                             self.bp_nal_initial_alt_cab_removal_offset[i][j])
+            if self.bp_acl_hrd_params_present_flag:
+                for j in range(self.bp_hrd_cab_cnt_minus1[i] + 1):
+                    bw.u(nbits, self.bp_acl_initial_cab_removal_delay[i][j])
+                    bw.u(nbits, self.bp_acl_initial_cab_removal_offset[i][j])
+                    if self.bp_irap_cab_params_present_flag:
+                        bw.u(nbits,
+                             self.bp_acl_initial_alt_cab_removal_delay[i][j])
+                        bw.u(nbits,
+                             self.bp_acl_initial_alt_cab_removal_offset[i][j])
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiBufferingPeriod":
+        br = BitReader(payload)
+        s = cls()
+        s.bp_nal_hrd_params_present_flag = bool(br.u(1))
+        s.bp_acl_hrd_params_present_flag = bool(br.u(1))
+        s.bp_initial_cab_removal_delay_length_minus1 = br.u(5)
+        s.bp_au_cab_removal_delay_length_minus1 = br.u(5)
+        s.bp_dab_output_delay_length_minus1 = br.u(5)
+        s.bp_irap_cab_params_present_flag = bool(br.u(1))
+        if s.bp_irap_cab_params_present_flag:
+            s.bp_cab_delay_offset = br.u(
+                s.bp_au_cab_removal_delay_length_minus1 + 1
+            )
+            s.bp_dab_delay_offset = br.u(
+                s.bp_dab_output_delay_length_minus1 + 1
+            )
+        s.bp_concatenation_flag = bool(br.u(1))
+        s.bp_atlas_cab_removal_delay_delta_minus1 = br.u(
+            s.bp_au_cab_removal_delay_length_minus1 + 1
+        )
+        s.bp_max_sub_layers_minus1 = br.u(3)
+        nbits = s.bp_initial_cab_removal_delay_length_minus1 + 1
+        for i in range(s.bp_max_sub_layers_minus1 + 1):
+            s.bp_hrd_cab_cnt_minus1.append(br.u(3))
+            nd, no, nad, nao = [], [], [], []
+            ad, ao, aad, aao = [], [], [], []
+            if s.bp_nal_hrd_params_present_flag:
+                for _ in range(s.bp_hrd_cab_cnt_minus1[i] + 1):
+                    nd.append(br.u(nbits))
+                    no.append(br.u(nbits))
+                    if s.bp_irap_cab_params_present_flag:
+                        nad.append(br.u(nbits))
+                        nao.append(br.u(nbits))
+            if s.bp_acl_hrd_params_present_flag:
+                for _ in range(s.bp_hrd_cab_cnt_minus1[i] + 1):
+                    ad.append(br.u(nbits))
+                    ao.append(br.u(nbits))
+                    if s.bp_irap_cab_params_present_flag:
+                        aad.append(br.u(nbits))
+                        aao.append(br.u(nbits))
+            s.bp_nal_initial_cab_removal_delay.append(nd)
+            s.bp_nal_initial_cab_removal_offset.append(no)
+            s.bp_nal_initial_alt_cab_removal_delay.append(nad)
+            s.bp_nal_initial_alt_cab_removal_offset.append(nao)
+            s.bp_acl_initial_cab_removal_delay.append(ad)
+            s.bp_acl_initial_cab_removal_offset.append(ao)
+            s.bp_acl_initial_alt_cab_removal_delay.append(aad)
+            s.bp_acl_initial_alt_cab_removal_offset.append(aao)
+        return s
+
+
+@dataclasses.dataclass
+class SeiAtlasFrameTiming(Sei):
+    """aft_* — atlas frame timing (F.2.14, PCCSei.h:901).  Bit widths come
+    from the active SEIBufferingPeriod (the reference resolves it from its
+    persistent SEI store, PCCBitstreamReader.cpp:1456-1459); read_sei_rbsp
+    passes the last buffering period seen in the same rbsp and falls back to
+    RawSei when none is available."""
+
+    payload_type: int = SeiPayloadType.ATLAS_FRAME_TIMING
+    aft_cab_removal_delay_minus1: list = field(default_factory=list)
+    aft_dab_output_delay: list = field(default_factory=list)
+    # widths captured from the active buffering period at parse/emit time
+    au_cab_len: int = 24
+    dab_len: int = 24
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        for d, o in zip(self.aft_cab_removal_delay_minus1,
+                        self.aft_dab_output_delay):
+            bw.u(self.au_cab_len, d)
+            bw.u(self.dab_len, o)
+        bw.zero_align()
+        return bw.data()
+
+    @classmethod
+    def from_payload(
+        cls, payload: bytes, bp: "SeiBufferingPeriod | None" = None
+    ) -> "Sei":
+        if bp is None:
+            return RawSei(
+                payload_type=int(SeiPayloadType.ATLAS_FRAME_TIMING),
+                payload=payload,
+            )
+        s = cls(
+            au_cab_len=bp.bp_au_cab_removal_delay_length_minus1 + 1,
+            dab_len=bp.bp_dab_output_delay_length_minus1 + 1,
+        )
+        br = BitReader(payload)
+        per_layer_bytes = (s.au_cab_len + s.dab_len + 7) // 8
+        for _ in range(bp.bp_max_sub_layers_minus1 + 1):
+            if br.remaining() < per_layer_bytes:
+                break  # cabDabDelaysPresentFlag=false emits no delays
+            s.aft_cab_removal_delay_minus1.append(br.u(s.au_cab_len))
+            s.aft_dab_output_delay.append(br.u(s.dab_len))
+        return s
+
+
+@dataclasses.dataclass
+class SeiPrefixIndication(Sei):
+    """spi_* — SEI prefix indication (F.2.12, PCCSei.h:195,
+    PCCBitstreamReader.cpp:1602): essential leading bits of another SEI."""
+
+    payload_type: int = SeiPayloadType.SEI_PREFIX_INDICATION
+    spi_prefix_sei_payload_type: int = 0
+    # list of bit lists; each indication byte-aligns with 1-bits
+    spi_prefix_data_bits: list = field(default_factory=list)
+
+    def payload_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.u(16, self.spi_prefix_sei_payload_type)
+        bw.u(8, max(0, len(self.spi_prefix_data_bits) - 1))
+        for bits in self.spi_prefix_data_bits:
+            bw.u(16, max(0, len(bits) - 1))
+            for b in bits:
+                bw.u(1, b)
+            while not bw.byte_aligned:
+                bw.u(1, 1)  # f(1) alignment bits equal to 1
+        return bw.data()
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "SeiPrefixIndication":
+        br = BitReader(payload)
+        s = cls()
+        s.spi_prefix_sei_payload_type = br.u(16)
+        n = br.u(8) + 1
+        for _ in range(n):
+            nbits = br.u(16) + 1
+            s.spi_prefix_data_bits.append([br.u(1) for _ in range(nbits)])
+            br.byte_align()
+        return s
 
 
 @dataclasses.dataclass
@@ -770,10 +975,12 @@ _SEI_CLASSES: dict[int, type[Sei]] = {
     SeiPayloadType.USER_DATA_REGISTERED_ITUTT35: SeiUserDataRegisteredItuTT35,
     SeiPayloadType.ATLAS_OBJECT_INFORMATION: SeiAtlasObjectInformation,
     SeiPayloadType.PATCH_INFORMATION: SeiPatchInformation,
+    SeiPayloadType.BUFFERING_PERIOD: SeiBufferingPeriod,
+    SeiPayloadType.SEI_PREFIX_INDICATION: SeiPrefixIndication,
 }
-# Not typed on purpose: BUFFERING_PERIOD / ATLAS_FRAME_TIMING /
-# SEI_PREFIX_INDICATION carry HRD timing whose bit widths depend on
-# out-of-band HRD context; they pass through byte-exact as RawSei.
+# ATLAS_FRAME_TIMING is typed too, but its bit widths come from the active
+# BUFFERING_PERIOD: read_sei_rbsp passes the last one seen in the same rbsp
+# and falls back to byte-exact RawSei passthrough when none is available.
 
 
 def write_sei_rbsp(bw: BitWriter, seis: list[Sei]) -> None:
@@ -811,7 +1018,14 @@ def read_sei_rbsp(br: BitReader, prefix: bool) -> list[Sei]:
         size += b
         payload = br.read_bytes(size)
         cls = _SEI_CLASSES.get(pt)
-        if cls is not None:
+        if pt == SeiPayloadType.ATLAS_FRAME_TIMING:
+            bp = next(
+                (s for s in reversed(seis)
+                 if isinstance(s, SeiBufferingPeriod)),
+                None,
+            )
+            sei = SeiAtlasFrameTiming.from_payload(payload, bp=bp)
+        elif cls is not None:
             sei = cls.from_payload(payload)
         else:
             sei = RawSei(payload_type=pt, payload=payload)

@@ -400,3 +400,92 @@ class TestExtendedSei:
         assert seis_out[15].tiles == [
             (0, False, [(7, False, [5, 9]), (8, True, [])])
         ]
+
+
+class TestHrdSeis:
+    """The HRD trio (F.2.12-F.2.14): buffering period, atlas frame timing
+    (widths from the active buffering period), SEI prefix indication."""
+
+    def _bp(self):
+        from rabbit_transcoding_tpu.bitstream import sei as sei_mod
+
+        return sei_mod.SeiBufferingPeriod(
+            bp_nal_hrd_params_present_flag=True,
+            bp_acl_hrd_params_present_flag=True,
+            bp_irap_cab_params_present_flag=True,
+            bp_initial_cab_removal_delay_length_minus1=17,
+            bp_au_cab_removal_delay_length_minus1=9,
+            bp_dab_output_delay_length_minus1=11,
+            bp_cab_delay_offset=100,
+            bp_dab_delay_offset=200,
+            bp_atlas_cab_removal_delay_delta_minus1=3,
+            bp_max_sub_layers_minus1=1,
+            bp_hrd_cab_cnt_minus1=[1, 0],
+            bp_nal_initial_cab_removal_delay=[[11, 12], [13]],
+            bp_nal_initial_cab_removal_offset=[[21, 22], [23]],
+            bp_nal_initial_alt_cab_removal_delay=[[31, 32], [33]],
+            bp_nal_initial_alt_cab_removal_offset=[[41, 42], [43]],
+            bp_acl_initial_cab_removal_delay=[[51, 52], [53]],
+            bp_acl_initial_cab_removal_offset=[[61, 62], [63]],
+            bp_acl_initial_alt_cab_removal_delay=[[71, 72], [73]],
+            bp_acl_initial_alt_cab_removal_offset=[[81, 82], [83]],
+        )
+
+    def test_buffering_period_roundtrip(self):
+        from rabbit_transcoding_tpu.bitstream import sei as sei_mod
+
+        bw = BitWriter()
+        sei_mod.write_sei_rbsp(bw, [self._bp()])
+        out = sei_mod.read_sei_rbsp(BitReader(bw.data()), prefix=True)[0]
+        assert isinstance(out, sei_mod.SeiBufferingPeriod)
+        assert out.bp_max_sub_layers_minus1 == 1
+        assert out.bp_hrd_cab_cnt_minus1 == [1, 0]
+        assert out.bp_nal_initial_cab_removal_delay == [[11, 12], [13]]
+        assert out.bp_acl_initial_alt_cab_removal_offset == [[81, 82], [83]]
+        assert out.bp_cab_delay_offset == 100
+
+    def test_atlas_frame_timing_uses_active_bp(self):
+        from rabbit_transcoding_tpu.bitstream import sei as sei_mod
+
+        bp = self._bp()
+        aft = sei_mod.SeiAtlasFrameTiming(
+            aft_cab_removal_delay_minus1=[5, 6],
+            aft_dab_output_delay=[7, 8],
+            au_cab_len=bp.bp_au_cab_removal_delay_length_minus1 + 1,
+            dab_len=bp.bp_dab_output_delay_length_minus1 + 1,
+        )
+        bw = BitWriter()
+        sei_mod.write_sei_rbsp(bw, [bp, aft])
+        out = sei_mod.read_sei_rbsp(BitReader(bw.data()), prefix=True)
+        assert isinstance(out[1], sei_mod.SeiAtlasFrameTiming)
+        assert out[1].aft_cab_removal_delay_minus1 == [5, 6]
+        assert out[1].aft_dab_output_delay == [7, 8]
+
+    def test_atlas_frame_timing_without_bp_stays_raw(self):
+        from rabbit_transcoding_tpu.bitstream import sei as sei_mod
+        from rabbit_transcoding_tpu.utils.enums import SeiPayloadType
+
+        aft = sei_mod.SeiAtlasFrameTiming(
+            aft_cab_removal_delay_minus1=[5], aft_dab_output_delay=[7],
+        )
+        bw = BitWriter()
+        sei_mod.write_sei_rbsp(bw, [aft])
+        out = sei_mod.read_sei_rbsp(BitReader(bw.data()), prefix=True)[0]
+        # no buffering period in the rbsp: byte-exact passthrough
+        assert isinstance(out, sei_mod.RawSei)
+        assert out.payload_type == int(SeiPayloadType.ATLAS_FRAME_TIMING)
+        assert out.payload == aft.payload_bytes()
+
+    def test_prefix_indication_roundtrip(self):
+        from rabbit_transcoding_tpu.bitstream import sei as sei_mod
+
+        spi = sei_mod.SeiPrefixIndication(
+            spi_prefix_sei_payload_type=14,
+            spi_prefix_data_bits=[[1, 0, 1], [0] * 11 + [1]],
+        )
+        bw = BitWriter()
+        sei_mod.write_sei_rbsp(bw, [spi])
+        out = sei_mod.read_sei_rbsp(BitReader(bw.data()), prefix=True)[0]
+        assert isinstance(out, sei_mod.SeiPrefixIndication)
+        assert out.spi_prefix_sei_payload_type == 14
+        assert out.spi_prefix_data_bits == [[1, 0, 1], [0] * 11 + [1]]
