@@ -24,6 +24,9 @@ class CodecId(enum.IntEnum):
     RBV_LOSSLESS = 1 # RBV forced lossless (occupancy)
     HM_APP = 2       # external TAppEncoder/TAppDecoder if present on host
     FFMPEG_APP = 3   # external ffmpeg binary if present on host
+    JM_APP = 4       # external lencod/ldecod (AVC) if present on host
+    SHM_APP = 5      # external SHM TAppEncoder/TAppDecoder (SHVC)
+    VTM_APP = 6      # external EncoderApp/DecoderApp (VVC)
     UNKNOWN = 255
 
 

@@ -39,6 +39,42 @@ class VideoEncoderParams:
     extra_args: str = ""
 
 
+# external app backends (PCCCodecId JMAPP/HMAPP/SHMAPP/FFMPEG analog,
+# PCCCommon.h:93-116): (default binary name, env override, template names).
+# Binary resolution order: RABBIT_<ID>_{ENCODER,DECODER} env var, then PATH.
+_EXTERNAL_APPS = {
+    CodecId.HM_APP: ("TAppEncoder", "TAppDecoder",
+                     "HM_ENCODER_TEMPLATE", "HM_DECODER_TEMPLATE"),
+    CodecId.JM_APP: ("lencod", "ldecod",
+                     "JM_ENCODER_TEMPLATE", "JM_DECODER_TEMPLATE"),
+    CodecId.SHM_APP: ("TAppEncoderSHM", "TAppDecoderSHM",
+                      "SHM_ENCODER_TEMPLATE", "SHM_DECODER_TEMPLATE"),
+    CodecId.VTM_APP: ("EncoderApp", "DecoderApp",
+                      "VTM_ENCODER_TEMPLATE", "VTM_DECODER_TEMPLATE"),
+}
+
+FFMPEG_ENCODER_TEMPLATE = (
+    "{binary} -y -f rawvideo -pix_fmt yuv420p -s {width}x{height}"
+    " -i {input} -c:v libx265 -x265-params qp={qp} {output}"
+)
+FFMPEG_DECODER_TEMPLATE = (
+    "{binary} -y -i {input} -f rawvideo -pix_fmt yuv420p {output}"
+)
+
+
+def _resolve_binary(codec_id: CodecId, name: str, role: str) -> str:
+    import os
+
+    env = os.environ.get(f"RABBIT_{codec_id.name}_{role}")
+    binary = env or shutil.which(name)
+    if binary is None:
+        raise RuntimeError(
+            f"codec {codec_id.name} requested but no {name} binary on PATH "
+            f"(set RABBIT_{codec_id.name}_{role} to override)"
+        )
+    return binary
+
+
 class VideoEncoder:
     def encode(self, video: Video, params: VideoEncoderParams) -> tuple[bytes, Video]:
         """Returns (payload bytes, reconstructed video as a decoder sees it)."""
@@ -48,28 +84,18 @@ class VideoEncoder:
     def create(codec_id: CodecId) -> "VideoEncoder":
         if codec_id in (CodecId.RBV, CodecId.RBV_LOSSLESS):
             return RbvVideoEncoder(force_lossless=codec_id == CodecId.RBV_LOSSLESS)
-        if codec_id == CodecId.HM_APP:
-            binary = shutil.which("TAppEncoder")
-            if binary is None:
-                raise RuntimeError(
-                    "codec HM_APP requested but no TAppEncoder binary on PATH"
-                )
+        if codec_id in _EXTERNAL_APPS:
+            from . import external
             from .external import ExternalVideoEncoder
 
-            return ExternalVideoEncoder(binary)
+            name, _, tmpl, _ = _EXTERNAL_APPS[codec_id]
+            binary = _resolve_binary(codec_id, name, "ENCODER")
+            return ExternalVideoEncoder(binary, getattr(external, tmpl))
         if codec_id == CodecId.FFMPEG_APP:
-            binary = shutil.which("ffmpeg")
-            if binary is None:
-                raise RuntimeError(
-                    "codec FFMPEG_APP requested but no ffmpeg binary on PATH"
-                )
-            from .external import ExternalVideoEncoder, HM_ENCODER_TEMPLATE
+            from .external import ExternalVideoEncoder
 
-            template = (
-                "{binary} -y -f rawvideo -pix_fmt yuv420p -s {width}x{height}"
-                " -i {input} -c:v libx265 -x265-params qp={qp} {output}"
-            )
-            return ExternalVideoEncoder(binary, template)
+            binary = _resolve_binary(codec_id, "ffmpeg", "ENCODER")
+            return ExternalVideoEncoder(binary, FFMPEG_ENCODER_TEMPLATE)
         raise ValueError(f"unsupported codec id {codec_id}")
 
 
@@ -81,6 +107,18 @@ class VideoDecoder:
     def create(codec_id: CodecId) -> "VideoDecoder":
         if codec_id in (CodecId.RBV, CodecId.RBV_LOSSLESS):
             return RbvVideoDecoder()
+        if codec_id in _EXTERNAL_APPS:
+            from . import external
+            from .external import ExternalVideoDecoder
+
+            _, name, _, tmpl = _EXTERNAL_APPS[codec_id]
+            binary = _resolve_binary(codec_id, name, "DECODER")
+            return ExternalVideoDecoder(binary, getattr(external, tmpl))
+        if codec_id == CodecId.FFMPEG_APP:
+            from .external import ExternalVideoDecoder
+
+            binary = _resolve_binary(codec_id, "ffmpeg", "DECODER")
+            return ExternalVideoDecoder(binary, FFMPEG_DECODER_TEMPLATE)
         raise ValueError(f"unsupported codec id {codec_id}")
 
 

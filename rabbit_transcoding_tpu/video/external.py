@@ -31,6 +31,28 @@ HM_ENCODER_TEMPLATE = (
 )
 HM_DECODER_TEMPLATE = "{binary} -b {input} -o {output} -d {bitdepth}"
 
+# JM (AVC, PCCJMAppVideoEncoder analog): lencod takes -p key=value pairs
+JM_ENCODER_TEMPLATE = (
+    "{binary} -p InputFile={input} -p OutputFile={output} "
+    "-p ReconFile={recon} -p SourceWidth={width} -p SourceHeight={height} "
+    "-p FramesToBeEncoded={frames} -p QPISlice={qp} -p QPPSlice={qp} "
+    "-p SourceBitDepthLuma={bitdepth} -p SourceBitDepthChroma={bitdepth}"
+)
+JM_DECODER_TEMPLATE = "{binary} -p InputFile={input} -p OutputFile={output}"
+
+# SHM (SHVC, PCCSHMAppVideoEncoder analog): HM-style CLI, layer 0 shown —
+# multi-layer runs override via encoderCommand with per-layer options
+SHM_ENCODER_TEMPLATE = (
+    "{binary} -i0 {input} -b {output} -o0 {recon} -wdt0 {width} "
+    "-hgt0 {height} -f {frames} -fr0 30 -q0 {qp} --InputBitDepth0={bitdepth} "
+    "--InputChromaFormat0={chroma}"
+)
+SHM_DECODER_TEMPLATE = "{binary} -b {input} -o0 {output}"
+
+# VTM (VVC, PCCVTMLibVideoEncoder role via the app binaries): HM-style CLI
+VTM_ENCODER_TEMPLATE = HM_ENCODER_TEMPLATE
+VTM_DECODER_TEMPLATE = HM_DECODER_TEMPLATE
+
 _CHROMA_CODE = {
     ColorFormat.YUV400: "400",
     ColorFormat.YUV420: "420",

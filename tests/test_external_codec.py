@@ -139,3 +139,165 @@ class TestExternalCodecPlumbing:
             template="{binary} -i {input} -b {output} -o {recon}",
         ).encode(_video(), VideoEncoderParams(qp=32))
         assert payload
+
+
+class TestExternalFactory:
+    """Factory resolution for the full app-codec family (reference
+    PCCCodecId JMAPP/HMAPP/SHMAPP/VTM, PCCCommon.h:93-116) via
+    RABBIT_<ID>_{ENCODER,DECODER} env overrides, with mock binaries."""
+
+    def _kv_codec(self, tmp_path):
+        """JM-style fake (key=value args after -p): store-raw."""
+        enc = _script(
+            str(tmp_path / "lencod.sh"),
+            'in=""; out=""; rec=""\n'
+            'for a in "$@"; do\n'
+            '  case "$a" in\n'
+            '    InputFile=*) in="${a#*=}";;\n'
+            '    OutputFile=*) out="${a#*=}";;\n'
+            '    ReconFile=*) rec="${a#*=}";;\n'
+            '  esac\n'
+            'done\n'
+            'cp "$in" "$out"; [ -n "$rec" ] && cp "$in" "$rec" || true\n',
+        )
+        dec = _script(
+            str(tmp_path / "ldecod.sh"),
+            'in=""; out=""\n'
+            'for a in "$@"; do\n'
+            '  case "$a" in\n'
+            '    InputFile=*) in="${a#*=}";;\n'
+            '    OutputFile=*) out="${a#*=}";;\n'
+            '  esac\n'
+            'done\n'
+            'cp "$in" "$out"\n',
+        )
+        return enc, dec
+
+    def _flag_codec(self, tmp_path):
+        """HM/SHM/VTM-style fake (-i/-i0/-b/-o/-o0 flag pairs): store-raw."""
+        enc = _script(
+            str(tmp_path / "appenc.sh"),
+            'in=""; out=""; rec=""\n'
+            'while [ $# -gt 0 ]; do\n'
+            '  case "$1" in\n'
+            '    -i|-i0) in="$2"; shift 2;;\n'
+            '    -b) out="$2"; shift 2;;\n'
+            '    -o|-o0) rec="$2"; shift 2;;\n'
+            '    *) shift;;\n'
+            '  esac\n'
+            'done\n'
+            'cp "$in" "$out" && cp "$in" "$rec"\n',
+        )
+        dec = _script(
+            str(tmp_path / "appdec.sh"),
+            'in=""; out=""\n'
+            'while [ $# -gt 0 ]; do\n'
+            '  case "$1" in\n'
+            '    -b) in="$2"; shift 2;;\n'
+            '    -o|-o0) out="$2"; shift 2;;\n'
+            '    *) shift;;\n'
+            '  esac\n'
+            'done\n'
+            'cp "$in" "$out"\n',
+        )
+        return enc, dec
+
+    @pytest.mark.parametrize("codec_name,style", [
+        ("JM_APP", "kv"), ("SHM_APP", "flag"), ("VTM_APP", "flag"),
+        ("HM_APP", "flag"),
+    ])
+    def test_factory_roundtrip(self, tmp_path, monkeypatch, codec_name, style):
+        from rabbit_transcoding_tpu.utils.enums import CodecId
+        from rabbit_transcoding_tpu.video.base import (
+            VideoDecoder,
+            VideoEncoder,
+        )
+
+        enc_bin, dec_bin = (
+            self._kv_codec(tmp_path) if style == "kv"
+            else self._flag_codec(tmp_path)
+        )
+        monkeypatch.setenv(f"RABBIT_{codec_name}_ENCODER", enc_bin)
+        monkeypatch.setenv(f"RABBIT_{codec_name}_DECODER", dec_bin)
+        cid = CodecId[codec_name]
+        video = _video()
+        payload, recon = VideoEncoder.create(cid).encode(
+            video, VideoEncoderParams(qp=30)
+        )
+        assert len(payload) > 0
+        for a, b in zip(recon.planes, video.planes):
+            np.testing.assert_array_equal(a, b)
+        dec = VideoDecoder.create(cid)
+        dec.width, dec.height, dec.frames = video.width, video.height, 2
+        out = dec.decode(payload)
+        for a, b in zip(out.planes, video.planes):
+            np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("codec_name", ["JM_APP", "SHM_APP", "VTM_APP"])
+    def test_factory_missing_binary_raises(self, monkeypatch, codec_name):
+        from rabbit_transcoding_tpu.utils.enums import CodecId
+        from rabbit_transcoding_tpu.video.base import VideoEncoder
+
+        monkeypatch.delenv(f"RABBIT_{codec_name}_ENCODER", raising=False)
+        monkeypatch.setenv("PATH", "/nonexistent")
+        with pytest.raises(RuntimeError, match="binary on PATH"):
+            VideoEncoder.create(CodecId[codec_name])
+
+
+class TestHdrToolsConverter:
+    """External HDRConvert wrapper (PCCHDRToolsAppColorConverter analog)
+    with a mock binary + real cfg-key parsing."""
+
+    def test_identity_conversion(self, tmp_path, monkeypatch):
+        from rabbit_transcoding_tpu.video.hdrtools import (
+            ExternalColorConverter,
+        )
+
+        binary = _script(
+            str(tmp_path / "HDRConvert.sh"),
+            'in=""; out=""\n'
+            'for a in "$@"; do\n'
+            '  case "$a" in\n'
+            '    SourceFile=*) in="${a#*=}";;\n'
+            '    OutputFile=*) out="${a#*=}";;\n'
+            '  esac\n'
+            'done\n'
+            'cp "$in" "$out"\n',
+        )
+        cfg = tmp_path / "conv.cfg"
+        cfg.write_text(
+            "SourceBitDepthCmp0: 8\nSourceChromaFormat: 1\n"
+            "SourceColorSpace: 0\nOutputBitDepthCmp0: 8\n"
+            "OutputChromaFormat: 1\nOutputColorSpace: 0\n"
+        )
+        conv = ExternalColorConverter(binary, str(cfg))
+        from rabbit_transcoding_tpu.utils.enums import ColorFormat
+
+        assert conv.src_format == ColorFormat.YUV420
+        assert conv.out_format == ColorFormat.YUV420
+        video = _video()
+        out = conv.convert(video)
+        for a, b in zip(out.planes, video.planes):
+            np.testing.assert_array_equal(a, b)
+
+    def test_cfg_output_format_parsing(self, tmp_path):
+        from rabbit_transcoding_tpu.utils.enums import ColorFormat
+        from rabbit_transcoding_tpu.video.hdrtools import (
+            ExternalColorConverter,
+        )
+
+        cfg = tmp_path / "conv.cfg"
+        cfg.write_text(
+            "SourceBitDepthCmp0: 8\nSourceChromaFormat: 1\n"
+            "SourceColorSpace: 0\nOutputBitDepthCmp0: 10\n"
+            "OutputChromaFormat: 3\nOutputColorSpace: 1\n"
+        )
+        conv = ExternalColorConverter("/bin/true", str(cfg))
+        assert conv.out_format == ColorFormat.RGB444
+        assert conv.out_bitdepth == 10
+
+    def test_find_hdrconvert_env(self, monkeypatch):
+        from rabbit_transcoding_tpu.video.hdrtools import find_hdrconvert
+
+        monkeypatch.setenv("RABBIT_HDRCONVERT_BIN", "/x/HDRConvert")
+        assert find_hdrconvert() == "/x/HDRConvert"
