@@ -84,6 +84,24 @@ def _patch_id_map(
     )[:, :height, :width]
 
 
+def _roi_index(centroid, rois) -> int:
+    """ROI containing the centroid; nearest ROI center when outside all."""
+    best, best_d = 0, float("inf")
+    for i, (x0, x1, y0, y1, z0, z1) in enumerate(rois):
+        if (x0 <= centroid[0] <= x1 and y0 <= centroid[1] <= y1
+                and z0 <= centroid[2] <= z1):
+            return i
+        cx, cy, cz = (x0 + x1) / 2, (y0 + y1) / 2, (z0 + z1) / 2
+        d = (
+            (centroid[0] - cx) ** 2
+            + (centroid[1] - cy) ** 2
+            + (centroid[2] - cz) ** 2
+        )
+        if d < best_d:
+            best, best_d = i, d
+    return best
+
+
 class Encoder:
     def __init__(self, params: EncoderParameters | None = None):
         self.params = params or EncoderParameters()
@@ -185,6 +203,9 @@ class Encoder:
         if p.attributeVideo444:
             # 444 planes cannot checkerboard through the 420 interleave path
             p.singleMapPixelInterleaving = False
+        if p.roi_boxes():
+            # ROI tiling: one tile per ROI (generateTilesFromSegments)
+            p.tileCount = max(p.tileCount, len(p.roi_boxes()))
 
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):
@@ -312,14 +333,25 @@ class Encoder:
                 tile_band = height
             else:
                 # uniform-band tiling: patches balanced over tiles by area,
-                # each (frame, tile) packed independently; band = max height
+                # each (frame, tile) packed independently; band = max height.
+                # With roiBoundingBox* set, tiles ARE the ROIs and a patch
+                # tiles by the ROI containing its 3D centroid
+                # (generateTilesFromSegments, PCCEncoder.cpp:5108)
                 band = 64
-                for segs in frame_segs:
-                    order = sorted(
-                        segs, key=lambda s: s.occupancy.sum(), reverse=True
-                    )
-                    for i, seg in enumerate(order):
-                        seg.patch.tile_index = i % p.tileCount
+                rois = p.roi_boxes()
+                for fi, segs in enumerate(frame_segs):
+                    if rois:
+                        pos = sources[fi].positions
+                        for seg in segs:
+                            c = pos[seg.point_indices].mean(axis=0)
+                            seg.patch.tile_index = _roi_index(c, rois)
+                    else:
+                        order = sorted(
+                            segs, key=lambda s: s.occupancy.sum(),
+                            reverse=True,
+                        )
+                        for i, seg in enumerate(order):
+                            seg.patch.tile_index = i % p.tileCount
                     for t in range(p.tileCount):
                         group = [s for s in segs if s.patch.tile_index == t]
                         if group:

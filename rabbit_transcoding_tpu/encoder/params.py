@@ -101,6 +101,16 @@ class EncoderParameters:
     # multi-tile atlas: uniform horizontal bands, one ATL per tile per frame
     # (reference: tile options of PCCEncoderParameters / AFTI)
     tileCount: int = 1
+    # ROI-driven tiling (reference: roiBoundingBox* sequence options +
+    # generateTilesFromSegments, PCCEncoder.cpp:5108): comma-separated
+    # per-ROI bounds; when set, patches tile by the ROI containing their
+    # 3D centroid and tileCount becomes the ROI count
+    roiBoundingBoxMinX: str = ""
+    roiBoundingBoxMaxX: str = ""
+    roiBoundingBoxMinY: str = ""
+    roiBoundingBoxMaxY: str = ""
+    roiBoundingBoxMinZ: str = ""
+    roiBoundingBoxMaxZ: str = ""
     # temporally consistent packing + inter patch coding (reference:
     # constrainedPack / spatialConsistencyPackFlexible)
     constrainedPack: bool = True
@@ -138,3 +148,18 @@ class EncoderParameters:
 
     # self-checks
     decodedAtlasInformationHash: int = 1  # 0=off, 1=MD5
+
+    # ------------------------------------------------------------------
+    def roi_boxes(self) -> list[tuple[int, int, int, int, int, int]]:
+        """Parsed ROI bounding boxes [(minx, maxx, miny, maxy, minz, maxz)];
+        empty when the roiBoundingBox* options are unset."""
+        raw = [
+            self.roiBoundingBoxMinX, self.roiBoundingBoxMaxX,
+            self.roiBoundingBoxMinY, self.roiBoundingBoxMaxY,
+            self.roiBoundingBoxMinZ, self.roiBoundingBoxMaxZ,
+        ]
+        if not all(str(r).strip() for r in raw):
+            return []
+        cols = [[int(v) for v in str(r).split(",")] for r in raw]
+        n = min(len(c) for c in cols)
+        return [tuple(c[i] for c in cols) for i in range(n)]

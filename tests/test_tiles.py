@@ -61,3 +61,54 @@ class TestTiles:
         src, ctx, clouds, recon = encode_roundtrip(tile_count=3)
         for dec, rec in zip(clouds, recon):
             assert dec.compute_checksum() == rec.compute_checksum()
+
+
+class TestRoiTiles:
+    """ROI-driven tiling (roiBoundingBox* + generateTilesFromSegments,
+    PCCEncoder.cpp:5108): patches tile by the ROI containing their 3D
+    centroid instead of area round-robin."""
+
+    def _two_blob_cloud(self):
+        from rabbit_transcoding_tpu.core.pointset import PointSet
+
+        a = make_sphere_cloud(radius=25, center=32, seed=1)
+        b = make_sphere_cloud(radius=25, center=96, seed=2)
+        return PointSet(
+            positions=np.concatenate([a.positions, b.positions]),
+            colors=np.concatenate([a.colors, b.colors]),
+        ).remove_duplicates()
+
+    def test_roi_assignment_and_roundtrip(self):
+        src = self._two_blob_cloud()
+        params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=8, attributeQP=16, occupancyPrecision=2,
+            flagGeometrySmoothing=False,
+            roiBoundingBoxMinX="0,64", roiBoundingBoxMaxX="63,127",
+            roiBoundingBoxMinY="0,64", roiBoundingBoxMaxY="63,127",
+            roiBoundingBoxMinZ="0,64", roiBoundingBoxMaxZ="63,127",
+        )
+        assert len(params.roi_boxes()) == 2
+        enc = Encoder(params)
+        ctx, recon = enc.encode(GroupOfFrames([src]))
+        assert enc.params.tileCount == 2
+        w = V3CWriter()
+        data = w.write(w.encode(ctx))
+        ctx2 = V3CReader().decode(V3CReader().read(data)[0])
+        clouds = Decoder().decode(ctx2)
+        assert clouds[0].compute_checksum() == recon[0].compute_checksum()
+        # tile membership follows the ROIs: decode each tile's patches and
+        # check their reconstructed points stay in the owning ROI's half
+        atlas = ctx2.atlas(0)
+        afti = atlas.afps(0).atlas_frame_tile_information
+        band_px = (afti.afti_partition_rows_height_minus1 + 1) * 64
+        frames = decode_patch_frames(atlas)
+        for p in frames[0]:
+            tile = 1 if p.v0 * p.occupancy_resolution >= band_px else 0
+            # u1/v1/d1 are the patch's 3D min corner: blob A lives < 64,
+            # blob B >= 64 on every axis (with a small quantization margin)
+            lo = min(p.u1, p.v1, p.d1)
+            if tile == 0:
+                assert lo < 64
+            else:
+                assert max(p.u1, p.v1, p.d1) >= 48
