@@ -170,7 +170,12 @@ class Encoder:
             ),
             surface_thickness=p.surfaceThickness,
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
-            additional_projection_mode=p.additionalProjectionPlaneMode,
+            # mode 5 dispatches via segment_frame_partial (which sets the
+            # per-pass modes itself); the plain path sees canonical
+            additional_projection_mode=(
+                0 if p.additionalProjectionPlaneMode == 5
+                else p.additionalProjectionPlaneMode
+            ),
             rot_offset=1 << p.geometry3dCoordinatesBitdepth,
             level_of_detail_x=p.levelOfDetailX,
             level_of_detail_y=p.levelOfDetailY,
@@ -209,13 +214,34 @@ class Encoder:
 
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):
+            if p.enhancedProjectionPlane and len(sources):
+                # per-GOF axis weights from the first frame's projected-face
+                # coverage (the reference computes from sources[0] too)
+                from .segment import calculate_weight_normal
+
+                seg_params.axis_weight = tuple(calculate_weight_normal(
+                    sources[0].positions, p.geometry3dCoordinatesBitdepth,
+                    p.minWeightEPP,
+                ))
+            use_partial = (
+                p.additionalProjectionPlaneMode == 5
+                and 0.0 < p.partialAdditionalProjectionPlane < 1.0
+            )
             frame_segs = []
             raw_points: list[np.ndarray] = []
             raw_colors: list[np.ndarray | None] = []
             for ps in sources:
-                segs, missed = segment_frame(
-                    ps.positions.astype(np.int32), seg_params
-                )
+                if use_partial:
+                    from .segment import segment_frame_partial
+
+                    segs, missed = segment_frame_partial(
+                        ps.positions.astype(np.int32), seg_params,
+                        p.partialAdditionalProjectionPlane,
+                    )
+                else:
+                    segs, missed = segment_frame(
+                        ps.positions.astype(np.int32), seg_params
+                    )
                 frame_segs.append(segs)
                 if p.rawPointsPatch and len(missed):
                     raw_points.append(ps.positions[missed].astype(np.int32))
@@ -1074,7 +1100,7 @@ class Encoder:
                 p.additionalProjectionPlaneMode > 0
             ),
             asps_max_number_projections_minus1=(
-                {0: 5, 1: 9, 2: 13, 3: 17, 4: 17}[
+                {0: 5, 1: 9, 2: 13, 3: 17, 4: 17, 5: 17}[
                     p.additionalProjectionPlaneMode
                 ]
             ),

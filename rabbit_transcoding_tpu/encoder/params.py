@@ -46,8 +46,16 @@ class EncoderParameters:
     # OI threshold (reference: lossyOccupancyMap + occupancyMapQP)
     lossyOccupancyMap: bool = False
     occupancyMapQP: int = 38
-    # 45-degree extended projection planes (reference name)
-    additionalProjectionPlaneMode: int = 0  # 0 off, 1 = rotate about Y
+    # 45-degree extended projection planes (reference name):
+    # 0 off · 1 about Y · 2 about X · 3 about Z · 4 all three ·
+    # 5 partial (top partialAdditionalProjectionPlane slice of the longest
+    # axis re-segments with that axis's diagonal planes)
+    additionalProjectionPlaneMode: int = 0
+    partialAdditionalProjectionPlane: float = 0.0
+    # enhancedProjectionPlane: weight axial PPI scores by per-axis
+    # projected-face coverage (calculateWeightNormal, PCCEncoder.cpp:3601)
+    enhancedProjectionPlane: bool = False
+    minWeightEPP: float = 0.6
 
     # lossless coding (reference: cfg/common/ctc-common-lossless-geometry*.cfg
     # + PCCEncoderParameters.h:180-183 noAttributes_/rawPointsPatch_/

@@ -121,8 +121,12 @@ class SegmenterParams:
     # otherwise links arbitrarily distant clutter into one bogus patch)
     max_cc_edge_distance: float = 5.0
     # 45-degree extended projection planes (additionalProjectionPlaneMode:
-    # 0 off, 1 about Y, 2 about X, 3 about Z, 4 all three)
+    # 0 off, 1 about Y, 2 about X, 3 about Z, 4 all three; mode 5 = partial,
+    # handled by segment_frame_partial)
     additional_projection_mode: int = 0
+    # enhancedProjectionPlane axis weights for the 6 axial PPI directions
+    # (calculateWeightNormal, PCCEncoder.cpp:3601); None = flat
+    axis_weight: tuple | None = None
     rot_offset: int = 1024
     # LoD subsampling (levelOfDetailX/Y): keep only points on the lod grid;
     # off-grid points stay in the missed set (raw-patch recovery)
@@ -163,9 +167,53 @@ class SegmentedPatch:
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def _ppi_scores(normals: jax.Array, mode: int = 0) -> jax.Array:
+def _ppi_scores(
+    normals: jax.Array, weights: jax.Array, mode: int = 0
+) -> jax.Array:
     dirs = _DIRECTIONS_BY_MODE[mode]
-    return jnp.einsum("nc,dc->nd", normals, jnp.asarray(dirs))
+    return jnp.einsum("nc,dc->nd", normals, jnp.asarray(dirs)) * weights
+
+
+def _direction_weights(mode: int, axis_weight) -> np.ndarray:
+    """Per-direction weight vector: axial directions take the
+    enhancedProjectionPlane axis weights, diagonals stay 1 (the reference's
+    weightValue table, PCCPatchSegmenter.cpp:233-241)."""
+    n = len(_DIRECTIONS_BY_MODE[mode])
+    w = np.ones(n, np.float32)
+    if axis_weight is not None:
+        for a in range(3):
+            w[a] = w[a + 3] = float(axis_weight[a])
+    return w
+
+
+def calculate_weight_normal(
+    points: np.ndarray, geometry_bits: int, min_weight: float = 0.6
+) -> np.ndarray:
+    """enhancedProjectionPlane axis weights (calculateWeightNormal,
+    PCCEncoder.cpp:3601-3652): per axis, count the occupied faces of the
+    orthogonal projection; weights are face-count ratios against the
+    best-covered axis, floored at min_weight with the middle axis
+    interpolated."""
+    p = np.clip(points.astype(np.int64), 0, (1 << geometry_bits) - 1)
+    cnt = np.array([
+        len(np.unique((p[:, 2] << geometry_bits) + p[:, 1])),  # X faces (YZ)
+        len(np.unique((p[:, 0] << geometry_bits) + p[:, 2])),  # Y faces (ZX)
+        len(np.unique((p[:, 1] << geometry_bits) + p[:, 0])),  # Z faces (XY)
+    ], np.float64)
+    order = np.argsort(cnt)  # ascending: [smallest, middle, largest]
+    w = np.ones(3, np.float64)
+    lo, mid, hi = order
+    if cnt[lo] / cnt[hi] >= min_weight:
+        w[lo] = cnt[lo] / cnt[hi]
+        w[mid] = cnt[mid] / cnt[hi]
+        w[hi] = 1.0
+    else:
+        tmpa = cnt[lo] / cnt[hi]
+        tmpb = cnt[mid] / cnt[hi]
+        w[lo] = min_weight
+        w[hi] = 1.0
+        w[mid] = min_weight + (tmpb - tmpa) / (1.0 - tmpa) * (1 - min_weight)
+    return w.astype(np.float32)
 
 
 @jax.jit
@@ -194,11 +242,12 @@ def _refine_all(
 
 
 def initial_segmentation(
-    normals: np.ndarray, mode: int = 0
+    normals: np.ndarray, mode: int = 0, axis_weight=None
 ) -> np.ndarray:
     """PPI = argmax normal . direction (PCCPatchSegmenter3::initialSegmentation)."""
+    w = jnp.asarray(_direction_weights(int(mode), axis_weight))
     return np.asarray(
-        jnp.argmax(_ppi_scores(jnp.asarray(normals), int(mode)), axis=1)
+        jnp.argmax(_ppi_scores(jnp.asarray(normals), w, int(mode)), axis=1)
     ).astype(np.int32)
 
 
@@ -210,7 +259,11 @@ def refine_segmentation(
 ) -> np.ndarray:
     """Iterative KNN smoothing of the PPI partition (refineSegmentation)."""
     scores = _ppi_scores(
-        jnp.asarray(normals), int(params.additional_projection_mode)
+        jnp.asarray(normals),
+        jnp.asarray(_direction_weights(
+            int(params.additional_projection_mode), params.axis_weight
+        )),
+        int(params.additional_projection_mode),
     )
     p = jnp.asarray(ppi)
     idx = jnp.asarray(nbr_idx[:, : params.max_nn_count_refine_segmentation])
@@ -524,7 +577,8 @@ def segment_frame(
             nbr_idx=nbr_v[:, : params.nn_normal_estimation],
         )
         ppi_v = initial_segmentation(
-            normals_v, params.additional_projection_mode
+            normals_v, params.additional_projection_mode,
+            params.axis_weight,
         )
         ppi_v = refine_segmentation(normals_v, ppi_v, nbr_v, params)
         return segment_patches(
@@ -536,6 +590,52 @@ def segment_frame(
         points, k=params.nn_normal_estimation,
         nbr_idx=nbr[:, : params.nn_normal_estimation],
     )
-    ppi = initial_segmentation(normals, params.additional_projection_mode)
+    ppi = initial_segmentation(
+        normals, params.additional_projection_mode, params.axis_weight
+    )
     ppi = refine_segmentation(normals, ppi, nbr, params)
     return segment_patches(points, ppi, nbr, params, normals=normals)
+
+
+def segment_frame_partial(
+    points: np.ndarray, params: SegmenterParams, ratio: float
+) -> tuple[list[SegmentedPatch], np.ndarray]:
+    """additionalProjectionPlaneMode 5 (PCCEncoder.cpp:8826-8901
+    segmentationPartiallyAddtinalProjectionPlane): the whole cloud segments
+    with the 6 canonical planes; the top `ratio` slice along the longest
+    axis re-segments with the diagonal planes about that axis and only the
+    DIAGONAL patches of that pass are kept (duplicates resolve at
+    reconstruction dedup; the canonical pass defines the missed set, minus
+    points the diagonal patches cover)."""
+    import dataclasses as _dc
+
+    base = _dc.replace(params, additional_projection_mode=0)
+    segs, missed = segment_frame(points, base)
+
+    spans = points.max(axis=0) - points.min(axis=0)
+    axis = int(np.argmax(spans))          # 0=X, 1=Y, 2=Z (longest)
+    # reference axis ids 1/2/3 -> diagonal mode: X->2, Y->1, Z->3
+    mode = {0: 2, 1: 1, 2: 3}[axis]
+    lo = points[:, axis].min()
+    cut = lo + spans[axis] * (1.0 - ratio)
+    slice_idx = np.nonzero(points[:, axis] > cut)[0]
+    if len(slice_idx) >= params.min_point_count_per_cc_patch_segmentation:
+        extra = _dc.replace(params, additional_projection_mode=mode)
+        segs_a, _ = segment_frame(
+            np.ascontiguousarray(points[slice_idx]), extra
+        )
+        covered_extra = []
+        for seg in segs_a:
+            if seg.patch.rotation_axis == 0:
+                continue  # keep only the diagonal patches (reference :8888)
+            seg.point_indices = slice_idx[seg.point_indices]
+            if seg.lod_dropped is not None:
+                seg.lod_dropped = slice_idx[seg.lod_dropped]
+            seg.patch.index = len(segs)
+            segs.append(seg)
+            covered_extra.append(seg.point_indices)
+        if covered_extra:
+            missed = np.setdiff1d(
+                missed, np.concatenate(covered_extra), assume_unique=False
+            )
+    return segs, missed

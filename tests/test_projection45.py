@@ -106,3 +106,88 @@ class TestProjection45:
     def test_closed_loop_with_45(self, mode):
         src, ctx, dec, recon = self._roundtrip(mode, min(mode, 3))
         assert dec.compute_checksum() == recon.compute_checksum()
+
+
+class TestPartialAndWeighted:
+    def test_weight_normal_favors_covered_axes(self):
+        """calculateWeightNormal: a flat XY wall projects all its points
+        onto the Z faces -> Z weight 1, X/Y floored at minWeightEPP."""
+        from rabbit_transcoding_tpu.encoder.segment import (
+            calculate_weight_normal,
+        )
+
+        g = np.mgrid[0:64, 0:64].reshape(2, -1).T
+        pts = np.column_stack(
+            [g[:, 0], g[:, 1], np.full(len(g), 32)]
+        ).astype(np.int32)
+        w = calculate_weight_normal(pts, 10, min_weight=0.6)
+        assert w[2] == 1.0          # Z projection sees every point
+        assert w[0] == pytest.approx(0.6)  # X sees a 1px-thin line
+        assert w[0] <= w[1] <= w[2]
+
+    def test_enhanced_projection_plane_e2e(self):
+        src = diagonal_wall_cloud(1)
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=4, attributeQP=8, occupancyPrecision=2,
+            flagGeometrySmoothing=False, constrainedPack=False,
+            enhancedProjectionPlane=True, rawPointsPatch=True,
+        ))
+        ctx, recon = enc.encode(GroupOfFrames([src]))
+        data = V3CWriter().write(V3CWriter().encode(ctx))
+        dec = Decoder().decode(V3CReader().decode(V3CReader().read(data)[0]))
+        assert dec[0].compute_checksum() == recon[0].compute_checksum()
+
+    def test_partial_additional_projection_mode5(self):
+        """Mode 5: only the top slice of the longest axis gets diagonal
+        patches; the rest stays canonical."""
+        from rabbit_transcoding_tpu.encoder.segment import (
+            SegmenterParams,
+            segment_frame_partial,
+        )
+
+        # tall content: bottom = flat XY walls, top = x=z diagonal wall
+        g = np.mgrid[10:70, 10:70].reshape(2, -1).T
+        s, t = g[:, 0], g[:, 1]
+        bottom = np.column_stack([s, t, np.full(len(g), 20)])
+        y_top = 200 + (s - 10)  # top slice of the Y span
+        diag = np.column_stack([t, y_top, t + 1])
+        pts = np.concatenate([bottom, diag]).astype(np.int32)
+        params = SegmenterParams(rot_offset=1024)
+        segs, missed = segment_frame_partial(pts, params, ratio=0.4)
+        rots = {seg.patch.rotation_axis for seg in segs}
+        assert 0 in rots, "canonical patches must remain"
+        assert any(r > 0 for r in rots), "no diagonal patches from the slice"
+        # diagonal patches only come from the slice (their points' y > cut)
+        span = pts[:, 1].max() - pts[:, 1].min()
+        cut = pts[:, 1].min() + span * 0.6
+        for seg in segs:
+            if seg.patch.rotation_axis:
+                assert (pts[seg.point_indices][:, 1] > cut).all()
+
+    def test_mode5_e2e_roundtrip(self):
+        g = np.mgrid[10:70, 10:70].reshape(2, -1).T
+        s, t = g[:, 0], g[:, 1]
+        bottom = np.column_stack([s, t, np.full(len(g), 20)])
+        y_top = 200 + (s - 10)
+        diag = np.column_stack([t, y_top, t + 1])
+        pos = np.concatenate([bottom, diag]).astype(np.int32)
+        colors = np.clip(np.stack(
+            [pos[:, 0] * 3, pos[:, 1], 128 + pos[:, 2]], 1
+        ), 0, 255).astype(np.uint8)
+        from rabbit_transcoding_tpu.core.pointset import PointSet
+
+        src = PointSet(positions=pos, colors=colors).remove_duplicates()
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=4, attributeQP=8, occupancyPrecision=2,
+            flagGeometrySmoothing=False, constrainedPack=False,
+            additionalProjectionPlaneMode=5,
+            partialAdditionalProjectionPlane=0.4,
+        ))
+        ctx, recon = enc.encode(GroupOfFrames([src]))
+        data = V3CWriter().write(V3CWriter().encode(ctx))
+        dec = Decoder().decode(V3CReader().decode(V3CReader().read(data)[0]))
+        assert dec[0].compute_checksum() == recon[0].compute_checksum()
+        d = cKDTree(dec[0].positions).query(src.positions, k=1)[0]
+        assert np.mean(d ** 2) < 1.0
