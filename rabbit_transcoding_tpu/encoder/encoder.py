@@ -169,6 +169,7 @@ class Encoder:
                 p.minPointCountPerCCPatchSegmentation
             ),
             surface_thickness=p.surfaceThickness,
+            max_patch_size=p.maxPatchSize,
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
             # mode 5 dispatches via segment_frame_partial (which sets the
             # per-pass modes itself); the plain path sees canonical

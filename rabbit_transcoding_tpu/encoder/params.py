@@ -82,6 +82,9 @@ class EncoderParameters:
 
     # segmentation
     surfaceThickness: int = 4
+    # components wider than this (tangent/bitangent px) split at the median
+    # of the longer axis (reference maxPatchSize / enablePatchSplitting)
+    maxPatchSize: int = 1024
     # LoD patch subsampling (levelOfDetailX/Y): code every Nth tangent /
     # bitangent sample; off-grid points fall to the raw patch when
     # rawPointsPatch is on (lossy otherwise)

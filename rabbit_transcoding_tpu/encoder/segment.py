@@ -127,6 +127,9 @@ class SegmenterParams:
     # enhancedProjectionPlane axis weights for the 6 axial PPI directions
     # (calculateWeightNormal, PCCEncoder.cpp:3601); None = flat
     axis_weight: tuple | None = None
+    # maxPatchSize (reference sequence cfgs): components wider than this in
+    # tangent/bitangent split at the median of the longer axis; 0 = off
+    max_patch_size: int = 1024
     rot_offset: int = 1024
     # LoD subsampling (levelOfDetailX/Y): keep only points on the lod grid;
     # off-grid points stay in the missed set (raw-patch recovery)
@@ -372,10 +375,20 @@ def segment_patches(
         uniq, starts = np.unique(labels[pts_sorted], return_index=True)
         bounds = np.append(starts, len(pts_sorted))
         made_progress = False
-        for ci in range(len(uniq)):
-            idx = pts_sorted[bounds[ci] : bounds[ci + 1]]
+        comps = [
+            pts_sorted[bounds[ci] : bounds[ci + 1]]
+            for ci in range(len(uniq))
+        ]
+        while comps:
+            idx = comps.pop()
             if len(idx) < params.min_point_count_per_cc_patch_segmentation:
                 continue
+            if params.max_patch_size > 0:
+                halves = _split_oversized(points, idx, int(ppi[idx[0]]),
+                                          params)
+                if halves is not None:
+                    comps.extend(halves)
+                    continue
             seg = _build_patch(points, idx, int(ppi[idx[0]]), params, len(patches))
             if seg is None:
                 continue
@@ -417,6 +430,31 @@ def segment_patches(
     if lod_missed:
         missed = np.unique(np.concatenate([missed] + lod_missed))
     return patches, missed
+
+
+def _split_oversized(
+    points: np.ndarray, idx: np.ndarray, ppi: int, params: SegmenterParams
+) -> list[np.ndarray] | None:
+    """maxPatchSize splitting (reference enablePatchSplitting/maxPatchSize):
+    when a component's tangent/bitangent extent exceeds max_patch_size,
+    split it at the median of the longer axis.  Returns the two halves, or
+    None when the component already fits."""
+    view_id = ppi_to_view_id(ppi, params.additional_projection_mode)
+    _, tangent, bitangent, _, rot = _axes_of(view_id)
+    pts = rotate45(points[idx], rot, params.rot_offset) if rot else points[idx]
+    spans = [
+        int(pts[:, ax].max()) - int(pts[:, ax].min()) + 1
+        for ax in (tangent, bitangent)
+    ]
+    if max(spans) <= params.max_patch_size:
+        return None
+    ax = (tangent, bitangent)[int(np.argmax(spans))]
+    cut = np.median(pts[:, ax])
+    left = idx[pts[:, ax] <= cut]
+    right = idx[pts[:, ax] > cut]
+    if len(left) == 0 or len(right) == 0:
+        return None  # degenerate (all points at the median): keep as is
+    return [left, right]
 
 
 def _build_patch(

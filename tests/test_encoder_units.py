@@ -289,3 +289,46 @@ class TestAdaptiveGPA:
         pos = {(f[0].patch.u0, f[0].patch.v0) for f in gof}
         assert len(pos) == 1
         assert h >= 64
+
+
+class TestMaxPatchSize:
+    """maxPatchSize splitting (reference enablePatchSplitting): oversized
+    components split at the longer tangent axis median until they fit."""
+
+    def test_wide_wall_splits(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.encoder.segment import (
+            SegmenterParams,
+            segment_frame,
+        )
+
+        # 600px-wide flat wall, maxPatchSize 128 -> >= 5 patches, all <= 128
+        g = np.mgrid[0:600, 0:40].reshape(2, -1).T
+        pts = np.column_stack(
+            [g[:, 0], g[:, 1], np.full(len(g), 7)]
+        ).astype(np.int32)
+        segs, missed = segment_frame(
+            pts, SegmenterParams(max_patch_size=128)
+        )
+        assert len(segs) >= 5
+        for seg in segs:
+            assert max(seg.patch.size_u, seg.patch.size_v) <= 128
+        covered = sum(len(s.point_indices) for s in segs)
+        assert covered + len(missed) == len(pts)
+        assert len(missed) == 0
+
+    def test_no_split_when_disabled(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.encoder.segment import (
+            SegmenterParams,
+            segment_frame,
+        )
+
+        g = np.mgrid[0:600, 0:40].reshape(2, -1).T
+        pts = np.column_stack(
+            [g[:, 0], g[:, 1], np.full(len(g), 7)]
+        ).astype(np.int32)
+        segs, _ = segment_frame(pts, SegmenterParams(max_patch_size=0))
+        assert any(max(s.patch.size_u, s.patch.size_v) > 128 for s in segs)
