@@ -79,6 +79,14 @@ class V3CReader:
                     vtype = VideoType.ATTRIBUTE_RAW
                 elif unit.header.vuh_attribute_index == 1:
                     vtype = VideoType.ATTRIBUTE_REFL
+                elif context.vps.atlas(0).vps_map_count_minus1 > 0 and (
+                    context.vps.atlas(0).vps_multiple_map_streams_present_flag
+                ):
+                    vtype = (
+                        VideoType.ATTRIBUTE_T0
+                        if unit.header.vuh_map_index == 0
+                        else VideoType.ATTRIBUTE_T1
+                    )
                 else:
                     vtype = VideoType.ATTRIBUTE
                 atlas.set_video_bitstream(_vb(vtype, unit.payload))

@@ -24,6 +24,8 @@ _VIDEO_UNIT_MAP = [
     (VideoType.GEOMETRY_D1, V3CUnitType.V3C_GVD, 1, False, 0),
     (VideoType.GEOMETRY_RAW, V3CUnitType.V3C_GVD, 0, True, 0),
     (VideoType.ATTRIBUTE, V3CUnitType.V3C_AVD, 0, False, 0),
+    (VideoType.ATTRIBUTE_T0, V3CUnitType.V3C_AVD, 0, False, 0),
+    (VideoType.ATTRIBUTE_T1, V3CUnitType.V3C_AVD, 1, False, 0),
     (VideoType.ATTRIBUTE_RAW, V3CUnitType.V3C_AVD, 0, True, 0),
     (VideoType.ATTRIBUTE_REFL, V3CUnitType.V3C_AVD, 0, False, 1),
 ]

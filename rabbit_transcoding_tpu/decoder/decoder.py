@@ -50,15 +50,77 @@ class Decoder:
             occ_video = VideoDecoder.create(CodecId.RBV).decode(
                 atlas.get_video_bitstream(VideoType.OCCUPANCY).data
             )
+        map1_absolute = True
+        va0 = context.vps.atlas(0)
+        if (va0.vps_map_count_minus1 >= 1
+                and len(va0.vps_map_absolute_coding_enabled_flag) > 1):
+            map1_absolute = bool(va0.vps_map_absolute_coding_enabled_flag[1])
         with self.timer.stage("decodeGeometryVideo"):
-            geo_video = VideoDecoder.create(CodecId.RBV).decode(
-                atlas.get_video_bitstream(VideoType.GEOMETRY).data
-            )
+            if VideoType.GEOMETRY in atlas.video_bitstreams:
+                geo_video = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.GEOMETRY).data
+                )
+            else:
+                # per-map GVD sub-streams (vps_multiple_map_streams): map 1
+                # is a biased delta vs rec map 0 when absolute coding is off
+                from ..codec.mapstream import (
+                    combine_map1,
+                    geo_bias,
+                    interleave_maps_np,
+                )
+
+                d0 = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.GEOMETRY_D0).data
+                )
+                d1 = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.GEOMETRY_D1).data
+                )
+                rec0 = np.asarray(d0.planes[0])
+                rec1 = np.asarray(d1.planes[0])
+                if not map1_absolute:
+                    rec1 = combine_map1(
+                        rec1, rec0, geo_bias(d0.bitdepth),
+                        (1 << d0.bitdepth) - 1,
+                    )
+                from ..core.image import Video
+
+                geo_video = Video(
+                    d0.width, d0.height, d0.bitdepth, d0.format,
+                    [interleave_maps_np(rec0, rec1)],
+                )
         attr_video = None
         if VideoType.ATTRIBUTE in atlas.video_bitstreams:
             with self.timer.stage("decodeAttributeVideo"):
                 attr_video = VideoDecoder.create(CodecId.RBV).decode(
                     atlas.get_video_bitstream(VideoType.ATTRIBUTE).data
+                )
+        elif VideoType.ATTRIBUTE_T0 in atlas.video_bitstreams:
+            with self.timer.stage("decodeAttributeVideo"):
+                from ..codec.mapstream import (
+                    attr_bias,
+                    combine_map1,
+                    interleave_maps_np,
+                )
+                from ..core.image import Video
+
+                t0 = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_T0).data
+                )
+                t1 = VideoDecoder.create(CodecId.RBV).decode(
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_T1).data
+                )
+                planes = []
+                for p0, p1 in zip(t0.planes, t1.planes):
+                    r0 = np.asarray(p0)
+                    r1 = np.asarray(p1)
+                    if not map1_absolute:
+                        r1 = combine_map1(
+                            r1, r0, attr_bias(t0.bitdepth),
+                            (1 << t0.bitdepth) - 1,
+                        )
+                    planes.append(interleave_maps_np(r0, r1))
+                attr_video = Video(
+                    t0.width, t0.height, t0.bitdepth, t0.format, planes
                 )
         refl_video = None
         if VideoType.ATTRIBUTE_REFL in atlas.video_bitstreams:

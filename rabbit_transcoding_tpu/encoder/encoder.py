@@ -212,6 +212,13 @@ class Encoder:
         if p.roi_boxes():
             # ROI tiling: one tile per ROI (generateTilesFromSegments)
             p.tileCount = max(p.tileCount, len(p.roi_boxes()))
+        if p.multipleStreams:
+            # per-map sub-streams exclude the single-map interleave modes
+            p.singleMapPixelInterleaving = False
+        if p.mapCountMinus1 == 0 or not p.multipleStreams:
+            # predicted map coding only exists with 2 maps in own streams
+            p.absoluteD1 = True
+            p.absoluteT1 = True
 
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):
@@ -564,7 +571,61 @@ class Encoder:
                     ))],
                 )
                 geo_gop = max(1, 1 if p.allIntra else p.videoGopSize)
-            if p.losslessGeo:
+            use_ms = p.multipleStreams and n_maps == 2 and not use_pi
+            geo_payload_maps = None
+            if use_ms:
+                # one GVD sub-stream per map (multipleStreams); map 1 codes
+                # a biased delta vs the RECONSTRUCTED map 0 when absoluteD1
+                # is off (the D1-from-rec-D0 condition)
+                from ..codec.mapstream import geo_bias, make_delta
+
+                gpl = geo_video.planes[0]
+                cid = CodecId.RBV_LOSSLESS if p.losslessGeo else CodecId.RBV
+                vep = (
+                    VideoEncoderParams(lossless=True)
+                    if p.losslessGeo
+                    else VideoEncoderParams(
+                        qp=p.geometryQP,
+                        gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
+                        motion=p.motionEstimation,
+                    )
+                )
+                maxv = (1 << p.geometryNominal2dBitdepth) - 1
+                d0_payload, d0_recon = VideoEncoder.create(cid).encode(
+                    Video(width, height, p.geometryNominal2dBitdepth,
+                          ColorFormat.YUV400, [gpl[0::2].copy()]),
+                    vep,
+                )
+                rec0 = np.asarray(d0_recon.planes[0]).astype(np.uint16)
+                if p.absoluteD1:
+                    d1_plane = gpl[1::2].copy()
+                else:
+                    d1_plane = make_delta(
+                        gpl[1::2], rec0,
+                        geo_bias(p.geometryNominal2dBitdepth), maxv,
+                    )
+                d1_payload, d1_recon = VideoEncoder.create(cid).encode(
+                    Video(width, height, p.geometryNominal2dBitdepth,
+                          ColorFormat.YUV400, [d1_plane]),
+                    vep,
+                )
+                rec1 = np.asarray(d1_recon.planes[0]).astype(np.uint16)
+                if not p.absoluteD1:
+                    from ..codec.mapstream import combine_map1
+
+                    rec1 = combine_map1(
+                        rec1, rec0,
+                        geo_bias(p.geometryNominal2dBitdepth), maxv,
+                    )
+                from ..codec.mapstream import interleave_maps_np
+
+                geo_recon = Video(
+                    width, height, p.geometryNominal2dBitdepth,
+                    ColorFormat.YUV400, [interleave_maps_np(rec0, rec1)],
+                )
+                geo_payload = None
+                geo_payload_maps = (d0_payload, d1_payload)
+            elif p.losslessGeo:
                 geo_payload, geo_recon = VideoEncoder.create(
                     CodecId.RBV_LOSSLESS
                 ).encode(geo_video, VideoEncoderParams(lossless=True))
@@ -703,6 +764,7 @@ class Encoder:
         # 6. recolor reconstructed points from the source cloud (per map)
         attr_payload = None
         attr_recon = None
+        attr_payload_maps = None
         with self.timer.stage("generateAttributeVideo"):
           if not p.noAttributes:
             attr_rgb = np.zeros(
@@ -793,7 +855,61 @@ class Encoder:
                     ],
                 )
                 attr_gop = max(1, 1 if p.allIntra else p.videoGopSize)
-            if p.losslessAttribute:
+            if use_ms:
+                # one AVD sub-stream per map; map 1 codes a biased delta vs
+                # the reconstructed map 0 when absoluteT1 is off (the
+                # T1-from-rec-T0 condition)
+                from ..codec.mapstream import (
+                    attr_bias,
+                    combine_map1,
+                    interleave_maps_np,
+                    make_delta,
+                )
+
+                cid = (
+                    CodecId.RBV_LOSSLESS
+                    if p.losslessAttribute
+                    else CodecId.RBV
+                )
+                vep = (
+                    VideoEncoderParams(lossless=True)
+                    if p.losslessAttribute
+                    else VideoEncoderParams(
+                        qp=p.attributeQP,
+                        gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
+                        motion=p.motionEstimation,
+                    )
+                )
+                t0_planes = [pl[0::2].copy() for pl in attr_video.planes]
+                t0_payload, t0_recon = VideoEncoder.create(cid).encode(
+                    Video(width, height, 8, attr_video.format, t0_planes),
+                    vep,
+                )
+                rec0p = [np.asarray(pl) for pl in t0_recon.planes]
+                if p.absoluteT1:
+                    t1_planes = [pl[1::2].copy() for pl in attr_video.planes]
+                else:
+                    t1_planes = [
+                        make_delta(pl[1::2], r0, attr_bias(8), 255)
+                        for pl, r0 in zip(attr_video.planes, rec0p)
+                    ]
+                t1_payload, t1_recon = VideoEncoder.create(cid).encode(
+                    Video(width, height, 8, attr_video.format, t1_planes),
+                    vep,
+                )
+                rec1p = [np.asarray(pl) for pl in t1_recon.planes]
+                if not p.absoluteT1:
+                    rec1p = [
+                        combine_map1(r1, r0, attr_bias(8), 255)
+                        for r1, r0 in zip(rec1p, rec0p)
+                    ]
+                attr_recon = Video(
+                    width, height, 8, attr_video.format,
+                    [interleave_maps_np(r0, r1)
+                     for r0, r1 in zip(rec0p, rec1p)],
+                )
+                attr_payload_maps = (t0_payload, t1_payload)
+            elif p.losslessAttribute:
                 attr_payload, attr_recon = VideoEncoder.create(
                     CodecId.RBV_LOSSLESS
                 ).encode(attr_video, VideoEncoderParams(lossless=True))
@@ -1029,6 +1145,8 @@ class Encoder:
                 raw_points, raw_geo_payload, raw_attr_payload,
                 tile_band=tile_band, eom_points=eom_points,
                 refl_payload=refl_payload, use_pi=use_pi,
+                geo_payload_maps=geo_payload_maps,
+                attr_payload_maps=attr_payload_maps,
             )
             if p.pbfEnableFlag:
                 from ..bitstream.sei import SeiOccupancySynthesis
@@ -1047,6 +1165,7 @@ class Encoder:
         self, frame_segs, width, height, occ_payload, geo_payload, attr_payload,
         raw_points=None, raw_geo_payload=None, raw_attr_payload=None,
         tile_band=None, eom_points=None, refl_payload=None, use_pi=False,
+        geo_payload_maps=None, attr_payload_maps=None,
     ) -> Context:
         p = self.params
         context = Context()
@@ -1057,6 +1176,11 @@ class Encoder:
         va.vps_map_count_minus1 = p.mapCountMinus1
         va.vps_map_absolute_coding_enabled_flag = [True] * (p.mapCountMinus1 + 1)
         va.vps_map_predictor_index_diff = [0] * (p.mapCountMinus1 + 1)
+        if geo_payload_maps is not None or attr_payload_maps is not None:
+            va.vps_multiple_map_streams_present_flag = True
+            if p.mapCountMinus1 >= 1:
+                # absoluteD1/absoluteT1 ride the map-1 absolute-coding flag
+                va.vps_map_absolute_coding_enabled_flag[1] = p.absoluteD1
         va.occupancy_information.oi_occupancy_2d_bitdepth_minus1 = 7
         if p.lossyOccupancyMap and not p.enhancedOccupancyMapCode:
             va.occupancy_information.oi_lossy_occupancy_compression_threshold = 127
@@ -1066,7 +1190,7 @@ class Encoder:
         va.geometry_information.gi_geometry_3d_coordinates_bitdepth_minus1 = (
             p.geometry3dCoordinatesBitdepth - 1
         )
-        if attr_payload is None:
+        if attr_payload is None and attr_payload_maps is None:
             # geometry-only stream (reference: noAttributes)
             va.attribute_information = AttributeInformation(
                 ai_attribute_count=0,
@@ -1277,8 +1401,25 @@ class Encoder:
         atlas.set_video_bitstream(
             VideoBitstream(VideoType.OCCUPANCY, occ_payload)
         )
-        atlas.set_video_bitstream(VideoBitstream(VideoType.GEOMETRY, geo_payload))
-        if attr_payload is not None:
+        if geo_payload_maps is not None:
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.GEOMETRY_D0, geo_payload_maps[0])
+            )
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.GEOMETRY_D1, geo_payload_maps[1])
+            )
+        else:
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.GEOMETRY, geo_payload)
+            )
+        if attr_payload_maps is not None:
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.ATTRIBUTE_T0, attr_payload_maps[0])
+            )
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.ATTRIBUTE_T1, attr_payload_maps[1])
+            )
+        elif attr_payload is not None:
             atlas.set_video_bitstream(
                 VideoBitstream(VideoType.ATTRIBUTE, attr_payload)
             )

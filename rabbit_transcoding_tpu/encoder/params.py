@@ -28,6 +28,15 @@ class EncoderParameters:
     geometry3dCoordinatesBitdepth: int = 10
     geometryNominal2dBitdepth: int = 10
     mapCountMinus1: int = 1   # 2 maps (D0 near + D1 far), the reference default
+    # one video sub-stream PER MAP (reference: multipleStreams; V3C
+    # vps_multiple_map_streams_present_flag + vuh_map_index GVD/AVD units)
+    multipleStreams: bool = False
+    # absolute vs predicted map coding (reference: absoluteD1/absoluteT1,
+    # the ctc-*-D1-from-rec-D0 / T1-from-rec-T0 conditions): when False,
+    # the map-1 stream codes a biased delta against the RECONSTRUCTED map 0
+    # (vps_map_absolute_coding_enabled_flag[1]=0); requires multipleStreams
+    absoluteD1: bool = True
+    absoluteT1: bool = True
     rawPointsPatch: bool = True  # missed points -> raw patches in aux video
     # EOM: code between-layer points in the occupancy bit planes (reference:
     # enhancedOccupancyMapCode; forces occupancyPrecision 1)

@@ -67,7 +67,9 @@ class Transcoder:
             (vb := atlas.video_bitstreams.get(t)) is not None
             and vb.data.startswith(b"RBV")
             and rbv.probe(vb.data)["lossless"]
-            for t in (VideoType.GEOMETRY, VideoType.ATTRIBUTE)
+            for t in (VideoType.GEOMETRY, VideoType.ATTRIBUTE,
+                      VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
+                      VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1)
         ):
             occ_mask = self._decode_occupancy_mask(atlas)
 
@@ -79,15 +81,19 @@ class Transcoder:
                 self._rate_control(atlas)
         else:
             with self.timer.stage("transcodeGeometry"):
-                self._transcode_video(
-                    atlas, VideoType.GEOMETRY, p.effective_geometry_qp(),
-                    occ_mask=occ_mask,
-                )
+                for vt in (VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
+                           VideoType.GEOMETRY_D1):
+                    self._transcode_video(
+                        atlas, vt, p.effective_geometry_qp(),
+                        occ_mask=occ_mask,
+                    )
             with self.timer.stage("transcodeAttribute"):
-                self._transcode_video(
-                    atlas, VideoType.ATTRIBUTE, p.effective_attribute_qp(),
-                    occ_mask=occ_mask,
-                )
+                for vt in (VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
+                           VideoType.ATTRIBUTE_T1):
+                    self._transcode_video(
+                        atlas, vt, p.effective_attribute_qp(),
+                        occ_mask=occ_mask,
+                    )
 
         if p.computeHashSei:
             with self.timer.stage("createHashSEI"):
@@ -167,7 +173,12 @@ class Transcoder:
         )
         if occ_mask is None:
             return rbv._reencode_lossless(vb.data, qp, None, 6)
-        occ_rep = np.repeat(occ_mask, map_count, axis=0)[: video.frame_count]
+        if video.frame_count == occ_mask.shape[0]:
+            occ_rep = occ_mask  # per-map sub-stream: one frame per source
+        else:
+            occ_rep = np.repeat(
+                occ_mask, map_count, axis=0
+            )[: video.frame_count]
         maxval = (1 << video.bitdepth) - 1
         planes = []
         for pl in video.planes:

@@ -67,6 +67,8 @@ class VideoType(enum.IntEnum):
     ATTRIBUTE = 5
     ATTRIBUTE_RAW = 6
     ATTRIBUTE_REFL = 7
+    ATTRIBUTE_T0 = 8
+    ATTRIBUTE_T1 = 9
 
 
 class NalUnitType(enum.IntEnum):
