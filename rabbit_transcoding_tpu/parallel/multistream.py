@@ -84,6 +84,17 @@ def _batched_requant_impl(q, qs_old, qs_new):
     return jax.vmap(one)(q, qs_old, qs_new)
 
 
+def _batched_requant_comp_impl(q, qs_old, qs_new, gop: int):
+    from ..video.rbv import _requant_compensated_device
+
+    def one(qq, a, b):
+        return _requant_compensated_device(qq, a, b, gop)
+
+    return jax.vmap(one)(q, qs_old, qs_new)
+
+
+
+
 @lru_cache(maxsize=None)
 def _sharded_kernels(mesh: Mesh, shard_rows: bool):
     """jit the batched kernels with mesh shardings.  Streams shard over the
@@ -112,6 +123,22 @@ def _sharded_kernels(mesh: Mesh, shard_rows: bool):
         out_shardings=cshard,
     )
     return transcode, transcode_mc, requant
+
+
+@lru_cache(maxsize=None)
+def _sharded_requant_comp(mesh: Mesh, shard_rows: bool, gop: int):
+    """Drift-compensated batched requant (matches rbv.requantize for
+    zero-MV P chains — byte identity with the sequential path)."""
+    row = "space" if shard_rows else None
+    cshard = NamedSharding(mesh, P("stream", None, row, None, None, None))
+    sshard = NamedSharding(mesh, P("stream"))
+    return jax.jit(
+        partial(_batched_requant_comp_impl, gop=gop),
+        in_shardings=(cshard, sshard, sshard),
+        out_shardings=cshard,
+    )
+
+
 
 
 # ===========================================================================
@@ -253,7 +280,13 @@ def transcode_payloads(
             qo_dev = jax.device_put(qs_out_p, sshard)
 
             if mode == "requant":
-                q2 = rq_step(qdev, qi_dev, qo_dev)
+                if not use_mc and gop > 1:
+                    # matches rbv.requantize's drift-compensated zero-MV path
+                    q2 = _sharded_requant_comp(mesh, shard_rows, gop)(
+                        qdev, qi_dev, qo_dev
+                    )
+                else:
+                    q2 = rq_step(qdev, qi_dev, qo_dev)
             elif use_mc:
                 mv_batch = _pad_frames(
                     np.stack([d[1] for d in decoded]).astype(np.int32), fp

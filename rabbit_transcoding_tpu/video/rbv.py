@@ -364,6 +364,39 @@ def _requant_device(q, qstep_old, qstep_new):
     return jnp.clip(jnp.round(c / qstep_new), -32767, 32767).astype(jnp.int16)
 
 
+@partial(jax.jit, static_argnames=("gop",))
+def _requant_compensated_device(q, qstep_old, qstep_new, gop: int):
+    """Drift-compensated DCT-domain requantisation for zero-MV P chains.
+
+    Prediction is previous-recon in the pixel domain and the DCT is linear,
+    so the requantisation error of every frame can be folded into the NEXT
+    frame's residual entirely in the coefficient domain: with
+    err_k = sum_{j<=k} (deq_old_j - deq_new_j), the ideal new residual of
+    frame k is deq_old_k + err_{k-1}.  Open-loop requant (the naive rescale)
+    accumulates that error as reconstruction drift instead — measured
+    +0.08 dB D1 at the coarsest CTC rate point (RESULTS.md r1)."""
+    f = q.shape[0]
+    fp = f + ((-f) % gop)
+    qp_ = q
+    if fp != f:
+        qp_ = jnp.concatenate([q, jnp.zeros((fp - f,) + q.shape[1:], q.dtype)])
+    grp = qp_.reshape((fp // gop, gop) + q.shape[1:])
+
+    def per_gop(g):
+        def step(err, qk):
+            target = qk.astype(jnp.float32) * qstep_old + err
+            qn = jnp.clip(
+                jnp.round(target / qstep_new), -32767, 32767
+            ).astype(jnp.int16)
+            return target - qn.astype(jnp.float32) * qstep_new, qn
+
+        _, out = jax.lax.scan(step, jnp.zeros(g.shape[1:], jnp.float32), g)
+        return out
+
+    out = jax.vmap(per_gop)(grp).reshape((fp,) + q.shape[1:])
+    return out[:f]
+
+
 # --- sparse coefficient transfer -------------------------------------------
 @partial(jax.jit, static_argnames=("cap",))
 def _sparsify(q, cap: int):
@@ -814,12 +847,25 @@ def requantize(payload: bytes, new_qp: int, zlib_level: int = 6) -> bytes:
         pw = w + ((-w) % block)
         mv_section = b""
         cblob = blob
+        mv = None
         if flags & 2:
             mv, cblob = _split_mv_section(blob, f, ph // block, pw // block)
             if mv is not None:
                 mv_section = _encode_mv_section(mv, zlib_level)
         q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
-        q2 = _requant_device(q, qs_old, qs_new)
+        if not (flags & 2) and gop > 1:
+            # zero-MV P chains: fold each frame's requantisation error into
+            # the next residual (exact in the linear DCT domain) — kills
+            # the open-loop drift at no extra link traffic
+            q2 = _requant_compensated_device(q, qs_old, qs_new, gop)
+        else:
+            # MC streams stay open-loop: a zero-MV-masked compensation was
+            # measured (8-frame CTC ladder A/B) to lower plane MSE but
+            # WORSEN end-to-end D1 at the r1/r5 extremes — the error
+            # feedback perturbs the background fill that occupancy-
+            # precision superset points sample — so the simple rescale wins
+            # on the metric that matters (mean d1_delta -0.030 vs +0.056)
+            q2 = _requant_device(q, qs_old, qs_new)
         new_blob = mv_section + _encode_coeff_blob(q2, zlib_level)
         out.extend(struct.pack("<I", len(new_blob)))
         out.extend(new_blob)

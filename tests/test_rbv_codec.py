@@ -172,3 +172,56 @@ class TestFactory:
         payload, _ = enc.encode(v, VideoEncoderParams(qp=20))
         dec = VideoDecoder.create(CodecId.RBV).decode(payload, output_bitdepth=10)
         assert dec.bitdepth == 10
+
+
+class TestCompensatedRequant:
+    """Drift-compensated DCT-domain requant: each frame's requantisation
+    error folds into the next residual (linear DCT), so zero-MV P chains
+    track the drift-free decode->re-encode within clipping error."""
+
+    def _video(self, frames=8, w=64, h=48):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.core.image import Video
+        from rabbit_transcoding_tpu.utils.enums import ColorFormat
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        planes = np.stack([
+            np.clip(
+                300 + 150 * np.sin((xx + 3 * f) / 9.0)
+                * np.cos((yy - 2 * f) / 7.0),
+                0, 1023,
+            ).astype(np.uint16)
+            for f in range(frames)
+        ])
+        return Video(w, h, 10, ColorFormat.YUV400, [planes])
+
+    def test_requant_tracks_driftfree_reencode(self, monkeypatch):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.video import rbv
+
+        video = self._video()
+        payload, _ = rbv.encode(
+            video, rbv.RbvParams(qp=10, gop_size=4, motion=False)
+        )
+        hi = 28
+        ref = np.asarray(
+            rbv.decode(rbv.transcode_payload(payload, hi)).planes[0]
+        ).astype(np.float64)
+        comp = np.asarray(
+            rbv.decode(rbv.requantize(payload, hi)).planes[0]
+        ).astype(np.float64)
+        # open-loop baseline: force the naive rescale kernel
+        monkeypatch.setattr(
+            rbv, "_requant_compensated_device",
+            lambda q, a, b, gop: rbv._requant_device(q, a, b),
+        )
+        open_loop = np.asarray(
+            rbv.decode(rbv.requantize(payload, hi)).planes[0]
+        ).astype(np.float64)
+        # last frame of each GOP carries the accumulated drift
+        last = slice(3, None, 4)
+        mse_comp = float(np.mean((comp[last] - ref[last]) ** 2))
+        mse_open = float(np.mean((open_loop[last] - ref[last]) ** 2))
+        assert mse_comp < mse_open * 0.5, (mse_comp, mse_open)
