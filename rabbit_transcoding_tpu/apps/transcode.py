@@ -63,6 +63,7 @@ def main(argv=None) -> int:
         tracer = Tracer(prefix="enc_").enable(*TraceCategory)
     for gof_idx, gof in enumerate(gofs):
         context = reader.decode(gof)
+        context.check_profile()  # PccAppTranscoder.cpp:318
         for atlas in list(context.atlases):
             transcoder.transcode(context, atlas.atlas_id)
         if tracer is not None:

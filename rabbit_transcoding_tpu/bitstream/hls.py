@@ -161,3 +161,58 @@ class Context:
     @property
     def atlas_count(self) -> int:
         return len(self.atlases)
+
+    def check_profile(self) -> int:
+        """Verify the active parameter sets against the PTL's declared
+        toolset constraints (PCCHighLevelSyntax::checkProfile,
+        PCCHighLevelSyntax.cpp:89-160).  Returns 0 when conforming, the
+        reference's violation code otherwise."""
+        import sys
+
+        def warn(code: int, msg: str) -> int:
+            print(f"ProfileToolsetConstraint Violation({code}): {msg}",
+                  file=sys.stderr)
+            return code
+
+        if len(self.atlases) != 1:
+            return warn(1, "number of atlases should be 1")
+        vps = self.vps
+        ptl = vps.profile_tier_level
+        if not ptl.ptl_tool_constraints_present_flag or (
+            ptl.ptl_toolset_constraints is None
+        ):
+            return 0
+        ptc = ptl.ptl_toolset_constraints
+        va = vps.atlas(0)
+        ret = 0
+        if (ptc.ptc_multiple_map_streams_constraint_flag
+                and va.vps_multiple_map_streams_present_flag):
+            ret = warn(3, "multiple map streams used but constrained away")
+        if va.vps_map_count_minus1 > ptc.ptc_max_map_count_minus1:
+            ret = warn(
+                7,
+                f"map count {va.vps_map_count_minus1 + 1} exceeds "
+                f"constraint {ptc.ptc_max_map_count_minus1 + 1}",
+            )
+        ai = va.attribute_information
+        if ai.ai_attribute_count and any(
+            d > ptc.ptc_attribute_max_dimension_minus1
+            for d in ai.ai_attribute_dimension_minus1
+        ):
+            ret = warn(6, "attribute dimension exceeds constraint")
+        for asps in self.atlases[0].asps_list:
+            if ptc.ptc_eom_constraint_flag and (
+                asps.asps_eom_patch_enabled_flag
+            ):
+                ret = warn(2, "EOM patches used but constrained away")
+            if ptc.ptc_plr_constraint_flag and asps.asps_plr_enabled_flag:
+                ret = warn(4, "PLR used but constrained away")
+            if ptc.ptc_no_eight_orientations_constraint_flag and (
+                asps.asps_use_eight_orientations_flag
+            ):
+                ret = warn(5, "eight orientations used but constrained away")
+            if ptc.ptc_no_45degree_projection_patch_constraint_flag and (
+                asps.asps_extended_projection_enabled_flag
+            ):
+                ret = warn(8, "45-degree projection used but constrained away")
+        return ret

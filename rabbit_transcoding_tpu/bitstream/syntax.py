@@ -26,6 +26,59 @@ from .bitio import BitReader, BitWriter
 # Profile / component information
 # ===========================================================================
 @dataclasses.dataclass
+class ProfileToolsetConstraintsInformation:
+    """ptc_* — 23090-5 8.3.4.6 (reference PCCBitstreamWriter.cpp:664-682):
+    declared tool limits the stream promises to respect;
+    Context.check_profile verifies the active parameter sets against them."""
+
+    ptc_one_v3c_frame_only_flag: bool = False
+    ptc_eom_constraint_flag: bool = False
+    ptc_max_map_count_minus1: int = 15
+    ptc_max_atlas_count_minus1: int = 15
+    ptc_multiple_map_streams_constraint_flag: bool = False
+    ptc_plr_constraint_flag: bool = False
+    ptc_attribute_max_dimension_minus1: int = 63
+    ptc_attribute_max_dimension_partitions_minus1: int = 63
+    ptc_no_eight_orientations_constraint_flag: bool = False
+    ptc_no_45degree_projection_patch_constraint_flag: bool = False
+    ptc_reserved_constraint_bytes: bytes = b""
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.ptc_one_v3c_frame_only_flag)
+        bw.u(1, self.ptc_eom_constraint_flag)
+        bw.u(4, self.ptc_max_map_count_minus1)
+        bw.u(4, self.ptc_max_atlas_count_minus1)
+        bw.u(1, self.ptc_multiple_map_streams_constraint_flag)
+        bw.u(1, self.ptc_plr_constraint_flag)
+        bw.u(6, self.ptc_attribute_max_dimension_minus1)
+        bw.u(6, self.ptc_attribute_max_dimension_partitions_minus1)
+        bw.u(1, self.ptc_no_eight_orientations_constraint_flag)
+        bw.u(1, self.ptc_no_45degree_projection_patch_constraint_flag)
+        bw.u(6, 0)  # reserved
+        bw.u(8, len(self.ptc_reserved_constraint_bytes))
+        for b in self.ptc_reserved_constraint_bytes:
+            bw.u(8, b)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "ProfileToolsetConstraintsInformation":
+        s = cls()
+        s.ptc_one_v3c_frame_only_flag = bool(br.u(1))
+        s.ptc_eom_constraint_flag = bool(br.u(1))
+        s.ptc_max_map_count_minus1 = br.u(4)
+        s.ptc_max_atlas_count_minus1 = br.u(4)
+        s.ptc_multiple_map_streams_constraint_flag = bool(br.u(1))
+        s.ptc_plr_constraint_flag = bool(br.u(1))
+        s.ptc_attribute_max_dimension_minus1 = br.u(6)
+        s.ptc_attribute_max_dimension_partitions_minus1 = br.u(6)
+        s.ptc_no_eight_orientations_constraint_flag = bool(br.u(1))
+        s.ptc_no_45degree_projection_patch_constraint_flag = bool(br.u(1))
+        br.u(6)
+        n = br.u(8)
+        s.ptc_reserved_constraint_bytes = bytes(br.u(8) for _ in range(n))
+        return s
+
+
+@dataclasses.dataclass
 class ProfileTierLevel:
     ptl_tier_flag: bool = False
     ptl_profile_codec_group_idc: int = 0
@@ -36,6 +89,7 @@ class ProfileTierLevel:
     ptl_extended_sub_profile_flag: bool = False
     ptl_sub_profile_idc: list[int] = field(default_factory=list)
     ptl_tool_constraints_present_flag: bool = False
+    ptl_toolset_constraints: ProfileToolsetConstraintsInformation | None = None
 
     def write(self, bw: BitWriter) -> None:
         bw.u(1, self.ptl_tier_flag)
@@ -49,7 +103,13 @@ class ProfileTierLevel:
         bw.u(1, self.ptl_extended_sub_profile_flag)
         for idc in self.ptl_sub_profile_idc:
             bw.u(64 if self.ptl_extended_sub_profile_flag else 32, idc)
-        bw.u(1, self.ptl_tool_constraints_present_flag)
+        has_ptc = (
+            self.ptl_tool_constraints_present_flag
+            and self.ptl_toolset_constraints is not None
+        )
+        bw.u(1, has_ptc)
+        if has_ptc:
+            self.ptl_toolset_constraints.write(bw)
 
     @classmethod
     def read(cls, br: BitReader) -> "ProfileTierLevel":
@@ -68,6 +128,10 @@ class ProfileTierLevel:
             for _ in range(s.ptl_num_sub_profiles)
         ]
         s.ptl_tool_constraints_present_flag = bool(br.u(1))
+        if s.ptl_tool_constraints_present_flag:
+            s.ptl_toolset_constraints = (
+                ProfileToolsetConstraintsInformation.read(br)
+            )
         return s
 
 

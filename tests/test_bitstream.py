@@ -489,3 +489,83 @@ class TestHrdSeis:
         assert isinstance(out, sei_mod.SeiPrefixIndication)
         assert out.spi_prefix_sei_payload_type == 14
         assert out.spi_prefix_data_bits == [[1, 0, 1], [0] * 11 + [1]]
+
+
+class TestProfileToolsetConstraints:
+    """PTL toolset constraints info (8.3.4.6) + Context.check_profile
+    (PCCHighLevelSyntax::checkProfile, PCCHighLevelSyntax.cpp:89-160)."""
+
+    def _ctx(self, **ptc_kw):
+        from rabbit_transcoding_tpu.bitstream.hls import Context
+        from rabbit_transcoding_tpu.bitstream.syntax import (
+            AtlasSequenceParameterSetRbsp,
+            ProfileToolsetConstraintsInformation,
+            V3CParameterSet,
+        )
+
+        ctx = Context()
+        vps = V3CParameterSet()
+        vps.atlas(0)
+        vps.profile_tier_level.ptl_tool_constraints_present_flag = True
+        vps.profile_tier_level.ptl_toolset_constraints = (
+            ProfileToolsetConstraintsInformation(**ptc_kw)
+        )
+        ctx.vps_list.append(vps)
+        ctx.atlas(0).asps_list.append(AtlasSequenceParameterSetRbsp())
+        return ctx
+
+    def test_ptci_roundtrip(self):
+        from rabbit_transcoding_tpu.bitstream.syntax import ProfileTierLevel
+        from rabbit_transcoding_tpu.bitstream.syntax import (
+            ProfileToolsetConstraintsInformation,
+        )
+
+        ptl = ProfileTierLevel(
+            ptl_tool_constraints_present_flag=True,
+            ptl_toolset_constraints=ProfileToolsetConstraintsInformation(
+                ptc_eom_constraint_flag=True,
+                ptc_max_map_count_minus1=1,
+                ptc_plr_constraint_flag=True,
+            ),
+        )
+        bw = BitWriter()
+        ptl.write(bw)
+        bw.zero_align()
+        out = ProfileTierLevel.read(BitReader(bw.data()))
+        assert out.ptl_toolset_constraints is not None
+        assert out.ptl_toolset_constraints.ptc_eom_constraint_flag
+        assert out.ptl_toolset_constraints.ptc_max_map_count_minus1 == 1
+        assert out.ptl_toolset_constraints.ptc_plr_constraint_flag
+
+    def test_check_profile_clean(self):
+        assert self._ctx().check_profile() == 0
+
+    def test_check_profile_eom_violation(self):
+        ctx = self._ctx(ptc_eom_constraint_flag=True)
+        ctx.atlas(0).asps_list[0].asps_eom_patch_enabled_flag = True
+        assert ctx.check_profile() == 2
+
+    def test_check_profile_map_count_violation(self):
+        ctx = self._ctx(ptc_max_map_count_minus1=0)
+        ctx.vps.atlas(0).vps_map_count_minus1 = 1
+        assert ctx.check_profile() == 7
+
+    def test_check_profile_45deg_violation(self):
+        ctx = self._ctx(ptc_no_45degree_projection_patch_constraint_flag=True)
+        ctx.atlas(0).asps_list[0].asps_extended_projection_enabled_flag = True
+        assert ctx.check_profile() == 8
+
+    def test_no_constraints_always_passes(self):
+        from rabbit_transcoding_tpu.bitstream.hls import Context
+        from rabbit_transcoding_tpu.bitstream.syntax import (
+            AtlasSequenceParameterSetRbsp,
+            V3CParameterSet,
+        )
+
+        ctx = Context()
+        vps = V3CParameterSet()
+        vps.atlas(0)
+        ctx.vps_list.append(vps)
+        asps = AtlasSequenceParameterSetRbsp(asps_eom_patch_enabled_flag=True)
+        ctx.atlas(0).asps_list.append(asps)
+        assert ctx.check_profile() == 0
