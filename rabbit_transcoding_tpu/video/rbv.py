@@ -549,8 +549,11 @@ def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
     if native.available():
         r = native.compress_i16(slab)
         # order-0 rANS wins on noisy coefficients; LZ wins on repetitive
-        # structure — try both and keep the smaller (decode reads the tag)
-        z = zlib.compress(slab.tobytes(), 1 if slab.nbytes > 8 << 20 else level)
+        # structure — try both and keep the smaller (decode reads the tag).
+        # Above 1 MB the zlib side of the race runs at level 1: level 6 on
+        # a multi-MB slab costs ~200 ms of pure host time per plane while
+        # the device step is ~30 ms — the race must not dominate the GOF
+        z = zlib.compress(slab.tobytes(), 1 if slab.nbytes > 1 << 20 else level)
         if len(r) <= len(z):
             return head + b"R" + r
         return head + b"Z" + z
