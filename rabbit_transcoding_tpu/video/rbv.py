@@ -549,11 +549,14 @@ def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
     if native.available():
         r = native.compress_i16(slab)
         # order-0 rANS wins on noisy coefficients; LZ wins on repetitive
-        # structure — try both and keep the smaller (decode reads the tag).
-        # Above 1 MB the zlib side of the race runs at level 1: level 6 on
-        # a multi-MB slab costs ~200 ms of pure host time per plane while
-        # the device step is ~30 ms — the race must not dominate the GOF
-        z = zlib.compress(slab.tobytes(), 1 if slab.nbytes > 1 << 20 else level)
+        # structure — race both and keep the smaller (decode reads the tag)
+        # for small slabs.  Above 1 MB skip the race: this host has ONE
+        # core, the device step is ~30 ms, and a level-6 zlib pass over a
+        # multi-MB slab costs ~200 ms of serialized host time for a win
+        # rANS essentially never concedes on quantised coefficients
+        if slab.nbytes > 1 << 20:
+            return head + b"R" + r
+        z = zlib.compress(slab.tobytes(), level)
         if len(r) <= len(z):
             return head + b"R" + r
         return head + b"Z" + z
