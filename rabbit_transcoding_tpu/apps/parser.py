@@ -45,6 +45,16 @@ def main(argv=None) -> int:
                 )
             elif t in (V3CUnitType.V3C_OVD, V3CUnitType.V3C_GVD,
                        V3CUnitType.V3C_AVD):
+                if getattr(u.header, "vuh_auxiliary_video_flag", False):
+                    line += "  aux"
+                elif t != V3CUnitType.V3C_OVD and getattr(
+                    u.header, "vuh_map_index", 0
+                ):
+                    line += f"  map{u.header.vuh_map_index}"
+                if t == V3CUnitType.V3C_AVD and getattr(
+                    u.header, "vuh_attribute_index", 0
+                ):
+                    line += f"  attr{u.header.vuh_attribute_index}"
                 try:
                     info = rbv.probe(u.payload)
                     line += (

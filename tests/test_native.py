@@ -88,3 +88,72 @@ class TestRans:
         assert len(blob) < len(z)
         # best-of-3 to be robust against background load on shared runners
         assert t_r < t_z * 1.2
+
+
+class TestSanitizedBuild:
+    """SURVEY §5.2: the reference has no sanitizers at all; host-native code
+    here gets an AddressSanitizer build + roundtrip as a CI-style check."""
+
+    def test_asan_roundtrip(self, tmp_path):
+        import ctypes
+        import shutil
+        import subprocess
+
+        import numpy as np
+
+        from rabbit_transcoding_tpu import native
+
+        if shutil.which("g++") is None:
+            import pytest
+
+            pytest.skip("no g++")
+        src = native._SRC
+        lib = str(tmp_path / "rans_asan.so")
+        r = subprocess.run(
+            ["g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
+             "-fsanitize=address", src, "-o", lib],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            import pytest
+
+            pytest.skip(f"asan build unavailable: {r.stderr[-200:]}")
+        # run the roundtrip in a child process so ASan's runtime (which must
+        # be preloaded) and any aborts stay contained
+        code = (
+            "import ctypes, numpy as np\n"
+            f"lib = ctypes.CDLL({lib!r})\n"
+            "lib.rbv_compress_i16.restype = ctypes.c_size_t\n"
+            "lib.rbv_decompress_i16.restype = ctypes.c_size_t\n"
+            "rng = np.random.default_rng(0)\n"
+            "data = rng.integers(-500, 500, 100000).astype(np.int16)\n"
+            "out = np.zeros(2 * data.nbytes + 1024, np.uint8)\n"
+            "n = lib.rbv_compress_i16(\n"
+            "    data.ctypes.data_as(ctypes.c_void_p), len(data),\n"
+            "    out.ctypes.data_as(ctypes.c_void_p), len(out))\n"
+            "assert 0 < n < len(out)\n"
+            "dec = np.zeros(len(data), np.int16)\n"
+            "m = lib.rbv_decompress_i16(\n"
+            "    out.ctypes.data_as(ctypes.c_void_p), n,\n"
+            "    dec.ctypes.data_as(ctypes.c_void_p), len(dec))\n"
+            "assert (dec == data).all()\n"
+            "print('ASAN_ROUNDTRIP_OK')\n"
+        )
+        import os
+        import sys
+
+        env = dict(os.environ)
+        find = subprocess.run(
+            ["g++", "-print-file-name=libasan.so"],
+            capture_output=True, text=True,
+        )
+        asan = find.stdout.strip()
+        if asan and os.path.exists(asan):
+            env["LD_PRELOAD"] = asan
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env,
+        )
+        assert "ASAN_ROUNDTRIP_OK" in proc.stdout, (
+            proc.stdout[-300:], proc.stderr[-500:]
+        )
