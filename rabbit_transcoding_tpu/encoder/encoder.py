@@ -774,13 +774,28 @@ class Encoder:
                 msk = valid[i]
                 if not (src.has_colors and msk.any()):
                     continue
+                recolor_k = p.numNeighborsColorTransferFwd or (
+                    p.recolorNeighborCount
+                )
                 for m in range(n_maps):
                     colors = transfer_colors(
                         src.positions.astype(np.float32),
                         src.colors,
                         pts_maps[m][i][msk].astype(np.float32),
-                        k=p.recolorNeighborCount,
+                        k=recolor_k,
                     )
+                    if p.flagColorPreSmoothing and len(colors):
+                        # encoder-side pre-smoothing of the transferred
+                        # colors on the reconstructed positions
+                        # (presmoothPointCloudColor, PCCEncoder.cpp:6578)
+                        from ..ops.smoothing import smooth_colors
+
+                        colors, _ = smooth_colors(
+                            pts_maps[m][i][msk], colors,
+                            threshold=p.thresholdColorPreSmoothing,
+                            grid_size=p.gridSize,
+                            coord_bits=p.geometry3dCoordinatesBitdepth,
+                        )
                     canvas = attr_rgb[i * n_maps + m].reshape(-1, 3)
                     canvas[np.nonzero(msk)[0]] = colors
             # fill unoccupied, convert to YUV420, encode; the "trusted color"

@@ -155,6 +155,14 @@ class EncoderParameters:
     # reconstruction / attribute
     removeDuplicatePoints: bool = True
     recolorNeighborCount: int = 1
+    # reference recolor knob (numNeighborsColorTransferFwd): neighbor count
+    # of the source->reconstruction transfer; 0 = use recolorNeighborCount
+    numNeighborsColorTransferFwd: int = 0
+    # encoder-side color pre-smoothing before the attribute video
+    # (presmoothPointCloudColor, PCCEncoder.cpp:6578): damps color outliers
+    # that would cost attribute bits; decoder-invisible
+    flagColorPreSmoothing: bool = False
+    thresholdColorPreSmoothing: float = 10.0
 
     # decoder-side smoothing, signalled via geometry-smoothing SEI
     # (reference names: flagGeometrySmoothing/gridSmoothing/thresholdSmoothing)

@@ -332,3 +332,48 @@ class TestMaxPatchSize:
         ).astype(np.int32)
         segs, _ = segment_frame(pts, SegmenterParams(max_patch_size=0))
         assert any(max(s.patch.size_u, s.patch.size_v) > 128 for s in segs)
+
+
+class TestColorPreSmoothing:
+    """flagColorPreSmoothing (presmoothPointCloudColor analog): encoder-side
+    damping of transferred-color outliers before the attribute video."""
+
+    def test_presmoothing_runs_and_reduces_attr_bits(self):
+        import numpy as np
+        import sys
+        sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        from test_e2e_codec import make_sphere_cloud
+
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        src = make_sphere_cloud(seed=5)
+        # salt the colors with outliers pre-smoothing should damp
+        rng = np.random.default_rng(1)
+        noisy = src.colors.copy()
+        idx = rng.choice(len(noisy), len(noisy) // 20, replace=False)
+        noisy[idx] = rng.integers(0, 256, (len(idx), 3))
+        src.colors = noisy
+        sizes = {}
+        for pre in (False, True):
+            p = EncoderParameters(
+                minimumImageWidth=256, minimumImageHeight=64,
+                geometryQP=8, attributeQP=20, occupancyPrecision=2,
+                flagColorPreSmoothing=pre, frameCount=1,
+                groupOfFramesSize=1,
+            )
+            ctx, _ = Encoder(p).encode(GroupOfFrames([src]))
+            sizes[pre] = len(
+                ctx.atlas(0).get_video_bitstream(VideoType.ATTRIBUTE).data
+            )
+        assert sizes[True] < sizes[False]
+
+    def test_recolor_neighbor_option(self):
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+
+        p = EncoderParameters(numNeighborsColorTransferFwd=8)
+        assert (p.numNeighborsColorTransferFwd or p.recolorNeighborCount) == 8
+        p2 = EncoderParameters()
+        assert (p2.numNeighborsColorTransferFwd or p2.recolorNeighborCount) == 1
