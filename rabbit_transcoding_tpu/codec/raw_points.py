@@ -28,6 +28,21 @@ from ..utils.enums import ColorFormat
 AUX_WIDTH = 256
 
 
+def morton_order(points: np.ndarray, bits: int = 21) -> np.ndarray:
+    """Sort order of int points along the Morton (Z-order) curve
+    (PCCEncoder::mortonAddr analog, PCCEncoder.cpp:8904): spatially close
+    points become sequence-close, which the aux-video entropy coder
+    rewards (mortonOrderSortRawPoints)."""
+    p = points.astype(np.uint64)
+    key = np.zeros(len(p), np.uint64)
+    for b in range(bits):
+        for c in range(3):
+            key |= ((p[:, c] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                3 * b + c
+            )
+    return np.argsort(key, kind="stable")
+
+
 def _rows(n_samples: int) -> int:
     return max(16, -(-n_samples // AUX_WIDTH) // 16 * 16 + 16) if n_samples else 16
 

@@ -761,6 +761,16 @@ class Encoder:
                     )
                     raw_colors[i] = np.concatenate([prev_c, src.colors[miss]])
 
+        if p.mortonOrderSortRawPoints and p.rawPointsPatch:
+            from ..codec.raw_points import morton_order
+
+            for i in range(n_frames):
+                if len(raw_points[i]) > 1:
+                    order = morton_order(raw_points[i])
+                    raw_points[i] = raw_points[i][order]
+                    if raw_colors[i] is not None:
+                        raw_colors[i] = raw_colors[i][order]
+
         # 6. recolor reconstructed points from the source cloud (per map)
         attr_payload = None
         attr_recon = None

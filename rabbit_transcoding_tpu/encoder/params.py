@@ -38,6 +38,10 @@ class EncoderParameters:
     absoluteD1: bool = True
     absoluteT1: bool = True
     rawPointsPatch: bool = True  # missed points -> raw patches in aux video
+    # sort raw points along the Morton curve before aux-video packing:
+    # spatial locality becomes sequence locality the entropy coder rewards
+    # (reference mortonOrderSortRawPoints)
+    mortonOrderSortRawPoints: bool = False
     # EOM: code between-layer points in the occupancy bit planes (reference:
     # enhancedOccupancyMapCode; forces occupancyPrecision 1)
     enhancedOccupancyMapCode: bool = False

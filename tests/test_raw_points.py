@@ -84,3 +84,64 @@ class TestRawPoints:
         d_raw = cKDTree(dec_raw.positions).query(src.positions, k=1)[0]
         d_noraw = cKDTree(dec_noraw.positions).query(src.positions, k=1)[0]
         assert np.mean(d_raw ** 2) < np.mean(d_noraw ** 2)
+
+
+class TestMortonSort:
+    """mortonOrderSortRawPoints: Z-order sorting shrinks the aux geometry
+    video and the roundtrip stays exact."""
+
+    def test_smaller_aux_and_exact(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.codec.raw_points import morton_order
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.core.pointset import PointSet
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.decoder.decoder import Decoder
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        # sparse scatter: everything lands in the raw patch
+        rng = np.random.default_rng(0)
+        pos = np.unique(
+            rng.integers(0, 512, (6000, 3)).astype(np.int32), axis=0
+        )
+        rng.shuffle(pos)
+        src = PointSet(
+            positions=pos,
+            colors=np.clip(pos // 2, 0, 255).astype(np.uint8),
+        )
+        sizes = {}
+        decs = {}
+        for morton in (False, True):
+            p = EncoderParameters(
+                minimumImageWidth=256, minimumImageHeight=64,
+                mortonOrderSortRawPoints=morton,
+                frameCount=1, groupOfFramesSize=1,
+            )
+            ctx, _ = Encoder(p).encode(GroupOfFrames([src]))
+            sizes[morton] = len(
+                ctx.atlas(0).get_video_bitstream(VideoType.GEOMETRY_RAW).data
+            )
+            data = V3CWriter().write(V3CWriter().encode(ctx))
+            decs[morton] = Decoder().decode(
+                V3CReader().decode(V3CReader().read(data)[0])
+            )[0]
+        assert sizes[True] < sizes[False]
+        s = set(map(tuple, src.positions.astype(np.int64)))
+        assert set(map(tuple, decs[True].positions.astype(np.int64))) == s
+
+    def test_morton_order_locality(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.codec.raw_points import morton_order
+
+        rng = np.random.default_rng(1)
+        pts = rng.integers(0, 1024, (2000, 3)).astype(np.int32)
+        order = morton_order(pts)
+        sorted_pts = pts[order].astype(np.int64)
+        shuffled = pts.astype(np.int64)
+        d_sorted = np.abs(np.diff(sorted_pts, axis=0)).sum()
+        d_shuffled = np.abs(np.diff(shuffled, axis=0)).sum()
+        assert d_sorted < 0.5 * d_shuffled
