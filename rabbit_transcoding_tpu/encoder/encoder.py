@@ -581,20 +581,21 @@ class Encoder:
 
                 gpl = geo_video.planes[0]
                 cid = CodecId.RBV_LOSSLESS if p.losslessGeo else CodecId.RBV
-                vep = (
-                    VideoEncoderParams(lossless=True)
-                    if p.losslessGeo
-                    else VideoEncoderParams(
-                        qp=p.geometryQP,
+
+                def _geo_vep(delta: int) -> VideoEncoderParams:
+                    if p.losslessGeo:
+                        return VideoEncoderParams(lossless=True)
+                    return VideoEncoderParams(
+                        qp=p.geometryQP + delta,
                         gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
                         motion=p.motionEstimation,
                     )
-                )
+
                 maxv = (1 << p.geometryNominal2dBitdepth) - 1
                 d0_payload, d0_recon = VideoEncoder.create(cid).encode(
                     Video(width, height, p.geometryNominal2dBitdepth,
                           ColorFormat.YUV400, [gpl[0::2].copy()]),
-                    vep,
+                    _geo_vep(p.deltaQPD0),
                 )
                 rec0 = np.asarray(d0_recon.planes[0]).astype(np.uint16)
                 if p.absoluteD1:
@@ -607,7 +608,7 @@ class Encoder:
                 d1_payload, d1_recon = VideoEncoder.create(cid).encode(
                     Video(width, height, p.geometryNominal2dBitdepth,
                           ColorFormat.YUV400, [d1_plane]),
-                    vep,
+                    _geo_vep(p.deltaQPD1),
                 )
                 rec1 = np.asarray(d1_recon.planes[0]).astype(np.uint16)
                 if not p.absoluteD1:
@@ -896,19 +897,20 @@ class Encoder:
                     if p.losslessAttribute
                     else CodecId.RBV
                 )
-                vep = (
-                    VideoEncoderParams(lossless=True)
-                    if p.losslessAttribute
-                    else VideoEncoderParams(
-                        qp=p.attributeQP,
+
+                def _attr_vep(delta: int) -> VideoEncoderParams:
+                    if p.losslessAttribute:
+                        return VideoEncoderParams(lossless=True)
+                    return VideoEncoderParams(
+                        qp=p.attributeQP + delta,
                         gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
                         motion=p.motionEstimation,
                     )
-                )
+
                 t0_planes = [pl[0::2].copy() for pl in attr_video.planes]
                 t0_payload, t0_recon = VideoEncoder.create(cid).encode(
                     Video(width, height, 8, attr_video.format, t0_planes),
-                    vep,
+                    _attr_vep(p.deltaQPT0),
                 )
                 rec0p = [np.asarray(pl) for pl in t0_recon.planes]
                 if p.absoluteT1:
@@ -920,7 +922,7 @@ class Encoder:
                     ]
                 t1_payload, t1_recon = VideoEncoder.create(cid).encode(
                     Video(width, height, 8, attr_video.format, t1_planes),
-                    vep,
+                    _attr_vep(p.deltaQPT1),
                 )
                 rec1p = [np.asarray(pl) for pl in t1_recon.planes]
                 if not p.absoluteT1:
@@ -1195,6 +1197,12 @@ class Encoder:
         p = self.params
         context = Context()
         vps = V3CParameterSet()
+        ptl = vps.profile_tier_level
+        ptl.ptl_tier_flag = p.tierFlag
+        ptl.ptl_profile_codec_group_idc = p.profileCodecGroupIdc
+        ptl.ptl_profile_toolset_idc = p.profileToolsetIdc
+        ptl.ptl_profile_reconstruction_idc = p.profileReconstructionIdc
+        ptl.ptl_level_idc = p.levelIdc
         va = vps.atlas(0)
         va.vps_frame_width = width
         va.vps_frame_height = height

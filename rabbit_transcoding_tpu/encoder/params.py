@@ -178,6 +178,20 @@ class EncoderParameters:
     flagColorSmoothing: bool = False
     thresholdColorSmoothing: float = 10.0
 
+    # profile/tier/level signalling (reference names; land in the VPS PTL)
+    profileCodecGroupIdc: int = 0
+    profileToolsetIdc: int = 0
+    profileReconstructionIdc: int = 0
+    levelIdc: int = 30
+    tierFlag: bool = False
+
+    # rate offsets per map stream (reference deltaQPD0/D1/T0/T1; the D1/T1
+    # offsets apply in multipleStreams mode where each map is its own video)
+    deltaQPD0: int = 0
+    deltaQPD1: int = 0
+    deltaQPT0: int = 0
+    deltaQPT1: int = 0
+
     # self-checks
     decodedAtlasInformationHash: int = 1  # 0=off, 1=MD5
 

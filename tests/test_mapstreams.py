@@ -110,3 +110,49 @@ class TestMapStreams:
         reg.apply_to_dataclass(params)
         assert params.multipleStreams
         assert not params.absoluteD1 and not params.absoluteT1
+
+
+class TestDeltaQPAndPTL:
+    def test_delta_qp_per_map(self):
+        """deltaQPD1/T1: per-map QPs in multipleStreams mode."""
+        from rabbit_transcoding_tpu.video import rbv
+
+        src = make_sphere_cloud(seed=3)
+        params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=16, attributeQP=24, occupancyPrecision=2,
+            flagGeometrySmoothing=False, multipleStreams=True,
+            deltaQPD1=6, deltaQPT1=4,
+            frameCount=1, groupOfFramesSize=1,
+        )
+        ctx, _ = Encoder(params).encode(GroupOfFrames([src]))
+        a = ctx.atlas(0)
+        assert rbv.probe(
+            a.get_video_bitstream(VideoType.GEOMETRY_D0).data
+        )["qp"] == 16
+        assert rbv.probe(
+            a.get_video_bitstream(VideoType.GEOMETRY_D1).data
+        )["qp"] == 22
+        assert rbv.probe(
+            a.get_video_bitstream(VideoType.ATTRIBUTE_T1).data
+        )["qp"] == 28
+
+    def test_ptl_options_land_in_vps(self):
+        import numpy as np
+
+        src = make_sphere_cloud(seed=3)
+        params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            profileCodecGroupIdc=2, profileToolsetIdc=1,
+            profileReconstructionIdc=1, levelIdc=60, tierFlag=True,
+            frameCount=1, groupOfFramesSize=1,
+        )
+        ctx, _ = Encoder(params).encode(GroupOfFrames([src]))
+        data = V3CWriter().write(V3CWriter().encode(ctx))
+        ptl = V3CReader().decode(
+            V3CReader().read(data)[0]
+        ).vps.profile_tier_level
+        assert ptl.ptl_profile_codec_group_idc == 2
+        assert ptl.ptl_profile_toolset_idc == 1
+        assert ptl.ptl_level_idc == 60
+        assert ptl.ptl_tier_flag
