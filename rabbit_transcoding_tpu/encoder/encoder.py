@@ -993,6 +993,84 @@ class Encoder:
             ).encode(refl_video, VideoEncoderParams(lossless=True))
             refl_recon_planes = np.asarray(refl_recon.planes[0])
 
+        # 6c. raw-points + EOM aux videos — BEFORE reconstruction so the
+        # closed loop consumes DECODED raw coords/colors when they are coded
+        # lossy (lossyRawPointsPatch at the aux QPs; lossless otherwise)
+        raw_geo_payload = raw_attr_payload = None
+        raw_points_rec = raw_points
+        raw_colors_rec = raw_colors
+        eom_colors_rec = eom_colors
+        use_lossy_raw = (
+            p.lossyRawPointsPatch and not p.losslessGeo
+            and not p.losslessAttribute
+        )
+        if (p.rawPointsPatch and any(len(r) for r in raw_points)) or any(
+            len(e) for e in eom_points
+        ):
+            from ..codec.raw_points import build_raw_videos
+
+            raw_geo_video, raw_attr_video = build_raw_videos(
+                # raw points carry ABSOLUTE 3D coords: the aux video bitdepth
+                # is the 3D coordinate depth, not the nominal 2D depth
+                # (vox11 content codes depth at 8 bits but coords at 11)
+                raw_points, raw_colors,
+                max(p.geometryNominal2dBitdepth,
+                    p.geometry3dCoordinatesBitdepth),
+                extra_colors=eom_colors,
+            )
+            if use_lossy_raw:
+                raw_geo_payload, rg_rec = VideoEncoder.create(
+                    CodecId.RBV
+                ).encode(raw_geo_video, VideoEncoderParams(
+                    qp=p.auxGeometryQP, all_intra=True,
+                ))
+            else:
+                raw_geo_payload, rg_rec = VideoEncoder.create(
+                    CodecId.RBV_LOSSLESS
+                ).encode(raw_geo_video, VideoEncoderParams(lossless=True))
+            ra_rec = None
+            if not p.noAttributes:
+                if use_lossy_raw:
+                    raw_attr_payload, ra_rec = VideoEncoder.create(
+                        CodecId.RBV
+                    ).encode(raw_attr_video, VideoEncoderParams(
+                        qp=p.auxAttributeQP, all_intra=True,
+                    ))
+                else:
+                    raw_attr_payload, ra_rec = VideoEncoder.create(
+                        CodecId.RBV_LOSSLESS
+                    ).encode(raw_attr_video, VideoEncoderParams(lossless=True))
+            if use_lossy_raw:
+                # closed loop: reconstruct EXACTLY what the decoder recovers
+                cmax = (1 << p.geometry3dCoordinatesBitdepth) - 1
+                gp = np.asarray(rg_rec.planes[0])
+                ap = (
+                    None if ra_rec is None
+                    else np.stack(
+                        [np.asarray(pl) for pl in ra_rec.planes], axis=-1
+                    )
+                )
+                raw_points_rec = list(raw_points)
+                raw_colors_rec = list(raw_colors)
+                eom_colors_rec = list(eom_colors)
+                for i in range(n_frames):
+                    n_raw = len(raw_points[i])
+                    if n_raw:
+                        raw_points_rec[i] = np.clip(
+                            gp[i].reshape(-1)[: 3 * n_raw]
+                            .reshape(n_raw, 3).astype(np.int32),
+                            0, cmax,
+                        )
+                        if ap is not None and raw_colors[i] is not None:
+                            raw_colors_rec[i] = (
+                                ap[i].reshape(-1, 3)[:n_raw].astype(np.uint8)
+                            )
+                    if ap is not None and eom_colors[i] is not None:
+                        ne = len(eom_colors[i])
+                        eom_colors_rec[i] = ap[i].reshape(-1, 3)[
+                            n_raw : n_raw + ne
+                        ].astype(np.uint8)
+
         # smoothing SEIs (decoder applies them; the closed loop below must too)
         smoothing_sei = None
         if p.flagGeometrySmoothing and p.gridSmoothing:
@@ -1074,10 +1152,10 @@ class Encoder:
                         boundary[i][plr_masks[i]].astype(np.uint8)
                     )
                 typ_list.append(np.zeros(
-                    len(raw_points[i]) + len(eom_points[i]), np.uint8
+                    len(raw_points_rec[i]) + len(eom_points[i]), np.uint8
                 ))
                 pos = np.concatenate(
-                    pos_list + [raw_points[i], eom_points[i]],
+                    pos_list + [raw_points_rec[i], eom_points[i]],
                     axis=0,
                 )
                 if rgb_rec is None:
@@ -1092,13 +1170,13 @@ class Encoder:
                             rgb_rec[i * n_maps].reshape(-1, 3)[plr_masks[i]]
                         )
                     col_parts.append(
-                        raw_colors[i]
-                        if raw_colors[i] is not None
-                        else np.zeros((len(raw_points[i]), 3), np.uint8)
+                        raw_colors_rec[i]
+                        if raw_colors_rec[i] is not None
+                        else np.zeros((len(raw_points_rec[i]), 3), np.uint8)
                     )
                     col_parts.append(
-                        eom_colors[i]
-                        if eom_colors[i] is not None
+                        eom_colors_rec[i]
+                        if eom_colors_rec[i] is not None
                         else np.zeros((len(eom_points[i]), 3), np.uint8)
                     )
                     col = np.concatenate(col_parts, axis=0)
@@ -1116,7 +1194,7 @@ class Encoder:
                         )
                     refl_parts.append(
                         np.zeros(
-                            len(raw_points[i]) + len(eom_points[i]), np.uint16
+                            len(raw_points_rec[i]) + len(eom_points[i]), np.uint16
                         )
                     )
                     refl = np.concatenate(refl_parts)
@@ -1139,30 +1217,6 @@ class Encoder:
                     recon_clouds, color_sei,
                     coord_bits=p.geometry3dCoordinatesBitdepth,
                 )
-
-        # 8. raw-points + EOM aux videos (lossless)
-        raw_geo_payload = raw_attr_payload = None
-        if (p.rawPointsPatch and any(len(r) for r in raw_points)) or any(
-            len(e) for e in eom_points
-        ):
-            from ..codec.raw_points import build_raw_videos
-
-            raw_geo_video, raw_attr_video = build_raw_videos(
-                # raw points carry ABSOLUTE 3D coords: the aux video bitdepth
-                # is the 3D coordinate depth, not the nominal 2D depth
-                # (vox11 content codes depth at 8 bits but coords at 11)
-                raw_points, raw_colors,
-                max(p.geometryNominal2dBitdepth,
-                    p.geometry3dCoordinatesBitdepth),
-                extra_colors=eom_colors,
-            )
-            raw_geo_payload, _ = VideoEncoder.create(
-                CodecId.RBV_LOSSLESS
-            ).encode(raw_geo_video, VideoEncoderParams(lossless=True))
-            if not p.noAttributes:
-                raw_attr_payload, _ = VideoEncoder.create(
-                    CodecId.RBV_LOSSLESS
-                ).encode(raw_attr_video, VideoEncoderParams(lossless=True))
 
         # 9. high-level syntax
         with self.timer.stage("createPatchFrameDataStructure"):

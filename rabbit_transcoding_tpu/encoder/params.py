@@ -42,6 +42,12 @@ class EncoderParameters:
     # spatial locality becomes sequence locality the entropy coder rewards
     # (reference mortonOrderSortRawPoints)
     mortonOrderSortRawPoints: bool = False
+    # code the aux raw videos LOSSY at the aux QPs (reference:
+    # lossyRawPointsPatch + auxGeometryQP/auxAttributeQP); the closed loop
+    # and decoder both consume the decoded coords/colors
+    lossyRawPointsPatch: bool = False
+    auxGeometryQP: int = 4
+    auxAttributeQP: int = 4
     # EOM: code between-layer points in the occupancy bit planes (reference:
     # enhancedOccupancyMapCode; forces occupancyPrecision 1)
     enhancedOccupancyMapCode: bool = False

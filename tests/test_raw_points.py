@@ -145,3 +145,60 @@ class TestMortonSort:
         d_sorted = np.abs(np.diff(sorted_pts, axis=0)).sum()
         d_shuffled = np.abs(np.diff(shuffled, axis=0)).sum()
         assert d_sorted < 0.5 * d_shuffled
+
+
+class TestLossyRawPoints:
+    """lossyRawPointsPatch + auxGeometryQP/auxAttributeQP: aux raw videos
+    coded lossy; the closed loop consumes the DECODED coords so encoder
+    recon stays checksum-identical to the decode."""
+
+    def _scatter(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.core.pointset import PointSet
+
+        rng = np.random.default_rng(2)
+        pos = np.unique(
+            rng.integers(0, 256, (4000, 3)).astype(np.int32), axis=0
+        )
+        return PointSet(
+            positions=pos,
+            colors=np.clip(pos, 0, 255).astype(np.uint8),
+        )
+
+    def test_lossy_raw_closed_loop(self):
+        import numpy as np
+        from scipy.spatial import cKDTree
+
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.decoder.decoder import Decoder
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        src = self._scatter()
+        sizes = {}
+        for lossy in (False, True):
+            p = EncoderParameters(
+                minimumImageWidth=256, minimumImageHeight=64,
+                mortonOrderSortRawPoints=True,
+                lossyRawPointsPatch=lossy,
+                auxGeometryQP=12, auxAttributeQP=12,
+                frameCount=1, groupOfFramesSize=1,
+            )
+            ctx, recon = Encoder(p).encode(GroupOfFrames([src]))
+            sizes[lossy] = len(
+                ctx.atlas(0).get_video_bitstream(VideoType.GEOMETRY_RAW).data
+            )
+            data = V3CWriter().write(V3CWriter().encode(ctx))
+            dec = Decoder().decode(
+                V3CReader().decode(V3CReader().read(data)[0])
+            )
+            assert dec[0].compute_checksum() == recon[0].compute_checksum()
+            if lossy:
+                d = cKDTree(dec[0].positions.astype(np.float32)).query(
+                    src.positions.astype(np.float32), k=1
+                )[0]
+                assert float(np.mean(d**2)) < 50.0  # lossy but bounded
+        assert sizes[True] < sizes[False]
