@@ -250,6 +250,24 @@ class Encoder:
                     segs, missed = segment_frame(
                         ps.positions.astype(np.int32), seg_params
                     )
+                if p.occupancyMapRefinement:
+                    # refineOccupancyMap: evict one-point precision tiles
+                    # and <4-point packing blocks; their points go raw
+                    from .segment import refine_occupancy
+
+                    extra = [
+                        refine_occupancy(
+                            seg, ps.positions.astype(np.int32),
+                            p.occupancyResolution, p.occupancyPrecision,
+                            rot_offset=seg_params.rot_offset,
+                        )
+                        for seg in segs
+                    ]
+                    extra = [e for e in extra if len(e)]
+                    if extra:
+                        missed = np.unique(
+                            np.concatenate([missed] + extra)
+                        )
                 frame_segs.append(segs)
                 if p.rawPointsPatch and len(missed):
                     raw_points.append(ps.positions[missed].astype(np.int32))

@@ -157,6 +157,10 @@ class EncoderParameters:
     # free blocks kept between different patches (PCCPatch.cpp:318); >0
     # trades atlas height for less fill bleeding into dilated occupancy
     safeGuardDistance: int = 0
+    # occupancyMapRefinement (refineOccupancyMap, PCCEncoder.cpp:3818):
+    # drop one-point precision tiles and <4-point packing blocks from
+    # patch occupancy; the evicted points rejoin the raw patch
+    occupancyMapRefinement: bool = False
     # occupancy synthesis / patch-border filtering (PatchBlockFiltering,
     # PCCPatch.h:301-435): emit the SEI and erode dilated occupancy rims
     # whose decoded geometry deviates off-surface (decoder applies the same)

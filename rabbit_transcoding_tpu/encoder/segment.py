@@ -635,6 +635,65 @@ def segment_frame(
     return segment_patches(points, ppi, nbr, params, normals=normals)
 
 
+def refine_occupancy(
+    seg: SegmentedPatch,
+    points: np.ndarray,
+    occ_resolution: int,
+    occ_precision: int,
+    rot_offset: int = 1024,
+) -> np.ndarray:
+    """occupancyMapRefinement (PCCEncoder::refineOccupancyMap,
+    PCCEncoder.cpp:3818-3905): drop precision tiles holding exactly ONE
+    point (they become full occ_precision^2 junk blocks after downscale)
+    and 16x16 blocks with fewer than 4 points.  Dropped points return as
+    indices into the source cloud (they rejoin the missed set -> raw
+    patch, strictly better than the reference which just loses them)."""
+    patch = seg.patch
+    if patch.lod_x > 1 or patch.lod_y > 1:
+        return np.zeros(0, np.int64)
+    occ = seg.occupancy
+    su, sv = occ.shape
+    work = occ.copy()
+    drop = np.zeros((su, sv), bool)
+
+    def _tile_mask(o: np.ndarray, ts: int, pred) -> np.ndarray:
+        pu, pv = -(-su // ts) * ts, -(-sv // ts) * ts
+        pad = np.zeros((pu, pv), bool)
+        pad[:su, :sv] = o
+        cnt = pad.reshape(pu // ts, ts, pv // ts, ts).sum(axis=(1, 3))
+        m = pred(cnt)
+        return np.repeat(np.repeat(m, ts, 0), ts, 1)[:su, :sv]
+
+    if occ_precision > 1:
+        m = _tile_mask(work, occ_precision, lambda c: c == 1)
+        drop |= m & work
+        work &= ~m
+    m16 = _tile_mask(work, occ_resolution, lambda c: (c > 0) & (c < 4))
+    drop |= m16 & work
+    work &= ~m16
+    if not drop.any() or not work.any():
+        return np.zeros(0, np.int64)
+    seg.occupancy = work
+    seg.depth0[drop] = -1
+    seg.depth1[drop] = -1
+    if seg.eom is not None:
+        seg.eom[drop] = 0
+    # map covered points to their patch cells to find the dropped ones
+    pts = (
+        rotate45(points[seg.point_indices], patch.rotation_axis, rot_offset)
+        if patch.rotation_axis
+        else points[seg.point_indices]
+    )
+    uu = pts[:, patch.tangent_axis] - patch.u1
+    vv = pts[:, patch.bitangent_axis] - patch.v1
+    ok = (uu >= 0) & (uu < su) & (vv >= 0) & (vv < sv)
+    in_drop = np.zeros(len(uu), bool)
+    in_drop[ok] = drop[uu[ok], vv[ok]]
+    dropped = seg.point_indices[in_drop]
+    seg.point_indices = seg.point_indices[~in_drop]
+    return dropped
+
+
 def segment_frame_partial(
     points: np.ndarray, params: SegmenterParams, ratio: float
 ) -> tuple[list[SegmentedPatch], np.ndarray]:

@@ -377,3 +377,59 @@ class TestColorPreSmoothing:
         assert (p.numNeighborsColorTransferFwd or p.recolorNeighborCount) == 8
         p2 = EncoderParameters()
         assert (p2.numNeighborsColorTransferFwd or p2.recolorNeighborCount) == 1
+
+
+class TestOccupancyMapRefinement:
+    """refineOccupancyMap (PCCEncoder.cpp:3818): one-point precision tiles
+    and <4-point packing blocks evict to the raw patch instead of becoming
+    full junk blocks after occupancy downscale."""
+
+    def test_sparse_blocks_evicted_and_recovered(self):
+        import numpy as np
+        from scipy.spatial import cKDTree
+
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.core.pointset import PointSet
+        from rabbit_transcoding_tpu.decoder.decoder import Decoder
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        # a dense wall plus isolated satellites that land in own blocks
+        g = np.mgrid[16:80, 16:80].reshape(2, -1).T
+        wall = np.column_stack([g[:, 0], g[:, 1], np.full(len(g), 30)])
+        rng = np.random.default_rng(0)
+        sat = np.column_stack([
+            rng.integers(100, 160, 12), rng.integers(16, 80, 12),
+            np.full(12, 30),
+        ])
+        pos = np.unique(np.concatenate([wall, sat]).astype(np.int32), axis=0)
+        src = PointSet(
+            positions=pos, colors=np.clip(pos, 0, 255).astype(np.uint8)
+        )
+        counts = {}
+        decs = {}
+        for refine in (False, True):
+            p = EncoderParameters(
+                minimumImageWidth=256, minimumImageHeight=64,
+                geometryQP=8, attributeQP=16, occupancyPrecision=4,
+                occupancyMapRefinement=refine, flagGeometrySmoothing=False,
+                maxCCEdgeDistance=64.0,   # satellites join the wall's CC
+                frameCount=1, groupOfFramesSize=1,
+            )
+            ctx, _ = Encoder(p).encode(GroupOfFrames([src]))
+            data = V3CWriter().write(V3CWriter().encode(ctx))
+            dec = Decoder().decode(
+                V3CReader().decode(V3CReader().read(data)[0])
+            )[0]
+            decs[refine] = dec
+            counts[refine] = len(dec.positions)
+        # refinement drops the junk points the precision-4 block fill adds
+        # around isolated samples, without losing source coverage
+        assert counts[True] < counts[False]
+        for refine in (False, True):
+            d = cKDTree(decs[refine].positions.astype(np.float32)).query(
+                src.positions.astype(np.float32), k=1
+            )[0]
+            assert float(np.mean(d**2)) < 2.0
