@@ -180,7 +180,15 @@ def main() -> int:
     # warmup (jit compile)
     t0 = time.perf_counter()
     out_size = one_gof()
-    log(f"warmup gof: {time.perf_counter() - t0:.2f}s; out {out_size} bytes")
+    warmup_s = time.perf_counter() - t0
+    log(f"warmup gof: {warmup_s:.2f}s; out {out_size} bytes")
+    # the shared tunneled chip occasionally enters multi-minute-slow phases;
+    # shed the optional sections then so the fps headline always lands
+    # within the driver's budget
+    degraded = warmup_s > 150.0
+    if degraded:
+        log("slow-tunnel phase detected: skipping multi-stream aggregate "
+            "and quality probe this run")
 
     if n_streams <= 1:
         # GOF pipeline depth 2, exactly like rabbit-stream's default
@@ -222,7 +230,9 @@ def main() -> int:
     fps = total_frames / wall
     log(f"{total_frames} frames in {wall:.2f}s -> {fps:.2f} fps/chip")
 
-    if n_streams <= 1 and os.environ.get("BENCH_MULTI", "1") != "0":
+    if n_streams <= 1 and not degraded and (
+        os.environ.get("BENCH_MULTI", "1") != "0"
+    ):
         # record the 4-stream aggregate alongside the headline (BASELINE
         # config #5) through the PRODUCT multi-stream path: all 4 streams'
         # video planes run as ONE batched device program per plane
@@ -267,6 +277,8 @@ def main() -> int:
     # Runs as a CPU subprocess (the probe is a latency-bound CLI loop) and
     # is cached in /tmp keyed by the package source hash.
     try:
+        if degraded:
+            raise RuntimeError("skipped in slow-tunnel phase")
         import subprocess
 
         env = dict(os.environ, JAX_PLATFORMS="cpu")
