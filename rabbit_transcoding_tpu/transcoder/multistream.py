@@ -21,6 +21,7 @@ from ..parallel.mesh import make_mesh
 from ..parallel.multistream import transcode_payloads
 from ..utils.enums import VideoType
 from ..utils.timing import StageTimer
+from ..video import rbv
 from .params import TranscoderParameters
 from .transcoder import Transcoder
 
@@ -81,8 +82,30 @@ class MultiStreamTranscoder:
         return contexts
 
     # ------------------------------------------------------------------
+    _LOSSY_TYPES = (
+        VideoType.GEOMETRY, VideoType.ATTRIBUTE,
+        VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
+        VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1,
+    )
+
     def _transcode_atlases(self, atlases, stream_ids: list[int]) -> None:
         p = self.params
+
+        # pre-downscale occupancy masks for streams carrying lossless video
+        # (the single-stream path's background-fill anchors — byte identity
+        # requires the same masks here)
+        self._occ_masks = []
+        for i, atlas in zip(stream_ids, atlases):
+            need = any(
+                (vb := atlas.video_bitstreams.get(t)) is not None
+                and vb.data.startswith(b"RBV")
+                and rbv.probe(vb.data)["lossless"]
+                for t in self._LOSSY_TYPES
+            )
+            self._occ_masks.append(
+                self.single(i)._decode_occupancy_mask(atlas) if need
+                else None
+            )
 
         with self.timer.stage("transcodeOccupancy"):
             for i, atlas in zip(stream_ids, atlases):
@@ -96,15 +119,17 @@ class MultiStreamTranscoder:
                     self.single(i)._rate_control(atlas)
         else:
             with self.timer.stage("transcodeGeometry"):
-                self._transcode_video_batched(
-                    atlases, stream_ids, VideoType.GEOMETRY,
-                    p.effective_geometry_qp(),
-                )
+                for vt in (VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
+                           VideoType.GEOMETRY_D1):
+                    self._transcode_video_batched(
+                        atlases, stream_ids, vt, p.effective_geometry_qp(),
+                    )
             with self.timer.stage("transcodeAttribute"):
-                self._transcode_video_batched(
-                    atlases, stream_ids, VideoType.ATTRIBUTE,
-                    p.effective_attribute_qp(),
-                )
+                for vt in (VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
+                           VideoType.ATTRIBUTE_T1):
+                    self._transcode_video_batched(
+                        atlases, stream_ids, vt, p.effective_attribute_qp(),
+                    )
 
         if p.computeHashSei:
             with self.timer.stage("createHashSEI"):
@@ -122,10 +147,16 @@ class MultiStreamTranscoder:
             vb = atlas.video_bitstreams.get(vtype)
             if vb is None:
                 continue
-            if not vb.data.startswith(b"RBV"):
-                # foreign payloads: the single-stream path already handles
-                # SHVC layer filtering / passthrough / containment
-                self.single(stream_ids[k])._transcode_video(atlas, vtype, qp)
+            if not vb.data.startswith(b"RBV") or rbv.probe(vb.data)[
+                "lossless"
+            ]:
+                # foreign payloads (SHVC filtering / passthrough /
+                # containment) and lossless inputs (occupancy-anchored
+                # background-fill re-encode) take the single-stream path —
+                # the batched output must stay byte-identical to it
+                self.single(stream_ids[k])._transcode_video(
+                    atlas, vtype, qp, occ_mask=self._occ_masks[k]
+                )
                 continue
             batch_idx.append(k)
             batch_payloads.append(vb.data)

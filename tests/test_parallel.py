@@ -151,3 +151,67 @@ class TestMultiStreamPayloads:
         seq = [rbv.transcode_payload(p, 30) for p in pays]
         bat = transcode_payloads(pays, 30, mesh=mesh)
         assert all(a == b for a, b in zip(seq, bat))
+
+
+class TestMultiStreamEdgeCases:
+    """MultiStreamTranscoder must stay byte-identical to the sequential
+    Transcoder for map-stream and lossless inputs too."""
+
+    def _stream(self, **enc_kw):
+        import numpy as np
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_e2e_codec import make_sphere_cloud
+
+        from rabbit_transcoding_tpu.bitstream import V3CWriter
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+
+        base = dict(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=12, attributeQP=20, occupancyPrecision=2,
+            flagGeometrySmoothing=False, frameCount=1, groupOfFramesSize=1,
+        )
+        base.update(enc_kw)
+        src = make_sphere_cloud(seed=7)
+        ctx, _ = Encoder(EncoderParameters(**base)).encode(
+            GroupOfFrames([src])
+        )
+        return V3CWriter().write(V3CWriter().encode(ctx))
+
+    def _compare(self, data):
+        from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+        from rabbit_transcoding_tpu.transcoder.multistream import (
+            MultiStreamTranscoder,
+        )
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+
+        params = TranscoderParameters(geometryQP=28, attributeQP=36)
+        seq = []
+        for _ in range(2):
+            ctx = V3CReader().decode(V3CReader().read(data)[0])
+            Transcoder(params).transcode(ctx)
+            seq.append(V3CWriter().write(V3CWriter().encode(ctx)))
+        ctxs = [
+            V3CReader().decode(V3CReader().read(data)[0]) for _ in range(2)
+        ]
+        MultiStreamTranscoder(params).transcode_many(ctxs)
+        batched = [
+            V3CWriter().write(V3CWriter().encode(c)) for c in ctxs
+        ]
+        assert batched == seq
+
+    def test_map_stream_inputs(self):
+        self._compare(self._stream(
+            multipleStreams=True, absoluteD1=False, absoluteT1=False,
+        ))
+
+    def test_lossless_inputs(self):
+        self._compare(self._stream(
+            losslessGeo=True, losslessAttribute=True, attributeVideo444=True,
+            enhancedOccupancyMapCode=True,
+        ))
