@@ -169,6 +169,7 @@ class Encoder:
                 p.minPointCountPerCCPatchSegmentation
             ),
             surface_thickness=p.surfaceThickness,
+            surface_separation=p.surfaceSeparation,
             max_patch_size=p.maxPatchSize,
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
             # mode 5 dispatches via segment_frame_partial (which sets the
@@ -239,16 +240,23 @@ class Encoder:
             raw_points: list[np.ndarray] = []
             raw_colors: list[np.ndarray | None] = []
             for ps in sources:
+                seg_colors = (
+                    ps.colors
+                    if ps.has_colors and p.surfaceSeparation
+                    else None
+                )
                 if use_partial:
                     from .segment import segment_frame_partial
 
                     segs, missed = segment_frame_partial(
                         ps.positions.astype(np.int32), seg_params,
                         p.partialAdditionalProjectionPlane,
+                        colors=seg_colors,
                     )
                 else:
                     segs, missed = segment_frame(
-                        ps.positions.astype(np.int32), seg_params
+                        ps.positions.astype(np.int32), seg_params,
+                        colors=seg_colors,
                     )
                 if p.occupancyMapRefinement:
                     # refineOccupancyMap: evict one-point precision tiles

@@ -101,6 +101,9 @@ class EncoderParameters:
 
     # segmentation
     surfaceThickness: int = 4
+    # surfaceSeparation: only color-similar points join a patch's D0..D1
+    # column; dissimilar back surfaces re-patch separately (reference name)
+    surfaceSeparation: bool = False
     # components wider than this (tangent/bitangent px) split at the median
     # of the longer axis (reference maxPatchSize / enablePatchSplitting)
     maxPatchSize: int = 1024

@@ -130,6 +130,11 @@ class SegmenterParams:
     # maxPatchSize (reference sequence cfgs): components wider than this in
     # tangent/bitangent split at the median of the longer axis; 0 = off
     max_patch_size: int = 1024
+    # surfaceSeparation (PCCPatchSegmenter.cpp:1087,1110 + colorSimilarity
+    # PCCPatchSegmenter.h:158): a point only joins the D0..D1 column when
+    # its color is within +/-128 per channel of the D0 point — dissimilar
+    # back-surface points stay missed and re-patch in the next CC round
+    surface_separation: bool = False
     rot_offset: int = 1024
     # LoD subsampling (levelOfDetailX/Y): keep only points on the lod grid;
     # off-grid points stay in the missed set (raw-patch recovery)
@@ -323,6 +328,7 @@ def segment_patches(
     params: SegmenterParams,
     voxel_map: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
     normals: np.ndarray | None = None,
+    colors: np.ndarray | None = None,
 ) -> tuple[list[SegmentedPatch], np.ndarray]:
     """Connected components -> patches with D0 depth maps; missed points are
     re-segmented for up to max_missed_point_iterations rounds
@@ -389,7 +395,8 @@ def segment_patches(
                 if halves is not None:
                     comps.extend(halves)
                     continue
-            seg = _build_patch(points, idx, int(ppi[idx[0]]), params, len(patches))
+            seg = _build_patch(points, idx, int(ppi[idx[0]]), params,
+                               len(patches), colors=colors)
             if seg is None:
                 continue
             patches.append(seg)
@@ -463,6 +470,7 @@ def _build_patch(
     ppi: int,
     params: SegmenterParams,
     patch_index: int,
+    colors: np.ndarray | None = None,
 ) -> SegmentedPatch | None:
     view_id = ppi_to_view_id(ppi, params.additional_projection_mode)
     normal, tangent, bitangent, mode, rot = _axes_of(view_id)
@@ -543,6 +551,19 @@ def _build_patch(
     covered = (cell_rel >= 0) & (pt_rel - cell_rel <= params.surface_thickness) & (
         pt_rel >= cell_rel
     )
+    if params.surface_separation and colors is not None:
+        # surfaceSeparation: only color-similar points join the D0 column
+        # (colorSimilarity threshold 128, PCCPatchSegmenter.h:158); the
+        # dissimilar back surface stays missed and re-patches next round
+        order = np.lexsort((dd, flat))
+        uf, first = np.unique(flat[order], return_index=True)
+        d0_idx = np.full(size_u * size_v, -1, np.int64)
+        d0_idx[uf] = idx[order[first]]
+        ref_idx = d0_idx[flat]
+        ref_c = colors[np.clip(ref_idx, 0, len(colors) - 1)].astype(np.int16)
+        own_c = colors[idx].astype(np.int16)
+        similar = (np.abs(own_c - ref_c) < 128).all(axis=1)
+        covered &= similar | (ref_idx < 0)
     if covered.sum() < params.min_point_count_per_cc_patch_segmentation:
         return None
 
@@ -592,7 +613,8 @@ def _build_patch(
 
 
 def segment_frame(
-    points: np.ndarray, params: SegmenterParams | None = None
+    points: np.ndarray, params: SegmenterParams | None = None,
+    colors: np.ndarray | None = None,
 ) -> tuple[list[SegmentedPatch], np.ndarray]:
     """Full per-frame segmentation: normals -> PPI -> refine -> patches."""
     params = params or SegmenterParams()
@@ -622,6 +644,7 @@ def segment_frame(
         return segment_patches(
             points, ppi_v[inv].astype(np.int32), nbr_v, params,
             voxel_map=(inv.astype(np.int32), vox_pos, ppi_v),
+            colors=colors,
         )
     nbr = knn_indices(points, k)
     normals, _ = compute_normals(
@@ -632,7 +655,8 @@ def segment_frame(
         normals, params.additional_projection_mode, params.axis_weight
     )
     ppi = refine_segmentation(normals, ppi, nbr, params)
-    return segment_patches(points, ppi, nbr, params, normals=normals)
+    return segment_patches(points, ppi, nbr, params, normals=normals,
+                           colors=colors)
 
 
 def refine_occupancy(
@@ -695,7 +719,8 @@ def refine_occupancy(
 
 
 def segment_frame_partial(
-    points: np.ndarray, params: SegmenterParams, ratio: float
+    points: np.ndarray, params: SegmenterParams, ratio: float,
+    colors: np.ndarray | None = None,
 ) -> tuple[list[SegmentedPatch], np.ndarray]:
     """additionalProjectionPlaneMode 5 (PCCEncoder.cpp:8826-8901
     segmentationPartiallyAddtinalProjectionPlane): the whole cloud segments
@@ -707,7 +732,7 @@ def segment_frame_partial(
     import dataclasses as _dc
 
     base = _dc.replace(params, additional_projection_mode=0)
-    segs, missed = segment_frame(points, base)
+    segs, missed = segment_frame(points, base, colors=colors)
 
     spans = points.max(axis=0) - points.min(axis=0)
     axis = int(np.argmax(spans))          # 0=X, 1=Y, 2=Z (longest)
@@ -719,7 +744,8 @@ def segment_frame_partial(
     if len(slice_idx) >= params.min_point_count_per_cc_patch_segmentation:
         extra = _dc.replace(params, additional_projection_mode=mode)
         segs_a, _ = segment_frame(
-            np.ascontiguousarray(points[slice_idx]), extra
+            np.ascontiguousarray(points[slice_idx]), extra,
+            colors=None if colors is None else colors[slice_idx],
         )
         covered_extra = []
         for seg in segs_a:

@@ -433,3 +433,56 @@ class TestOccupancyMapRefinement:
                 src.positions.astype(np.float32), k=1
             )[0]
             assert float(np.mean(d**2)) < 2.0
+
+
+class TestSurfaceSeparation:
+    """surfaceSeparation: color-dissimilar back-surface points stay out of
+    the front patch's D0..D1 column and re-patch separately."""
+
+    def test_two_tone_slab(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.encoder.segment import (
+            SegmenterParams,
+            segment_frame,
+        )
+
+        # a 2-deep slab: front layer white, back layer black — projected
+        # along Z the back layer sits inside the front's thickness window
+        g = np.mgrid[10:60, 10:60].reshape(2, -1).T
+        front = np.column_stack([g[:, 0], g[:, 1], np.full(len(g), 30)])
+        back = np.column_stack([g[:, 0], g[:, 1], np.full(len(g), 32)])
+        pts = np.concatenate([front, back]).astype(np.int32)
+        colors = np.concatenate([
+            np.full((len(front), 3), 240, np.uint8),
+            np.full((len(back), 3), 10, np.uint8),
+        ])
+        params = SegmenterParams()
+        segs_off, missed_off = segment_frame(pts, params, colors=None)
+        params_on = SegmenterParams(surface_separation=True)
+        segs_on, missed_on = segment_frame(pts, params_on, colors=colors)
+
+        n_front = len(front)
+
+        def mixed_columns(segs) -> int:
+            # a column (same x,y under Z projection) holding BOTH a white
+            # front point and a black back point violates surfaceSeparation
+            count = 0
+            for s in segs:
+                if s.patch.normal_axis != 2:
+                    continue
+                c = s.point_indices
+                keys = pts[c, 0].astype(np.int64) * 4096 + pts[c, 1]
+                is_front = c < n_front
+                kf = set(keys[is_front].tolist())
+                kb = set(keys[~is_front].tolist())
+                count += len(kf & kb)
+            return count
+
+        assert mixed_columns(segs_off) > 50     # off: some columns mix layers
+        assert mixed_columns(segs_on) == 0      # on: columns are color-pure
+        # and every point is still accounted for (patch or missed->raw)
+        covered_on = set(missed_on.tolist()).union(
+            *[set(s.point_indices.tolist()) for s in segs_on]
+        )
+        assert covered_on == set(range(len(pts)))
