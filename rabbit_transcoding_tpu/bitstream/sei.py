@@ -222,11 +222,19 @@ class SeiPrefixIndication(Sei):
     spi_prefix_data_bits: list = field(default_factory=list)
 
     def payload_bytes(self) -> bytes:
+        if not self.spi_prefix_data_bits or any(
+            not bits for bits in self.spi_prefix_data_bits
+        ):
+            # the syntax codes counts as minus1: zero indications / zero
+            # bits are unrepresentable and would mis-parse on read
+            raise ValueError(
+                "SeiPrefixIndication needs >=1 indication of >=1 bit"
+            )
         bw = BitWriter()
         bw.u(16, self.spi_prefix_sei_payload_type)
-        bw.u(8, max(0, len(self.spi_prefix_data_bits) - 1))
+        bw.u(8, len(self.spi_prefix_data_bits) - 1)
         for bits in self.spi_prefix_data_bits:
-            bw.u(16, max(0, len(bits) - 1))
+            bw.u(16, len(bits) - 1)
             for b in bits:
                 bw.u(1, b)
             while not bw.byte_aligned:

@@ -136,8 +136,12 @@ def recover_raw_points(
     units: list[RawPatchDataUnit],
     geo_frame: np.ndarray,           # (H, W) uint16 aux geometry plane
     attr_frame: np.ndarray | None,   # (H, W, 3) uint8 aux attribute
+    coord_max: int | None = None,    # clip lossy coords to the 3D range
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """One frame's raw patch units -> (points (N,3), colors (N,3) or None)."""
+    """One frame's raw patch units -> (points (N,3), colors (N,3) or None).
+    coord_max mirrors the encoder closed loop's clip: lossy aux video can
+    produce samples past the 3D coordinate range when the video bitdepth
+    exceeds the coordinate bitdepth."""
     pts_list = []
     col_list = []
     geo_flat = geo_frame.reshape(-1)
@@ -156,5 +160,7 @@ def recover_raw_points(
     if not pts_list:
         return np.zeros((0, 3), np.int32), None
     pts = np.concatenate(pts_list)
+    if coord_max is not None:
+        pts = np.clip(pts, 0, coord_max)
     cols = np.concatenate(col_list) if col_list else None
     return pts, cols

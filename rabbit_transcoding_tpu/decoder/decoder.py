@@ -219,9 +219,22 @@ class Decoder:
                         attr_frame = np.stack(
                             [pl[fi] for pl in raw_attr.planes], axis=-1
                         )
+                    # the encoder clips its closed loop to the REAL 3D
+                    # coordinate depth; the asps value carries +1 when 45°
+                    # rotated coordinates are active — undo that here
+                    if atlas.asps_list:
+                        a0 = atlas.asps_list[0]
+                        coord_bits_raw = (
+                            a0.asps_geometry_3d_bitdepth_minus1 + 1
+                            - (1 if a0.asps_extended_projection_enabled_flag
+                               else 0)
+                        )
+                    else:
+                        coord_bits_raw = 10
                     pts, cols = recover_raw_points(
                         raw_units[fi], np.asarray(raw_geo.planes[0][fi]),
                         attr_frame,
+                        coord_max=(1 << coord_bits_raw) - 1,
                     )
                     if len(pts) == 0:
                         continue

@@ -220,6 +220,12 @@ class Encoder:
             # predicted map coding only exists with 2 maps in own streams
             p.absoluteD1 = True
             p.absoluteT1 = True
+        if p.absoluteT1 != p.absoluteD1:
+            # ONE VPS flag (vps_map_absolute_coding_enabled_flag[1]) tells
+            # the decoder whether map-1 streams are deltas; split settings
+            # would mis-decode one component (the reference CTC couples
+            # them too — D1-from-rec-D0 conditions always pair with T1)
+            p.absoluteT1 = p.absoluteD1
 
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):
@@ -317,6 +323,20 @@ class Encoder:
                 )
                 height = -(-height // 64) * 64
                 tile_band = height
+                # demote matches whose placement lost non-codeable inter
+                # fields: InterPatchDataUnit does not code orientation, so
+                # a matched patch packed with a different orientation than
+                # its reference would decode with the wrong transform
+                # (mirrors the per-frame branch's demotion below)
+                for fi in range(1, len(frame_segs)):
+                    prev = frame_segs[fi - 1]
+                    for seg in frame_segs[fi]:
+                        ri = seg.patch.best_match_idx
+                        if ri >= 0 and (
+                            seg.patch.orientation
+                            != prev[ri].patch.orientation
+                        ):
+                            seg.patch.best_match_idx = -1
                 prev_perm = list(range(len(frame_segs[0])))
                 for fi in range(1, len(frame_segs)):
                     segs = frame_segs[fi]

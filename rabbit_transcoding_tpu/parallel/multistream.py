@@ -201,8 +201,20 @@ def transcode_payloads(
     groups: dict[tuple, list[int]] = {}
     for i, h in enumerate(headers):
         flags = h[0]
-        if flags & 1 or (mode == "requant" and qps[i] == h[8]):
-            out[i] = payloads[i]  # lossless / no-op requant: pass through
+        if flags & 1:
+            # lossless: defer to the sequential functions so the batched
+            # API stays byte-identical to them (they re-encode to the
+            # target QP; a silent passthrough would diverge)
+            out[i] = (
+                rbv.requantize(payloads[i], qps[i], zlib_level)
+                if mode == "requant"
+                else rbv.transcode_payload(
+                    payloads[i], qps[i], new_gop, zlib_level
+                )
+            )
+            continue
+        if mode == "requant" and qps[i] == h[8]:
+            out[i] = payloads[i]  # no-op requant: pass through
             continue
         groups.setdefault(_group_signature(h), []).append(i)
 

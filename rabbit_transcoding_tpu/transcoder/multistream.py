@@ -26,6 +26,14 @@ from .params import TranscoderParameters
 from .transcoder import Transcoder
 
 
+def _map1_absolute(ctx: Context) -> bool:
+    va = ctx.vps.atlas(0)
+    if (va.vps_map_count_minus1 >= 1
+            and len(va.vps_map_absolute_coding_enabled_flag) > 1):
+        return bool(va.vps_map_absolute_coding_enabled_flag[1])
+    return True
+
+
 class MultiStreamTranscoder:
     def __init__(
         self,
@@ -67,7 +75,8 @@ class MultiStreamTranscoder:
                 if any(a.atlas_id == aid for a in ctx.atlases)
             ]
             self._transcode_atlases(
-                [ctx.atlas(aid) for _, ctx in sub], [i for i, _ in sub]
+                [ctx.atlas(aid) for _, ctx in sub], [i for i, _ in sub],
+                map1_abs=[_map1_absolute(ctx) for _, ctx in sub],
             )
         return contexts
 
@@ -78,6 +87,7 @@ class MultiStreamTranscoder:
         self._transcode_atlases(
             [ctx.atlas(atlas_id) for ctx in contexts],
             list(range(len(contexts))),
+            map1_abs=[_map1_absolute(ctx) for ctx in contexts],
         )
         return contexts
 
@@ -88,8 +98,12 @@ class MultiStreamTranscoder:
         VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1,
     )
 
-    def _transcode_atlases(self, atlases, stream_ids: list[int]) -> None:
+    def _transcode_atlases(
+        self, atlases, stream_ids: list[int],
+        map1_abs: list[bool] | None = None,
+    ) -> None:
         p = self.params
+        self._map1_abs = map1_abs or [True] * len(atlases)
 
         # pre-downscale occupancy masks for streams carrying lossless video
         # (the single-stream path's background-fill anchors — byte identity
@@ -115,9 +129,40 @@ class MultiStreamTranscoder:
             # ABR searches per-stream state (budget, cached QPs): the probe
             # requantisations are already one cheap device pass each
             with self.timer.stage("rateControl"):
-                for i, atlas in zip(stream_ids, atlases):
-                    self.single(i)._rate_control(atlas)
+                for k, (i, atlas) in enumerate(zip(stream_ids, atlases)):
+                    self.single(i)._rate_control(
+                        atlas, occ_mask=self._occ_masks[k]
+                    )
         else:
+            # predicted map pairs transcode jointly through the single-
+            # stream path (the delta re-derives against the NEW rec0);
+            # the batched loops below must not touch those streams again
+            self._pair_handled = set()
+            for k, (i, atlas) in enumerate(zip(stream_ids, atlases)):
+                if self._map1_abs[k]:
+                    continue
+                s = self.single(i)
+                if s._has_rbv_pair(atlas, VideoType.GEOMETRY_D0,
+                                   VideoType.GEOMETRY_D1):
+                    s._transcode_map_pair(
+                        atlas, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
+                        p.effective_geometry_qp(), component="geo",
+                    )
+                    self._pair_handled |= {
+                        (k, VideoType.GEOMETRY_D0),
+                        (k, VideoType.GEOMETRY_D1),
+                    }
+                if s._has_rbv_pair(atlas, VideoType.ATTRIBUTE_T0,
+                                   VideoType.ATTRIBUTE_T1):
+                    s._transcode_map_pair(
+                        atlas, VideoType.ATTRIBUTE_T0,
+                        VideoType.ATTRIBUTE_T1,
+                        p.effective_attribute_qp(), component="attr",
+                    )
+                    self._pair_handled |= {
+                        (k, VideoType.ATTRIBUTE_T0),
+                        (k, VideoType.ATTRIBUTE_T1),
+                    }
             with self.timer.stage("transcodeGeometry"):
                 for vt in (VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
                            VideoType.GEOMETRY_D1):
@@ -143,7 +188,10 @@ class MultiStreamTranscoder:
         p = self.params
         batch_idx: list[int] = []
         batch_payloads: list[bytes] = []
+        pair_handled = getattr(self, "_pair_handled", set())
         for k, atlas in enumerate(atlases):
+            if (k, vtype) in pair_handled:
+                continue  # already jointly transcoded as a predicted pair
             vb = atlas.video_bitstreams.get(vtype)
             if vb is None:
                 continue

@@ -78,22 +78,50 @@ class Transcoder:
         if p.rate_mode == "abr" and p.targetBitrateMbps > 0:
             # ABR: the chosen probe payload IS the output (requant domain)
             with self.timer.stage("rateControl"):
-                self._rate_control(atlas)
+                self._rate_control(atlas, occ_mask=occ_mask)
         else:
+            # predicted map coding (vps_map_absolute_coding_enabled_flag[1]
+            # clear): the map-1 delta stream is bound to the RECONSTRUCTED
+            # map 0 — requantising it independently while changing rec0
+            # injects the full rec0 error into map 1, so the pair transcodes
+            # JOINTLY (rebuild absolute map 1, re-encode map 0, re-derive
+            # the delta against the NEW rec0)
+            map1_abs = True
+            va = context.vps.atlas(0)
+            if (va.vps_map_count_minus1 >= 1
+                    and len(va.vps_map_absolute_coding_enabled_flag) > 1):
+                map1_abs = bool(va.vps_map_absolute_coding_enabled_flag[1])
             with self.timer.stage("transcodeGeometry"):
-                for vt in (VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
-                           VideoType.GEOMETRY_D1):
-                    self._transcode_video(
-                        atlas, vt, p.effective_geometry_qp(),
-                        occ_mask=occ_mask,
+                if not map1_abs and self._has_rbv_pair(
+                    atlas, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1
+                ):
+                    self._transcode_map_pair(
+                        atlas, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
+                        p.effective_geometry_qp(), component="geo",
                     )
+                else:
+                    for vt in (VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
+                               VideoType.GEOMETRY_D1):
+                        self._transcode_video(
+                            atlas, vt, p.effective_geometry_qp(),
+                            occ_mask=occ_mask,
+                        )
             with self.timer.stage("transcodeAttribute"):
-                for vt in (VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
-                           VideoType.ATTRIBUTE_T1):
-                    self._transcode_video(
-                        atlas, vt, p.effective_attribute_qp(),
-                        occ_mask=occ_mask,
+                if not map1_abs and self._has_rbv_pair(
+                    atlas, VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1
+                ):
+                    self._transcode_map_pair(
+                        atlas, VideoType.ATTRIBUTE_T0,
+                        VideoType.ATTRIBUTE_T1,
+                        p.effective_attribute_qp(), component="attr",
                     )
+                else:
+                    for vt in (VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
+                               VideoType.ATTRIBUTE_T1):
+                        self._transcode_video(
+                            atlas, vt, p.effective_attribute_qp(),
+                            occ_mask=occ_mask,
+                        )
 
         if p.computeHashSei:
             with self.timer.stage("createHashSEI"):
@@ -173,7 +201,8 @@ class Transcoder:
         )
         if occ_mask is None:
             return rbv._reencode_lossless(vb.data, qp, None, 6)
-        if video.frame_count == occ_mask.shape[0]:
+        per_map_stream = video.frame_count == occ_mask.shape[0]
+        if per_map_stream:
             occ_rep = occ_mask  # per-map sub-stream: one frame per source
         else:
             occ_rep = np.repeat(
@@ -201,13 +230,71 @@ class Transcoder:
         out_video = Video(
             video.width, video.height, video.bitdepth, video.format, planes
         )
+        # per-map sub-streams are NOT map-interleaved: no map factor
         gop = max(
-            1, map_count * (1 if p.allIntra else p.videoGopSize)
+            1,
+            (1 if per_map_stream else map_count)
+            * (1 if p.allIntra else p.videoGopSize),
         )
         payload, _ = VideoEncoder.create(CodecId.RBV).encode(
             out_video, VideoEncoderParams(qp=qp, gop_size=gop)
         )
         return payload
+
+    def _has_rbv_pair(self, atlas, t0: VideoType, t1: VideoType) -> bool:
+        vb0 = atlas.video_bitstreams.get(t0)
+        vb1 = atlas.video_bitstreams.get(t1)
+        return (
+            vb0 is not None and vb1 is not None
+            and vb0.data.startswith(b"RBV") and vb1.data.startswith(b"RBV")
+            and not rbv.probe(vb0.data)["lossless"]
+            and not rbv.probe(vb1.data)["lossless"]
+        )
+
+    def _transcode_map_pair(
+        self, atlas, t0: VideoType, t1: VideoType, qp: int, component: str
+    ) -> None:
+        """Joint transcode of a predicted map pair: decode both, rebuild the
+        absolute map 1 from (delta, rec0_old), re-encode map 0 at the new
+        QP, then re-derive and encode the delta against the NEW rec0 —
+        closed-loop-consistent with the encoder/decoder delta semantics."""
+        from ..codec.mapstream import (
+            attr_bias,
+            combine_map1,
+            geo_bias,
+            make_delta,
+        )
+
+        p = self.params
+        v0 = VideoDecoder.create(CodecId.RBV).decode(
+            atlas.video_bitstreams[t0].data
+        )
+        v1 = VideoDecoder.create(CodecId.RBV).decode(
+            atlas.video_bitstreams[t1].data
+        )
+        bias = (
+            geo_bias(v0.bitdepth) if component == "geo"
+            else attr_bias(v0.bitdepth)
+        )
+        maxv = (1 << v0.bitdepth) - 1
+        abs1 = [
+            combine_map1(np.asarray(d), np.asarray(r0), bias, maxv)
+            for d, r0 in zip(v1.planes, v0.planes)
+        ]
+        gop = max(1, 1 if p.allIntra else p.videoGopSize)
+        payload0, rec0_new = VideoEncoder.create(CodecId.RBV).encode(
+            v0, VideoEncoderParams(qp=qp, gop_size=gop)
+        )
+        delta_new = [
+            make_delta(a1, np.asarray(r0), bias, maxv)
+            for a1, r0 in zip(abs1, rec0_new.planes)
+        ]
+        payload1, _ = VideoEncoder.create(CodecId.RBV).encode(
+            Video(v1.width, v1.height, v1.bitdepth, v1.format, delta_new),
+            VideoEncoderParams(qp=qp, gop_size=gop),
+        )
+        atlas.set_video_bitstream(VideoBitstream(t0, payload0))
+        atlas.set_video_bitstream(VideoBitstream(t1, payload1))
 
     def _transcode_video(
         self, atlas, vtype: VideoType, qp: int,
@@ -252,13 +339,15 @@ class Transcoder:
         atlas.set_video_bitstream(VideoBitstream(vtype, payload))
 
     # ------------------------------------------------------------------
-    def _rate_control(self, atlas) -> tuple[int, int]:
+    def _rate_control(self, atlas, occ_mask=None) -> tuple[int, int]:
         """rate_mode='abr': pick (geometry QP, attribute QP) hitting the
         target bitrate and install the winning payloads directly (the probes
         ARE DCT-domain requantisations — the cheapest transcode there is, so
         search and transcode are one operation).  Chosen QPs are cached
         across GOFs and re-searched only when the produced size drifts >20%
-        from target."""
+        from target.  Per-map sub-streams (multipleStreams inputs) split
+        their component's budget by input-size share; lossless inputs probe
+        through the occupancy-anchored filled re-encode."""
         p = self.params
 
         map_count = (
@@ -266,33 +355,53 @@ class Transcoder:
             if atlas.asps_list
             else 1
         )
+        interleaved = {VideoType.GEOMETRY, VideoType.ATTRIBUTE}
 
-        def gof_frames(vb) -> int:
-            # video frames = source frames x map interleave
+        def collect(types):
+            out = []
+            for t in types:
+                vb = atlas.video_bitstreams.get(t)
+                if vb is not None and vb.data.startswith(b"RBV"):
+                    out.append((t, vb))
+            return out
+
+        geo_vbs = collect((VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
+                           VideoType.GEOMETRY_D1))
+        attr_vbs = collect((VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
+                            VideoType.ATTRIBUTE_T1))
+        if not geo_vbs and not attr_vbs:
+            return 32, 32  # foreign payloads only: ABR not applicable
+
+        def gof_frames(t, vb) -> int:
             try:
-                return max(
-                    1, rbv.probe(vb.data)["frame_count"] // map_count
-                )
+                f = rbv.probe(vb.data)["frame_count"]
+                return max(1, f // (map_count if t in interleaved else 1))
             except ValueError:
                 return 1
 
-        geo_vb = atlas.video_bitstreams.get(VideoType.GEOMETRY)
-        attr_vb = atlas.video_bitstreams.get(VideoType.ATTRIBUTE)
-        frames = gof_frames(geo_vb or attr_vb)
+        frames = gof_frames(*(geo_vbs or attr_vbs)[0])
         budget = p.targetBitrateMbps * 1e6 / 8.0 * frames / max(
             1e-6, p.frameRate
         )
         geo_budget = budget * p.geometryBitrateShare
         attr_budget = budget - geo_budget
 
+        def probe_payload(vb, qp: int) -> bytes:
+            if rbv.probe(vb.data)["lossless"]:
+                # first quantisation of a lossless input: go through the
+                # occupancy-anchored background-fill path, NOT the bare
+                # re-encode (unfilled planes ring and waste bits)
+                return self._reencode_lossless_filled(
+                    atlas, vb, qp, occ_mask
+                )
+            return rbv.requantize(vb.data, qp)
+
         def search(vb, vtype, target_bytes, cache_key) -> int:
-            if vb is None or not vb.data.startswith(b"RBV"):
-                return 32  # foreign payload: ABR requant not applicable
             cached = self._rc_cache.get(cache_key)
             if cached is not None:
                 qp, size = cached
                 if abs(size - target_bytes) <= 0.2 * target_bytes:
-                    payload = rbv.requantize(vb.data, qp)
+                    payload = probe_payload(vb, qp)
                     atlas.set_video_bitstream(VideoBitstream(vtype, payload))
                     return qp
             lo, hi = 4, 48
@@ -300,7 +409,7 @@ class Transcoder:
             best_payload = None
             while lo <= hi:
                 mid = (lo + hi) // 2
-                payload = rbv.requantize(vb.data, mid)
+                payload = probe_payload(vb, mid)
                 if len(payload) <= target_bytes:
                     best = mid
                     best_payload = payload
@@ -308,13 +417,25 @@ class Transcoder:
                 else:
                     lo = mid + 1
             if best_payload is None:
-                best_payload = rbv.requantize(vb.data, best)
+                best_payload = probe_payload(vb, best)
             self._rc_cache[cache_key] = (best, len(best_payload))
             atlas.set_video_bitstream(VideoBitstream(vtype, best_payload))
             return best
 
-        geo_qp = search(geo_vb, VideoType.GEOMETRY, geo_budget, "geo")
-        attr_qp = search(attr_vb, VideoType.ATTRIBUTE, attr_budget, "attr")
+        def search_family(vbs, family_budget, prefix) -> int:
+            if not vbs:
+                return 32
+            total_in = sum(len(vb.data) for _, vb in vbs)
+            qp_out = 32
+            for t, vb in vbs:
+                share = len(vb.data) / max(1, total_in)
+                qp_out = search(
+                    vb, t, family_budget * share, f"{prefix}:{t.name}"
+                )
+            return qp_out
+
+        geo_qp = search_family(geo_vbs, geo_budget, "geo")
+        attr_qp = search_family(attr_vbs, attr_budget, "attr")
         return geo_qp, attr_qp
 
     # ------------------------------------------------------------------

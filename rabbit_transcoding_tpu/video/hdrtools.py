@@ -73,6 +73,15 @@ class ExternalColorConverter:
         )
 
     def convert(self, video: Video) -> Video:
+        if (video.bitdepth != self.src_bitdepth
+                or video.format != self.src_format):
+            # HDRConvert interprets the raw input purely from the cfg's
+            # Source* keys: a mismatch silently produces garbage
+            raise ValueError(
+                f"input video ({video.format.name}, {video.bitdepth}-bit) "
+                f"does not match the cfg's Source keys "
+                f"({self.src_format.name}, {self.src_bitdepth}-bit)"
+            )
         with tempfile.TemporaryDirectory(prefix="rbx_hdr_") as td:
             in_path = os.path.join(td, "in.raw")
             out_path = os.path.join(td, "out.raw")

@@ -156,3 +156,41 @@ class TestDeltaQPAndPTL:
         assert ptl.ptl_profile_toolset_idc == 1
         assert ptl.ptl_level_idc == 60
         assert ptl.ptl_tier_flag
+
+
+class TestAbrOnMapStreams:
+    def test_abr_handles_per_map_substreams(self):
+        """rate_mode=abr on a multipleStreams input: per-map sub-streams
+        get their family budget split by input-size share (round-2 review
+        found the old path crashed on the missing GEOMETRY stream)."""
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+
+        src, data, _, _, _ = roundtrip(absolute=True)
+        ctx = V3CReader().decode(V3CReader().read(data)[0])
+        tc = Transcoder(TranscoderParameters(
+            rate_mode="abr", targetBitrateMbps=0.5,
+        ))
+        tc.transcode(ctx)
+        out = V3CWriter().write(V3CWriter().encode(ctx))
+        assert len(out) < len(data)
+        assert any(k.startswith("geo:GEOMETRY_D") for k in tc._rc_cache)
+        assert any(k.startswith("attr:ATTRIBUTE_T") for k in tc._rc_cache)
+        dec = Decoder().decode(V3CReader().decode(V3CReader().read(out)[0]))
+        assert len(dec[0].positions) > 0
+
+    def test_split_absolute_flags_coupled(self):
+        """absoluteT1 must ride absoluteD1 (one VPS flag signals both)."""
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+
+        src = make_sphere_cloud(seed=3)
+        params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            multipleStreams=True, absoluteD1=True, absoluteT1=False,
+            frameCount=1, groupOfFramesSize=1,
+        )
+        Encoder(params).encode(GroupOfFrames([src]))
+        assert params.absoluteT1 == params.absoluteD1 == True  # noqa: E712

@@ -137,13 +137,16 @@ class TestMultiStreamPayloads:
         bat = transcode_payloads(pays, [28, 40], mesh=mesh)
         assert all(a == b for a, b in zip(seq, bat))
 
-    def test_lossless_passthrough(self, mesh):
+    def test_lossless_matches_sequential(self, mesh):
+        # lossless inputs re-encode to the target QP exactly like the
+        # sequential rbv.transcode_payload (no silent passthrough)
         occ = (np.arange(4 * 32 * 32).reshape(4, 32, 32) % 7 == 0).astype(
             np.uint8
         )
         v = Video(32, 32, 8, ColorFormat.YUV400, [occ])
         p, _ = rbv.encode(v, RbvParams(lossless=True))
-        assert transcode_payloads([p, p], 32, mesh=mesh) == [p, p]
+        seq = rbv.transcode_payload(p, 32)
+        assert transcode_payloads([p, p], 32, mesh=mesh) == [seq, seq]
 
     def test_mixed_shapes_grouped(self, mesh):
         # incompatible shapes form separate groups, all still correct

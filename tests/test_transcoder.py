@@ -204,11 +204,11 @@ class TestRateControl:
         ))
         ctx = reader.decode(reader.read_file(path)[0])
         tc.transcode(ctx)
-        assert "geo" in tc._rc_cache and "attr" in tc._rc_cache
+        assert "geo:GEOMETRY" in tc._rc_cache and "attr:ATTRIBUTE" in tc._rc_cache
         cached = dict(tc._rc_cache)
         ctx2 = reader.decode(reader.read_file(path)[0])
         tc.transcode(ctx2)
-        assert tc._rc_cache["geo"][0] == cached["geo"][0]
+        assert tc._rc_cache["geo:GEOMETRY"][0] == cached["geo:GEOMETRY"][0]
 
 
 class TestMultiAtlas:
