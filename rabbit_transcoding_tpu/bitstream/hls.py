@@ -162,6 +162,17 @@ class Context:
     def atlas_count(self) -> int:
         return len(self.atlases)
 
+    def map1_absolute(self) -> bool:
+        """Whether map-1 video streams are coded absolutely
+        (vps_map_absolute_coding_enabled_flag[1]); False = the map-1 stream
+        is a biased delta vs the reconstructed map 0.  Decoder, transcoder
+        and batched transcoder must all agree on this one derivation."""
+        va = self.vps.atlas(0)
+        if (va.vps_map_count_minus1 >= 1
+                and len(va.vps_map_absolute_coding_enabled_flag) > 1):
+            return bool(va.vps_map_absolute_coding_enabled_flag[1])
+        return True
+
     def check_profile(self) -> int:
         """Verify the active parameter sets against the PTL's declared
         toolset constraints (PCCHighLevelSyntax::checkProfile,

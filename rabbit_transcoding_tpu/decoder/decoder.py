@@ -50,11 +50,7 @@ class Decoder:
             occ_video = VideoDecoder.create(CodecId.RBV).decode(
                 atlas.get_video_bitstream(VideoType.OCCUPANCY).data
             )
-        map1_absolute = True
-        va0 = context.vps.atlas(0)
-        if (va0.vps_map_count_minus1 >= 1
-                and len(va0.vps_map_absolute_coding_enabled_flag) > 1):
-            map1_absolute = bool(va0.vps_map_absolute_coding_enabled_flag[1])
+        map1_absolute = context.map1_absolute()
         with self.timer.stage("decodeGeometryVideo"):
             if VideoType.GEOMETRY in atlas.video_bitstreams:
                 geo_video = VideoDecoder.create(CodecId.RBV).decode(

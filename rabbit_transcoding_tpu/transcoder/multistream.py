@@ -27,11 +27,7 @@ from .transcoder import Transcoder
 
 
 def _map1_absolute(ctx: Context) -> bool:
-    va = ctx.vps.atlas(0)
-    if (va.vps_map_count_minus1 >= 1
-            and len(va.vps_map_absolute_coding_enabled_flag) > 1):
-        return bool(va.vps_map_absolute_coding_enabled_flag[1])
-    return True
+    return ctx.map1_absolute()
 
 
 class MultiStreamTranscoder:
@@ -131,7 +127,8 @@ class MultiStreamTranscoder:
             with self.timer.stage("rateControl"):
                 for k, (i, atlas) in enumerate(zip(stream_ids, atlases)):
                     self.single(i)._rate_control(
-                        atlas, occ_mask=self._occ_masks[k]
+                        atlas, occ_mask=self._occ_masks[k],
+                        map1_abs=self._map1_abs[k],
                     )
         else:
             # predicted map pairs transcode jointly through the single-
@@ -147,6 +144,7 @@ class MultiStreamTranscoder:
                     s._transcode_map_pair(
                         atlas, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
                         p.effective_geometry_qp(), component="geo",
+                        occ_mask=self._occ_masks[k],
                     )
                     self._pair_handled |= {
                         (k, VideoType.GEOMETRY_D0),
@@ -158,6 +156,7 @@ class MultiStreamTranscoder:
                         atlas, VideoType.ATTRIBUTE_T0,
                         VideoType.ATTRIBUTE_T1,
                         p.effective_attribute_qp(), component="attr",
+                        occ_mask=self._occ_masks[k],
                     )
                     self._pair_handled |= {
                         (k, VideoType.ATTRIBUTE_T0),

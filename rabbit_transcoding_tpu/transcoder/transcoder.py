@@ -75,22 +75,20 @@ class Transcoder:
 
         with self.timer.stage("transcodeOccupancy"):
             self._transcode_occupancy(atlas)
+        # predicted map coding (vps_map_absolute_coding_enabled_flag[1]
+        # clear): the map-1 delta stream is bound to the RECONSTRUCTED
+        # map 0 — requantising it independently while changing rec0
+        # injects the full rec0 error into map 1, so the pair transcodes
+        # JOINTLY (rebuild absolute map 1, re-encode map 0, re-derive
+        # the delta against the NEW rec0) in BOTH rate modes
+        map1_abs = context.map1_absolute()
         if p.rate_mode == "abr" and p.targetBitrateMbps > 0:
             # ABR: the chosen probe payload IS the output (requant domain)
             with self.timer.stage("rateControl"):
-                self._rate_control(atlas, occ_mask=occ_mask)
+                self._rate_control(
+                    atlas, occ_mask=occ_mask, map1_abs=map1_abs
+                )
         else:
-            # predicted map coding (vps_map_absolute_coding_enabled_flag[1]
-            # clear): the map-1 delta stream is bound to the RECONSTRUCTED
-            # map 0 — requantising it independently while changing rec0
-            # injects the full rec0 error into map 1, so the pair transcodes
-            # JOINTLY (rebuild absolute map 1, re-encode map 0, re-derive
-            # the delta against the NEW rec0)
-            map1_abs = True
-            va = context.vps.atlas(0)
-            if (va.vps_map_count_minus1 >= 1
-                    and len(va.vps_map_absolute_coding_enabled_flag) > 1):
-                map1_abs = bool(va.vps_map_absolute_coding_enabled_flag[1])
             with self.timer.stage("transcodeGeometry"):
                 if not map1_abs and self._has_rbv_pair(
                     atlas, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1
@@ -98,6 +96,7 @@ class Transcoder:
                     self._transcode_map_pair(
                         atlas, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
                         p.effective_geometry_qp(), component="geo",
+                        occ_mask=occ_mask,
                     )
                 else:
                     for vt in (VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
@@ -114,6 +113,7 @@ class Transcoder:
                         atlas, VideoType.ATTRIBUTE_T0,
                         VideoType.ATTRIBUTE_T1,
                         p.effective_attribute_qp(), component="attr",
+                        occ_mask=occ_mask,
                     )
                 else:
                     for vt in (VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
@@ -182,25 +182,15 @@ class Transcoder:
             occ = np.asarray(upsample_nearest(jnp.asarray(occ), factor))
         return occ[:, : asps.asps_frame_height, : asps.asps_frame_width]
 
-    def _reencode_lossless_filled(
-        self, atlas, vb, qp: int, occ_mask: np.ndarray | None
-    ) -> bytes:
-        """Lossless video input -> lossy at `qp` with occupancy-anchored
-        background fill first (the reference's dilate-before-encode,
-        PCCVideoEncoder.cpp:282 path): unfilled lossless planes ring hard at
-        patch borders and waste bits on background edges."""
-        p = self.params
+    def _fill_video(
+        self, video: Video, occ_mask: np.ndarray, map_count: int
+    ) -> tuple[Video, bool]:
+        """Occupancy-anchored push-pull background fill of a decoded video
+        (the reference's dilate-before-encode, PCCVideoEncoder.cpp:282).
+        -> (filled video, per_map_stream)."""
         from ..ops.dilate import pad_pow2, push_pull_fill
         from ..ops.occupancy import downscale_maxpool
 
-        video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
-        map_count = (
-            atlas.asps_list[0].asps_map_count_minus1 + 1
-            if atlas.asps_list
-            else 1
-        )
-        if occ_mask is None:
-            return rbv._reencode_lossless(vb.data, qp, None, 6)
         per_map_stream = video.frame_count == occ_mask.shape[0]
         if per_map_stream:
             occ_rep = occ_mask  # per-map sub-stream: one frame per source
@@ -227,13 +217,36 @@ class Transcoder:
             planes.append(
                 np.clip(np.round(filled), 0, maxval).astype(pl.dtype)
             )
-        out_video = Video(
-            video.width, video.height, video.bitdepth, video.format, planes
+        return (
+            Video(video.width, video.height, video.bitdepth, video.format,
+                  planes),
+            per_map_stream,
+        )
+
+    def _map_count(self, atlas) -> int:
+        return (
+            atlas.asps_list[0].asps_map_count_minus1 + 1
+            if atlas.asps_list
+            else 1
+        )
+
+    def _reencode_lossless_filled(
+        self, atlas, vb, qp: int, occ_mask: np.ndarray | None
+    ) -> bytes:
+        """Lossless video input -> lossy at `qp` with occupancy-anchored
+        background fill first: unfilled lossless planes ring hard at patch
+        borders and waste bits on background edges."""
+        p = self.params
+        if occ_mask is None:
+            return rbv._reencode_lossless(vb.data, qp, None, 6)
+        video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
+        out_video, per_map_stream = self._fill_video(
+            video, occ_mask, self._map_count(atlas)
         )
         # per-map sub-streams are NOT map-interleaved: no map factor
         gop = max(
             1,
-            (1 if per_map_stream else map_count)
+            (1 if per_map_stream else self._map_count(atlas))
             * (1 if p.allIntra else p.videoGopSize),
         )
         payload, _ = VideoEncoder.create(CodecId.RBV).encode(
@@ -247,17 +260,18 @@ class Transcoder:
         return (
             vb0 is not None and vb1 is not None
             and vb0.data.startswith(b"RBV") and vb1.data.startswith(b"RBV")
-            and not rbv.probe(vb0.data)["lossless"]
-            and not rbv.probe(vb1.data)["lossless"]
         )
 
-    def _transcode_map_pair(
-        self, atlas, t0: VideoType, t1: VideoType, qp: int, component: str
-    ) -> None:
+    def _make_map_pair_payloads(
+        self, atlas, t0: VideoType, t1: VideoType, qp: int, component: str,
+        occ_mask: np.ndarray | None = None,
+    ) -> tuple[bytes, bytes]:
         """Joint transcode of a predicted map pair: decode both, rebuild the
         absolute map 1 from (delta, rec0_old), re-encode map 0 at the new
         QP, then re-derive and encode the delta against the NEW rec0 —
-        closed-loop-consistent with the encoder/decoder delta semantics."""
+        closed-loop-consistent with the encoder/decoder delta semantics.
+        Lossless inputs go through the occupancy-anchored fill; MC inputs
+        keep motion compensation in the re-encode."""
         from ..codec.mapstream import (
             attr_bias,
             combine_map1,
@@ -266,12 +280,12 @@ class Transcoder:
         )
 
         p = self.params
-        v0 = VideoDecoder.create(CodecId.RBV).decode(
-            atlas.video_bitstreams[t0].data
-        )
-        v1 = VideoDecoder.create(CodecId.RBV).decode(
-            atlas.video_bitstreams[t1].data
-        )
+        data0 = atlas.video_bitstreams[t0].data
+        data1 = atlas.video_bitstreams[t1].data
+        info0 = rbv.probe(data0)
+        use_motion = bool(info0["motion"])  # preserve the input's MC choice
+        v0 = VideoDecoder.create(CodecId.RBV).decode(data0)
+        v1 = VideoDecoder.create(CodecId.RBV).decode(data1)
         bias = (
             geo_bias(v0.bitdepth) if component == "geo"
             else attr_bias(v0.bitdepth)
@@ -281,17 +295,37 @@ class Transcoder:
             combine_map1(np.asarray(d), np.asarray(r0), bias, maxv)
             for d, r0 in zip(v1.planes, v0.planes)
         ]
+        if info0["lossless"] and occ_mask is not None:
+            # fill the exact planes so the lossy re-encode doesn't ring at
+            # patch borders; the delta backgrounds then flatten to ~bias
+            v0, _ = self._fill_video(v0, occ_mask, self._map_count(atlas))
+            abs1_v, _ = self._fill_video(
+                Video(v1.width, v1.height, v1.bitdepth, v1.format, abs1),
+                occ_mask, self._map_count(atlas),
+            )
+            abs1 = [np.asarray(pl) for pl in abs1_v.planes]
         gop = max(1, 1 if p.allIntra else p.videoGopSize)
-        payload0, rec0_new = VideoEncoder.create(CodecId.RBV).encode(
-            v0, VideoEncoderParams(qp=qp, gop_size=gop)
+        vep = VideoEncoderParams(
+            qp=qp, gop_size=gop,
+            motion=use_motion and gop > 1,
         )
+        payload0, rec0_new = VideoEncoder.create(CodecId.RBV).encode(v0, vep)
         delta_new = [
             make_delta(a1, np.asarray(r0), bias, maxv)
             for a1, r0 in zip(abs1, rec0_new.planes)
         ]
         payload1, _ = VideoEncoder.create(CodecId.RBV).encode(
             Video(v1.width, v1.height, v1.bitdepth, v1.format, delta_new),
-            VideoEncoderParams(qp=qp, gop_size=gop),
+            vep,
+        )
+        return payload0, payload1
+
+    def _transcode_map_pair(
+        self, atlas, t0: VideoType, t1: VideoType, qp: int, component: str,
+        occ_mask: np.ndarray | None = None,
+    ) -> None:
+        payload0, payload1 = self._make_map_pair_payloads(
+            atlas, t0, t1, qp, component, occ_mask=occ_mask
         )
         atlas.set_video_bitstream(VideoBitstream(t0, payload0))
         atlas.set_video_bitstream(VideoBitstream(t1, payload1))
@@ -339,7 +373,9 @@ class Transcoder:
         atlas.set_video_bitstream(VideoBitstream(vtype, payload))
 
     # ------------------------------------------------------------------
-    def _rate_control(self, atlas, occ_mask=None) -> tuple[int, int]:
+    def _rate_control(
+        self, atlas, occ_mask=None, map1_abs: bool = True
+    ) -> tuple[int, int]:
         """rate_mode='abr': pick (geometry QP, attribute QP) hitting the
         target bitrate and install the winning payloads directly (the probes
         ARE DCT-domain requantisations — the cheapest transcode there is, so
@@ -369,7 +405,20 @@ class Transcoder:
                            VideoType.GEOMETRY_D1))
         attr_vbs = collect((VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
                             VideoType.ATTRIBUTE_T1))
-        if not geo_vbs and not attr_vbs:
+        # predicted map pairs must transcode jointly in ABR too (the delta
+        # re-derives against the NEW rec0): pull them out of the
+        # independent-search lists
+        geo_pair = (not map1_abs) and self._has_rbv_pair(
+            atlas, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1
+        )
+        attr_pair = (not map1_abs) and self._has_rbv_pair(
+            atlas, VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1
+        )
+        if geo_pair:
+            geo_vbs = [x for x in geo_vbs if x[0] == VideoType.GEOMETRY]
+        if attr_pair:
+            attr_vbs = [x for x in attr_vbs if x[0] == VideoType.ATTRIBUTE]
+        if not geo_vbs and not attr_vbs and not geo_pair and not attr_pair:
             return 32, 32  # foreign payloads only: ABR not applicable
 
         def gof_frames(t, vb) -> int:
@@ -379,21 +428,45 @@ class Transcoder:
             except ValueError:
                 return 1
 
-        frames = gof_frames(*(geo_vbs or attr_vbs)[0])
+        frame_src = geo_vbs or attr_vbs
+        if frame_src:
+            frames = gof_frames(*frame_src[0])
+        else:
+            t0 = (VideoType.GEOMETRY_D0 if geo_pair
+                  else VideoType.ATTRIBUTE_T0)
+            frames = gof_frames(t0, atlas.video_bitstreams[t0])
         budget = p.targetBitrateMbps * 1e6 / 8.0 * frames / max(
             1e-6, p.frameRate
         )
         geo_budget = budget * p.geometryBitrateShare
         attr_budget = budget - geo_budget
 
+        filled_cache: dict[int, tuple] = {}
+
         def probe_payload(vb, qp: int) -> bytes:
             if rbv.probe(vb.data)["lossless"]:
                 # first quantisation of a lossless input: go through the
                 # occupancy-anchored background-fill path, NOT the bare
-                # re-encode (unfilled planes ring and waste bits)
-                return self._reencode_lossless_filled(
-                    atlas, vb, qp, occ_mask
+                # re-encode.  The decode + fill are QP-invariant — do them
+                # ONCE per stream and only re-encode per probe
+                if occ_mask is None:
+                    return rbv._reencode_lossless(vb.data, qp, None, 6)
+                key = id(vb)
+                if key not in filled_cache:
+                    video = VideoDecoder.create(CodecId.RBV).decode(vb.data)
+                    filled_cache[key] = self._fill_video(
+                        video, occ_mask, map_count
+                    )
+                video, per_map_stream = filled_cache[key]
+                gop = max(
+                    1,
+                    (1 if per_map_stream else map_count)
+                    * (1 if p.allIntra else p.videoGopSize),
                 )
+                payload, _ = VideoEncoder.create(CodecId.RBV).encode(
+                    video, VideoEncoderParams(qp=qp, gop_size=gop)
+                )
+                return payload
             return rbv.requantize(vb.data, qp)
 
         def search(vb, vtype, target_bytes, cache_key) -> int:
@@ -434,8 +507,55 @@ class Transcoder:
                 )
             return qp_out
 
-        geo_qp = search_family(geo_vbs, geo_budget, "geo")
-        attr_qp = search_family(attr_vbs, attr_budget, "attr")
+        def search_pair(t0, t1, target_bytes, cache_key, component) -> int:
+            def make(qp: int) -> tuple[bytes, bytes]:
+                return self._make_map_pair_payloads(
+                    atlas, t0, t1, qp, component, occ_mask=occ_mask
+                )
+
+            def install(pair) -> None:
+                atlas.set_video_bitstream(VideoBitstream(t0, pair[0]))
+                atlas.set_video_bitstream(VideoBitstream(t1, pair[1]))
+
+            cached = self._rc_cache.get(cache_key)
+            if cached is not None:
+                qp, size = cached
+                if abs(size - target_bytes) <= 0.2 * target_bytes:
+                    install(make(qp))
+                    return qp
+            lo, hi = 4, 48
+            best = hi
+            best_pair = None
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                pair = make(mid)
+                if len(pair[0]) + len(pair[1]) <= target_bytes:
+                    best, best_pair = mid, pair
+                    hi = mid - 1
+                else:
+                    lo = mid + 1
+            if best_pair is None:
+                best_pair = make(best)
+            self._rc_cache[cache_key] = (
+                best, len(best_pair[0]) + len(best_pair[1])
+            )
+            install(best_pair)
+            return best
+
+        if geo_pair:
+            geo_qp = search_pair(
+                VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
+                geo_budget, "geo:pair", "geo",
+            )
+        else:
+            geo_qp = search_family(geo_vbs, geo_budget, "geo")
+        if attr_pair:
+            attr_qp = search_pair(
+                VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1,
+                attr_budget, "attr:pair", "attr",
+            )
+        else:
+            attr_qp = search_family(attr_vbs, attr_budget, "attr")
         return geo_qp, attr_qp
 
     # ------------------------------------------------------------------

@@ -975,4 +975,5 @@ def probe(payload: bytes) -> dict:
         "format": ColorFormat(chroma), "frame_count": f,
         "block_size": block, "gop_size": gop, "qp": qp,
         "lossless": bool(flags & 1),
+        "motion": bool(flags & 2),
     }

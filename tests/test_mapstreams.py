@@ -194,3 +194,28 @@ class TestAbrOnMapStreams:
         )
         Encoder(params).encode(GroupOfFrames([src]))
         assert params.absoluteT1 == params.absoluteD1 == True  # noqa: E712
+
+    def test_abr_on_predicted_pairs(self):
+        """ABR + D1-from-rec-D0: the pair searches jointly (re-deriving the
+        delta against the new rec0) instead of requantising the delta
+        against a stale reconstruction."""
+        from scipy.spatial import cKDTree
+
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+
+        src, data, _, _, _ = roundtrip(absolute=False)
+        ctx = V3CReader().decode(V3CReader().read(data)[0])
+        tc = Transcoder(TranscoderParameters(
+            rate_mode="abr", targetBitrateMbps=0.5,
+        ))
+        tc.transcode(ctx)
+        assert "geo:pair" in tc._rc_cache and "attr:pair" in tc._rc_cache
+        out = V3CWriter().write(V3CWriter().encode(ctx))
+        dec = Decoder().decode(V3CReader().decode(V3CReader().read(out)[0]))
+        d = cKDTree(dec[0].positions.astype(np.float32)).query(
+            src.positions.astype(np.float32), k=1
+        )[0]
+        assert float(np.mean(d**2)) < 8.0
