@@ -229,3 +229,41 @@ class TestShardedStreams:
         assert len(V3CReader().read_file(outs[0])) == 1
         assert results[1]["failures"] == 0
         assert len(V3CReader().read_file(outs[1])) == 2
+
+
+class TestShardedMixedInputs:
+    def test_sharded_plain_plus_predicted_map_stream(self, tmp_path):
+        """The sharded driver over a MIX of a plain stream and a
+        D1-from-rec-D0 per-map stream: both transcode (the predicted pair
+        jointly), byte-identical to the sequential per-stream mode."""
+        from rabbit_transcoding_tpu.apps.stream import (
+            transcode_stream,
+            transcode_streams_sharded,
+        )
+
+        writer = V3CWriter()
+        paths = []
+        for si, extra in enumerate([
+            {},
+            dict(multipleStreams=True, absoluteD1=False, absoluteT1=False),
+        ]):
+            enc = Encoder(EncoderParameters(
+                minimumImageWidth=256, minimumImageHeight=64,
+                geometryQP=10, attributeQP=18, occupancyPrecision=2,
+                groupOfFramesSize=1, **extra,
+            ))
+            ctx, _ = enc.encode(
+                GroupOfFrames([make_sphere_cloud(seed=40 + si)])
+            )
+            path = str(tmp_path / f"mix{si}.bin")
+            writer.write_file(writer.encode(ctx), path)
+            paths.append(path)
+        params = StreamParams(geometryQP=28, attributeQP=36)
+        plain = [str(tmp_path / f"p{i}.bin") for i in range(2)]
+        shard = [str(tmp_path / f"s{i}.bin") for i in range(2)]
+        for i, path in enumerate(paths):
+            transcode_stream(path, plain[i], params)
+        results = transcode_streams_sharded(paths, shard, params)
+        assert all(r["failures"] == 0 for r in results)
+        for p, s in zip(plain, shard):
+            assert open(p, "rb").read() == open(s, "rb").read()
