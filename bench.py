@@ -183,12 +183,15 @@ def main() -> int:
     warmup_s = time.perf_counter() - t0
     log(f"warmup gof: {warmup_s:.2f}s; out {out_size} bytes")
     # the shared tunneled chip occasionally enters multi-minute-slow phases;
-    # shed the optional sections then so the fps headline always lands
-    # within the driver's budget
+    # shed TPU-dependent optional sections then so the fps headline always
+    # lands within the driver's budget.  The CPU-only quality probe is NEVER
+    # shed (round-2 verdict: the official record must carry d1_delta every
+    # run); the 4-stream aggregate falls back to the cached value from the
+    # last healthy run, marked stale.
     degraded = warmup_s > 150.0
     if degraded:
-        log("slow-tunnel phase detected: skipping multi-stream aggregate "
-            "and quality probe this run")
+        log("slow-tunnel phase detected: multi-stream aggregate uses the "
+            "cached last-healthy value this run")
 
     if n_streams <= 1:
         # GOF pipeline depth 2, exactly like rabbit-stream's default
@@ -230,55 +233,67 @@ def main() -> int:
     fps = total_frames / wall
     log(f"{total_frames} frames in {wall:.2f}s -> {fps:.2f} fps/chip")
 
-    if n_streams <= 1 and not degraded and (
-        os.environ.get("BENCH_MULTI", "1") != "0"
-    ):
-        # record the 4-stream aggregate alongside the headline (BASELINE
-        # config #5) through the PRODUCT multi-stream path: all 4 streams'
-        # video planes run as ONE batched device program per plane
-        # (transcoder/multistream.py) instead of 4 interleaved single-stream
-        # dispatch chains fighting over the device queue; host entropy
-        # (decode/remux) stays 4-way threaded
-        import concurrent.futures as cf
+    ms_fps = None
+    ms_stale = False
+    ms_cache = f"/tmp/rabbit_bench_msagg_{mode}_{frames}.json"
+    if n_streams <= 1 and os.environ.get("BENCH_MULTI", "1") != "0":
+        if not degraded:
+            # record the 4-stream aggregate alongside the headline (BASELINE
+            # config #5) through the PRODUCT multi-stream path: all 4
+            # streams' video planes run as ONE batched device program per
+            # plane (transcoder/multistream.py) instead of 4 interleaved
+            # single-stream dispatch chains fighting over the device queue;
+            # host entropy (decode/remux) stays 4-way threaded
+            import concurrent.futures as cf
 
-        from rabbit_transcoding_tpu.transcoder.multistream import (
-            MultiStreamTranscoder,
-        )
+            from rabbit_transcoding_tpu.transcoder.multistream import (
+                MultiStreamTranscoder,
+            )
 
-        mst = MultiStreamTranscoder(params)
+            mst = MultiStreamTranscoder(params)
 
-        def ms_window() -> float:
-            t0 = time.perf_counter()
-            with cf.ThreadPoolExecutor(max_workers=4) as ex:
-                contexts = list(ex.map(
-                    lambda _i: reader.decode(list(units)), range(4)
-                ))
-            mst.transcode_many(contexts)
+            def ms_window() -> float:
+                t0 = time.perf_counter()
+                with cf.ThreadPoolExecutor(max_workers=4) as ex:
+                    contexts = list(ex.map(
+                        lambda _i: reader.decode(list(units)), range(4)
+                    ))
+                mst.transcode_many(contexts)
 
-            def wr(c) -> int:
-                w = V3CWriter()
-                return len(w.write(w.encode(c)))
+                def wr(c) -> int:
+                    w = V3CWriter()
+                    return len(w.write(w.encode(c)))
 
-            with cf.ThreadPoolExecutor(max_workers=4) as ex:
-                list(ex.map(wr, contexts))
-            return time.perf_counter() - t0
+                with cf.ThreadPoolExecutor(max_workers=4) as ex:
+                    list(ex.map(wr, contexts))
+                return time.perf_counter() - t0
 
-        ms_window()  # warmup: the batched shapes jit here
-        # one GOF round of all 4 streams per window; best of several — the
-        # shared tunneled chip shows 2-4x run-to-run variance
-        ms_wall = min(ms_window() for _ in range(4))
-        ms_fps = frames * 4 / ms_wall
-        log(f"4-stream aggregate (batched device path): "
-            f"{frames * 4} frames in "
-            f"{ms_wall:.2f}s -> {ms_fps:.2f} fps/chip")
+            ms_window()  # warmup: the batched shapes jit here
+            # one GOF round of all 4 streams per window; best of several —
+            # the shared tunneled chip shows 2-4x run-to-run variance
+            ms_wall = min(ms_window() for _ in range(4))
+            ms_fps = frames * 4 / ms_wall
+            with open(ms_cache, "w") as fh:
+                json.dump({"fps": round(ms_fps, 2)}, fh)
+        elif os.path.exists(ms_cache):
+            try:
+                ms_fps = json.load(open(ms_cache))["fps"]
+                ms_stale = True
+            except (json.JSONDecodeError, OSError, KeyError):
+                ms_fps = None
+        if ms_fps is not None:
+            log(f"4-stream aggregate (batched device path): "
+                f"{ms_fps:.2f} fps/chip"
+                + (" [STALE: cached from last healthy run]"
+                   if ms_stale else ""))
 
     # quality half of the north star: D1 delta of the live transcode vs the
     # full decode->re-encode baseline at the same QPs (<=0.05 dB target).
-    # Runs as a CPU subprocess (the probe is a latency-bound CLI loop) and
-    # is cached in /tmp keyed by the package source hash.
+    # Runs as a CPU subprocess (the probe is a latency-bound CLI loop,
+    # cached in /tmp keyed by the package source hash) — it never touches
+    # the tunnel, so it runs EVERY time, slow-tunnel phase or not.
+    d1_delta = None
     try:
-        if degraded:
-            raise RuntimeError("skipped in slow-tunnel phase")
         import subprocess
 
         env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -286,8 +301,9 @@ def main() -> int:
             [sys.executable, "-m",
              "rabbit_transcoding_tpu.metrics.quality_probe",
              str(params.geometryQP), str(params.attributeQP)],
-            capture_output=True, text=True, timeout=900, env=env, check=True,
+            capture_output=True, text=True, timeout=1800, env=env, check=True,
         ).stdout.strip().splitlines()[-1])
+        d1_delta = q["d1_delta"]
         log(
             f"quality: D1 live={q['d1_live']:.2f} dB vs "
             f"baseline={q['d1_baseline']:.2f} dB -> d1_delta="
@@ -298,12 +314,22 @@ def main() -> int:
         log(f"quality probe failed: {e!r}")
 
     suffix = f"_{n_streams}streams" if n_streams > 1 else ""
-    print(json.dumps({
+    record = {
         "metric": f"vpcc_transcode_fps_1024_{mode}{suffix}",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+    # auxiliary evidence rides in the same record so the driver artifact
+    # (BENCH_r{N}.json) is self-contained even when stderr is truncated
+    if d1_delta is not None:
+        record["d1_delta_db"] = d1_delta
+    if ms_fps is not None:
+        record["aggregate_fps_4stream"] = round(float(ms_fps), 2)
+        if ms_stale:
+            record["aggregate_stale"] = True
+    record["warmup_s"] = round(warmup_s, 1)
+    print(json.dumps(record))
     return 0
 
 

@@ -33,6 +33,15 @@ class AtlasHLS:
     afps_list: list[AtlasFrameParameterSetRbsp] = field(default_factory=list)
     atlas_tile_layers: list[AtlasTileLayerRbsp] = field(default_factory=list)
     video_bitstreams: dict[VideoType, VideoBitstream] = field(default_factory=dict)
+    # AVD sub-streams beyond the standard set, keyed by
+    # (vuh_attribute_index, vuh_attribute_partition_index, vuh_map_index) —
+    # dimension-partitioned attributes and extra attributes (the reference
+    # decodes per-partition/per-attribute videos, PCCDecoder.cpp:208-300).
+    # Attr 0 partition 0 and attr 1 (reflectance) partition 0 keep their
+    # VideoType slots above; everything else routes here.
+    attr_ext: dict[tuple[int, int, int], VideoBitstream] = field(
+        default_factory=dict
+    )
     seis_prefix: list[Sei] = field(default_factory=list)
     seis_suffix: list[Sei] = field(default_factory=list)
 

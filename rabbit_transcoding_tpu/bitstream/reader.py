@@ -75,21 +75,39 @@ class V3CReader:
                 atlas.set_video_bitstream(_vb(vtype, unit.payload))
             elif t == V3CUnitType.V3C_AVD:
                 atlas = context.atlas(unit.header.vuh_atlas_id)
-                if unit.header.vuh_auxiliary_video_flag:
-                    vtype = VideoType.ATTRIBUTE_RAW
-                elif unit.header.vuh_attribute_index == 1:
-                    vtype = VideoType.ATTRIBUTE_REFL
+                h = unit.header
+                if h.vuh_auxiliary_video_flag:
+                    atlas.set_video_bitstream(
+                        _vb(VideoType.ATTRIBUTE_RAW, unit.payload)
+                    )
+                elif h.vuh_attribute_partition_index > 0 or (
+                    h.vuh_attribute_index > 1
+                ):
+                    # dimension-partitioned / extra attribute sub-streams
+                    # route by their vuh header fields (the reference's
+                    # per-partition decode, PCCDecoder.cpp:208-300)
+                    atlas.attr_ext[(
+                        h.vuh_attribute_index,
+                        h.vuh_attribute_partition_index,
+                        h.vuh_map_index,
+                    )] = _vb(VideoType.ATTRIBUTE, unit.payload)
+                elif h.vuh_attribute_index == 1:
+                    atlas.set_video_bitstream(
+                        _vb(VideoType.ATTRIBUTE_REFL, unit.payload)
+                    )
                 elif context.vps.atlas(0).vps_map_count_minus1 > 0 and (
                     context.vps.atlas(0).vps_multiple_map_streams_present_flag
                 ):
                     vtype = (
                         VideoType.ATTRIBUTE_T0
-                        if unit.header.vuh_map_index == 0
+                        if h.vuh_map_index == 0
                         else VideoType.ATTRIBUTE_T1
                     )
+                    atlas.set_video_bitstream(_vb(vtype, unit.payload))
                 else:
-                    vtype = VideoType.ATTRIBUTE
-                atlas.set_video_bitstream(_vb(vtype, unit.payload))
+                    atlas.set_video_bitstream(
+                        _vb(VideoType.ATTRIBUTE, unit.payload)
+                    )
             else:
                 raise ValueError(f"unknown V3C unit type {t}")
         return context

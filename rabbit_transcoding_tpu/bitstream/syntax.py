@@ -192,8 +192,34 @@ class AttributeInformation:
     ai_attribute_type_id: list[int] = field(default_factory=list)
     ai_attribute_codec_id: list[int] = field(default_factory=list)
     ai_attribute_dimension_minus1: list[int] = field(default_factory=list)
+    # dimension partitioning (23090-5 attribute_information; reference
+    # PCCBitstreamReader.cpp:399-412): attribute i splits its dimension+1
+    # channels over partitions_minus1+1 AVD sub-streams, each routed by
+    # vuh_attribute_partition_index.  Channel counts follow the spec's
+    # inference rule (a partition's count is only coded when it is not
+    # forced by the remaining channel/partition budget).
+    ai_attribute_dimension_partitions_minus1: list[int] = field(
+        default_factory=list
+    )
+    ai_attribute_partition_channels_minus1: list[list[int]] = field(
+        default_factory=list
+    )
     ai_attribute_2d_bitdepth_minus1: list[int] = field(default_factory=list)
     ai_attribute_msb_align_flag: list[bool] = field(default_factory=list)
+
+    def _partitions(self, i: int) -> int:
+        if i < len(self.ai_attribute_dimension_partitions_minus1):
+            return self.ai_attribute_dimension_partitions_minus1[i]
+        return 0
+
+    def partition_channel_counts(self, i: int) -> list[int]:
+        """Channels per partition of attribute i (1-based counts)."""
+        k = self._partitions(i)
+        if k == 0:
+            return [self.ai_attribute_dimension_minus1[i] + 1]
+        return [
+            c + 1 for c in self.ai_attribute_partition_channels_minus1[i]
+        ]
 
     def write(self, bw: BitWriter) -> None:
         bw.u(7, self.ai_attribute_count)
@@ -201,6 +227,19 @@ class AttributeInformation:
             bw.u(4, self.ai_attribute_type_id[i])
             bw.u(8, self.ai_attribute_codec_id[i])
             bw.u(6, self.ai_attribute_dimension_minus1[i])
+            if self.ai_attribute_dimension_minus1[i] > 0:
+                k = self._partitions(i)
+                bw.u(6, k)
+                remaining = self.ai_attribute_dimension_minus1[i]
+                channels = (
+                    self.ai_attribute_partition_channels_minus1[i]
+                    if i < len(self.ai_attribute_partition_channels_minus1)
+                    else [0] * (k + 1)
+                )
+                for j in range(k):
+                    if k - j != remaining:
+                        bw.ue(channels[j])
+                    remaining -= channels[j] + 1
             bw.u(5, self.ai_attribute_2d_bitdepth_minus1[i])
             bw.u(1, self.ai_attribute_msb_align_flag[i])
 
@@ -208,10 +247,24 @@ class AttributeInformation:
     def read(cls, br: BitReader) -> "AttributeInformation":
         s = cls()
         s.ai_attribute_count = br.u(7)
-        for _ in range(s.ai_attribute_count):
+        for i in range(s.ai_attribute_count):
             s.ai_attribute_type_id.append(br.u(4))
             s.ai_attribute_codec_id.append(br.u(8))
             s.ai_attribute_dimension_minus1.append(br.u(6))
+            if s.ai_attribute_dimension_minus1[i] > 0:
+                k = br.u(6)
+                s.ai_attribute_dimension_partitions_minus1.append(k)
+                remaining = s.ai_attribute_dimension_minus1[i]
+                channels: list[int] = []
+                for j in range(k):
+                    c = 0 if k - j == remaining else br.ue()
+                    channels.append(c)
+                    remaining -= c + 1
+                channels.append(remaining)
+                s.ai_attribute_partition_channels_minus1.append(channels)
+            else:
+                s.ai_attribute_dimension_partitions_minus1.append(0)
+                s.ai_attribute_partition_channels_minus1.append([0])
             s.ai_attribute_2d_bitdepth_minus1.append(br.u(5))
             s.ai_attribute_msb_align_flag.append(bool(br.u(1)))
         return s

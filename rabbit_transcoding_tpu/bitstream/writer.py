@@ -130,4 +130,24 @@ class V3CWriter:
             )
             units.append(V3CUnit(header, vb.data))
             self.stat.add_video(vb.name, len(vb.data))
+        # dimension-partitioned / extra attribute sub-streams (the mirror of
+        # reader.py's attr_ext routing): the (attribute, partition, map)
+        # key IS the vuh header field triple
+        for (attr_idx, part_idx, map_idx), vb in sorted(
+            atlas.attr_ext.items()
+        ):
+            if len(vb) == 0:
+                continue
+            header = V3CUnitHeader(
+                unit_type=V3CUnitType.V3C_AVD,
+                vuh_v3c_parameter_set_id=vps_id,
+                vuh_atlas_id=atlas.atlas_id,
+                vuh_attribute_index=attr_idx,
+                vuh_attribute_partition_index=part_idx,
+                vuh_map_index=map_idx,
+            )
+            units.append(V3CUnit(header, vb.data))
+            self.stat.add_video(
+                f"attr[{attr_idx}][{part_idx}][{map_idx}]", len(vb.data)
+            )
         return units

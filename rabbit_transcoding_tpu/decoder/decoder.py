@@ -90,6 +90,28 @@ class Decoder:
                 attr_video = VideoDecoder.create(CodecId.RBV).decode(
                     atlas.get_video_bitstream(VideoType.ATTRIBUTE).data
                 )
+                part_keys = sorted(
+                    k for k in atlas.attr_ext if k[0] == 0 and k[2] == 0
+                )
+                if part_keys:
+                    # dimension-partitioned attribute: the ATTRIBUTE slot
+                    # carries partition 0 (luma); chroma partitions ride
+                    # attr_ext AVD units at native subsampled resolution
+                    # (reference per-partition decode,
+                    # PCCDecoder.cpp:208-300)
+                    from ..core.image import Video
+                    from ..utils.enums import ColorFormat
+
+                    planes = list(attr_video.planes)
+                    for key in part_keys:
+                        part = VideoDecoder.create(CodecId.RBV).decode(
+                            atlas.attr_ext[key].data
+                        )
+                        planes.extend(part.planes)
+                    attr_video = Video(
+                        attr_video.width, attr_video.height,
+                        attr_video.bitdepth, ColorFormat.YUV420, planes,
+                    )
         elif VideoType.ATTRIBUTE_T0 in atlas.video_bitstreams:
             with self.timer.stage("decodeAttributeVideo"):
                 from ..codec.mapstream import (

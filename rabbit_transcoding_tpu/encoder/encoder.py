@@ -618,6 +618,11 @@ class Encoder:
                 )
                 geo_gop = max(1, 1 if p.allIntra else p.videoGopSize)
             use_ms = p.multipleStreams and n_maps == 2 and not use_pi
+            if p.attributeDimensionPartitions > 1 and (use_ms or use_pi):
+                raise ValueError(
+                    "attributeDimensionPartitions cannot combine with "
+                    "multipleStreams or singleMapPixelInterleaving"
+                )
             geo_payload_maps = None
             if use_ms:
                 # one GVD sub-stream per map (multipleStreams); map 1 codes
@@ -822,6 +827,7 @@ class Encoder:
         attr_payload = None
         attr_recon = None
         attr_payload_maps = None
+        attr_payload_parts = None  # partitions 1.. when dimension-partitioned
         with self.timer.stage("generateAttributeVideo"):
           if not p.noAttributes:
             attr_rgb = np.zeros(
@@ -982,6 +988,57 @@ class Encoder:
                      for r0, r1 in zip(rec0p, rec1p)],
                 )
                 attr_payload_maps = (t0_payload, t1_payload)
+            elif p.attributeDimensionPartitions > 1:
+                # dimension-partitioned AVD: one single-channel RBV
+                # sub-stream per color plane (23090-5 partitions; the
+                # reference decodes per-partition videos routed by
+                # vuh_attribute_partition_index, PCCDecoder.cpp:208-300).
+                # Chroma partitions ride at their native (subsampled)
+                # resolution — no cross-channel packing needed.
+                if p.attributeDimensionPartitions != 3:
+                    raise ValueError(
+                        "attributeDimensionPartitions supports 1 (single "
+                        "stream) or 3 (one partition per channel)"
+                    )
+                if use_pi:
+                    raise ValueError(
+                        "attribute dimension partitions cannot combine with "
+                        "pixel interleaving"
+                    )
+                if p.attributeVideo444:
+                    raise ValueError(
+                        "attribute dimension partitions require YUV420 "
+                        "attribute video (attributeVideo444 off)"
+                    )
+                part_cid = (
+                    CodecId.RBV_LOSSLESS if p.losslessAttribute
+                    else CodecId.RBV
+                )
+                part_vep = (
+                    VideoEncoderParams(lossless=True)
+                    if p.losslessAttribute
+                    else VideoEncoderParams(
+                        qp=p.attributeQP, gop_size=attr_gop,
+                        motion=p.motionEstimation,
+                    )
+                )
+                part_payloads = []
+                part_recons = []
+                for pl in attr_video.planes:
+                    pv = Video(
+                        pl.shape[2], pl.shape[1], 8, ColorFormat.YUV400,
+                        [pl],
+                    )
+                    pay, rec = VideoEncoder.create(part_cid).encode(
+                        pv, part_vep
+                    )
+                    part_payloads.append(pay)
+                    part_recons.append(np.asarray(rec.planes[0]))
+                attr_payload = part_payloads[0]
+                attr_payload_parts = part_payloads[1:]
+                attr_recon = Video(
+                    width, height, 8, attr_video.format, part_recons
+                )
             elif p.losslessAttribute:
                 attr_payload, attr_recon = VideoEncoder.create(
                     CodecId.RBV_LOSSLESS
@@ -1274,6 +1331,7 @@ class Encoder:
                 refl_payload=refl_payload, use_pi=use_pi,
                 geo_payload_maps=geo_payload_maps,
                 attr_payload_maps=attr_payload_maps,
+                attr_payload_parts=attr_payload_parts,
             )
             if p.pbfEnableFlag:
                 from ..bitstream.sei import SeiOccupancySynthesis
@@ -1293,6 +1351,7 @@ class Encoder:
         raw_points=None, raw_geo_payload=None, raw_attr_payload=None,
         tile_band=None, eom_points=None, refl_payload=None, use_pi=False,
         geo_payload_maps=None, attr_payload_maps=None,
+        attr_payload_parts=None,
     ) -> Context:
         p = self.params
         context = Context()
@@ -1334,11 +1393,21 @@ class Encoder:
                 ai_attribute_msb_align_flag=[],
             )
         else:
+            n_parts = 1 + (
+                len(attr_payload_parts) if attr_payload_parts else 0
+            )
             va.attribute_information = AttributeInformation(
                 ai_attribute_count=1,
                 ai_attribute_type_id=[0],
                 ai_attribute_codec_id=[0],
                 ai_attribute_dimension_minus1=[2],
+                # one single-channel partition per coded sub-stream when
+                # dimension-partitioned (channel counts are fully inferred
+                # by the spec rule: zero extra bits on the wire)
+                ai_attribute_dimension_partitions_minus1=[n_parts - 1],
+                ai_attribute_partition_channels_minus1=[
+                    [0] * n_parts if n_parts > 1 else [2]
+                ],
                 ai_attribute_2d_bitdepth_minus1=[7],
                 ai_attribute_msb_align_flag=[False],
             )
@@ -1556,6 +1625,14 @@ class Encoder:
             atlas.set_video_bitstream(
                 VideoBitstream(VideoType.ATTRIBUTE, attr_payload)
             )
+            if attr_payload_parts:
+                # partitions 1..n of attribute 0 ride dedicated AVD units
+                # keyed by vuh_attribute_partition_index (partition 0 is
+                # the ATTRIBUTE slot above)
+                for pi, pay in enumerate(attr_payload_parts, start=1):
+                    atlas.attr_ext[(0, pi, 0)] = VideoBitstream(
+                        VideoType.ATTRIBUTE, pay
+                    )
         if refl_payload is not None:
             va.attribute_information.ai_attribute_count += 1
             va.attribute_information.ai_attribute_type_id.append(3)  # reflectance

@@ -84,6 +84,13 @@ class EncoderParameters:
     losslessAttribute: bool = False  # attribute video coded lossless
     noAttributes: bool = False       # geometry-only stream (ai_attribute_count=0)
     attributeVideo444: bool = False  # attribute video RGB444 (no 420 subsample)
+    # dimension-partitioned attribute sub-streams (23090-5
+    # attribute_information partitions; reference PCCDecoder.cpp:208-300
+    # decodes per-partition videos routed by vuh_attribute_partition_index).
+    # 1 = single AVD stream (default); 3 = one single-channel sub-stream per
+    # color plane (partition 0 carries channel 0 in the ATTRIBUTE slot,
+    # partitions 1/2 ride attr_ext AVD units).
+    attributeDimensionPartitions: int = 1
 
     # rate points
     geometryQP: int = 28

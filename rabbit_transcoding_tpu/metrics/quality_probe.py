@@ -93,6 +93,7 @@ def measure(
 
     m_base, base_bytes = transcoded_metrics("reencode")
     m_fast, fast_bytes = transcoded_metrics("requant")
+    m_auto, _ = transcoded_metrics("auto")
 
     return {
         "d1_in": round(m_in.d1_psnr, 4),
@@ -100,6 +101,10 @@ def measure(
         "d1_live": round(m_fast.d1_psnr, 4),
         # the north-star number: live fast path vs full-re-encode baseline
         "d1_delta": round(m_base.d1_psnr - m_fast.d1_psnr, 4),
+        # the shipping live mode: requant at fine QPs, reencode at coarse
+        # ones (mode='auto') — closes the r1 gap by construction
+        "d1_auto": round(m_auto.d1_psnr, 4),
+        "d1_delta_auto": round(m_base.d1_psnr - m_auto.d1_psnr, 4),
         # context: quality drop due to the intended rate reduction itself
         "d1_drop_in_to_out": round(m_in.d1_psnr - m_base.d1_psnr, 4),
         "y_baseline": round(m_base.color_psnr[0], 4),

@@ -1,0 +1,174 @@
+"""Foreign-codec (baseline) transcode route.
+
+The reference's headline capability is re-encoding *HEVC* sub-streams of an
+existing V3C bitstream: PCCTranscoder::transcodeBaseline (/root/reference/
+source/lib/PccLibTranscoder/source/PCCTranscoder.cpp:170-336) writes each
+sub-stream to disk, shells out to PccAppVideoDecoder, reads back the YUV,
+max-pool-downscales the occupancy map, and re-encodes through
+PCCVideoEncoder::compress with an external/linked HM.  This module is that
+route for our transcoder: when a video payload is Annex-B (not RBV) and an
+external codec resolves for its component, the payload is decoded ->
+optionally downscaled -> re-encoded at the new QP through the
+``video/external.py`` wrappers (PCCHMAppVideoEncoder.cpp:60-69 pattern).
+
+Stream geometry (width/height/bitdepth/chroma) comes from the HEVC/AVC SPS
+probe (``video/hevc_probe.py`` — the role PccLibHevcParser plays at
+PCCHMAppVideoDecoder.cpp:60-61), falling back to the atlas HLS dims.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+
+from ..core.image import Video
+from ..utils.enums import CodecId, ColorFormat, VideoType
+from ..video import base as video_base
+from ..video import external as external_mod
+from ..video.base import VideoEncoderParams
+from ..video.external import ExternalVideoDecoder, ExternalVideoEncoder
+from ..video.hevc_probe import probe_avc, probe_hevc
+
+_CHROMA_TO_FMT = {
+    0: ColorFormat.YUV400,
+    1: ColorFormat.YUV420,
+    3: ColorFormat.YUV444,
+}
+
+_GEOMETRY_TYPES = frozenset({
+    VideoType.GEOMETRY, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
+    VideoType.GEOMETRY_RAW,
+})
+_ATTRIBUTE_TYPES = frozenset({
+    VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1,
+    VideoType.ATTRIBUTE_RAW, VideoType.ATTRIBUTE_REFL,
+})
+
+
+def component_of(vtype: VideoType) -> str:
+    if vtype == VideoType.OCCUPANCY:
+        return "occupancy"
+    if vtype in _GEOMETRY_TYPES:
+        return "geometry"
+    if vtype in _ATTRIBUTE_TYPES:
+        return "attribute"
+    raise ValueError(f"unknown video type {vtype}")
+
+
+def is_annexb(data: bytes) -> bool:
+    return data[:4] == b"\x00\x00\x00\x01" or data[:3] == b"\x00\x00\x01"
+
+
+@dataclasses.dataclass
+class ForeignCodec:
+    """A resolved decode->re-encode pair for one component."""
+
+    decoder_binary: str
+    encoder_binary: str
+    decoder_template: str
+    encoder_template: str
+
+    def decode(
+        self,
+        payload: bytes,
+        fallback_width: int = 0,
+        fallback_height: int = 0,
+        fallback_bitdepth: int = 8,
+    ) -> Video:
+        info = probe_hevc(payload) or probe_avc(payload)
+        if info is not None:
+            width, height = info["width"], info["height"]
+            bitdepth = info["bitdepth"]
+            fmt = _CHROMA_TO_FMT.get(
+                info.get("chroma_format_idc", 1), ColorFormat.YUV420
+            )
+        else:
+            if fallback_width <= 0 or fallback_height <= 0:
+                raise ValueError(
+                    "foreign payload has no parseable SPS and no HLS "
+                    "dimensions to fall back to"
+                )
+            width, height = fallback_width, fallback_height
+            bitdepth, fmt = fallback_bitdepth, ColorFormat.YUV420
+        dec = ExternalVideoDecoder(
+            self.decoder_binary, self.decoder_template,
+            width=width, height=height, frames=0,  # inferred from file size
+            bitdepth=bitdepth, fmt=fmt,
+        )
+        return dec.decode(payload)
+
+    def encode(self, video: Video, qp: int) -> bytes:
+        enc = ExternalVideoEncoder(self.encoder_binary, self.encoder_template)
+        payload, _ = enc.encode(video, VideoEncoderParams(qp=qp))
+        return payload
+
+
+def _resolve_binary(
+    explicit: str, codec_id: CodecId, role: str, default_name: str
+) -> str | None:
+    if explicit:
+        return explicit
+    env = os.environ.get(f"RABBIT_{codec_id.name}_{role}")
+    if env:
+        return env
+    return shutil.which(default_name)
+
+
+def resolve(params, vtype: VideoType) -> ForeignCodec | None:
+    """Resolve the external codec for a component, or None if unconfigured.
+
+    Resolution order (each of decoder and encoder independently): the
+    explicit videoDecoder<Comp>Path / videoEncoder<Comp>Path parameter
+    (PCCTranscoderParameters.h:71-83 names), then the
+    RABBIT_<CODECID>_{DECODER,ENCODER} env override the factory also
+    honors (video/base.py), then the codec's default binary name on PATH.
+    Both must resolve for the route to be usable.
+    """
+    comp = component_of(vtype)
+    suffix = {"occupancy": "Occupancy", "geometry": "Geometry",
+              "attribute": "Attribute"}[comp]
+    codec_name = getattr(params, f"videoEncoder{suffix}CodecId", "HM_APP")
+    try:
+        codec_id = CodecId[codec_name]
+    except KeyError:
+        raise ValueError(
+            f"videoEncoder{suffix}CodecId={codec_name!r} is not a codec id "
+            f"(expected HM_APP / JM_APP / SHM_APP / VTM_APP / FFMPEG_APP)"
+        ) from None
+    if codec_id == CodecId.FFMPEG_APP:
+        dec_name = enc_name = "ffmpeg"
+        dec_tmpl = video_base.FFMPEG_DECODER_TEMPLATE
+        enc_tmpl = video_base.FFMPEG_ENCODER_TEMPLATE
+    else:
+        app = video_base._EXTERNAL_APPS.get(codec_id)
+        if app is None:
+            return None
+        enc_name, dec_name, enc_tmpl_name, dec_tmpl_name = app
+        enc_tmpl = getattr(external_mod, enc_tmpl_name)
+        dec_tmpl = getattr(external_mod, dec_tmpl_name)
+    dec_bin = _resolve_binary(
+        getattr(params, f"videoDecoder{suffix}Path", ""),
+        codec_id, "DECODER", dec_name,
+    )
+    enc_bin = _resolve_binary(
+        getattr(params, f"videoEncoder{suffix}Path", ""),
+        codec_id, "ENCODER", enc_name,
+    )
+    if dec_bin is None or enc_bin is None:
+        return None
+    return ForeignCodec(dec_bin, enc_bin, dec_tmpl, enc_tmpl)
+
+
+def foreign_qp(params, vtype: VideoType) -> int:
+    """The re-encode QP for a foreign sub-stream (the baseline path's
+    per-component QP + map-delta scheme, PCCTranscoder.cpp:265,318)."""
+    if vtype == VideoType.OCCUPANCY:
+        return params.occupancyMapQP
+    if vtype in _GEOMETRY_TYPES:
+        delta = (params.deltaQPD1 if vtype == VideoType.GEOMETRY_D1
+                 else params.deltaQPD0)
+        return params.effective_geometry_qp() + delta
+    delta = (params.deltaQPT1 if vtype == VideoType.ATTRIBUTE_T1
+             else params.deltaQPT0)
+    return params.effective_attribute_qp() + delta

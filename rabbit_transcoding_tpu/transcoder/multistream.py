@@ -126,9 +126,16 @@ class MultiStreamTranscoder:
             # requantisations are already one cheap device pass each
             with self.timer.stage("rateControl"):
                 for k, (i, atlas) in enumerate(zip(stream_ids, atlases)):
-                    self.single(i)._rate_control(
+                    s = self.single(i)
+                    _, abr_attr_qp = s._rate_control(
                         atlas, occ_mask=self._occ_masks[k],
                         map1_abs=self._map1_abs[k],
+                    )
+                    s._transcode_attr_ext(
+                        atlas, abr_attr_qp, self._occ_masks[k]
+                    )
+                    s._transcode_reflectance(
+                        atlas, abr_attr_qp, self._occ_masks[k]
                     )
         else:
             # predicted map pairs transcode jointly through the single-
@@ -174,6 +181,19 @@ class MultiStreamTranscoder:
                     self._transcode_video_batched(
                         atlases, stream_ids, vt, p.effective_attribute_qp(),
                     )
+                # partition / extra-attribute streams: single-stream path
+                # (they are small and per-stream; byte identity with the
+                # sequential transcoder is the invariant)
+                for k, (i, atlas) in enumerate(zip(stream_ids, atlases)):
+                    s = self.single(i)
+                    s._transcode_attr_ext(
+                        atlas, p.effective_attribute_qp(),
+                        self._occ_masks[k],
+                    )
+                    s._transcode_reflectance(
+                        atlas, p.effective_attribute_qp(),
+                        self._occ_masks[k],
+                    )
 
         if p.computeHashSei:
             with self.timer.stage("createHashSEI"):
@@ -209,7 +229,7 @@ class MultiStreamTranscoder:
             batch_payloads.append(vb.data)
         if not batch_payloads:
             return
-        mode = "requant" if (p.mode == "requant"
+        mode = "requant" if (p.effective_mode(qp) == "requant"
                              and not p.transcodeBaseline) else "reencode"
         new_payloads = transcode_payloads(
             batch_payloads,

@@ -70,6 +70,9 @@ class Transcoder:
             for t in (VideoType.GEOMETRY, VideoType.ATTRIBUTE,
                       VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
                       VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1)
+        ) or any(
+            vb.data.startswith(b"RBV") and rbv.probe(vb.data)["lossless"]
+            for vb in atlas.attr_ext.values()
         ):
             occ_mask = self._decode_occupancy_mask(atlas)
 
@@ -85,9 +88,12 @@ class Transcoder:
         if p.rate_mode == "abr" and p.targetBitrateMbps > 0:
             # ABR: the chosen probe payload IS the output (requant domain)
             with self.timer.stage("rateControl"):
-                self._rate_control(
+                _, abr_attr_qp = self._rate_control(
                     atlas, occ_mask=occ_mask, map1_abs=map1_abs
                 )
+                # partition/extra attribute streams follow the chosen QP
+                self._transcode_attr_ext(atlas, abr_attr_qp, occ_mask)
+                self._transcode_reflectance(atlas, abr_attr_qp, occ_mask)
         else:
             with self.timer.stage("transcodeGeometry"):
                 if not map1_abs and self._has_rbv_pair(
@@ -122,6 +128,12 @@ class Transcoder:
                             atlas, vt, p.effective_attribute_qp(),
                             occ_mask=occ_mask,
                         )
+                self._transcode_attr_ext(
+                    atlas, p.effective_attribute_qp(), occ_mask
+                )
+                self._transcode_reflectance(
+                    atlas, p.effective_attribute_qp(), occ_mask
+                )
 
         if p.computeHashSei:
             with self.timer.stage("createHashSEI"):
@@ -139,7 +151,8 @@ class Transcoder:
         if vb is None or p.occupancyPrecision <= 0:
             return
         if not vb.data.startswith(b"RBV"):
-            return  # foreign occupancy payload: pass through untouched
+            self._transcode_occupancy_foreign(atlas, vb)
+            return
         info = rbv.probe(vb.data)
         # incoming precision is implicit: atlas width / occupancy video width
         asps = atlas.asps_list[0]
@@ -163,6 +176,45 @@ class Transcoder:
         payload, _ = VideoEncoder.create(CodecId.RBV_LOSSLESS).encode(
             out_video, VideoEncoderParams(lossless=True)
         )
+        atlas.set_video_bitstream(VideoBitstream(VideoType.OCCUPANCY, payload))
+
+    def _transcode_occupancy_foreign(self, atlas, vb) -> None:
+        """Foreign (Annex-B) occupancy: decode through the external codec,
+        max-pool to the coarser target precision, re-encode at
+        occupancyMapQP (PCCTranscoder::transcodeBaseline occupancy leg,
+        PCCTranscoder.cpp:180-232 with resizeOccupancyMap :341-372).
+        Passthrough when no external codec is configured."""
+        from . import foreign
+
+        p = self.params
+        if not foreign.is_annexb(vb.data):
+            raise ValueError(
+                "unrecognized OCCUPANCY video payload (not RBV, not Annex-B)"
+            )
+        codec = foreign.resolve(p, VideoType.OCCUPANCY)
+        if codec is None or not atlas.asps_list:
+            return  # pass through untouched
+        asps = atlas.asps_list[0]
+        video = codec.decode(vb.data)
+        # like the reference, the incoming precision is implicit in the
+        # decoded video resolution (PCCTranscoder.cpp:206)
+        cur_precision = max(1, asps.asps_frame_width // video.width)
+        if p.occupancyPrecision < cur_precision:
+            raise ValueError(
+                f"cannot upscale occupancy precision {cur_precision} -> "
+                f"{p.occupancyPrecision}"
+            )
+        factor = p.occupancyPrecision // cur_precision
+        if factor > 1:
+            video = Video(
+                video.width // factor, video.height // factor,
+                video.bitdepth, video.format,
+                [
+                    np.asarray(downscale_maxpool(jnp.asarray(pl), factor))
+                    for pl in video.planes
+                ],
+            )
+        payload = codec.encode(video, p.occupancyMapQP)
         atlas.set_video_bitstream(VideoBitstream(VideoType.OCCUPANCY, payload))
 
     # ------------------------------------------------------------------
@@ -334,22 +386,38 @@ class Transcoder:
         self, atlas, vtype: VideoType, qp: int,
         occ_mask: np.ndarray | None = None,
     ) -> None:
-        p = self.params
         vb = atlas.video_bitstreams.get(vtype)
         if vb is None:
             return
+        payload = self._transcode_payload_any(
+            atlas, vtype, vb, qp, occ_mask=occ_mask
+        )
+        if payload is not None:
+            atlas.set_video_bitstream(VideoBitstream(vtype, payload))
+
+    def _transcode_payload_any(
+        self, atlas, vtype: VideoType, vb, qp: int,
+        occ_mask: np.ndarray | None = None,
+    ) -> bytes | None:
+        """One sub-stream payload -> transcoded payload, or None for
+        passthrough (used for both the standard VideoType slots and the
+        attr_ext partition/extra-attribute streams)."""
+        p = self.params
         if not vb.data.startswith(b"RBV"):
-            # Foreign (HEVC/AVC Annex-B) video payload: re-encode needs an
-            # external codec binary (none in this environment).  What we CAN
-            # do bitstream-level is the SHVC spatial-layer transcode — drop
-            # enhancement-layer NALs above the target layer, a conforming
-            # lower-rate/-resolution sub-bitstream with no pixel re-encode
-            # (the reference's shvcLayerIndex path over PccShvcParser).
-            # Otherwise pass the payload through untouched.  Payloads that
-            # are neither RBV nor Annex-B are corrupt: raise, so the stream
-            # driver's failure containment sees the error.
-            if (vb.data[:4] != b"\x00\x00\x00\x01"
-                    and vb.data[:3] != b"\x00\x00\x01"):
+            # Foreign (HEVC/AVC Annex-B) video payload.  Three routes, in
+            # order:  (1) SHVC spatial-layer transcode — drop enhancement-
+            # layer NALs above the target layer, a conforming lower-rate/
+            # -resolution sub-bitstream with no pixel re-encode (the
+            # reference's shvcLayerIndex path over PccShvcParser);
+            # (2) the baseline decode->re-encode route through external
+            # codec binaries when one is configured (PCCTranscoder::
+            # transcodeBaseline analog, transcoder/foreign.py);
+            # (3) untouched passthrough.  Payloads that are neither RBV nor
+            # Annex-B are corrupt: raise, so the stream driver's failure
+            # containment sees the error.
+            from . import foreign
+
+            if not foreign.is_annexb(vb.data):
                 raise ValueError(
                     f"unrecognized {vtype.name} video payload "
                     f"(not RBV, not Annex-B)"
@@ -357,20 +425,63 @@ class Transcoder:
             from ..video.hevc_probe import filter_hevc_layers, hevc_layer_ids
 
             if p.shvcLayerIndex >= 0 and len(hevc_layer_ids(vb.data)) > 1:
-                payload = filter_hevc_layers(vb.data, p.shvcLayerIndex)
-                atlas.set_video_bitstream(VideoBitstream(vtype, payload))
-            return
+                return filter_hevc_layers(vb.data, p.shvcLayerIndex)
+            codec = foreign.resolve(p, vtype)
+            if codec is not None:
+                asps = atlas.asps_list[0] if atlas.asps_list else None
+                video = codec.decode(
+                    vb.data,
+                    fallback_width=asps.asps_frame_width if asps else 0,
+                    fallback_height=asps.asps_frame_height if asps else 0,
+                )
+                return codec.encode(video, foreign.foreign_qp(p, vtype))
+            return None
         if rbv.probe(vb.data)["lossless"]:
-            payload = self._reencode_lossless_filled(atlas, vb, qp, occ_mask)
-        elif p.mode == "requant" and not p.transcodeBaseline:
-            payload = rbv.requantize(vb.data, qp)
-        else:
-            # fused device decode->re-encode: pixels never cross the host link
-            payload = rbv.transcode_payload(
-                vb.data, qp,
-                new_gop=1 if p.allIntra else p.videoGopSize,
+            return self._reencode_lossless_filled(atlas, vb, qp, occ_mask)
+        if p.effective_mode(qp) == "requant" and not p.transcodeBaseline:
+            return rbv.requantize(vb.data, qp)
+        # fused device decode->re-encode: pixels never cross the host link
+        return rbv.transcode_payload(
+            vb.data, qp,
+            new_gop=1 if p.allIntra else p.videoGopSize,
+        )
+
+    def _transcode_attr_ext(
+        self, atlas, qp: int, occ_mask: np.ndarray | None = None
+    ) -> None:
+        """Dimension-partitioned / extra attribute AVD sub-streams transcode
+        at the attribute QP like the primary stream (the reference
+        re-encodes every attribute partition video; routing per
+        PCCDecoder.cpp:208-300)."""
+        for key, vb in list(atlas.attr_ext.items()):
+            payload = self._transcode_payload_any(
+                atlas, VideoType.ATTRIBUTE, vb, qp, occ_mask=occ_mask
             )
-        atlas.set_video_bitstream(VideoBitstream(vtype, payload))
+            if payload is not None:
+                atlas.attr_ext[key] = VideoBitstream(
+                    VideoType.ATTRIBUTE, payload
+                )
+
+    def _transcode_reflectance(
+        self, atlas, qp: int, occ_mask: np.ndarray | None = None
+    ) -> None:
+        """Reflectance (attribute index 1).  Our encoder codes it lossless;
+        a lossless reflectance stream passes through untouched (quantising
+        reflectance values would change attribute semantics, and it is a
+        negligible share of the rate).  A lossy-coded reflectance stream
+        requantises like any attribute video."""
+        vb = atlas.video_bitstreams.get(VideoType.ATTRIBUTE_REFL)
+        if vb is None:
+            return
+        if vb.data.startswith(b"RBV") and rbv.probe(vb.data)["lossless"]:
+            return
+        payload = self._transcode_payload_any(
+            atlas, VideoType.ATTRIBUTE_REFL, vb, qp, occ_mask=occ_mask
+        )
+        if payload is not None:
+            atlas.set_video_bitstream(
+                VideoBitstream(VideoType.ATTRIBUTE_REFL, payload)
+            )
 
     # ------------------------------------------------------------------
     def _rate_control(

@@ -132,8 +132,28 @@ class ExternalVideoDecoder(VideoDecoder):
                     f"external decoder failed ({proc.returncode}): "
                     f"{proc.stderr[-500:]}"
                 )
+            bitdepth = output_bitdepth or self.bitdepth
+            frames = self.frames
+            if frames <= 0:
+                # Annex-B carries no frame count; infer it from the decoded
+                # file size (the reference's baseline path reads a fixed
+                # count it knows a priori — we don't, PCCTranscoder.cpp:205)
+                samples = {
+                    ColorFormat.YUV400: self.width * self.height,
+                    ColorFormat.YUV444: 3 * self.width * self.height,
+                    ColorFormat.RGB444: 3 * self.width * self.height,
+                }.get(self.fmt,
+                      self.width * self.height * 3 // 2)  # YUV420
+                itemsize = 2 if bitdepth > 8 else 1
+                frame_bytes = samples * itemsize
+                frames = os.path.getsize(out_path) // max(1, frame_bytes)
+                if frames <= 0:
+                    raise RuntimeError(
+                        f"external decoder produced {out_path} smaller than "
+                        f"one {self.width}x{self.height} frame"
+                    )
             video = Video().read(
-                out_path, self.width, self.height, self.frames,
-                output_bitdepth or self.bitdepth, self.fmt,
+                out_path, self.width, self.height, frames,
+                bitdepth, self.fmt,
             )
             return video

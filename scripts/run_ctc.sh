@@ -30,13 +30,13 @@ rabbit-encode \
 
 HQ_SIZE=$(stat -c%s "$WORK/hq.bin")
 echo "rate;mode;stream_bytes;d1_psnr;d2_psnr;y_psnr" > "$WORK/ladder.csv"
-echo "rate;d1_reencode;d1_requant;d1_delta" > "$WORK/delta.csv"
+echo "rate;d1_reencode;d1_requant;d1_delta;d1_auto;d1_delta_auto" > "$WORK/delta.csv"
 for R in r1 r2 r3 r4 r5; do
     GQP=$(grep geometryQP "$REPO/cfg/rate/ctc-$R.cfg" | cut -d: -f2 | tr -d ' ')
     AQP=$(grep attributeQP "$REPO/cfg/rate/ctc-$R.cfg" | cut -d: -f2 | tr -d ' ')
     OCC=$(grep occupancyPrecision "$REPO/cfg/rate/ctc-$R.cfg" | cut -d: -f2 | tr -d ' ')
     declare -A D1S
-    for MODE in reencode requant; do
+    for MODE in reencode requant auto; do
         rabbit-transcode \
             --compressedStreamPath="$WORK/hq.bin" \
             --outStreamPath="$WORK/${R}_$MODE.bin" \
@@ -61,11 +61,13 @@ for R in r1 r2 r3 r4 r5; do
         D1S[$MODE]=$D1
     done
     DELTA=$(python -c "print(f'{${D1S[reencode]} - ${D1S[requant]}:+.4f}')")
-    echo "$R;${D1S[reencode]};${D1S[requant]};$DELTA" >> "$WORK/delta.csv"
+    DELTA_AUTO=$(python -c "print(f'{${D1S[reencode]} - ${D1S[auto]}:+.4f}')")
+    echo "$R;${D1S[reencode]};${D1S[requant]};$DELTA;${D1S[auto]};$DELTA_AUTO" \
+        >> "$WORK/delta.csv"
 done
 echo "=== rate ladder (input hq.bin: $HQ_SIZE bytes) ==="
 awk -F';' '{printf "%-6s %-9s %-14s %-10s %-10s %-10s\n", $1, $2, $3, $4, $5, $6}' \
     "$WORK/ladder.csv"
 echo "=== live-vs-baseline D1 delta (target <= 0.05 dB) ==="
-awk -F';' '{printf "%-6s %-12s %-12s %-10s\n", $1, $2, $3, $4}' \
+awk -F';' '{printf "%-6s %-12s %-12s %-10s %-12s %-10s\n", $1, $2, $3, $4, $5, $6}' \
     "$WORK/delta.csv"

@@ -100,6 +100,33 @@ class TestTranscoder:
         clouds = Decoder().decode(context)
         assert clouds[0].point_count > 0
 
+    def test_auto_mode_selects_by_qp(self, stream):
+        """mode='auto' (the shipping live mode): DCT-domain requant at fine
+        QPs, drift-free reencode at coarse ones (closes the r1 ladder gap,
+        RESULTS.md)."""
+        p = TranscoderParameters(mode="auto")
+        assert p.effective_mode(24) == "requant"
+        assert p.effective_mode(32) == "reencode"
+        assert TranscoderParameters(mode="requant").effective_mode(48) == "requant"
+
+        sources, path = stream
+        reader = V3CReader()
+        # fine QP -> output headers show the requant fingerprint (same gop
+        # as input); coarse QP -> reencode (gop may change per params)
+        context = reader.decode(reader.read_file(path)[0])
+        gop_in = rbv.probe(
+            context.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data
+        )["gop_size"]
+        Transcoder(TranscoderParameters(
+            geometryQP=24, attributeQP=24, mode="auto",
+            videoGopSize=max(1, gop_in - 1), computeHashSei=False,
+        )).transcode(context)
+        info = rbv.probe(
+            context.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data
+        )
+        assert info["qp"] == 24
+        assert info["gop_size"] == gop_in  # requant preserves the input gop
+
     def test_occupancy_upscale_rejected(self, stream):
         sources, path = stream
         reader = V3CReader()
