@@ -111,6 +111,9 @@ class MultiStreamTranscoder:
                 and vb.data.startswith(b"RBV")
                 and rbv.probe(vb.data)["lossless"]
                 for t in self._LOSSY_TYPES
+            ) or any(
+                vb.data.startswith(b"RBV") and rbv.probe(vb.data)["lossless"]
+                for vb in atlas.attr_ext.values()
             )
             self._occ_masks.append(
                 self.single(i)._decode_occupancy_mask(atlas) if need

@@ -326,46 +326,70 @@ def _reencode_with_mv(pixels, mv, qstep, maxval, block: int, gop: int):
     return q.reshape(f, nby, nbx, block, block)
 
 
-_encode_device = partial(jax.jit, static_argnames=("block", "gop"))(_encode_impl)
-_encode_device_mc = partial(
-    jax.jit, static_argnames=("block", "gop")
-)(_encode_impl_mc)
+# aot_jit == jax.jit off-TPU; on TPU it also persists compiled executables
+# to disk (utils/aot.py) — the axon platform's XLA compilation cache is
+# broken, and cold start measured 226 s without this (BENCH_r02)
+from ..utils.aot import aot_jit
+
+_encode_device = aot_jit(_encode_impl, static_argnames=("block", "gop"))
+_encode_device_mc = aot_jit(_encode_impl_mc, static_argnames=("block", "gop"))
 
 
-@partial(jax.jit, static_argnames=("block", "gop"))
-def _decode_device_mc(coeffs, mv, qstep, maxval, block: int, gop: int):
+def _decode_mc_u16(coeffs, mv, qstep, maxval, block: int, gop: int):
     return _decode_impl_mc(coeffs, mv, qstep, maxval, block, gop).astype(
         jnp.uint16
     )
 
 
-@partial(jax.jit, static_argnames=("block", "gop"))
-def _transcode_device_mc(coeffs, mv, qs_in, qs_out, maxval, block, gop):
+_decode_device_mc = aot_jit(
+    _decode_mc_u16, static_argnames=("block", "gop"), name="_decode_device_mc"
+)
+
+
+def _transcode_mc_impl(coeffs, mv, qs_in, qs_out, maxval, block, gop):
     """Fused MC decode -> MV-reuse re-encode (pixels stay on device)."""
     pixels = _decode_impl_mc(coeffs, mv, qs_in, maxval, block, gop)
     return _reencode_with_mv(pixels, mv, qs_out, maxval, block, gop)
 
 
-@partial(jax.jit, static_argnames=("block", "gop"))
-def _decode_device(coeffs, qstep, maxval, block: int, gop: int):
+_transcode_device_mc = aot_jit(
+    _transcode_mc_impl, static_argnames=("block", "gop"),
+    name="_transcode_device_mc",
+)
+
+
+def _decode_u16(coeffs, qstep, maxval, block: int, gop: int):
     return _decode_impl(coeffs, qstep, maxval, block, gop).astype(jnp.uint16)
 
 
-@partial(jax.jit, static_argnames=("block", "gop_in", "gop_out"))
-def _transcode_device(coeffs, qs_in, qs_out, maxval, block, gop_in, gop_out):
+_decode_device = aot_jit(
+    _decode_u16, static_argnames=("block", "gop"), name="_decode_device"
+)
+
+
+def _transcode_impl_fused(
+    coeffs, qs_in, qs_out, maxval, block, gop_in, gop_out
+):
     """Fused decode->re-encode: pixels never leave the device."""
     pixels = _decode_impl(coeffs, qs_in, maxval, block, gop_in)
     return _encode_impl(pixels, qs_out, maxval, block, gop_out)[0]
 
 
-@jax.jit
-def _requant_device(q, qstep_old, qstep_new):
+_transcode_device = aot_jit(
+    _transcode_impl_fused, static_argnames=("block", "gop_in", "gop_out"),
+    name="_transcode_device",
+)
+
+
+def _requant_impl(q, qstep_old, qstep_new):
     c = q.astype(jnp.float32) * qstep_old
     return jnp.clip(jnp.round(c / qstep_new), -32767, 32767).astype(jnp.int16)
 
 
-@partial(jax.jit, static_argnames=("gop",))
-def _requant_compensated_device(q, qstep_old, qstep_new, gop: int):
+_requant_device = aot_jit(_requant_impl, name="_requant_device")
+
+
+def _requant_compensated_impl(q, qstep_old, qstep_new, gop: int):
     """Drift-compensated DCT-domain requantisation for zero-MV P chains.
 
     Prediction is previous-recon in the pixel domain and the DCT is linear,
@@ -397,9 +421,14 @@ def _requant_compensated_device(q, qstep_old, qstep_new, gop: int):
     return out[:f]
 
 
+_requant_compensated_device = aot_jit(
+    _requant_compensated_impl, static_argnames=("gop",),
+    name="_requant_compensated_device",
+)
+
+
 # --- sparse coefficient transfer -------------------------------------------
-@partial(jax.jit, static_argnames=("cap",))
-def _sparsify(q, cap: int):
+def _sparsify_impl(q, cap: int):
     flat = q.reshape(-1)
     n = flat.shape[0]
     (idx,) = jnp.nonzero(flat, size=cap, fill_value=n)
@@ -407,8 +436,11 @@ def _sparsify(q, cap: int):
     return idx.astype(jnp.uint32), vals.astype(jnp.int16)
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _sparsify_frames(q, cap: int):
+_sparsify = aot_jit(_sparsify_impl, static_argnames=("cap",),
+                    name="_sparsify")
+
+
+def _sparsify_frames_impl(q, cap: int):
     """Per-frame compaction (vmapped, frame-local indices) — parallelises the
     nonzero scan across frames instead of one serial pass over the tensor."""
     f = q.shape[0]
@@ -423,22 +455,33 @@ def _sparsify_frames(q, cap: int):
     return jax.vmap(one)(flat)
 
 
-@partial(jax.jit, static_argnames=("shape",))
-def _densify(idx, vals, shape):
+_sparsify_frames = aot_jit(_sparsify_frames_impl, static_argnames=("cap",),
+                           name="_sparsify_frames")
+
+
+def _densify_impl(idx, vals, shape):
     n = int(np.prod(shape))
     flat = jnp.zeros((n,), jnp.int16)
     flat = flat.at[idx].set(vals, mode="drop")
     return flat.reshape(shape)
 
 
-@jax.jit
-def _nnz(q):
+_densify = aot_jit(_densify_impl, static_argnames=("shape",),
+                   name="_densify")
+
+
+def _nnz_impl(q):
     return jnp.count_nonzero(q)
 
 
-@jax.jit
-def _nnz_per_frame(q):
+_nnz = aot_jit(_nnz_impl, name="_nnz")
+
+
+def _nnz_per_frame_impl(q):
     return jnp.count_nonzero(q.reshape(q.shape[0], -1), axis=1)
+
+
+_nnz_per_frame = aot_jit(_nnz_per_frame_impl, name="_nnz_per_frame")
 
 
 # --- frequency-slab transfer ------------------------------------------------
@@ -468,27 +511,35 @@ def _zz(n: int) -> np.ndarray:
     return _ZZ_CACHE[n]
 
 
-@jax.jit
-def _to_freq_major(q):
+def _to_freq_major_impl(q):
     """(F, nby, nbx, B, B) -> (F, B*B zigzag-ordered, nby, nbx)."""
     f, nby, nbx, b, _ = q.shape
     flatb = q.reshape(f, nby, nbx, b * b)[..., _zz(b)]
     return jnp.transpose(flatb, (0, 3, 1, 2))
 
 
-@jax.jit
-def _freq_nnz(qf):
+_to_freq_major = aot_jit(_to_freq_major_impl, name="_to_freq_major")
+
+
+def _freq_nnz_impl(qf):
     return jnp.count_nonzero(qf, axis=(0, 2, 3))
 
 
-@partial(jax.jit, static_argnames=("b", "kmax"))
-def _from_freq_slab(slab, b: int, kmax: int):
+_freq_nnz = aot_jit(_freq_nnz_impl, name="_freq_nnz")
+
+
+def _from_freq_slab_impl(slab, b: int, kmax: int):
     """(F, kmax, nby, nbx) -> dense (F, nby, nbx, B, B)."""
     f, _, nby, nbx = slab.shape
     full = jnp.zeros((f, b * b, nby, nbx), slab.dtype)
     full = full.at[:, :kmax].set(slab)
     flatb = jnp.transpose(full, (0, 2, 3, 1))[..., jnp.asarray(_zz_inv(b))]
     return flatb.reshape(f, nby, nbx, b, b)
+
+
+_from_freq_slab = aot_jit(_from_freq_slab_impl,
+                          static_argnames=("b", "kmax"),
+                          name="_from_freq_slab")
 
 
 def _zz_inv(n: int) -> np.ndarray:

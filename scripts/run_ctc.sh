@@ -14,9 +14,10 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 WORK=${WORK:-./data_ctc}
 FRAMES=${FRAMES:-4}
 COND=${COND:-ctc-random-access}
+SCENE=${SCENE:-sphere}    # sphere | blobs (textured multi-object stress)
 mkdir -p "$WORK"
 
-python -m rabbit_transcoding_tpu.testdata --frames "$FRAMES" \
+python -m rabbit_transcoding_tpu.testdata --frames "$FRAMES" --scene "$SCENE" \
     --out "$WORK/cloud_%04d.ply"
 
 rabbit-encode \
