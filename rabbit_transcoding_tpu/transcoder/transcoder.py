@@ -580,14 +580,14 @@ class Transcoder:
                 return payload
             return rbv.requantize(vb.data, qp)
 
-        def search(vb, vtype, target_bytes, cache_key) -> int:
+        def search(vb, vtype, target_bytes, cache_key) -> tuple[int, int]:
             cached = self._rc_cache.get(cache_key)
             if cached is not None:
                 qp, size = cached
                 if abs(size - target_bytes) <= 0.2 * target_bytes:
                     payload = probe_payload(vb, qp)
                     atlas.set_video_bitstream(VideoBitstream(vtype, payload))
-                    return qp
+                    return qp, len(payload)
             lo, hi = 4, 48
             best = hi
             best_payload = None
@@ -604,21 +604,25 @@ class Transcoder:
                 best_payload = probe_payload(vb, best)
             self._rc_cache[cache_key] = (best, len(best_payload))
             atlas.set_video_bitstream(VideoBitstream(vtype, best_payload))
-            return best
+            return best, len(best_payload)
 
-        def search_family(vbs, family_budget, prefix) -> int:
+        def search_family(vbs, family_budget, prefix) -> tuple[int, int]:
             if not vbs:
-                return 32
+                return 32, 0
             total_in = sum(len(vb.data) for _, vb in vbs)
             qp_out = 32
+            nbytes = 0
             for t, vb in vbs:
                 share = len(vb.data) / max(1, total_in)
-                qp_out = search(
+                qp_out, nb = search(
                     vb, t, family_budget * share, f"{prefix}:{t.name}"
                 )
-            return qp_out
+                nbytes += nb
+            return qp_out, nbytes
 
-        def search_pair(t0, t1, target_bytes, cache_key, component) -> int:
+        def search_pair(
+            t0, t1, target_bytes, cache_key, component
+        ) -> tuple[int, int]:
             def make(qp: int) -> tuple[bytes, bytes]:
                 return self._make_map_pair_payloads(
                     atlas, t0, t1, qp, component, occ_mask=occ_mask
@@ -632,8 +636,9 @@ class Transcoder:
             if cached is not None:
                 qp, size = cached
                 if abs(size - target_bytes) <= 0.2 * target_bytes:
-                    install(make(qp))
-                    return qp
+                    pair = make(qp)
+                    install(pair)
+                    return qp, len(pair[0]) + len(pair[1])
             lo, hi = 4, 48
             best = hi
             best_pair = None
@@ -651,22 +656,42 @@ class Transcoder:
                 best, len(best_pair[0]) + len(best_pair[1])
             )
             install(best_pair)
-            return best
+            return best, len(best_pair[0]) + len(best_pair[1])
 
-        if geo_pair:
-            geo_qp = search_pair(
-                VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
-                geo_budget, "geo:pair", "geo",
-            )
-        else:
-            geo_qp = search_family(geo_vbs, geo_budget, "geo")
-        if attr_pair:
-            attr_qp = search_pair(
-                VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1,
-                attr_budget, "attr:pair", "attr",
-            )
-        else:
-            attr_qp = search_family(attr_vbs, attr_budget, "attr")
+        def run_geo(fam_budget) -> tuple[int, int]:
+            if geo_pair:
+                return search_pair(
+                    VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
+                    fam_budget, "geo:pair", "geo",
+                )
+            return search_family(geo_vbs, fam_budget, "geo")
+
+        def run_attr(fam_budget) -> tuple[int, int]:
+            if attr_pair:
+                return search_pair(
+                    VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1,
+                    fam_budget, "attr:pair", "attr",
+                )
+            return search_family(attr_vbs, fam_budget, "attr")
+
+        geo_qp, geo_bytes = run_geo(geo_budget)
+        attr_qp, attr_bytes = run_attr(attr_budget)
+
+        # cross-component reallocation: each family's QP search lands at or
+        # below its share, so the joint result typically undershoots the
+        # budget by one whole QP step of one component.  Hand the surplus
+        # to whichever family is still coded coarser (higher QP = worse
+        # quality per our monotone ladder) and re-search just that family —
+        # one extra round of cheap requant probes instead of the static
+        # geometryBitrateShare split being the final word.
+        has_geo = bool(geo_vbs) or geo_pair
+        has_attr = bool(attr_vbs) or attr_pair
+        surplus = budget - geo_bytes - attr_bytes
+        if surplus > 0.05 * budget and has_geo and has_attr:
+            if attr_qp >= geo_qp:
+                attr_qp, attr_bytes = run_attr(attr_budget + surplus)
+            else:
+                geo_qp, geo_bytes = run_geo(geo_budget + surplus)
         return geo_qp, attr_qp
 
     # ------------------------------------------------------------------
