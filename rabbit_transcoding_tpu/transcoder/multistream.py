@@ -232,14 +232,27 @@ class MultiStreamTranscoder:
             batch_payloads.append(vb.data)
         if not batch_payloads:
             return
-        mode = "requant" if (p.effective_mode(qp) == "requant"
-                             and not p.transcodeBaseline) else "reencode"
-        new_payloads = transcode_payloads(
-            batch_payloads,
-            qp,
-            mesh=self.mesh,
-            new_gop=1 if p.allIntra else p.videoGopSize,
-            mode=mode,
-        )
-        for i, payload in zip(batch_idx, new_payloads):
-            atlases[i].set_video_bitstream(VideoBitstream(vtype, payload))
+
+        # mode resolves per payload in 'auto' (MC streams reencode, zero-MV
+        # chains requant — params.effective_mode); group the batch by the
+        # resolved mode so each group stays one batched device program
+        def resolved_mode(data: bytes) -> str:
+            m = p.effective_mode(qp, motion=rbv.probe(data)["motion"])
+            return "requant" if (m == "requant"
+                                 and not p.transcodeBaseline) else "reencode"
+
+        by_mode: dict[str, tuple[list[int], list[bytes]]] = {}
+        for i, data in zip(batch_idx, batch_payloads):
+            idxs, pays = by_mode.setdefault(resolved_mode(data), ([], []))
+            idxs.append(i)
+            pays.append(data)
+        for mode, (idxs, pays) in by_mode.items():
+            new_payloads = transcode_payloads(
+                pays,
+                qp,
+                mesh=self.mesh,
+                new_gop=1 if p.allIntra else p.videoGopSize,
+                mode=mode,
+            )
+            for i, payload in zip(idxs, new_payloads):
+                atlases[i].set_video_bitstream(VideoBitstream(vtype, payload))

@@ -81,15 +81,18 @@ class TranscoderParameters:
     #  'reencode' — drift-free fused decode->re-encode on device (the
     #               reference's only option);
     #  'requant'  — DCT-domain requantisation (the live fast path);
-    #  'auto'     — requant while the target QP is fine enough for the
-    #               residual drift to stay within the north-star quality
-    #               envelope, else fall back to reencode.  Rationale: the
-    #               measured ladder (RESULTS.md) has requant within the
-    #               <=0.05 dB D1 target at r2-r5 but +0.07 dB at r1
-    #               (geometry QP 32) — open-loop/rounding drift grows with
-    #               the quantiser step, so the coarsest points re-encode.
+    #  'auto'     — per-stream: requant exactly where it is provably safe
+    #               (zero-MV P chains, whose requantisation error folds
+    #               into the next residual EXACTLY in the linear DCT
+    #               domain — rbv._requant_compensated_device), reencode
+    #               everywhere else.  Motion-compensated streams requant
+    #               open-loop, and the measured ladders (RESULTS.md) show
+    #               that drift crossing the ±0.05 dB D1 bar at SOME rate
+    #               point on every protocol tried (r1 +0.07 on the 8-frame
+    #               round-2 run, r5 +0.07 on the round-3 rerun) — so auto
+    #               never open-loop-requants MC streams.
     mode: str = "reencode"
-    autoModeQPThreshold: int = 30     # 'auto': requant iff target QP <= this
+    autoModeQPThreshold: int = 30     # 'auto': requant also needs QP <= this
     transcodeBaseline: bool = False   # full decode->re-encode (same as
                                       # 'reencode' for RBV; kept for CLI parity)
     videoGopSize: int = 2
@@ -105,9 +108,16 @@ class TranscoderParameters:
     def effective_attribute_qp(self) -> int:
         return self.qualityValAtt if self.qualityValAtt >= 0 else self.attributeQP
 
-    def effective_mode(self, qp: int) -> str:
-        """Resolve 'auto' per stream: requant at fine QPs, reencode at
-        coarse ones (see the mode comment above)."""
+    def effective_mode(self, qp: int, motion: bool = False) -> str:
+        """Resolve 'auto' per stream: requant only for non-MC streams (the
+        drift-compensated path is linear-exact there) at reasonable QPs;
+        reencode for motion-compensated streams (open-loop requant drift
+        breaks the ±0.05 dB bar at some rate point on every protocol
+        measured — see the mode comment above)."""
         if self.mode != "auto":
             return self.mode
-        return "requant" if qp <= self.autoModeQPThreshold else "reencode"
+        return (
+            "requant"
+            if not motion and qp <= self.autoModeQPThreshold
+            else "reencode"
+        )

@@ -436,9 +436,11 @@ class Transcoder:
                 )
                 return codec.encode(video, foreign.foreign_qp(p, vtype))
             return None
-        if rbv.probe(vb.data)["lossless"]:
+        info = rbv.probe(vb.data)
+        if info["lossless"]:
             return self._reencode_lossless_filled(atlas, vb, qp, occ_mask)
-        if p.effective_mode(qp) == "requant" and not p.transcodeBaseline:
+        if (p.effective_mode(qp, motion=info["motion"]) == "requant"
+                and not p.transcodeBaseline):
             return rbv.requantize(vb.data, qp)
         # fused device decode->re-encode: pixels never cross the host link
         return rbv.transcode_payload(

@@ -10,6 +10,10 @@
 # d1_delta = d1(reencode) - d1(requant) is the north-star quality number
 # (target <= 0.05 dB; negative means the live path is better).
 set -e
+# the ladder is a latency-bound CLI loop (like the quality probe): every
+# encoder refine iteration would be a device round trip over the tunnel —
+# run it on the CPU backend unless the caller insists otherwise
+export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 WORK=${WORK:-./data_ctc}
 FRAMES=${FRAMES:-4}

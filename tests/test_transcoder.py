@@ -100,32 +100,40 @@ class TestTranscoder:
         clouds = Decoder().decode(context)
         assert clouds[0].point_count > 0
 
-    def test_auto_mode_selects_by_qp(self, stream):
-        """mode='auto' (the shipping live mode): DCT-domain requant at fine
-        QPs, drift-free reencode at coarse ones (closes the r1 ladder gap,
-        RESULTS.md)."""
+    def test_auto_mode_selects_by_motion_and_qp(self, stream):
+        """mode='auto' (the shipping live mode): DCT-domain requant exactly
+        where drift compensation is linear-exact (zero-MV P chains, sane
+        QP); drift-free reencode for MC streams — open-loop MC requant
+        measured past the ±0.05 dB bar at some rate point on every
+        protocol (RESULTS.md)."""
         p = TranscoderParameters(mode="auto")
-        assert p.effective_mode(24) == "requant"
-        assert p.effective_mode(32) == "reencode"
-        assert TranscoderParameters(mode="requant").effective_mode(48) == "requant"
+        assert p.effective_mode(24, motion=False) == "requant"
+        assert p.effective_mode(24, motion=True) == "reencode"
+        assert p.effective_mode(32, motion=False) == "reencode"  # > threshold
+        assert TranscoderParameters(mode="requant").effective_mode(
+            48, motion=True
+        ) == "requant"
 
         sources, path = stream
         reader = V3CReader()
-        # fine QP -> output headers show the requant fingerprint (same gop
-        # as input); coarse QP -> reencode (gop may change per params)
         context = reader.decode(reader.read_file(path)[0])
-        gop_in = rbv.probe(
-            context.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data
-        )["gop_size"]
+        geo_in = context.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data
+        info_in = rbv.probe(geo_in)
         Transcoder(TranscoderParameters(
             geometryQP=24, attributeQP=24, mode="auto",
-            videoGopSize=max(1, gop_in - 1), computeHashSei=False,
+            computeHashSei=False,
         )).transcode(context)
         info = rbv.probe(
             context.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data
         )
         assert info["qp"] == 24
-        assert info["gop_size"] == gop_in  # requant preserves the input gop
+        if info_in["motion"]:
+            # MC input: auto takes the drift-free reencode (MVs re-searched
+            # or dropped per the reencode path; stream stays valid)
+            assert info["lossless"] is False
+        else:
+            # zero-MV input: requant preserves the input gop structure
+            assert info["gop_size"] == info_in["gop_size"]
 
     def test_occupancy_upscale_rejected(self, stream):
         sources, path = stream
