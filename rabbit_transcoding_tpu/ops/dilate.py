@@ -17,6 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.aot import aot_jit
+
 
 def _down2(val: jax.Array, wgt: jax.Array):
     """Masked 2x2 mean: returns (sum of val*wgt, sum of wgt) halved grids."""
@@ -30,7 +32,7 @@ def _up2(x: jax.Array):
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
-@jax.jit
+@aot_jit
 def push_pull_fill(img: jax.Array, occ: jax.Array) -> jax.Array:
     """Fill unoccupied pixels of (F, H, W) `img` (float32) from a masked
     mipmap pyramid; occupied pixels keep their exact values.
@@ -61,7 +63,7 @@ def push_pull_fill(img: jax.Array, occ: jax.Array) -> jax.Array:
     return jnp.where(wgt > 0, img.astype(jnp.float32), fill)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(aot_jit, static_argnames=("iterations",))
 def dilate(img: jax.Array, occ: jax.Array, iterations: int = 2) -> jax.Array:
     """Simple iterative dilation (PCCEncoder::dilate analog): each pass fills
     empty pixels with the mean of occupied 4-neighbours."""

@@ -15,13 +15,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.aot import aot_jit
+
 
 def _parity0(h: int, w: int) -> jax.Array:
     yy, xx = jnp.mgrid[0:h, 0:w]
     return ((yy + xx) % 2) == 0
 
 
-@jax.jit
+@aot_jit
 def interleave_maps(m0: jax.Array, m1: jax.Array) -> jax.Array:
     """(F, H, W) x2 -> (F, H, W): even-parity pixels from map 0, odd from
     map 1."""
@@ -29,7 +31,7 @@ def interleave_maps(m0: jax.Array, m1: jax.Array) -> jax.Array:
     return jnp.where(par0[None], m0, m1)
 
 
-@jax.jit
+@aot_jit
 def deinterleave_maps(plane: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(F, H, W) interleaved -> (map0, map1).
 

@@ -14,8 +14,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.aot import aot_jit
 
-@partial(jax.jit, static_argnames=("factor",))
+
+def _aotp(**kw):
+    # aot_jit == jax.jit off-TPU; persists executables on TPU (utils/aot.py)
+    def deco(fn):
+        return aot_jit(fn, **kw)
+    return deco
+
+
+@_aotp(static_argnames=("factor",))
 def downscale_maxpool(occ: jax.Array, factor: int) -> jax.Array:
     """(F, H, W) -> (F, H/f, W/f) max-pool.  Max (not mean) preserves any
     occupied pixel, matching the reference's conservative downscale."""
@@ -24,20 +33,20 @@ def downscale_maxpool(occ: jax.Array, factor: int) -> jax.Array:
     return x.max(axis=(2, 4))
 
 
-@partial(jax.jit, static_argnames=("factor",))
+@_aotp(static_argnames=("factor",))
 def upsample_nearest(occ: jax.Array, factor: int) -> jax.Array:
     """(F, h, w) -> (F, h*f, w*f) nearest-neighbour upsample."""
     return jnp.repeat(jnp.repeat(occ, factor, axis=1), factor, axis=2)
 
 
-@partial(jax.jit, static_argnames=("threshold",))
+@_aotp(static_argnames=("threshold",))
 def binarize(occ: jax.Array, threshold: int = 0) -> jax.Array:
     """Occupancy video plane -> binary map (lossy-occupancy threshold,
     OccupancyInformation.oi_lossy_occupancy_compression_threshold)."""
     return (occ > threshold).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("passes", "radius"))
+@_aotp(static_argnames=("passes", "radius"))
 def pbf_refine(
     occ: jax.Array,        # (F, H, W) bool/uint8 (precision-upsampled)
     geo: jax.Array,        # (F, H, W) decoded near-layer geometry

@@ -68,15 +68,29 @@ def _key(name: str, statics: tuple, traced_vals: list) -> str:
     return f"{name}_{h.hexdigest()[:20]}"
 
 
+def _log(msg: str) -> None:
+    if os.environ.get("RBV_AOT_LOG", "1") != "0":
+        import sys
+        import time
+
+        print(f"aot[{time.strftime('%H:%M:%S')}]: {msg}", file=sys.stderr,
+              flush=True)
+
+
 def _load_or_compile(key: str, fn, statics: dict, traced_vals: list):
+    import time
+
     from jax.experimental import serialize_executable as se
 
     path = os.path.join(_CACHE_DIR, key + ".pkl")
     if os.path.exists(path):
         try:
+            t0 = time.perf_counter()
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.load(fh)
-            return se.deserialize_and_load(payload, in_tree, out_tree)
+            exe = se.deserialize_and_load(payload, in_tree, out_tree)
+            _log(f"loaded {key} in {time.perf_counter() - t0:.1f}s")
+            return exe
         except Exception:
             try:
                 os.remove(path)  # stale/corrupt artifact: recompile below
@@ -86,7 +100,9 @@ def _load_or_compile(key: str, fn, statics: dict, traced_vals: list):
     def closed(*args):
         return fn(*args, **statics)
 
+    t0 = time.perf_counter()
     compiled = jax.jit(closed).lower(*traced_vals).compile()
+    _log(f"compiled {key} in {time.perf_counter() - t0:.1f}s")
     try:
         payload, in_tree, out_tree = se.serialize(compiled)
         os.makedirs(_CACHE_DIR, exist_ok=True)
