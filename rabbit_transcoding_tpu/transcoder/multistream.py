@@ -128,14 +128,14 @@ class MultiStreamTranscoder:
             # ABR searches per-stream state (budget, cached QPs): the probe
             # requantisations are already one cheap device pass each
             with self.timer.stage("rateControl"):
+                # partition/extra-attribute streams participate in the
+                # family budget inside _rate_control; only reflectance
+                # follows afterwards (lossless reflectance passes through)
                 for k, (i, atlas) in enumerate(zip(stream_ids, atlases)):
                     s = self.single(i)
                     _, abr_attr_qp = s._rate_control(
                         atlas, occ_mask=self._occ_masks[k],
                         map1_abs=self._map1_abs[k],
-                    )
-                    s._transcode_attr_ext(
-                        atlas, abr_attr_qp, self._occ_masks[k]
                     )
                     s._transcode_reflectance(
                         atlas, abr_attr_qp, self._occ_masks[k]

@@ -86,13 +86,14 @@ class Transcoder:
         # the delta against the NEW rec0) in BOTH rate modes
         map1_abs = context.map1_absolute()
         if p.rate_mode == "abr" and p.targetBitrateMbps > 0:
-            # ABR: the chosen probe payload IS the output (requant domain)
+            # ABR: the chosen probe payload IS the output (requant domain);
+            # partition/extra attribute streams participate in the
+            # attribute family's budget search and reflectance follows the
+            # chosen QP (lossless reflectance passes through)
             with self.timer.stage("rateControl"):
                 _, abr_attr_qp = self._rate_control(
                     atlas, occ_mask=occ_mask, map1_abs=map1_abs
                 )
-                # partition/extra attribute streams follow the chosen QP
-                self._transcode_attr_ext(atlas, abr_attr_qp, occ_mask)
                 self._transcode_reflectance(atlas, abr_attr_qp, occ_mask)
         else:
             with self.timer.stage("transcodeGeometry"):
@@ -518,6 +519,13 @@ class Transcoder:
                            VideoType.GEOMETRY_D1))
         attr_vbs = collect((VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0,
                             VideoType.ATTRIBUTE_T1))
+        # dimension-partition / extra-attribute sub-streams share the
+        # attribute family budget (keys are the (attr, partition, map)
+        # vuh triple; search installs back into attr_ext)
+        attr_vbs += [
+            (key, vb) for key, vb in sorted(atlas.attr_ext.items())
+            if vb.data.startswith(b"RBV")
+        ]
         # predicted map pairs must transcode jointly in ABR too (the delta
         # re-derives against the NEW rec0): pull them out of the
         # independent-search lists
@@ -530,7 +538,10 @@ class Transcoder:
         if geo_pair:
             geo_vbs = [x for x in geo_vbs if x[0] == VideoType.GEOMETRY]
         if attr_pair:
-            attr_vbs = [x for x in attr_vbs if x[0] == VideoType.ATTRIBUTE]
+            attr_vbs = [
+                x for x in attr_vbs
+                if x[0] == VideoType.ATTRIBUTE or isinstance(x[0], tuple)
+            ]
         if not geo_vbs and not attr_vbs and not geo_pair and not attr_pair:
             return 32, 32  # foreign payloads only: ABR not applicable
 
@@ -582,13 +593,27 @@ class Transcoder:
                 return payload
             return rbv.requantize(vb.data, qp)
 
-        def search(vb, vtype, target_bytes, cache_key) -> tuple[int, int]:
+        def _install_for(t):
+            """Payload installer for a family entry: a VideoType goes into
+            the standard slot, an (attr, partition, map) tuple back into
+            attr_ext."""
+            if isinstance(t, tuple):
+                def install(payload, key=t):
+                    atlas.attr_ext[key] = VideoBitstream(
+                        VideoType.ATTRIBUTE, payload
+                    )
+            else:
+                def install(payload, vt=t):
+                    atlas.set_video_bitstream(VideoBitstream(vt, payload))
+            return install
+
+        def search(vb, install, target_bytes, cache_key) -> tuple[int, int]:
             cached = self._rc_cache.get(cache_key)
             if cached is not None:
                 qp, size = cached
                 if abs(size - target_bytes) <= 0.2 * target_bytes:
                     payload = probe_payload(vb, qp)
-                    atlas.set_video_bitstream(VideoBitstream(vtype, payload))
+                    install(payload)
                     return qp, len(payload)
             lo, hi = 4, 48
             best = hi
@@ -605,7 +630,7 @@ class Transcoder:
             if best_payload is None:
                 best_payload = probe_payload(vb, best)
             self._rc_cache[cache_key] = (best, len(best_payload))
-            atlas.set_video_bitstream(VideoBitstream(vtype, best_payload))
+            install(best_payload)
             return best, len(best_payload)
 
         def search_family(vbs, family_budget, prefix) -> tuple[int, int]:
@@ -616,8 +641,10 @@ class Transcoder:
             nbytes = 0
             for t, vb in vbs:
                 share = len(vb.data) / max(1, total_in)
+                name = f"ext{t}" if isinstance(t, tuple) else t.name
                 qp_out, nb = search(
-                    vb, t, family_budget * share, f"{prefix}:{t.name}"
+                    vb, _install_for(t), family_budget * share,
+                    f"{prefix}:{name}",
                 )
                 nbytes += nb
             return qp_out, nbytes

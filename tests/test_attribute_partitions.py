@@ -184,6 +184,41 @@ class TestPartitionedE2E:
             )).encode(gof)
 
 
+class TestAbrOnPartitions:
+    def test_abr_budgets_partition_streams(self):
+        """rate_mode=abr on a partitioned stream: the ext sub-streams join
+        the attribute family's budget search (not just follow a QP), and
+        the produced video payload total respects the target."""
+        gof = GroupOfFrames([make_sphere_cloud(seed=i) for i in range(2)])
+        ctx, _ = Encoder(partitioned_params()).encode(gof)
+        data = V3CWriter().write(V3CWriter().encode(ctx))
+        r = V3CReader()
+        ctx2 = r.decode(r.read(data)[0])
+        ext_before = {
+            k: vb.data for k, vb in ctx2.atlas(0).attr_ext.items()
+        }
+        target_mbps = 0.5  # tight: forces coarser QPs than the input's 24
+        frames = 2
+        Transcoder(TranscoderParameters(
+            rate_mode="abr", targetBitrateMbps=target_mbps, frameRate=30.0,
+            computeHashSei=False,
+        )).transcode(ctx2)
+        atlas = ctx2.atlas(0)
+        for k, before in ext_before.items():
+            after = atlas.attr_ext[k].data
+            assert after != before
+            assert rbv.probe(after)["qp"] > 24  # requantized coarser
+        budget = target_mbps * 1e6 / 8.0 * frames / 30.0
+        total = sum(
+            len(vb.data)
+            for vb in list(atlas.video_bitstreams.values())
+            + list(atlas.attr_ext.values())
+            if vb.data.startswith(b"RBV")
+            and not rbv.probe(vb.data)["lossless"]  # occ/aux not budgeted
+        )
+        assert total <= 1.05 * budget, (total, budget)
+
+
 class TestReflectanceTranscode:
     def test_lossless_reflectance_passthrough_lossy_attr_requant(self):
         """Transcoding a 2-attribute stream: the lossy texture requantises,
