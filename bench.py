@@ -253,14 +253,17 @@ def main() -> int:
             "cached last-healthy value this run")
 
     if n_streams <= 1:
-        # GOF pipeline depth 2, exactly like rabbit-stream's default
-        # (apps/stream.py pipelineDepth=2, ordered output): host entropy of
-        # GOF n overlaps device compute of GOF n+1.  The shared/tunneled
-        # chip shows high run-to-run variance; measure several windows and
+        # GOF pipelining like rabbit-stream (apps/stream.py pipelineDepth,
+        # ordered output): host entropy of GOF n overlaps device compute of
+        # GOF n+1.  Depth 3 measured fastest on this 1-core host (58.1 vs
+        # 50.2 fps at depth 2, same phase class; depth 4 gained nothing) —
+        # the third thread keeps entropy decode fed while one thread waits
+        # on device and one deflates output.  The shared/tunneled chip
+        # shows high run-to-run variance; measure several windows and
         # report the best sustained throughput.
         import concurrent.futures as cf
 
-        depth = int(os.environ.get("BENCH_PIPELINE", "2"))
+        depth = int(os.environ.get("BENCH_PIPELINE", "3"))
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()

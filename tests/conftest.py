@@ -78,6 +78,8 @@ _SLOW_PREFIXES = (
     "test_e2e_codec.py::TestOccupancyCoding::test_lossy_occupancy_roundtrip",
     "test_parallel.py::TestMesh",
     "test_transcoder.py::TestMultiAtlas",
+    "test_transcoder.py::TestTranscoder::test_geometry_only_all_intra",
+    "test_attribute_partitions.py::TestAbrOnPartitions",
     "test_projection45.py",
 )
 

@@ -135,6 +135,38 @@ class TestTranscoder:
             # zero-MV input: requant preserves the input gop structure
             assert info["gop_size"] == info_in["gop_size"]
 
+    def test_geometry_only_all_intra_transcode(self):
+        """BASELINE config #2 analog: an all-intra geometry+occupancy-only
+        stream (noAttributes) transcodes to a lower rate point and still
+        reconstructs."""
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from test_e2e_codec import make_sphere_cloud
+
+        gof = GroupOfFrames([make_sphere_cloud(seed=i) for i in range(2)])
+        ctx, _ = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=12, attributeQP=16, occupancyPrecision=2,
+            noAttributes=True, allIntra=True,
+            frameCount=2, groupOfFramesSize=2,
+        )).encode(gof)
+        data = V3CWriter().write(V3CWriter().encode(ctx))
+        reader = V3CReader()
+        ctx2 = reader.decode(reader.read(data)[0])
+        assert ctx2.vps.atlas(0).attribute_information.ai_attribute_count == 0
+        assert VideoType.ATTRIBUTE not in ctx2.atlas(0).video_bitstreams
+        Transcoder(TranscoderParameters(
+            geometryQP=30, attributeQP=40, allIntra=True,
+            computeHashSei=False,
+        )).transcode(ctx2)
+        out = V3CWriter().write(V3CWriter().encode(ctx2))
+        assert len(out) < len(data)
+        clouds = Decoder().decode(reader.decode(reader.read(out)[0]))
+        m = compute_metrics(gof[0], clouds[0], MetricsParams(resolution=255))
+        assert m.d1_psnr > 30, m.d1_psnr
+        assert clouds[0].colors is None or not clouds[0].has_colors
+
     def test_occupancy_upscale_rejected(self, stream):
         sources, path = stream
         reader = V3CReader()
