@@ -542,6 +542,36 @@ _from_freq_slab = aot_jit(_from_freq_slab_impl,
                           name="_from_freq_slab")
 
 
+# --- int8 slab upload (opt-in: RBV_SLAB8=1) ---------------------------------
+# Quantised AC coefficients almost always fit int8, so the AC part of the
+# slab can UPLOAD (host->device) as int8 — half the bytes — with the
+# (rare, large) DC row kept int16; the device widens.  Measured on the
+# tunneled chip (alternating 20-window A/B, twice): best windows improve
+# ~18% but medians do NOT (phase noise dominates), so the default stays
+# OFF — the expected win scales with 1/link-bandwidth and only clearly
+# pays in degraded-link phases.  A download-direction variant was also
+# tried and REVERTED: deciding int8 there needs a device absmax, a
+# blocking scalar round trip per plane that stalls the pipeline (A/B:
+# median window 1.37 s vs 0.81 s).  The entropy bitstream is unchanged
+# either way: int8 is only a wire format.
+def _slab8_enabled() -> bool:
+    import os
+
+    return os.environ.get("RBV_SLAB8", "0") == "1"
+
+
+def _from_freq_slab_split_impl(dc, ac, b: int, kmax: int):
+    slab = jnp.concatenate(
+        [dc[:, None].astype(jnp.int16), ac.astype(jnp.int16)], axis=1
+    )
+    return _from_freq_slab_impl(slab, b, kmax)
+
+
+_from_freq_slab_split = aot_jit(_from_freq_slab_split_impl,
+                                static_argnames=("b", "kmax"),
+                                name="_from_freq_slab_split")
+
+
 def _zz_inv(n: int) -> np.ndarray:
     _zz(n)
     return _ZZ_INV_CACHE[n]
@@ -646,6 +676,17 @@ def _decode_coeff_blob(blob: bytes, f: int, nby: int, nbx: int, b: int):
             ).reshape(f, kmax, nby, nbx).copy()
         dcd = slab[:, 0].reshape(f, nby * nbx).astype(np.int32)
         slab[:, 0] = np.cumsum(dcd, axis=1).reshape(f, nby, nbx).astype(np.int16)
+        if kmax > 1 and _slab8_enabled():
+            ac = slab[:, 1:]
+            # coefficients are clipped to +/-32767 upstream, so abs() is
+            # exact here (no int16-min wraparound)
+            if np.abs(ac).max(initial=0) <= 127:
+                # upload AC as int8 (half the link bytes), widen on device
+                return _from_freq_slab_split(
+                    jnp.asarray(slab[:, 0]),
+                    jnp.asarray(ac.astype(np.int8)),
+                    b, kmax,
+                )
         return _from_freq_slab(jnp.asarray(slab), b, kmax)
     if mode == 2:
         nf, zi_len, zv_len = struct.unpack_from("<III", blob, 1)
