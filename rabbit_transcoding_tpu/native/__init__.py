@@ -72,13 +72,17 @@ def compress_i16(arr) -> bytes:
         raise RuntimeError("native entropy library unavailable")
     a = np.ascontiguousarray(arr, dtype=np.int16)
     cap = a.nbytes + 4096 + (a.nbytes >> 2)
-    out = ctypes.create_string_buffer(cap)
+    # np.empty, NOT ctypes.create_string_buffer: the latter zero-fills the
+    # whole capacity (~20 MB memset per bench plane, measured ~half the
+    # wrapper's total cost)
+    out = np.empty(cap, np.uint8)
     n = lib.rbv_compress_i16(
-        a.ctypes.data_as(ctypes.c_void_p), a.size, out, cap
+        a.ctypes.data_as(ctypes.c_void_p), a.size,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
     )
     if n < 0:
         raise RuntimeError("rbv_compress_i16 failed")
-    return out.raw[:n]
+    return out[:n].tobytes()
 
 
 def decompress_i16(blob: bytes, n_elements: int):

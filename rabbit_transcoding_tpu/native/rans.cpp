@@ -66,23 +66,63 @@ void normalize(const uint64_t counts[256], SymStats& s) {
   for (int i = 0; i < 256; i++) s.cum[i + 1] = s.cum[i] + s.freq[i];
 }
 
+// Per-symbol encoder tables: the naive transition does a division per
+// symbol (state / freq); replacing it with an exact reciprocal multiply
+// (the standard alias-free rANS encoder construction) measured ~2x encode
+// throughput on this host with a byte-identical bitstream.
+struct EncSym {
+  uint32_t x_max;      // renormalisation threshold for this symbol
+  uint32_t rcp_freq;   // reciprocal of freq, fixed point
+  uint32_t bias;       // cum (adjusted for the freq==1 special case)
+  uint16_t cmpl_freq;  // kProbScale - freq
+  uint16_t rcp_shift;
+};
+
+void init_enc(const SymStats& s, EncSym enc[256]) {
+  for (int i = 0; i < 256; i++) {
+    uint32_t f = s.freq[i];
+    uint32_t c = s.cum[i];
+    EncSym& e = enc[i];
+    if (f == 0) {
+      e = EncSym{};
+      continue;
+    }
+    e.x_max = ((kRansL >> kProbBits) << 8) * f;
+    e.cmpl_freq = (uint16_t)(kProbScale - f);
+    if (f < 2) {
+      // q = mul_hi(x, 2^32-1) = x-1 for x>=1; bias absorbs the off-by-one
+      e.rcp_freq = ~0u;
+      e.rcp_shift = 0;
+      e.bias = c + kProbScale - 1;
+    } else {
+      uint32_t shift = 0;
+      while (f > (1u << shift)) shift++;
+      e.rcp_freq = (uint32_t)(((1ull << (shift + 31)) + f - 1) / f);
+      e.rcp_shift = (uint16_t)(shift - 1);
+      e.bias = c;
+    }
+  }
+}
+
 // rANS encode a byte stream (reverse iteration; output grows backwards).
 void rans_encode(const std::vector<uint8_t>& in, const SymStats& s,
                  std::vector<uint8_t>& out) {
+  EncSym enc[256];
+  init_enc(s, enc);
   std::vector<uint8_t> tmp;
   tmp.reserve(in.size() + 16);
   uint32_t state = kRansL;
   for (size_t i = in.size(); i-- > 0;) {
-    uint8_t sym = in[i];
-    uint32_t f = s.freq[sym];
-    uint32_t c = s.cum[sym];
-    // renormalise: keep state < (kRansL >> kProbBits) << 8) * f
-    uint32_t x_max = ((kRansL >> kProbBits) << 8) * f;
-    while (state >= x_max) {
+    const EncSym& e = enc[in[i]];
+    while (state >= e.x_max) {
       tmp.push_back((uint8_t)(state & 0xFF));
       state >>= 8;
     }
-    state = ((state / f) << kProbBits) + (state % f) + c;
+    // exact q = state / freq via reciprocal multiply;
+    // state' = (q << 12) + (state % freq) + cum  ==  state + bias + q*cmpl
+    uint32_t q =
+        (uint32_t)(((uint64_t)state * e.rcp_freq) >> 32) >> e.rcp_shift;
+    state = state + e.bias + q * e.cmpl_freq;
   }
   // emit final state (4 bytes, little endian)
   for (int i = 0; i < 4; i++) {
@@ -96,10 +136,12 @@ void rans_encode(const std::vector<uint8_t>& in, const SymStats& s,
 // rANS decode `n` bytes.
 bool rans_decode(const uint8_t* in, size_t in_len, const SymStats& s, size_t n,
                  std::vector<uint8_t>& out) {
-  // build symbol lookup
-  std::vector<uint8_t> lut(kProbScale);
-  for (int sym = 0; sym < 256; sym++)
-    for (uint32_t j = s.cum[sym]; j < s.cum[sym + 1]; j++) lut[j] = (uint8_t)sym;
+  // combined per-slot lookup: symbol | (freq-1)<<8 | cum<<20 in one load
+  // (freq-1 because a single-symbol stream has freq == 4096, 13 bits)
+  std::vector<uint32_t> lut(kProbScale);
+  for (uint32_t sym = 0; sym < 256; sym++)
+    for (uint32_t j = s.cum[sym]; j < s.cum[sym + 1]; j++)
+      lut[j] = sym | ((s.freq[sym] - 1) << 8) | (s.cum[sym] << 20);
   size_t pos = 0;
   if (in_len < 4) return false;
   uint32_t state = 0;
@@ -107,9 +149,10 @@ bool rans_decode(const uint8_t* in, size_t in_len, const SymStats& s, size_t n,
   out.resize(n);
   for (size_t i = 0; i < n; i++) {
     uint32_t slot = state & (kProbScale - 1);
-    uint8_t sym = lut[slot];
-    out[i] = sym;
-    state = s.freq[sym] * (state >> kProbBits) + slot - s.cum[sym];
+    uint32_t e = lut[slot];
+    out[i] = (uint8_t)(e & 0xFF);
+    state =
+        (((e >> 8) & 0xFFF) + 1) * (state >> kProbBits) + slot - (e >> 20);
     while (state < kRansL) {
       if (pos >= in_len) {
         if (i + 1 == n && state >= 1) break;  // final symbol may not renorm
@@ -186,11 +229,16 @@ extern "C" {
 
 int64_t rbv_compress_i16(const int16_t* data, int64_t n, uint8_t* out,
                          int64_t out_cap) {
-  // RLE0 tokenise
-  std::vector<uint8_t> runs, lo, hi;
-  runs.reserve(n / 8 + 16);
-  lo.reserve(n / 8 + 16);
-  hi.reserve(n / 16 + 16);
+  // RLE0 tokenise.  Pass 1 counts literals (vectorisable), so the token
+  // buffers allocate exactly once and the fill pass writes through raw
+  // pointers — push_back realloc/branch overhead dominated the profile.
+  int64_t n_lit = 0;
+  for (int64_t i = 0; i < n; i++) n_lit += (data[i] != 0);
+  std::vector<uint8_t> runs, lo(n_lit), hi(n_lit);
+  runs.reserve(n_lit + 16);
+  uint8_t* lo_p = lo.data();
+  uint8_t* hi_p = hi.data();
+  int64_t li = 0;
   uint64_t run = 0;
   auto flush_run = [&]() {
     uint64_t r = run;
@@ -201,15 +249,42 @@ int64_t rbv_compress_i16(const int16_t* data, int64_t n, uint8_t* out,
     runs.push_back((uint8_t)r);
     run = 0;
   };
-  for (int64_t i = 0; i < n; i++) {
+  // coefficient planes are >90% zeros: skip 4 elements at a time through
+  // zero 64-bit words (the common case), falling back to the scalar loop
+  // only inside words that carry a literal
+  int64_t i = 0;
+  const int64_t n4 = n & ~int64_t(3);
+  while (i < n4) {
+    uint64_t w;
+    std::memcpy(&w, data + i, 8);
+    if (w == 0) {
+      run += 4;
+      i += 4;
+      continue;
+    }
+    for (int64_t e = i + 4; i < e; i++) {
+      int16_t v = data[i];
+      if (v == 0) {
+        run++;
+      } else {
+        flush_run();
+        uint16_t z = (uint16_t)((v << 1) ^ (v >> 15));  // zigzag map
+        lo_p[li] = (uint8_t)(z & 0xFF);
+        hi_p[li] = (uint8_t)(z >> 8);
+        li++;
+      }
+    }
+  }
+  for (; i < n; i++) {
     int16_t v = data[i];
     if (v == 0) {
       run++;
     } else {
       flush_run();
-      uint16_t z = (uint16_t)((v << 1) ^ (v >> 15));  // zigzag map
-      lo.push_back((uint8_t)(z & 0xFF));
-      hi.push_back((uint8_t)(z >> 8));
+      uint16_t z = (uint16_t)((v << 1) ^ (v >> 15));
+      lo_p[li] = (uint8_t)(z & 0xFF);
+      hi_p[li] = (uint8_t)(z >> 8);
+      li++;
     }
   }
   flush_run();
