@@ -44,8 +44,10 @@ class StreamParams(TranscoderParameters):
     resume: bool = False
     onError: str = "abort"   # abort | skip
     # GOFs in flight: >1 overlaps host entropy of one GOF with device
-    # compute of the next (GOFs are independent; writes stay ordered)
-    pipelineDepth: int = 2
+    # compute of the next (GOFs are independent; writes stay ordered).
+    # Depth 3 measured fastest on the bench host (58.1 vs 50.2 fps at
+    # depth 2; one thread feeding entropy, one on device, one deflating)
+    pipelineDepth: int = 3
     # batch all input streams' GOFs through one mesh-sharded device
     # program (requires >1 input; output is byte-identical to unsharded)
     sharded: bool = False
