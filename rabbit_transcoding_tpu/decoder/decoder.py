@@ -30,31 +30,123 @@ class DecoderParameters:
     computeChecksum: bool = True
     computeMetrics: bool = False
     uncompressedDataPath: str = ""
+    # external decoder binaries for foreign (Annex-B) sub-streams
+    # (reference names, PccAppDecoder.cpp:124-134); the codec family comes
+    # from the stream's codec-group / CCM SEI signalling, the binary from
+    # these paths, then RABBIT_<ID>_DECODER env, then PATH
+    videoDecoderOccupancyPath: str = ""
+    videoDecoderGeometryPath: str = ""
+    videoDecoderAttributePath: str = ""
 
 
 class Decoder:
     def __init__(self, params: DecoderParameters | None = None):
         self.params = params or DecoderParameters()
         self.timer = StageTimer()
+        self._ctx: Context | None = None
+
+    # ------------------------------------------------------------------
+    def _vdec(self, vtype: VideoType, data: bytes,
+              output_bitdepth: int | None = None):
+        """Decode one video sub-stream, dispatching on its actual codec:
+        RBV payloads decode natively; Annex-B payloads resolve an external
+        decoder from the stream's codec-group/CCM signalling
+        (PCCTranscoder::getCodedCodecId analog; decoder-side routing of
+        PCCDecoder.cpp:108-300 via PCCVideoDecoder::decompress)."""
+        from ..video import codec_group as cg
+        from ..video import rbv as rbv_mod
+
+        if data[:4] == rbv_mod._MAGIC:
+            return VideoDecoder.create(CodecId.RBV).decode(
+                data, output_bitdepth
+            )
+        if not cg.is_annexb(data):
+            raise ValueError(
+                f"unrecognised {vtype.name} video payload (neither RBV nor "
+                f"Annex-B)"
+            )
+        from ..video import base as video_base
+        from ..video.external import decode_annexb_probed
+
+        ctx = self._ctx
+        group = (ctx.vps.profile_tier_level.ptl_profile_codec_group_idc
+                 if ctx is not None and ctx.vps_list else cg.CODEC_GROUP_MP4RA)
+        comp = cg.component_of(vtype)
+        fourcc = None
+        coded_id = 0
+        if ctx is not None and ctx.vps_list:
+            va = ctx.vps.atlas(0)
+            if comp == "occupancy":
+                coded_id = va.occupancy_information.oi_occupancy_codec_id
+            elif comp == "geometry":
+                gi = va.geometry_information
+                coded_id = (gi.gi_auxiliary_geometry_codec_id
+                            if vtype == VideoType.GEOMETRY_RAW
+                            else gi.gi_geometry_codec_id)
+            else:
+                ai = va.attribute_information
+                if ai.ai_attribute_codec_id:
+                    coded_id = ai.ai_attribute_codec_id[0]
+        # CCM SEI remaps coded ids to 4CCs (MP4RA group or mixed streams)
+        if self._ccm is not None:
+            for cid_, cc in zip(self._ccm.ccm_codec_id,
+                                self._ccm.ccm_codec_4cc):
+                if cid_ == coded_id:
+                    fourcc = cc
+                    break
+        codec = cg.coded_codec_id(group, fourcc)
+        if codec in (CodecId.RBV, CodecId.RBV_LOSSLESS):
+            # signalled RBV but the payload is Annex-B (e.g. legacy stream
+            # with default group): assume the HEVC family like the
+            # transcoder's foreign route does
+            codec = CodecId.HM_APP
+        suffix = {"occupancy": "Occupancy", "geometry": "Geometry",
+                  "attribute": "Attribute"}[comp]
+        explicit = getattr(self.params, f"videoDecoder{suffix}Path", "")
+        if codec == CodecId.FFMPEG_APP:
+            name, template = "ffmpeg", video_base.FFMPEG_DECODER_TEMPLATE
+        else:
+            from ..video import external as external_mod
+
+            _, name, _, tmpl_name = video_base._EXTERNAL_APPS[codec]
+            template = getattr(external_mod, tmpl_name)
+        binary = video_base._resolve_binary(codec, name, "DECODER", explicit)
+        fb_w = fb_h = 0
+        if ctx is not None and ctx.vps_list and comp != "occupancy":
+            fb_w = ctx.vps.atlas(0).vps_frame_width
+            fb_h = ctx.vps.atlas(0).vps_frame_height
+        video = decode_annexb_probed(data, binary, template, fb_w, fb_h)
+        if output_bitdepth is not None and output_bitdepth != video.bitdepth:
+            video = video.convert_bitdepth(output_bitdepth)
+        return video
 
     def decode(self, context: Context, atlas_id: int = 0) -> list[PointSet]:
         atlas = context.atlas(atlas_id)
         vps_atlas = context.vps.atlas(0)
         width = vps_atlas.vps_frame_width
         height = vps_atlas.vps_frame_height
+        self._ctx = context
+        from ..bitstream.sei import SeiComponentCodecMapping
+
+        self._ccm = next(
+            (s for s in getattr(atlas, "seis_prefix", [])
+             if isinstance(s, SeiComponentCodecMapping)), None,
+        )
 
         with self.timer.stage("createPatchFrameDataStructure"):
             patch_frames = decode_patch_frames(atlas)
 
         with self.timer.stage("decodeOccupancyVideo"):
-            occ_video = VideoDecoder.create(CodecId.RBV).decode(
-                atlas.get_video_bitstream(VideoType.OCCUPANCY).data
+            occ_video = self._vdec(
+                VideoType.OCCUPANCY,
+                atlas.get_video_bitstream(VideoType.OCCUPANCY).data,
             )
         map1_absolute = context.map1_absolute()
         with self.timer.stage("decodeGeometryVideo"):
             if VideoType.GEOMETRY in atlas.video_bitstreams:
-                geo_video = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.GEOMETRY).data
+                geo_video = self._vdec(
+                    VideoType.GEOMETRY,
+                    atlas.get_video_bitstream(VideoType.GEOMETRY).data,
                 )
             else:
                 # per-map GVD sub-streams (vps_multiple_map_streams): map 1
@@ -65,11 +157,13 @@ class Decoder:
                     interleave_maps_np,
                 )
 
-                d0 = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.GEOMETRY_D0).data
+                d0 = self._vdec(
+                    VideoType.GEOMETRY_D0,
+                    atlas.get_video_bitstream(VideoType.GEOMETRY_D0).data,
                 )
-                d1 = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.GEOMETRY_D1).data
+                d1 = self._vdec(
+                    VideoType.GEOMETRY_D1,
+                    atlas.get_video_bitstream(VideoType.GEOMETRY_D1).data,
                 )
                 rec0 = np.asarray(d0.planes[0])
                 rec1 = np.asarray(d1.planes[0])
@@ -87,8 +181,9 @@ class Decoder:
         attr_video = None
         if VideoType.ATTRIBUTE in atlas.video_bitstreams:
             with self.timer.stage("decodeAttributeVideo"):
-                attr_video = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.ATTRIBUTE).data
+                attr_video = self._vdec(
+                    VideoType.ATTRIBUTE,
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE).data,
                 )
                 part_keys = sorted(
                     k for k in atlas.attr_ext if k[0] == 0 and k[2] == 0
@@ -104,8 +199,9 @@ class Decoder:
 
                     planes = list(attr_video.planes)
                     for key in part_keys:
-                        part = VideoDecoder.create(CodecId.RBV).decode(
-                            atlas.attr_ext[key].data
+                        part = self._vdec(
+                            VideoType.ATTRIBUTE,
+                            atlas.attr_ext[key].data,
                         )
                         planes.extend(part.planes)
                     attr_video = Video(
@@ -121,11 +217,13 @@ class Decoder:
                 )
                 from ..core.image import Video
 
-                t0 = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_T0).data
+                t0 = self._vdec(
+                    VideoType.ATTRIBUTE_T0,
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_T0).data,
                 )
-                t1 = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_T1).data
+                t1 = self._vdec(
+                    VideoType.ATTRIBUTE_T1,
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_T1).data,
                 )
                 planes = []
                 for p0, p1 in zip(t0.planes, t1.planes):
@@ -143,8 +241,9 @@ class Decoder:
         refl_video = None
         if VideoType.ATTRIBUTE_REFL in atlas.video_bitstreams:
             with self.timer.stage("decodeReflectanceVideo"):
-                refl_video = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_REFL).data
+                refl_video = self._vdec(
+                    VideoType.ATTRIBUTE_REFL,
+                    atlas.get_video_bitstream(VideoType.ATTRIBUTE_REFL).data,
                 )
 
         if (atlas.asps_list
@@ -221,13 +320,15 @@ class Decoder:
                 )
 
                 raw_units = collect_raw_patch_units(atlas)
-                raw_geo = VideoDecoder.create(CodecId.RBV).decode(
-                    atlas.get_video_bitstream(VideoType.GEOMETRY_RAW).data
+                raw_geo = self._vdec(
+                    VideoType.GEOMETRY_RAW,
+                    atlas.get_video_bitstream(VideoType.GEOMETRY_RAW).data,
                 )
                 raw_attr = None
                 if VideoType.ATTRIBUTE_RAW in atlas.video_bitstreams:
-                    raw_attr = VideoDecoder.create(CodecId.RBV).decode(
-                        atlas.get_video_bitstream(VideoType.ATTRIBUTE_RAW).data
+                    raw_attr = self._vdec(
+                        VideoType.ATTRIBUTE_RAW,
+                        atlas.get_video_bitstream(VideoType.ATTRIBUTE_RAW).data,
                     )
                 for fi in range(min(n, len(raw_units))):
                     if not raw_units[fi]:
@@ -299,8 +400,9 @@ class Decoder:
                 raw_units2 = collect_raw_patch_units(atlas)
                 raw_attr2 = None
                 if VideoType.ATTRIBUTE_RAW in atlas.video_bitstreams:
-                    raw_attr2 = VideoDecoder.create(CodecId.RBV).decode(
-                        atlas.get_video_bitstream(VideoType.ATTRIBUTE_RAW).data
+                    raw_attr2 = self._vdec(
+                        VideoType.ATTRIBUTE_RAW,
+                        atlas.get_video_bitstream(VideoType.ATTRIBUTE_RAW).data,
                     )
                 occ_plane_full = np.asarray(occ_video.planes[0])
                 b2p = engine.block_to_patch_maps(

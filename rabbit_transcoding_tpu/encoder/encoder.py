@@ -108,6 +108,25 @@ class Encoder:
         self.timer = StageTimer()
 
     # ------------------------------------------------------------------
+    def _venc(self, role: str, lossless: bool = False):
+        """Video encoder for one role, honoring the per-component codec
+        selection (videoEncoder<Comp>CodecId; PCCVideoEncoder::compress ->
+        PCCVirtualVideoEncoder dispatch, PCCVideoEncoder.cpp:282)."""
+        from ..video.base import component_encoder
+
+        return component_encoder(self.params, role, lossless)
+
+    def _external(self, comp: str) -> bool:
+        """True when an external (non-RBV) codec is selected for the
+        component — the closed loop must then trust the binary's recon."""
+        from ..utils.enums import CodecId
+        from ..video.base import component_codec_id
+
+        return component_codec_id(self.params, comp) not in (
+            CodecId.RBV, CodecId.RBV_LOSSLESS,
+        )
+
+    # ------------------------------------------------------------------
     def _gpa_beneficial(self, frame_segs, width: int, p) -> bool:
         """The DATA-ADAPTIVE part of GPA (performDataAdaptiveGPAMethod,
         PCCEncoder.cpp:6792): trial-pack the GOF both globally (one chain-
@@ -554,7 +573,7 @@ class Encoder:
                 8, ColorFormat.YUV400,
                 [(occ_small > 0).astype(np.uint8) * 255],
             )
-            occ_payload, occ_recon = VideoEncoder.create(CodecId.RBV).encode(
+            occ_payload, occ_recon = self._venc("occupancy").encode(
                 occ_video,
                 VideoEncoderParams(qp=p.occupancyMapQP, all_intra=True),
             )
@@ -566,10 +585,18 @@ class Encoder:
                 width // p.occupancyPrecision, height // p.occupancyPrecision,
                 8, ColorFormat.YUV400, [occ_small],
             )
-            occ_payload, _ = VideoEncoder.create(CodecId.RBV_LOSSLESS).encode(
-                occ_video, VideoEncoderParams(lossless=True)
-            )
-            occ_small_dec = occ_small
+            occ_payload, occ_recon = self._venc(
+                "occupancy", lossless=True
+            ).encode(occ_video, VideoEncoderParams(lossless=True, qp=0))
+            if self._external("Occupancy"):
+                # external binaries may not be exactly lossless (their cfg
+                # decides): the closed loop consumes the binary's recon,
+                # binarised the way a decoder binarises occupancy
+                occ_small_dec = (
+                    np.asarray(occ_recon.planes[0]) > 0
+                ).astype(np.uint8)
+            else:
+                occ_small_dec = occ_small
         # decoder-side occupancy: precision blocks become fully occupied —
         # the closed loop below must reconstruct exactly what a decoder sees
         from ..ops.occupancy import upsample_nearest
@@ -631,11 +658,11 @@ class Encoder:
                 from ..codec.mapstream import geo_bias, make_delta
 
                 gpl = geo_video.planes[0]
-                cid = CodecId.RBV_LOSSLESS if p.losslessGeo else CodecId.RBV
+                geo_venc = self._venc("geometry", lossless=p.losslessGeo)
 
                 def _geo_vep(delta: int) -> VideoEncoderParams:
                     if p.losslessGeo:
-                        return VideoEncoderParams(lossless=True)
+                        return VideoEncoderParams(lossless=True, qp=0)
                     return VideoEncoderParams(
                         qp=p.geometryQP + delta,
                         gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
@@ -643,7 +670,7 @@ class Encoder:
                     )
 
                 maxv = (1 << p.geometryNominal2dBitdepth) - 1
-                d0_payload, d0_recon = VideoEncoder.create(cid).encode(
+                d0_payload, d0_recon = geo_venc.encode(
                     Video(width, height, p.geometryNominal2dBitdepth,
                           ColorFormat.YUV400, [gpl[0::2].copy()]),
                     _geo_vep(p.deltaQPD0),
@@ -656,7 +683,7 @@ class Encoder:
                         gpl[1::2], rec0,
                         geo_bias(p.geometryNominal2dBitdepth), maxv,
                     )
-                d1_payload, d1_recon = VideoEncoder.create(cid).encode(
+                d1_payload, d1_recon = geo_venc.encode(
                     Video(width, height, p.geometryNominal2dBitdepth,
                           ColorFormat.YUV400, [d1_plane]),
                     _geo_vep(p.deltaQPD1),
@@ -678,13 +705,11 @@ class Encoder:
                 geo_payload = None
                 geo_payload_maps = (d0_payload, d1_payload)
             elif p.losslessGeo:
-                geo_payload, geo_recon = VideoEncoder.create(
-                    CodecId.RBV_LOSSLESS
-                ).encode(geo_video, VideoEncoderParams(lossless=True))
+                geo_payload, geo_recon = self._venc(
+                    "geometry", lossless=True
+                ).encode(geo_video, VideoEncoderParams(lossless=True, qp=0))
             else:
-                geo_payload, geo_recon = VideoEncoder.create(
-                    CodecId.RBV
-                ).encode(
+                geo_payload, geo_recon = self._venc("geometry").encode(
                     geo_video,
                     VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
                                        motion=p.motionEstimation),
@@ -944,15 +969,11 @@ class Encoder:
                     make_delta,
                 )
 
-                cid = (
-                    CodecId.RBV_LOSSLESS
-                    if p.losslessAttribute
-                    else CodecId.RBV
-                )
+                attr_venc = self._venc("attribute", lossless=p.losslessAttribute)
 
                 def _attr_vep(delta: int) -> VideoEncoderParams:
                     if p.losslessAttribute:
-                        return VideoEncoderParams(lossless=True)
+                        return VideoEncoderParams(lossless=True, qp=0)
                     return VideoEncoderParams(
                         qp=p.attributeQP + delta,
                         gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
@@ -960,7 +981,7 @@ class Encoder:
                     )
 
                 t0_planes = [pl[0::2].copy() for pl in attr_video.planes]
-                t0_payload, t0_recon = VideoEncoder.create(cid).encode(
+                t0_payload, t0_recon = attr_venc.encode(
                     Video(width, height, 8, attr_video.format, t0_planes),
                     _attr_vep(p.deltaQPT0),
                 )
@@ -972,7 +993,7 @@ class Encoder:
                         make_delta(pl[1::2], r0, attr_bias(8), 255)
                         for pl, r0 in zip(attr_video.planes, rec0p)
                     ]
-                t1_payload, t1_recon = VideoEncoder.create(cid).encode(
+                t1_payload, t1_recon = attr_venc.encode(
                     Video(width, height, 8, attr_video.format, t1_planes),
                     _attr_vep(p.deltaQPT1),
                 )
@@ -1010,12 +1031,11 @@ class Encoder:
                         "attribute dimension partitions require YUV420 "
                         "attribute video (attributeVideo444 off)"
                     )
-                part_cid = (
-                    CodecId.RBV_LOSSLESS if p.losslessAttribute
-                    else CodecId.RBV
+                part_venc = self._venc(
+                    "attribute", lossless=p.losslessAttribute
                 )
                 part_vep = (
-                    VideoEncoderParams(lossless=True)
+                    VideoEncoderParams(lossless=True, qp=0)
                     if p.losslessAttribute
                     else VideoEncoderParams(
                         qp=p.attributeQP, gop_size=attr_gop,
@@ -1029,9 +1049,7 @@ class Encoder:
                         pl.shape[2], pl.shape[1], 8, ColorFormat.YUV400,
                         [pl],
                     )
-                    pay, rec = VideoEncoder.create(part_cid).encode(
-                        pv, part_vep
-                    )
+                    pay, rec = part_venc.encode(pv, part_vep)
                     part_payloads.append(pay)
                     part_recons.append(np.asarray(rec.planes[0]))
                 attr_payload = part_payloads[0]
@@ -1040,13 +1058,11 @@ class Encoder:
                     width, height, 8, attr_video.format, part_recons
                 )
             elif p.losslessAttribute:
-                attr_payload, attr_recon = VideoEncoder.create(
-                    CodecId.RBV_LOSSLESS
-                ).encode(attr_video, VideoEncoderParams(lossless=True))
+                attr_payload, attr_recon = self._venc(
+                    "attribute", lossless=True
+                ).encode(attr_video, VideoEncoderParams(lossless=True, qp=0))
             else:
-                attr_payload, attr_recon = VideoEncoder.create(
-                    CodecId.RBV
-                ).encode(
+                attr_payload, attr_recon = self._venc("attribute").encode(
                     attr_video,
                     VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop,
                                        motion=p.motionEstimation),
@@ -1091,9 +1107,13 @@ class Encoder:
             refl_video = Video(
                 width, height, 16, ColorFormat.YUV400, [refl_planes]
             )
+            # reflectance is a semantic attribute: always RBV-lossless even
+            # when the main attribute rides an external codec (whose cfg
+            # would need SCC-lossless we cannot validate binary-less here);
+            # the decoder dispatches per payload, so mixing is safe
             refl_payload, refl_recon = VideoEncoder.create(
                 CodecId.RBV_LOSSLESS
-            ).encode(refl_video, VideoEncoderParams(lossless=True))
+            ).encode(refl_video, VideoEncoderParams(lossless=True, qp=0))
             refl_recon_planes = np.asarray(refl_recon.planes[0])
 
         # 6c. raw-points + EOM aux videos — BEFORE reconstruction so the
@@ -1122,27 +1142,27 @@ class Encoder:
                 extra_colors=eom_colors,
             )
             if use_lossy_raw:
-                raw_geo_payload, rg_rec = VideoEncoder.create(
-                    CodecId.RBV
-                ).encode(raw_geo_video, VideoEncoderParams(
-                    qp=p.auxGeometryQP, all_intra=True,
-                ))
+                raw_geo_payload, rg_rec = self._venc("geometryMP").encode(
+                    raw_geo_video, VideoEncoderParams(
+                        qp=p.auxGeometryQP, all_intra=True,
+                    ))
             else:
-                raw_geo_payload, rg_rec = VideoEncoder.create(
-                    CodecId.RBV_LOSSLESS
-                ).encode(raw_geo_video, VideoEncoderParams(lossless=True))
+                raw_geo_payload, rg_rec = self._venc(
+                    "geometryMP", lossless=True
+                ).encode(raw_geo_video, VideoEncoderParams(lossless=True, qp=0))
             ra_rec = None
             if not p.noAttributes:
                 if use_lossy_raw:
-                    raw_attr_payload, ra_rec = VideoEncoder.create(
-                        CodecId.RBV
+                    raw_attr_payload, ra_rec = self._venc(
+                        "attributeMP"
                     ).encode(raw_attr_video, VideoEncoderParams(
                         qp=p.auxAttributeQP, all_intra=True,
                     ))
                 else:
-                    raw_attr_payload, ra_rec = VideoEncoder.create(
-                        CodecId.RBV_LOSSLESS
-                    ).encode(raw_attr_video, VideoEncoderParams(lossless=True))
+                    raw_attr_payload, ra_rec = self._venc(
+                        "attributeMP", lossless=True
+                    ).encode(raw_attr_video,
+                             VideoEncoderParams(lossless=True, qp=0))
             if use_lossy_raw:
                 # closed loop: reconstruct EXACTLY what the decoder recovers
                 cmax = (1 << p.geometry3dCoordinatesBitdepth) - 1
@@ -1353,12 +1373,28 @@ class Encoder:
         geo_payload_maps=None, attr_payload_maps=None,
         attr_payload_parts=None,
     ) -> Context:
+        from ..video import codec_group as cg
+        from ..video.base import component_codec_id
+
         p = self.params
         context = Context()
         vps = V3CParameterSet()
         ptl = vps.profile_tier_level
         ptl.ptl_tier_flag = p.tierFlag
-        ptl.ptl_profile_codec_group_idc = p.profileCodecGroupIdc
+        # codec-group signalling (PCCBitstreamCommon.h:169-173): derived
+        # from the per-component codec selection unless the user pinned a
+        # group explicitly.  All-RBV streams are CODEC_GROUP_MP4RA with an
+        # 'rbv1' Component Codec Mapping SEI entry; external codecs signal
+        # their family's group (getCodedCodecId inverse).
+        sig = cg.signalling(
+            component_codec_id(p, "Occupancy"),
+            component_codec_id(p, "Geometry"),
+            component_codec_id(p, "Attribute"),
+        )
+        ptl.ptl_profile_codec_group_idc = (
+            p.profileCodecGroupIdc if p.profileCodecGroupIdc
+            else sig.profile_codec_group_idc
+        )
         ptl.ptl_profile_toolset_idc = p.profileToolsetIdc
         ptl.ptl_profile_reconstruction_idc = p.profileReconstructionIdc
         ptl.ptl_level_idc = p.levelIdc
@@ -1374,8 +1410,17 @@ class Encoder:
                 # absoluteD1/absoluteT1 ride the map-1 absolute-coding flag
                 va.vps_map_absolute_coding_enabled_flag[1] = p.absoluteD1
         va.occupancy_information.oi_occupancy_2d_bitdepth_minus1 = 7
+        va.occupancy_information.oi_occupancy_codec_id = (
+            sig.component_ids["occupancy"]
+        )
         if p.lossyOccupancyMap and not p.enhancedOccupancyMapCode:
             va.occupancy_information.oi_lossy_occupancy_compression_threshold = 127
+        va.geometry_information.gi_geometry_codec_id = (
+            sig.component_ids["geometry"]
+        )
+        va.geometry_information.gi_auxiliary_geometry_codec_id = (
+            sig.component_ids["geometry"]
+        )
         va.geometry_information.gi_geometry_2d_bitdepth_minus1 = (
             p.geometryNominal2dBitdepth - 1
         )
@@ -1399,7 +1444,7 @@ class Encoder:
             va.attribute_information = AttributeInformation(
                 ai_attribute_count=1,
                 ai_attribute_type_id=[0],
-                ai_attribute_codec_id=[0],
+                ai_attribute_codec_id=[sig.component_ids["attribute"]],
                 ai_attribute_dimension_minus1=[2],
                 # one single-channel partition per coded sub-stream when
                 # dimension-partitioned (channel counts are fully inferred
@@ -1414,6 +1459,14 @@ class Encoder:
         context.vps_list.append(vps)
 
         atlas = context.atlas(0)
+        if sig.ccm_entries:
+            from ..bitstream.sei import SeiComponentCodecMapping
+
+            atlas.seis_prefix.append(SeiComponentCodecMapping(
+                ccm_codec_mappings_count_minus1=len(sig.ccm_entries) - 1,
+                ccm_codec_id=[e[0] for e in sig.ccm_entries],
+                ccm_codec_4cc=[e[1] for e in sig.ccm_entries],
+            ))
         # rotated-space coordinates span one extra bit when 45-degree
         # projections are active
         geom3d_bits = p.geometry3dCoordinatesBitdepth + (

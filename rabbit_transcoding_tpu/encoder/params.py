@@ -92,6 +92,25 @@ class EncoderParameters:
     # partitions 1/2 ride attr_ext AVD units).
     attributeDimensionPartitions: int = 1
 
+    # per-component video codec selection (reference names,
+    # PccAppEncoder.cpp:477-499): RBV (TPU-native, default) or an external
+    # app family (HM_APP / JM_APP / SHM_APP / VTM_APP / FFMPEG_APP); the
+    # *Path options pin the binary (else RABBIT_<ID>_ENCODER env, else PATH)
+    videoEncoderOccupancyCodecId: str = "RBV"
+    videoEncoderGeometryCodecId: str = "RBV"
+    videoEncoderAttributeCodecId: str = "RBV"
+    videoEncoderOccupancyPath: str = ""
+    videoEncoderGeometryPath: str = ""
+    videoEncoderAttributePath: str = ""
+    # external-codec cfg files (the cfg/hm, cfg/jm, cfg/shm, cfg/vtm corpus;
+    # reference names PccAppEncoder.cpp:298-556) — ignored by RBV, inserted
+    # as -c/-d ahead of the CLI options for external encoders
+    occupancyMapConfig: str = ""
+    geometryConfig: str = ""
+    geometryMPConfig: str = ""    # raw-points aux geometry video
+    attributeConfig: str = ""
+    attributeMPConfig: str = ""   # raw-points aux attribute video
+
     # rate points
     geometryQP: int = 28
     attributeQP: int = 37

@@ -23,41 +23,19 @@ import os
 import shutil
 
 from ..core.image import Video
-from ..utils.enums import CodecId, ColorFormat, VideoType
+from ..utils.enums import CodecId, VideoType
 from ..video import base as video_base
 from ..video import external as external_mod
 from ..video.base import VideoEncoderParams
-from ..video.external import ExternalVideoDecoder, ExternalVideoEncoder
-from ..video.hevc_probe import probe_avc, probe_hevc
+from ..video.external import ExternalVideoEncoder
 
-_CHROMA_TO_FMT = {
-    0: ColorFormat.YUV400,
-    1: ColorFormat.YUV420,
-    3: ColorFormat.YUV444,
-}
-
-_GEOMETRY_TYPES = frozenset({
-    VideoType.GEOMETRY, VideoType.GEOMETRY_D0, VideoType.GEOMETRY_D1,
-    VideoType.GEOMETRY_RAW,
-})
-_ATTRIBUTE_TYPES = frozenset({
-    VideoType.ATTRIBUTE, VideoType.ATTRIBUTE_T0, VideoType.ATTRIBUTE_T1,
-    VideoType.ATTRIBUTE_RAW, VideoType.ATTRIBUTE_REFL,
-})
-
-
-def component_of(vtype: VideoType) -> str:
-    if vtype == VideoType.OCCUPANCY:
-        return "occupancy"
-    if vtype in _GEOMETRY_TYPES:
-        return "geometry"
-    if vtype in _ATTRIBUTE_TYPES:
-        return "attribute"
-    raise ValueError(f"unknown video type {vtype}")
-
-
-def is_annexb(data: bytes) -> bool:
-    return data[:4] == b"\x00\x00\x00\x01" or data[:3] == b"\x00\x00\x01"
+# shared with the decoder's foreign-payload dispatch (video/codec_group.py)
+from ..video.codec_group import (  # noqa: F401  (re-exported names)
+    _ATTRIBUTE_TYPES,
+    _GEOMETRY_TYPES,
+    component_of,
+    is_annexb,
+)
 
 
 @dataclasses.dataclass
@@ -76,27 +54,10 @@ class ForeignCodec:
         fallback_height: int = 0,
         fallback_bitdepth: int = 8,
     ) -> Video:
-        info = probe_hevc(payload) or probe_avc(payload)
-        if info is not None:
-            width, height = info["width"], info["height"]
-            bitdepth = info["bitdepth"]
-            fmt = _CHROMA_TO_FMT.get(
-                info.get("chroma_format_idc", 1), ColorFormat.YUV420
-            )
-        else:
-            if fallback_width <= 0 or fallback_height <= 0:
-                raise ValueError(
-                    "foreign payload has no parseable SPS and no HLS "
-                    "dimensions to fall back to"
-                )
-            width, height = fallback_width, fallback_height
-            bitdepth, fmt = fallback_bitdepth, ColorFormat.YUV420
-        dec = ExternalVideoDecoder(
-            self.decoder_binary, self.decoder_template,
-            width=width, height=height, frames=0,  # inferred from file size
-            bitdepth=bitdepth, fmt=fmt,
+        return external_mod.decode_annexb_probed(
+            payload, self.decoder_binary, self.decoder_template,
+            fallback_width, fallback_height, fallback_bitdepth,
         )
-        return dec.decode(payload)
 
     def encode(self, video: Video, qp: int) -> bytes:
         enc = ExternalVideoEncoder(self.encoder_binary, self.encoder_template)

@@ -62,9 +62,13 @@ FFMPEG_DECODER_TEMPLATE = (
 )
 
 
-def _resolve_binary(codec_id: CodecId, name: str, role: str) -> str:
+def _resolve_binary(
+    codec_id: CodecId, name: str, role: str, explicit: str = ""
+) -> str:
     import os
 
+    if explicit:
+        return explicit
     env = os.environ.get(f"RABBIT_{codec_id.name}_{role}")
     binary = env or shutil.which(name)
     if binary is None:
@@ -73,6 +77,78 @@ def _resolve_binary(codec_id: CodecId, name: str, role: str) -> str:
             f"(set RABBIT_{codec_id.name}_{role} to override)"
         )
     return binary
+
+
+# ---------------------------------------------------------------------------
+# Per-component codec selection (PCCEncoderParameters
+# videoEncoder{Occupancy,Geometry,Attribute}CodecId/Path +
+# occupancyMapConfig/geometryConfig/... cfg corpus,
+# PccAppEncoder.cpp:298-556)
+# ---------------------------------------------------------------------------
+_ROLE_COMP = {
+    "occupancy": "Occupancy",
+    "geometry": "Geometry",
+    "geometryMP": "Geometry",   # raw-points aux video rides the geometry codec
+    "attribute": "Attribute",
+    "attributeMP": "Attribute",
+}
+_ROLE_CFG = {
+    "occupancy": "occupancyMapConfig",
+    "geometry": "geometryConfig",
+    "geometryMP": "geometryMPConfig",
+    "attribute": "attributeConfig",
+    "attributeMP": "attributeMPConfig",
+}
+# cfg-file flag of each external encoder CLI (HM-family -c; JM lencod -d)
+_CONFIG_FLAG = {CodecId.JM_APP: "-d"}
+
+
+def component_codec_id(params, comp: str) -> CodecId:
+    """The codec selected for a component ('Occupancy'/'Geometry'/
+    'Attribute') by the videoEncoder<Comp>CodecId option; RBV when unset."""
+    name = getattr(params, f"videoEncoder{comp}CodecId", "RBV") or "RBV"
+    try:
+        return CodecId[name]
+    except KeyError:
+        raise ValueError(
+            f"videoEncoder{comp}CodecId={name!r} is not a codec id (expected "
+            f"RBV / HM_APP / JM_APP / SHM_APP / VTM_APP / FFMPEG_APP)"
+        ) from None
+
+
+def component_encoder(params, role: str, lossless: bool = False) -> "VideoEncoder":
+    """An encoder for one video role ('occupancy', 'geometry', 'geometryMP',
+    'attribute', 'attributeMP') honoring the per-component codec selection.
+
+    RBV (default) keeps the TPU-native path; external codecs shell out via
+    the app wrappers with the role's cfg file attached (the reference routes
+    PCCVideoEncoder::compress through PCCVirtualVideoEncoder the same way,
+    PCCVideoEncoder.cpp:282)."""
+    comp = _ROLE_COMP[role]
+    codec_id = component_codec_id(params, comp)
+    if codec_id in (CodecId.RBV, CodecId.RBV_LOSSLESS):
+        force = lossless or codec_id == CodecId.RBV_LOSSLESS
+        return VideoEncoder.create(
+            CodecId.RBV_LOSSLESS if force else CodecId.RBV
+        )
+    from .external import ExternalVideoEncoder
+
+    explicit = getattr(params, f"videoEncoder{comp}Path", "")
+    config = getattr(params, _ROLE_CFG[role], "") or ""
+    if codec_id == CodecId.FFMPEG_APP:
+        binary = _resolve_binary(codec_id, "ffmpeg", "ENCODER", explicit)
+        # ffmpeg has no HM-style cfg file; options ride the template
+        return ExternalVideoEncoder(binary, FFMPEG_ENCODER_TEMPLATE)
+    if codec_id not in _EXTERNAL_APPS:
+        raise ValueError(f"unsupported encoder codec id {codec_id}")
+    from . import external
+
+    name, _, tmpl, _ = _EXTERNAL_APPS[codec_id]
+    binary = _resolve_binary(codec_id, name, "ENCODER", explicit)
+    return ExternalVideoEncoder(
+        binary, getattr(external, tmpl), config_path=config,
+        config_flag=_CONFIG_FLAG.get(codec_id, "-c"),
+    )
 
 
 class VideoEncoder:

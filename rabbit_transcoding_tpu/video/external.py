@@ -64,13 +64,22 @@ _CHROMA_CODE = {
 class ExternalVideoEncoder(VideoEncoder):
     """Runs an external encoder binary over temp files (the reference's
     file-based IPC, PCCVideoEncoder.cpp:346-402 keepIntermediateFiles
-    concept applies via keep_files)."""
+    concept applies via keep_files).
+
+    ``config_path`` is the codec's own cfg file (the reference's
+    occupancyMapConfig/geometryConfig/attributeConfig cfg corpus,
+    PccAppEncoder.cpp:298-556), inserted right after the binary with
+    ``config_flag`` (HM/SHM/VTM: ``-c``; JM lencod: ``-d``) so CLI options
+    still override it, matching the codecs' last-wins parsing."""
 
     def __init__(self, binary: str, template: str = HM_ENCODER_TEMPLATE,
-                 keep_files: bool = False):
+                 keep_files: bool = False, config_path: str = "",
+                 config_flag: str = "-c"):
         self.binary = binary
         self.template = template
         self.keep_files = keep_files
+        self.config_path = config_path
+        self.config_flag = config_flag
 
     def encode(self, video: Video, params: VideoEncoderParams) -> tuple[bytes, Video]:
         with tempfile.TemporaryDirectory(prefix="rbx_ext_") as td:
@@ -84,8 +93,12 @@ class ExternalVideoEncoder(VideoEncoder):
                 frames=video.frame_count, bitdepth=video.bitdepth,
                 qp=params.qp, chroma=_CHROMA_CODE[video.format],
             )
+            argv = shlex.split(cmd)
+            config = params.config_path or self.config_path
+            if config and self.config_flag:
+                argv[1:1] = [self.config_flag, config]
             proc = subprocess.run(
-                shlex.split(cmd), capture_output=True, text=True
+                argv, capture_output=True, text=True
             )
             if proc.returncode != 0 or not os.path.exists(out_path):
                 raise RuntimeError(
@@ -157,3 +170,47 @@ class ExternalVideoDecoder(VideoDecoder):
                 bitdepth, self.fmt,
             )
             return video
+
+
+_SPS_CHROMA_TO_FMT = {
+    0: ColorFormat.YUV400,
+    1: ColorFormat.YUV420,
+    3: ColorFormat.YUV444,
+}
+
+
+def decode_annexb_probed(
+    payload: bytes,
+    binary: str,
+    template: str = HM_DECODER_TEMPLATE,
+    fallback_width: int = 0,
+    fallback_height: int = 0,
+    fallback_bitdepth: int = 8,
+) -> Video:
+    """Decode an Annex-B payload through an external binary, sizing the
+    output from the payload's own SPS (the role PccLibHevcParser plays for
+    the reference's app decoders, PCCHMAppVideoDecoder.cpp:60-61), falling
+    back to caller-supplied dimensions when no SPS parses."""
+    from .hevc_probe import probe_avc, probe_hevc
+
+    info = probe_hevc(payload) or probe_avc(payload)
+    if info is not None:
+        width, height = info["width"], info["height"]
+        bitdepth = info["bitdepth"]
+        fmt = _SPS_CHROMA_TO_FMT.get(
+            info.get("chroma_format_idc", 1), ColorFormat.YUV420
+        )
+    else:
+        if fallback_width <= 0 or fallback_height <= 0:
+            raise ValueError(
+                "foreign payload has no parseable SPS and no fallback "
+                "dimensions"
+            )
+        width, height = fallback_width, fallback_height
+        bitdepth, fmt = fallback_bitdepth, ColorFormat.YUV420
+    dec = ExternalVideoDecoder(
+        binary, template,
+        width=width, height=height, frames=0,  # inferred from file size
+        bitdepth=bitdepth, fmt=fmt,
+    )
+    return dec.decode(payload)

@@ -37,6 +37,9 @@ _SLOW_PREFIXES = (
     "test_e2e_codec.py::TestGridBasedSegmentation",
     "test_eom.py::TestEom::test_interior_layers_recovered",
     "test_eom.py::TestEom::test_eom_closed_loop",
+    "test_cfg_corpus.py::TestCascadeDrivesExternalCodec",
+    "test_external_pipeline.py::TestExternalEncodePipeline",
+    "test_external_pipeline.py::TestMixedCodecs",
     "test_foreign_transcode.py::TestForeignReencode",
     "test_inter_coding.py::TestInterCoding",
     "test_inter_coding.py::TestGlobalPacking",
