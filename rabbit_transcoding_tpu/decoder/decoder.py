@@ -44,6 +44,7 @@ class Decoder:
         self.params = params or DecoderParameters()
         self.timer = StageTimer()
         self._ctx: Context | None = None
+        self._sei_atlas = None
 
     # ------------------------------------------------------------------
     def _vdec(self, vtype: VideoType, data: bytes,
@@ -69,32 +70,8 @@ class Decoder:
         from ..video.external import decode_annexb_probed
 
         ctx = self._ctx
-        group = (ctx.vps.profile_tier_level.ptl_profile_codec_group_idc
-                 if ctx is not None and ctx.vps_list else cg.CODEC_GROUP_MP4RA)
         comp = cg.component_of(vtype)
-        fourcc = None
-        coded_id = 0
-        if ctx is not None and ctx.vps_list:
-            va = ctx.vps.atlas(0)
-            if comp == "occupancy":
-                coded_id = va.occupancy_information.oi_occupancy_codec_id
-            elif comp == "geometry":
-                gi = va.geometry_information
-                coded_id = (gi.gi_auxiliary_geometry_codec_id
-                            if vtype == VideoType.GEOMETRY_RAW
-                            else gi.gi_geometry_codec_id)
-            else:
-                ai = va.attribute_information
-                if ai.ai_attribute_codec_id:
-                    coded_id = ai.ai_attribute_codec_id[0]
-        # CCM SEI remaps coded ids to 4CCs (MP4RA group or mixed streams)
-        if self._ccm is not None:
-            for cid_, cc in zip(self._ccm.ccm_codec_id,
-                                self._ccm.ccm_codec_4cc):
-                if cid_ == coded_id:
-                    fourcc = cc
-                    break
-        codec = cg.coded_codec_id(group, fourcc)
+        codec = cg.signalled_codec(ctx, self._sei_atlas, vtype, data)
         if codec in (CodecId.RBV, CodecId.RBV_LOSSLESS):
             # signalled RBV but the payload is Annex-B (e.g. legacy stream
             # with default group): assume the HEVC family like the
@@ -126,12 +103,7 @@ class Decoder:
         width = vps_atlas.vps_frame_width
         height = vps_atlas.vps_frame_height
         self._ctx = context
-        from ..bitstream.sei import SeiComponentCodecMapping
-
-        self._ccm = next(
-            (s for s in getattr(atlas, "seis_prefix", [])
-             if isinstance(s, SeiComponentCodecMapping)), None,
-        )
+        self._sei_atlas = atlas  # carries the CCM SEI for codec dispatch
 
         with self.timer.stage("createPatchFrameDataStructure"):
             patch_frames = decode_patch_frames(atlas)

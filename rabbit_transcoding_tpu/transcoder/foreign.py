@@ -76,10 +76,20 @@ def _resolve_binary(
     return shutil.which(default_name)
 
 
-def resolve(params, vtype: VideoType) -> ForeignCodec | None:
+def resolve(
+    params, vtype: VideoType, context=None, atlas=None,
+    payload: bytes | None = None,
+) -> ForeignCodec | None:
     """Resolve the external codec for a component, or None if unconfigured.
 
-    Resolution order (each of decoder and encoder independently): the
+    The codec FAMILY comes from videoEncoder<Comp>CodecId when set; with
+    the 'auto' default (empty) it is derived from the stream's own
+    signalling — codec-group idc + CCM SEI (the reference derives it the
+    same way, getCodedCodecId, PCCTranscoder.cpp:2110-2243) — falling back
+    to HM_APP (the reference's primary build) when the signalling doesn't
+    identify an external family.
+
+    Binary resolution order (decoder and encoder independently): the
     explicit videoDecoder<Comp>Path / videoEncoder<Comp>Path parameter
     (PCCTranscoderParameters.h:71-83 names), then the
     RABBIT_<CODECID>_{DECODER,ENCODER} env override the factory also
@@ -89,7 +99,13 @@ def resolve(params, vtype: VideoType) -> ForeignCodec | None:
     comp = component_of(vtype)
     suffix = {"occupancy": "Occupancy", "geometry": "Geometry",
               "attribute": "Attribute"}[comp]
-    codec_name = getattr(params, f"videoEncoder{suffix}CodecId", "HM_APP")
+    codec_name = getattr(params, f"videoEncoder{suffix}CodecId", "") or ""
+    if not codec_name:
+        from ..video import codec_group as cg
+
+        derived = cg.signalled_codec(context, atlas, vtype, payload)
+        codec_name = (derived.name if derived not in
+                      (CodecId.RBV, CodecId.RBV_LOSSLESS) else "HM_APP")
     try:
         codec_id = CodecId[codec_name]
     except KeyError:

@@ -62,10 +62,13 @@ class TranscoderParameters:
     videoEncoderGeometryPath: str = ""
     videoEncoderAttributePath: str = ""
     # template family used to drive the binaries (CodecId name: HM_APP /
-    # JM_APP / SHM_APP / VTM_APP / FFMPEG_APP)
-    videoEncoderOccupancyCodecId: str = "HM_APP"
-    videoEncoderGeometryCodecId: str = "HM_APP"
-    videoEncoderAttributeCodecId: str = "HM_APP"
+    # JM_APP / SHM_APP / VTM_APP / FFMPEG_APP); empty = auto — derive the
+    # family from the stream's own codec-group idc + CCM SEI signalling
+    # (getCodedCodecId, PCCTranscoder.cpp:2110-2243), HM_APP when the
+    # signalling doesn't identify one
+    videoEncoderOccupancyCodecId: str = ""
+    videoEncoderGeometryCodecId: str = ""
+    videoEncoderAttributeCodecId: str = ""
     occupancyMapQP: int = 8
     deltaQPD0: int = 0
     deltaQPD1: int = 0

@@ -41,6 +41,7 @@ class Transcoder:
         self.params = params or TranscoderParameters()
         self.timer = StageTimer()
         self._rc_cache: dict[str, tuple[int, int]] = {}
+        self._ctx: Context | None = None  # set per transcode() call
 
     # ------------------------------------------------------------------
     def _keep_intermediate(self, atlas, stage: str) -> None:
@@ -58,6 +59,8 @@ class Transcoder:
         """Transcode one GOF's atlas in place (PCCTranscoder::transcode)."""
         p = self.params
         atlas = context.atlas(atlas_id)
+        # stream signalling for foreign-codec family derivation (resolve())
+        self._ctx = context
         self._keep_intermediate(atlas, "in")
 
         # lossless inputs re-encode through a background-filled pixel path;
@@ -192,7 +195,10 @@ class Transcoder:
             raise ValueError(
                 "unrecognized OCCUPANCY video payload (not RBV, not Annex-B)"
             )
-        codec = foreign.resolve(p, VideoType.OCCUPANCY)
+        codec = foreign.resolve(
+            p, VideoType.OCCUPANCY, getattr(self, "_ctx", None), atlas,
+            vb.data,
+        )
         if codec is None or not atlas.asps_list:
             return  # pass through untouched
         asps = atlas.asps_list[0]
@@ -427,7 +433,9 @@ class Transcoder:
 
             if p.shvcLayerIndex >= 0 and len(hevc_layer_ids(vb.data)) > 1:
                 return filter_hevc_layers(vb.data, p.shvcLayerIndex)
-            codec = foreign.resolve(p, vtype)
+            codec = foreign.resolve(
+                p, vtype, getattr(self, "_ctx", None), atlas, vb.data
+            )
             if codec is not None:
                 asps = atlas.asps_list[0] if atlas.asps_list else None
                 video = codec.decode(

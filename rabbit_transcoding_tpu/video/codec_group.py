@@ -157,3 +157,69 @@ def coded_codec_id(
 def group_fourcc(codec: CodecId) -> tuple[int, str]:
     """(codec group idc, 4cc) a single-codec stream would signal."""
     return _GROUP_OF[codec], _FOURCC_OF[codec]
+
+
+def family_from_payload(data: bytes) -> CodecId | None:
+    """Codec family whose SPS the payload parses as (PccLibHevcParser /
+    PccLibAvcParser role), or None."""
+    from .hevc_probe import probe_avc, probe_hevc
+
+    if probe_hevc(data) is not None:
+        return CodecId.HM_APP
+    if probe_avc(data) is not None:
+        return CodecId.JM_APP
+    return None
+
+
+def signalled_codec(
+    context, atlas, vtype: VideoType, payload: bytes | None = None
+) -> CodecId:
+    """The codec family a stream's own signalling declares for one
+    component's videos: the PTL codec-group idc picks the family, and the
+    Component Codec Mapping SEI's 4CC entries override per coded component
+    id (decoder-side getCodedCodecId, PCCTranscoder.cpp:2110-2243).
+
+    Codec-group 0 is both 'AVC Progressive High' and the value legacy
+    streams wrote as a don't-care default, so there (and for MP4RA without
+    a matching 4CC) a parseable SPS in ``payload`` decides the family
+    before the group mapping does.  Returns CodecId.RBV when nothing
+    identifies an external family."""
+    from ..bitstream.sei import SeiComponentCodecMapping
+
+    if context is None or not getattr(context, "vps_list", []):
+        if payload is not None:
+            return family_from_payload(payload) or CodecId.RBV
+        return CodecId.RBV
+    group = context.vps.profile_tier_level.ptl_profile_codec_group_idc
+    comp = component_of(vtype)
+    va = context.vps.atlas(0)
+    coded_id = 0
+    if comp == "occupancy":
+        coded_id = va.occupancy_information.oi_occupancy_codec_id
+    elif comp == "geometry":
+        gi = va.geometry_information
+        coded_id = (gi.gi_auxiliary_geometry_codec_id
+                    if vtype == VideoType.GEOMETRY_RAW
+                    else gi.gi_geometry_codec_id)
+    else:
+        ai = va.attribute_information
+        if ai.ai_attribute_codec_id:
+            coded_id = ai.ai_attribute_codec_id[0]
+    fourcc = None
+    if atlas is not None:
+        for s in getattr(atlas, "seis_prefix", []):
+            if isinstance(s, SeiComponentCodecMapping):
+                for cid_, cc in zip(s.ccm_codec_id, s.ccm_codec_4cc):
+                    if cid_ == coded_id:
+                        fourcc = cc
+                        break
+                break
+    if fourcc and fourcc in _FOURCC_TO_CODEC:
+        return _FOURCC_TO_CODEC[fourcc]
+    if group in _GROUP_TO_CODEC and group != CODEC_GROUP_AVC_PROGRESSIVE_HIGH:
+        return _GROUP_TO_CODEC[group]
+    if payload is not None:
+        fam = family_from_payload(payload)
+        if fam is not None:
+            return fam
+    return _GROUP_TO_CODEC.get(group, CodecId.RBV)

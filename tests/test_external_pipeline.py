@@ -189,6 +189,69 @@ class TestRbvSignalling:
         _assert_same_clouds(clouds, recon)
 
 
+class TestFamilyDerivation:
+    """Transcoder/decoder derive the foreign codec family from the stream
+    itself (codec-group idc + CCM SEI + payload SPS sniffing) — the
+    getCodedCodecId analog."""
+
+    def _ctx(self, group):
+        from rabbit_transcoding_tpu.bitstream.syntax import V3CParameterSet
+        from rabbit_transcoding_tpu.bitstream.hls import Context
+
+        ctx = Context()
+        vps = V3CParameterSet()
+        vps.profile_tier_level.ptl_profile_codec_group_idc = group
+        vps.atlas(0)
+        ctx.vps_list.append(vps)
+        return ctx
+
+    def test_group_picks_family(self):
+        from rabbit_transcoding_tpu.utils.enums import CodecId
+
+        assert cg.signalled_codec(
+            self._ctx(cg.CODEC_GROUP_VVC_MAIN10), None, VideoType.GEOMETRY
+        ) == CodecId.VTM_APP
+        assert cg.signalled_codec(
+            self._ctx(cg.CODEC_GROUP_HEVC_MAIN10), None, VideoType.ATTRIBUTE
+        ) == CodecId.HM_APP
+
+    def test_legacy_group0_resolved_by_payload_sps(self):
+        """Group 0 is ambiguous (AVC vs legacy default): a parseable HEVC
+        SPS in the payload wins; a genuine AVC payload lands on JM."""
+        import mock_hevc
+        from rabbit_transcoding_tpu.utils.enums import CodecId
+        from rabbit_transcoding_tpu.core.image import Video
+        from rabbit_transcoding_tpu.utils.enums import ColorFormat
+
+        v = Video(16, 8, 8, ColorFormat.YUV400,
+                  [np.zeros((1, 8, 16), np.uint8)])
+        hevc_payload, _ = mock_hevc.encode(v, qp=10)
+        assert cg.signalled_codec(
+            self._ctx(0), None, VideoType.GEOMETRY, hevc_payload
+        ) == CodecId.HM_APP
+        assert cg.family_from_payload(hevc_payload) == CodecId.HM_APP
+
+    def test_resolve_auto_uses_stream_family(self, monkeypatch):
+        """foreign.resolve with the auto default ('' codec ids) routes a
+        VVC-signalled stream to the VTM binaries."""
+        from rabbit_transcoding_tpu.transcoder import foreign
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+
+        monkeypatch.setenv("RABBIT_VTM_APP_DECODER", "/opt/vtm/dec")
+        monkeypatch.setenv("RABBIT_VTM_APP_ENCODER", "/opt/vtm/enc")
+        monkeypatch.delenv("RABBIT_HM_APP_DECODER", raising=False)
+        monkeypatch.delenv("RABBIT_HM_APP_ENCODER", raising=False)
+        codec = foreign.resolve(
+            TranscoderParameters(), VideoType.GEOMETRY,
+            self._ctx(cg.CODEC_GROUP_VVC_MAIN10), None,
+        )
+        assert codec is not None
+        assert codec.decoder_binary == "/opt/vtm/dec"
+        assert codec.encoder_binary == "/opt/vtm/enc"
+
+
 class TestConfigPassthrough:
     def test_cfg_file_reaches_the_binary(self, tmp_path):
         """The role cfg file is inserted as `-c <path>` ahead of the CLI
