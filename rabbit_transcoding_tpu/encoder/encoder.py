@@ -37,7 +37,7 @@ from ..ops import reproject as repro_ops
 from ..ops.color import rgb8_to_yuv420, yuv420_to_rgb8
 from ..ops.dilate import pad_pow2, push_pull_fill
 from ..ops.occupancy import downscale_maxpool
-from ..ops.recolor import transfer_colors
+from ..ops.recolor import RecolorParams, transfer_colors, transfer_colors_fwd_bwd
 from ..utils.enums import (
     AtlasTileType,
     ColorFormat,
@@ -866,12 +866,37 @@ class Encoder:
                     p.recolorNeighborCount
                 )
                 for m in range(n_maps):
-                    colors = transfer_colors(
-                        src.positions.astype(np.float32),
-                        src.colors,
-                        pts_maps[m][i][msk].astype(np.float32),
-                        k=recolor_k,
-                    )
+                    if p.useFwdBwdColorTransfer:
+                        colors = transfer_colors_fwd_bwd(
+                            src.positions.astype(np.float32),
+                            src.colors,
+                            pts_maps[m][i][msk].astype(np.float32),
+                            RecolorParams(
+                                searchRange=p.bestColorSearchRange,
+                                losslessAttribute=p.losslessAttribute,
+                                numNeighborsFwd=recolor_k,
+                                numNeighborsBwd=p.numNeighborsColorTransferBwd,
+                                useDistWeightedAverageFwd=p.useDistWeightedAverageFwd,
+                                useDistWeightedAverageBwd=p.useDistWeightedAverageBwd,
+                                skipAvgIfIdenticalSourcePointPresentFwd=p.skipAvgIfIdenticalSourcePointPresentFwd,
+                                skipAvgIfIdenticalSourcePointPresentBwd=p.skipAvgIfIdenticalSourcePointPresentBwd,
+                                distOffsetFwd=p.distOffsetFwd,
+                                distOffsetBwd=p.distOffsetBwd,
+                                maxGeometryDist2Fwd=p.maxGeometryDist2Fwd,
+                                maxGeometryDist2Bwd=p.maxGeometryDist2Bwd,
+                                maxColorDist2Fwd=p.maxColorDist2Fwd,
+                                maxColorDist2Bwd=p.maxColorDist2Bwd,
+                                excludeColorOutlier=p.excludeColorOutlier,
+                                thresholdColorOutlierDist=p.thresholdColorOutlierDist,
+                            ),
+                        )
+                    else:
+                        colors = transfer_colors(
+                            src.positions.astype(np.float32),
+                            src.colors,
+                            pts_maps[m][i][msk].astype(np.float32),
+                            k=recolor_k,
+                        )
                     if p.flagColorPreSmoothing and len(colors):
                         # encoder-side pre-smoothing of the transferred
                         # colors on the reconstructed positions

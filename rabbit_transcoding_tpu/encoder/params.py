@@ -201,6 +201,27 @@ class EncoderParameters:
     # reference recolor knob (numNeighborsColorTransferFwd): neighbor count
     # of the source->reconstruction transfer; 0 = use recolorNeighborCount
     numNeighborsColorTransferFwd: int = 0
+    # the rest of the transferColors knob set (PCCPointSet.cpp:807-1110;
+    # reference CLI names kept, defaults = PCCEncoderParameters.cpp /
+    # ctc-common.cfg values).  Setting any non-default value routes the
+    # attribute transfer through ops/recolor.transfer_colors_fwd_bwd.
+    numNeighborsColorTransferBwd: int = 1
+    useDistWeightedAverageFwd: bool = True
+    useDistWeightedAverageBwd: bool = True
+    skipAvgIfIdenticalSourcePointPresentFwd: bool = True
+    skipAvgIfIdenticalSourcePointPresentBwd: bool = True
+    distOffsetFwd: float = 4.0
+    distOffsetBwd: float = 4.0
+    maxGeometryDist2Fwd: float = 1000.0
+    maxGeometryDist2Bwd: float = 1000.0
+    maxColorDist2Fwd: float = 1000.0
+    maxColorDist2Bwd: float = 1000.0
+    excludeColorOutlier: bool = False
+    thresholdColorOutlierDist: float = 10.0
+    bestColorSearchRange: int = 0
+    # reference-parity default: the fwd+bwd transfer IS transferColors;
+    # turn off to fall back to the fast fwd-only KNN blend
+    useFwdBwdColorTransfer: bool = True
     # encoder-side color pre-smoothing before the attribute video
     # (presmoothPointCloudColor, PCCEncoder.cpp:6578): damps color outliers
     # that would cost attribute bits; decoder-invisible

@@ -12,6 +12,8 @@ KNN (ops/knn.py) replaces the host tree for the batched multi-stream path.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 from scipy.spatial import cKDTree
 
@@ -39,6 +41,202 @@ def transfer_colors(
     w /= w.sum(axis=1, keepdims=True)
     blended = (src_colors[idx].astype(np.float64) * w[..., None]).sum(axis=1)
     return np.clip(np.round(blended), 0, 255).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class RecolorParams:
+    """The full transferColors knob set (PCCPointSet.cpp:807-1110 arguments;
+    defaults are the CTC values from cfg/common/ctc-common.cfg:37-49)."""
+
+    searchRange: int = 0                 # bestColorSearchRange
+    losslessAttribute: bool = False
+    numNeighborsFwd: int = 8             # numNeighborsColorTransferFwd
+    numNeighborsBwd: int = 1             # numNeighborsColorTransferBwd
+    useDistWeightedAverageFwd: bool = True
+    useDistWeightedAverageBwd: bool = True
+    skipAvgIfIdenticalSourcePointPresentFwd: bool = True
+    skipAvgIfIdenticalSourcePointPresentBwd: bool = True
+    distOffsetFwd: float = 4.0
+    distOffsetBwd: float = 4.0
+    maxGeometryDist2Fwd: float = 1000.0  # >=512 means "no threshold"
+    maxGeometryDist2Bwd: float = 1000.0
+    maxColorDist2Fwd: float = 1000.0
+    maxColorDist2Bwd: float = 1000.0
+    excludeColorOutlier: bool = False
+    thresholdColorOutlierDist: float = 10.0
+
+
+def _prefix_ok_count(colors: np.ndarray, limit: np.ndarray,
+                     max_color_dist2: float) -> np.ndarray:
+    """Longest prefix length n<=limit whose pairwise color dist2 stays
+    <= max_color_dist2 (the reference's pop-from-the-back loop: candidates
+    are distance-sorted, so popping the farthest until the spread fits is
+    exactly the longest admissible prefix).  colors (N,K,3); limit (N,)."""
+    n, k = colors.shape[:2]
+    if k == 1:
+        return np.minimum(limit, 1)
+    pd = ((colors[:, :, None, :] - colors[:, None, :, :]) ** 2).sum(-1)
+    # newmax[:, c] = max_{j<c} ||col_j - col_c||^2  (spread added by cand c)
+    lower = np.arange(k)[None, :, None] < np.arange(k)[None, None, :]
+    newmax = np.where(lower, pd, -np.inf).max(axis=1)  # (N,K); [:,0] = -inf
+    run = np.maximum.accumulate(newmax, axis=1)        # spread of prefix c+1
+    ok = (run <= max_color_dist2) & (np.arange(k)[None, :] < limit[:, None])
+    # run is non-decreasing so ok is prefix-true; prefix length 1 always ok
+    return np.maximum(ok.sum(axis=1), 1)
+
+
+def _masked_weighted_avg(colors: np.ndarray, w: np.ndarray,
+                         nstar: np.ndarray, exclude_outlier: bool,
+                         thr_dist: float) -> np.ndarray:
+    """Weighted color average over the first nstar candidates, with the
+    optional exclude-outlier second pass (re-average without colors farther
+    than thr from the first average, unless that excludes all or none)."""
+    k = colors.shape[1]
+    sel = np.arange(k)[None, :] < nstar[:, None]
+    w = np.where(sel, w, 0.0)
+    wsum = np.maximum(w.sum(axis=1, keepdims=True), 1e-300)
+    avg = (colors * w[..., None]).sum(axis=1) / wsum
+    if exclude_outlier:
+        far = ((colors - avg[:, None, :]) ** 2).sum(-1) > thr_dist * thr_dist
+        excl = (far & sel).sum(axis=1)
+        redo = (excl > 0) & (excl < nstar)
+        w2 = np.where(far, 0.0, w)
+        w2sum = np.maximum(w2.sum(axis=1, keepdims=True), 1e-300)
+        avg2 = (colors * w2[..., None]).sum(axis=1) / w2sum
+        avg = np.where(redo[:, None], avg2, avg)
+    return avg
+
+
+def transfer_colors_fwd_bwd(
+    src_points: np.ndarray,
+    src_colors: np.ndarray,
+    dst_points: np.ndarray,
+    params: RecolorParams | None = None,
+    max_bwd_candidates: int = 96,
+) -> np.ndarray:
+    """Full PCCPointSet3::transferColors parity, vectorised.
+
+    Forward pass: per target point, KNN into the source, geometry-threshold
+    prefix, identical-point short-circuit, color-spread prefix trimming,
+    distance-weighted average with optional outlier exclusion
+    (PCCPointSet.cpp:840-931).  Backward pass: per source point its nearest
+    targets accumulate (dist2, color) candidates; per target the sorted
+    candidate list is trimmed the same way and averaged with
+    1/(sqrt(d2)+offset) weights (:935-1040).  The final color is the
+    backward centroid (m42538 fixWeight, :1057-1077) refined by an optional
+    +/-searchRange per-channel local search minimising
+    max(e1_target, e2_source) (:1078-1110); targets with no backward
+    candidate (or losslessAttribute) keep the forward color.
+
+    max_bwd_candidates bounds the per-target candidate list (the reference
+    list is unbounded; candidates are distance-sorted so the cap drops the
+    farthest — beyond ~96 their 1/(sqrt(d2)+4) weight is noise)."""
+    p = params or RecolorParams()
+    n_dst = len(dst_points)
+    if n_dst == 0:
+        return np.zeros((0, 3), np.uint8)
+    if len(src_points) == 0:
+        return np.zeros((n_dst, 3), np.uint8)
+    inf = np.inf
+    geo2_f = p.maxGeometryDist2Fwd if p.maxGeometryDist2Fwd < 512 else inf
+    geo2_b = p.maxGeometryDist2Bwd if p.maxGeometryDist2Bwd < 512 else inf
+    col2_f = p.maxColorDist2Fwd if p.maxColorDist2Fwd < 512 else inf
+    col2_b = p.maxColorDist2Bwd if p.maxColorDist2Bwd < 512 else inf
+    src_pts = np.asarray(src_points, np.float64)
+    dst_pts = np.asarray(dst_points, np.float64)
+    scol = np.asarray(src_colors, np.float64)
+    n_src = len(src_pts)
+    tree_src = cKDTree(src_pts)
+
+    # -- forward ----------------------------------------------------------
+    kf = min(max(p.numNeighborsFwd, 1), n_src)
+    d, idx = tree_src.query(dst_pts, k=kf, workers=-1)
+    if kf == 1:
+        d, idx = d[:, None], idx[:, None]
+    d2 = d * d
+    fcol = scol[idx]                                        # (T,kf,3)
+    n_geo = np.maximum((d2 <= geo2_f).sum(axis=1), 1)
+    nstar = _prefix_ok_count(fcol, n_geo, col2_f)
+    w = 1.0 / (d2 + p.distOffsetFwd) if p.useDistWeightedAverageFwd \
+        else np.ones_like(d2)
+    avg = _masked_weighted_avg(fcol, w, nstar, p.excludeColorOutlier,
+                               p.thresholdColorOutlierDist)
+    refined1 = np.clip(np.round(avg), 0.0, 255.0)
+    if p.skipAvgIfIdenticalSourcePointPresentFwd:
+        ident = d2[:, 0] < 0.0001
+        refined1 = np.where(ident[:, None], fcol[:, 0], refined1)
+
+    # -- backward ---------------------------------------------------------
+    tree_dst = cKDTree(dst_pts)
+    kb = min(max(p.numNeighborsBwd, 1), n_dst)
+    db, ib = tree_dst.query(src_pts, k=kb, workers=-1)
+    if kb == 1:
+        db, ib = db[:, None], ib[:, None]
+    d2b = db * db
+    validb = d2b <= geo2_b
+    tgt = ib[validb]
+    dd = d2b[validb]
+    ccol = np.broadcast_to(scol[:, None, :], (n_src, kb, 3))[validb]
+    order = np.lexsort((dd, tgt))
+    tgt, dd, ccol = tgt[order], dd[order], ccol[order]
+    counts = np.bincount(tgt, minlength=n_dst)
+    cmax = int(counts.max()) if len(counts) else 0
+    cap = min(cmax, max_bwd_candidates) if cmax else 0
+    out = refined1
+    if cap > 0:
+        starts = np.zeros(n_dst, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        within = np.arange(len(tgt)) - np.repeat(starts, counts)
+        keep = within < cap
+        cand_n = np.minimum(counts, cap)
+        cand_d2 = np.full((n_dst, cap), inf)
+        cand_col = np.zeros((n_dst, cap, 3))
+        cand_d2[tgt[keep], within[keep]] = dd[keep]
+        cand_col[tgt[keep], within[keep]] = ccol[keep]
+        limit = np.maximum(cand_n, 1)
+        nstar_b = _prefix_ok_count(cand_col, limit, col2_b)
+        if p.skipAvgIfIdenticalSourcePointPresentBwd:
+            identb = cand_d2[:, 0] < 0.0001
+            nstar_b = np.where(identb, 1, nstar_b)
+        wb = 1.0 / (np.sqrt(np.where(np.isfinite(cand_d2), cand_d2, 0.0))
+                    + p.distOffsetBwd) \
+            if p.useDistWeightedAverageBwd else np.ones_like(cand_d2)
+        centroid2 = _masked_weighted_avg(
+            cand_col, wb, nstar_b, p.excludeColorOutlier,
+            p.thresholdColorOutlierDist)
+        has_cand = cand_n > 0
+        # m42538 fixWeight: w=0 -> the backward centroid wins outright
+        color0 = np.clip(np.round(centroid2), 0.0, 255.0)
+        if p.searchRange > 0:
+            color0 = _best_color_search(
+                color0, refined1, cand_col, nstar_b, p.searchRange,
+                n_src, n_dst)
+        if not p.losslessAttribute:
+            out = np.where(has_cand[:, None], color0, refined1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _best_color_search(color0, refined1, cand_col, nstar_b, search_range,
+                       n_src, n_dst):
+    """+/-searchRange per-channel enumeration minimising
+    max(e1/targetCount, e2/sourceCount) (PCCPointSet.cpp:1078-1110)."""
+    sel = np.arange(cand_col.shape[1])[None, :] < nstar_b[:, None]
+    r_t, r_s = 1.0 / n_dst, 1.0 / n_src
+    best = color0.copy()
+    best_err = np.full(len(color0), np.inf)
+    offs = np.arange(-search_range, search_range + 1, dtype=np.float64)
+    for s1 in offs:
+        for s2 in offs:
+            for s3 in offs:
+                c = np.clip(color0 + np.array([s1, s2, s3]), 0.0, 255.0)
+                e1 = ((c - refined1) ** 2).sum(axis=1) * r_t
+                diff = ((cand_col - c[:, None, :]) ** 2).sum(-1)
+                e2 = np.where(sel, diff, 0.0).sum(axis=1) * r_s
+                err = np.maximum(e1, e2)
+                better = err < best_err
+                best[better] = c[better]
+                best_err = np.where(better, err, best_err)
+    return best
 
 
 def transfer_colors_device(
