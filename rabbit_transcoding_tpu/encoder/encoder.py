@@ -208,6 +208,15 @@ class Encoder:
             min_gradient=p.minGradient,
             min_num_high_gradient_points=p.minNumHighGradientPoints,
             max_cc_edge_distance=p.maxCCEdgeDistance,
+            max_nn_count_patch_segmentation=p.maxNNCountPatchSegmentation,
+            max_allowed_dist2_raw_points_detection=(
+                p.maxAllowedDist2RawPointsDetection
+            ),
+            # lossless completeness is exact-key based; selection 0 keeps
+            # the segmentation missed set aligned with it
+            max_allowed_dist2_raw_points_selection=(
+                0.0 if p.losslessGeo else p.maxAllowedDist2RawPointsSelection
+            ),
         )
 
         if p.enhancedOccupancyMapCode and p.occupancyPrecision != 1:

@@ -152,6 +152,15 @@ class EncoderParameters:
     iterationCountRefineSegmentation: int = 10
     lambdaRefineSegmentation: float = 3.0
     nnNormalEstimation: int = 16
+    # CC adjacency KNN width (distinct from the refine pass's);
+    # 0 = reuse the refine graph width
+    maxNNCountPatchSegmentation: int = 16
+    # raw-points thresholds (PCCPatchSegmenter.cpp:526-527): a point whose
+    # NN dist^2 to the resampled reconstruction exceeds `selection` stays
+    # missed; a missed component is only re-patched when some member
+    # exceeds `detection`.  Lossless cfgs set selection to 0.
+    maxAllowedDist2RawPointsDetection: float = 9.0
+    maxAllowedDist2RawPointsSelection: float = 1.0
     # KNN edges longer than this never join a connected component
     maxCCEdgeDistance: float = 5.0
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from scipy.spatial import cKDTree
 
 from ..codec.patch_frame import _axes_of
 from ..core.patch import Patch
@@ -117,6 +118,15 @@ class SegmenterParams:
     surface_thickness: int = 4
     max_allowed_depth: int = 255
     max_missed_point_iterations: int = 4
+    # KNN count of the CC adjacency graph (maxNNCountPatchSegmentation —
+    # distinct from the refine pass's count); 0 = use the full graph width
+    max_nn_count_patch_segmentation: int = 16
+    # raw-points thresholds (PCCPatchSegmenter.cpp:526-527, 778, 1261):
+    # after each round every source point measures its NN dist^2 to the
+    # resampled reconstruction; points > selection stay missed, and the
+    # next round only keeps components seeded by a point > detection
+    max_allowed_dist2_raw_points_detection: float = 9.0
+    max_allowed_dist2_raw_points_selection: float = 1.0
     # KNN edges longer than this do not connect components (a kNN graph
     # otherwise links arbitrarily distant clutter into one bogus patch)
     max_cc_edge_distance: float = 5.0
@@ -321,6 +331,53 @@ def _connected_components(
     return labels, ncomp
 
 
+def _inverse_rotate45(pts: np.ndarray, axis: int, offset: int) -> np.ndarray:
+    """Float inverse of rotate45 (cell centers may land on half-integers)."""
+    a = pts[:, 0].astype(np.float64)
+    b = pts[:, 1].astype(np.float64)
+    c = pts[:, 2].astype(np.float64)
+    if axis == 1:   # a = x+z, c = z-x+offset
+        return np.stack([(a - (c - offset)) / 2, b, (a + (c - offset)) / 2], 1)
+    if axis == 2:   # b = y-z+offset, c = y+z
+        return np.stack([a, ((b - offset) + c) / 2, (c - (b - offset)) / 2], 1)
+    if axis == 3:   # a = x-y+offset, b = x+y
+        return np.stack([((a - offset) + b) / 2, ((b - (a - offset))) / 2, c], 1)
+    raise ValueError(f"bad rotation axis {axis}")
+
+
+def _resampled_positions(seg: SegmentedPatch) -> np.ndarray:
+    """3D positions of the patch's D0+D1 samples (the reference `resampled`
+    cloud, PCCPatchSegmenter.cpp segmentPatches) in source coordinates."""
+    p = seg.patch
+    occ = seg.occupancy
+    uu, vv = np.nonzero(occ)
+    layers = []
+    d1_min = p.d1 if p.projection_mode == 0 else -p.d1
+
+    def _layer(uu_, vv_, rel_):
+        dd = rel_.astype(np.int64) + d1_min
+        d = dd if p.projection_mode == 0 else -dd
+        xyz = np.zeros((len(uu_), 3), np.int64)
+        xyz[:, p.tangent_axis] = p.u1 + uu_.astype(np.int64) * p.lod_x
+        xyz[:, p.bitangent_axis] = p.v1 + vv_.astype(np.int64) * p.lod_y
+        xyz[:, p.normal_axis] = d
+        return xyz
+
+    for depth in (seg.depth0, seg.depth1):
+        layers.append(_layer(uu, vv, depth[uu, vv]))
+    if seg.eom is not None and seg.eom.any():
+        bits = seg.eom[uu, vv].astype(np.int64)
+        base = seg.depth0[uu, vv].astype(np.int64)
+        for i in range(8):
+            sel = (bits >> i) & 1 > 0
+            if sel.any():
+                layers.append(_layer(uu[sel], vv[sel], base[sel] + i + 1))
+    out = np.unique(np.concatenate(layers), axis=0).astype(np.float64)
+    if p.rotation_axis:
+        out = _inverse_rotate45(out, p.rotation_axis, p.rot_offset)
+    return out
+
+
 def segment_patches(
     points: np.ndarray,
     ppi: np.ndarray,
@@ -341,21 +398,30 @@ def segment_patches(
     Returns (patches, indices of points never covered by any patch)."""
     n = len(points)
     remaining = np.ones(n, bool)
+    # NN dist^2 of every source point to the resampled reconstruction so
+    # far (inf before any patch exists); drives the selection/detection
+    # thresholds (PCCPatchSegmenter.cpp:778,1261)
+    raw_dist2 = np.full(n, np.inf)
+    sel_thr = params.max_allowed_dist2_raw_points_selection
+    det_thr = params.max_allowed_dist2_raw_points_detection
+    lod_consumed = np.zeros(n, bool)
     patches: list[SegmentedPatch] = []
     lod_missed: list[np.ndarray] = []
     hg_batch: list[np.ndarray] = []
     ppi = np.asarray(ppi).copy()  # high-gradient eviction repartitions in place
+    k_cc = params.max_nn_count_patch_segmentation or nbr_idx.shape[1]
+    cc_nbr = nbr_idx[:, :k_cc]
     if voxel_map is None:
         inv = None
         n_nodes = n
         edge_src, edge_dst = _candidate_edges(
-            nbr_idx, ppi, points, params.max_cc_edge_distance
+            cc_nbr, ppi, points, params.max_cc_edge_distance
         )
     else:
         inv, node_pos, node_ppi = voxel_map
         n_nodes = len(node_pos)
         edge_src, edge_dst = _candidate_edges(
-            nbr_idx, node_ppi, node_pos, params.max_cc_edge_distance
+            cc_nbr, node_ppi, node_pos, params.max_cc_edge_distance
         )
 
     for _ in range(params.max_missed_point_iterations):
@@ -381,6 +447,7 @@ def segment_patches(
         uniq, starts = np.unique(labels[pts_sorted], return_index=True)
         bounds = np.append(starts, len(pts_sorted))
         made_progress = False
+        round_segs: list[SegmentedPatch] = []
         comps = [
             pts_sorted[bounds[ci] : bounds[ci + 1]]
             for ci in range(len(uniq))
@@ -388,6 +455,11 @@ def segment_patches(
         while comps:
             idx = comps.pop()
             if len(idx) < params.min_point_count_per_cc_patch_segmentation:
+                continue
+            # detection threshold: a component of only mildly-missed points
+            # (all raw_dist2 <= detection) is already represented well
+            # enough and is not re-patched (PCCPatchSegmenter.cpp:778)
+            if not (raw_dist2[idx] > det_thr).any():
                 continue
             if params.max_patch_size > 0:
                 halves = _split_oversized(points, idx, int(ppi[idx[0]]),
@@ -400,13 +472,28 @@ def segment_patches(
             if seg is None:
                 continue
             patches.append(seg)
+            round_segs.append(seg)
             remaining[seg.point_indices] = False
             if seg.lod_dropped is not None:
                 remaining[seg.lod_dropped] = False
+                lod_consumed[seg.lod_dropped] = True
                 lod_missed.append(seg.lod_dropped)
             if seg.hg_dropped is not None:
                 hg_batch.append(seg.hg_dropped)
             made_progress = True
+        if round_segs:
+            # refresh raw_dist2 against this round's new resampled samples
+            # (min over the union == min of incremental minima); only the
+            # still-missed candidates need the query
+            res = np.concatenate([_resampled_positions(s)
+                                  for s in round_segs])
+            cand = raw_dist2 > sel_thr
+            if cand.any():
+                dn, _ = cKDTree(res).query(
+                    points[cand].astype(np.float64), k=1, workers=-1
+                )
+                raw_dist2[cand] = np.minimum(raw_dist2[cand], dn * dn)
+            remaining = (raw_dist2 > sel_thr) & ~lod_consumed
         if hg_batch and normals is not None:
             # repartition evicted high-gradient points to their best
             # NON-parallel axial direction and extend the edge set so the

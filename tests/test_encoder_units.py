@@ -167,6 +167,11 @@ class TestHighGradientSeparation:
             surface_thickness=2,
             lambda_refine_segmentation=40.0,
             iteration_count_refine_segmentation=20,
+            # exact membership accounting (this test counts patch members;
+            # the CTC selection/detection thresholds would proximity-cover
+            # some evicted points instead of re-patching them)
+            max_allowed_dist2_raw_points_selection=0.0,
+            max_allowed_dist2_raw_points_detection=0.0,
         )
         p_off = SegmenterParams(**base)
         p_on = SegmenterParams(
@@ -457,9 +462,14 @@ class TestSurfaceSeparation:
             np.full((len(front), 3), 240, np.uint8),
             np.full((len(back), 3), 10, np.uint8),
         ])
-        params = SegmenterParams()
+        # exact accounting (patch member or missed) needs the lossless-style
+        # selection threshold; CTC defaults proximity-cover near-surface
+        # points without membership
+        exact = dict(max_allowed_dist2_raw_points_selection=0.0,
+                     max_allowed_dist2_raw_points_detection=0.0)
+        params = SegmenterParams(**exact)
         segs_off, missed_off = segment_frame(pts, params, colors=None)
-        params_on = SegmenterParams(surface_separation=True)
+        params_on = SegmenterParams(surface_separation=True, **exact)
         segs_on, missed_on = segment_frame(pts, params_on, colors=colors)
 
         n_front = len(front)

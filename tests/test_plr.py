@@ -19,6 +19,12 @@ def roundtrip(src, **kw):
         geometryQP=4, attributeQP=8, occupancyPrecision=2,
         surfaceThickness=4, flagGeometrySmoothing=False,
         mapCountMinus1=0, constrainedPack=False,
+        # exact missed-point accounting: these tests reason about which
+        # layer points PLR synthesizes, so keep the CTC proximity
+        # thresholds out of the patch structure
+        maxAllowedDist2RawPointsSelection=0.0,
+        maxAllowedDist2RawPointsDetection=0.0,
+        maxNNCountPatchSegmentation=0,
     )
     base.update(kw)
     enc = Encoder(EncoderParameters(**base))
