@@ -31,6 +31,22 @@ def main(argv=None) -> int:
             "nbThread": (0, "thread count (0 = auto)"),
             "trace": (False, "write dec_* conformance trace logs"),
             "profileDir": ("", "write a JAX profiler trace to this directory"),
+            # metrics sub-options (PccAppDecoder.cpp:172-220 metricsParams)
+            "normalDataPath": ("", "source normals PLY template (D2)"),
+            "frameCount": (0, "frames to compare (0 = all decoded)"),
+            "groupOfFramesSize": (32, "random access period (metrics)"),
+            "dropdups": (2, "0 detect | 1 drop | 2 average duplicates"),
+            "neighborsProc": (1, "equidistant-neighbor handling 0-4"),
+            # conformance sub-options (PccAppDecoder.cpp:226-241)
+            "checkConformance": (False, "run the conformance comparator"),
+            "path": ("", "conformance files root + prefix"),
+            "level": (30, "level indice for the limit checks"),
+            "fps": (30, "frames per second for the level checks"),
+            # registered-and-ignored, like the reference
+            # (PccAppDecoder.cpp:221-223 'Ignore parameter')
+            "minimumImageHeight": (0, "ignored"),
+            "flagColorPreSmoothing": (0, "ignored"),
+            "surfaceSeparation": (0, "ignored"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-decode") is None:
@@ -76,6 +92,11 @@ def main(argv=None) -> int:
                     tracer, atlas, decode_patch_frames(atlas), clouds
                 )
             all_clouds.extend(clouds)
+    if params.colorTransform == 1:
+        # "the colour transform to be applied" — output clouds carry YCbCr
+        # (sources below are loaded with the same transform for metrics)
+        for ps in all_clouds:
+            ps.convert_rgb_to_yuv()
     if params.reconstructedDataPath:
         GroupOfFrames(all_clouds).write(params.reconstructedDataPath, frame0)
     if params.computeChecksum:
@@ -87,11 +108,34 @@ def main(argv=None) -> int:
         template = os.path.join(
             reg["uncompressedDataFolder"], params.uncompressedDataPath
         )
-        sources = GroupOfFrames.load(template, frame0, len(all_clouds))
+        count = len(all_clouds)
+        if reg["frameCount"]:
+            count = min(count, int(reg["frameCount"]))
+        sources = GroupOfFrames.load(
+            template, frame0, count,
+            color_transform=params.colorTransform,
+        )
+        if reg["normalDataPath"]:
+            normals = GroupOfFrames.load(reg["normalDataPath"], frame0, count)
+            for s, n in zip(sources, normals):
+                s.normals = n.normals
         _, summary = compute_sequence_metrics(
-            list(sources), all_clouds, MetricsParams(resolution=reg["resolution"])
+            list(sources), all_clouds[:count],
+            MetricsParams(resolution=reg["resolution"],
+                          drop_duplicates=int(reg["dropdups"]),
+                          neighbors_proc=int(reg["neighborsProc"])),
         )
         print(summary.print())
+
+    if reg["checkConformance"]:
+        from ..conformance.conformance import ConformanceParams, check
+
+        result = check(ConformanceParams(
+            path=reg["path"], level=int(reg["level"]), fps=int(reg["fps"]),
+        ))
+        print(result.report())
+        if not result.ok:
+            print("conformance: FAILED", file=sys.stderr)
 
     if tracer is not None:
         tracer.close()

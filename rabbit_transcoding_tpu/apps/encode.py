@@ -29,6 +29,12 @@ def main(argv=None) -> int:
             "computeChecksum": (True, "record reconstruction checksums"),
             "trace": (False, "write enc_* conformance trace logs"),
             "profileDir": ("", "write a JAX profiler trace to this directory"),
+            # metrics sub-options (PccAppEncoder.cpp metricsParams block)
+            "computeMetrics": (False, "D1/D2/color metrics vs the source"),
+            "normalDataPath": ("", "source normals PLY template (D2)"),
+            "resolution": (1023, "geometry PSNR peak resolution"),
+            "dropdups": (2, "0 detect | 1 drop | 2 average duplicates"),
+            "neighborsProc": (1, "equidistant-neighbor handling 0-4"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-encode") is None:
@@ -62,7 +68,10 @@ def main(argv=None) -> int:
     gof_index = 0
     while remaining > 0:
         gof_size = min(params.groupOfFramesSize, remaining)
-        sources = GroupOfFrames.load(template, frame0, gof_size)
+        sources = GroupOfFrames.load(
+            template, frame0, gof_size,
+            color_transform=params.colorTransform,
+        )
         context, recon = encoder.encode(sources)
         units.extend(writer.encode(context))
         if tracer is not None:
@@ -74,7 +83,29 @@ def main(argv=None) -> int:
                 decode_patch_frames(context.atlas(0)), recon,
             )
         if params.reconstructedDataPath:
-            GroupOfFrames(recon).write(params.reconstructedDataPath, frame0)
+            GroupOfFrames(recon).write(
+                params.reconstructedDataPath, frame0,
+                color_transform=params.colorTransform,
+            )
+        if reg["computeMetrics"]:
+            from ..metrics.metrics import (
+                MetricsParams,
+                compute_sequence_metrics,
+            )
+
+            if reg["normalDataPath"]:
+                normals = GroupOfFrames.load(
+                    reg["normalDataPath"], frame0, gof_size
+                )
+                for s, n in zip(sources, normals):
+                    s.normals = n.normals
+            _, summary = compute_sequence_metrics(
+                list(sources), list(recon),
+                MetricsParams(resolution=int(reg["resolution"]),
+                              drop_duplicates=int(reg["dropdups"]),
+                              neighbors_proc=int(reg["neighborsProc"])),
+            )
+            print(summary.print())
         if reg["computeChecksum"]:
             for i, ps in enumerate(recon):
                 print(f"checksum frame {frame0 + i}: "
@@ -83,7 +114,10 @@ def main(argv=None) -> int:
         frame0 += gof_size
         remaining -= gof_size
         gof_index += 1
-    n = writer.write_file(units, params.compressedStreamPath)
+    n = writer.write_file(
+        units, params.compressedStreamPath,
+        forced_precision=params.forcedSsvhUnitSizePrecisionBytes,
+    )
     sw.stop()
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)

@@ -32,9 +32,30 @@ class MetricsAppParams:
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     params = MetricsAppParams()
-    reg = build_registry(params)
+    reg = build_registry(
+        params,
+        extra={
+            # full PccAppMetrics option-name parity (PccAppMetrics.cpp)
+            "computeChecksum": (True, "compute checksums"),
+            "computeMetrics": (True, "compute metrics"),
+            "uncompressedDataFolder": ("", "base folder for the PLY paths"),
+            "groupOfFramesSize": (32, "random access period"),
+            "dropdups": (-1, "alias of dropDuplicates (reference name)"),
+            "nbThread": (0, "thread count (0 = auto)"),
+            # registered-and-ignored, like the reference
+            "minimumImageHeight": (0, "ignored"),
+            "flagColorPreSmoothing": (0, "ignored"),
+            "surfaceSeparation": (0, "ignored"),
+        },
+    )
     if parse_or_help(reg, argv, params, "rabbit-metrics") is None:
         return 0
+    if int(reg["dropdups"]) >= 0:
+        params.dropDuplicates = int(reg["dropdups"])
+    if reg["uncompressedDataFolder"]:
+        params.uncompressedDataPath = os.path.join(
+            reg["uncompressedDataFolder"], params.uncompressedDataPath
+        )
     if not params.uncompressedDataPath or not params.reconstructedDataPath:
         print(
             "error: --uncompressedDataPath and --reconstructedDataPath required",
@@ -58,18 +79,26 @@ def main(argv=None) -> int:
         )
         for s, n in zip(src, normals):
             s.normals = n.normals
-    per_frame, summary = compute_sequence_metrics(
-        list(src), list(rec),
-        MetricsParams(resolution=params.resolution,
-                      drop_duplicates=int(params.dropDuplicates),
-                      neighbors_proc=params.neighborsProc),
-    )
-    for i, m in enumerate(per_frame):
-        print(f"frame {params.startFrameNumber + i}:")
-        print(m.print())
-    print(f"--- average over {len(per_frame)} frames ---")
-    print(summary.print())
-    if params.csvFile:
+    if reg["computeChecksum"]:
+        for i, (s, r) in enumerate(zip(src, rec)):
+            print(f"checksum frame {params.startFrameNumber + i}: "
+                  f"src {s.compute_checksum().hex()} "
+                  f"rec {r.compute_checksum().hex()}")
+    if reg["computeMetrics"]:
+        per_frame, summary = compute_sequence_metrics(
+            list(src), list(rec),
+            MetricsParams(resolution=params.resolution,
+                          drop_duplicates=int(params.dropDuplicates),
+                          neighbors_proc=params.neighborsProc),
+        )
+        for i, m in enumerate(per_frame):
+            print(f"frame {params.startFrameNumber + i}:")
+            print(m.print())
+        print(f"--- average over {len(per_frame)} frames ---")
+        print(summary.print())
+    else:
+        per_frame, summary = [], None
+    if params.csvFile and summary is not None:
         with open(params.csvFile, "w", encoding="utf-8") as f:
             f.write("frame;d1_psnr;d2_psnr;hausdorff_psnr;y;u;v\n")
             for i, m in enumerate(per_frame):

@@ -27,6 +27,11 @@ def main(argv=None) -> int:
             "profileDir": ("", "write a JAX profiler trace to this directory"),
             "trace": (False, "write enc_* conformance trace logs for the "
                              "transcoded stream (PCCLogger analog)"),
+            # conformance sub-options (PccAppTranscoder.cpp:225-241)
+            "checkConformance": (False, "run the conformance comparator"),
+            "path": ("", "conformance files root + prefix"),
+            "level": (30, "level indice for the limit checks"),
+            "fps": (30, "frames per second for the level checks"),
         },
     )
     if parse_or_help(reg, argv, params, "rabbit-transcode") is None:
@@ -91,6 +96,15 @@ def main(argv=None) -> int:
     print(writer.stat.report())
     if tracer is not None:
         tracer.close()
+    if reg["checkConformance"]:
+        from ..conformance.conformance import ConformanceParams, check
+
+        result = check(ConformanceParams(
+            path=reg["path"], level=int(reg["level"]), fps=int(reg["fps"]),
+        ))
+        print(result.report())
+        if not result.ok:
+            print("conformance: FAILED", file=sys.stderr)
     write_wall_seconds(params.test_name, sw)
     print_run_footer("rabbit-transcode", sw)
     return 0

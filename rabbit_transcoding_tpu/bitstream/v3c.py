@@ -109,11 +109,24 @@ def write_sample_stream_units(units: list[V3CUnit], precision: int = 4) -> bytes
     return bytes(out)
 
 
-def write_sample_stream_v3c(units: list[V3CUnit]) -> bytes:
-    """sample_stream_v3c_header + size-prefixed V3C units -> whole file bytes."""
+def write_sample_stream_v3c(
+    units: list[V3CUnit], forced_precision: int = 0
+) -> bytes:
+    """sample_stream_v3c_header + size-prefixed V3C units -> whole file bytes.
+
+    forced_precision pins the size-field width in bytes (reference
+    forcedSsvhUnitSizePrecisionBytes, PCCBitstreamWriter::write precision
+    arg); 0 derives the minimum width from the largest unit."""
     blobs = [u.to_bytes() for u in units]
     max_size = max((len(b) for b in blobs), default=1)
     precision = max(1, (max_size.bit_length() + 7) // 8)
+    if forced_precision:
+        if forced_precision < precision or forced_precision > 8:
+            raise ValueError(
+                f"forcedSsvhUnitSizePrecisionBytes={forced_precision} cannot "
+                f"hold a {max_size}-byte V3C unit (needs {precision})"
+            )
+        precision = forced_precision
     out = bytearray(sample_stream_header(precision))
     for b in blobs:
         out.extend(len(b).to_bytes(precision, "big"))

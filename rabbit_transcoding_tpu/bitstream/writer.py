@@ -51,11 +51,13 @@ class V3CWriter:
             self.stat.add(u.header.unit_type, len(u.payload) + 4)
         return units
 
-    def write(self, units: list[V3CUnit]) -> bytes:
-        return write_sample_stream_v3c(units)
+    def write(self, units: list[V3CUnit], forced_precision: int = 0) -> bytes:
+        return write_sample_stream_v3c(units, forced_precision)
 
-    def write_file(self, units: list[V3CUnit], path: str) -> int:
-        data = self.write(units)
+    def write_file(
+        self, units: list[V3CUnit], path: str, forced_precision: int = 0
+    ) -> int:
+        data = self.write(units, forced_precision)
         with open(path, "wb") as f:
             f.write(data)
         return len(data)

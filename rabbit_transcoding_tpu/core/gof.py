@@ -41,14 +41,25 @@ class GroupOfFrames:
         start: int,
         count: int,
         max_workers: int = 8,
+        color_transform: int = 0,
     ) -> "GroupOfFrames":
-        """Load ``count`` frames from ``path_template % frame_index``."""
+        """Load ``count`` frames from ``path_template % frame_index``.
+
+        color_transform=1 converts source colors RGB->YCbCr at load time
+        (the reference colorTransform option; PCCGroupOfFrames::load)."""
         paths = [path_template % (start + i) for i in range(count)]
         for p in paths:
             if not os.path.exists(p):
                 raise FileNotFoundError(p)
+
+        def _read(path: str) -> PointSet:
+            ps = PointSet.read_ply(path)
+            if color_transform == 1:
+                ps.convert_rgb_to_yuv()
+            return ps
+
         with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-            frames = list(ex.map(PointSet.read_ply, paths))
+            frames = list(ex.map(_read, paths))
         return cls(frames)
 
     def write(
@@ -57,9 +68,16 @@ class GroupOfFrames:
         start: int,
         binary: bool = True,
         max_workers: int = 8,
+        color_transform: int = 0,
     ) -> None:
+        """color_transform=1 writes colors converted back YCbCr->RGB
+        (inverse of the load-time transform)."""
         def _write(i: int) -> None:
-            self.frames[i].write_ply(path_template % (start + i), binary=binary)
+            ps = self.frames[i]
+            if color_transform == 1:
+                ps = ps.copy()
+                ps.convert_yuv_to_rgb()
+            ps.write_ply(path_template % (start + i), binary=binary)
 
         with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
             list(ex.map(_write, range(len(self.frames))))

@@ -124,6 +124,34 @@ class PointSet:
             types=None if self.types is None else self.types[idx],
         )
 
+    def convert_rgb_to_yuv(self) -> None:
+        """In-place BT.709 full-range RGB->YCbCr on the 8-bit colors
+        (PCCPointSet3::convertRGBToYUV, PCCPointSet.cpp; the colorTransform=1
+        option)."""
+        if self.colors is None:
+            return
+        c = self.colors.astype(np.float64)
+        r, g, b = c[:, 0], c[:, 1], c[:, 2]
+        y = np.round(0.212600 * r + 0.715200 * g + 0.072200 * b)
+        u = np.round(-0.114572 * r - 0.385428 * g + 0.500000 * b + 128.0)
+        v = np.round(0.500000 * r - 0.454153 * g - 0.045847 * b + 128.0)
+        self.colors = np.clip(
+            np.stack([y, u, v], axis=1), 0, 255
+        ).astype(np.uint8)
+
+    def convert_yuv_to_rgb(self) -> None:
+        """Inverse of convert_rgb_to_yuv (PCCPointSet3::convertYUVToRGB)."""
+        if self.colors is None:
+            return
+        c = self.colors.astype(np.float64)
+        y, u, v = c[:, 0], c[:, 1] - 128.0, c[:, 2] - 128.0
+        r = np.round(y + 1.57480 * v)
+        g = np.round(y - 0.18733 * u - 0.46813 * v)
+        b = np.round(y + 1.85563 * u)
+        self.colors = np.clip(
+            np.stack([r, g, b], axis=1), 0, 255
+        ).astype(np.uint8)
+
     def compute_checksum(self) -> bytes:
         """MD5 over the morton/lexicographically reordered cloud, so two clouds
         with the same points in different order hash equal

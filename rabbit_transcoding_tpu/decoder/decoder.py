@@ -37,6 +37,26 @@ class DecoderParameters:
     videoDecoderOccupancyPath: str = ""
     videoDecoderGeometryPath: str = ""
     videoDecoderAttributePath: str = ""
+    # external decoder binaries consume Annex-B (default) or NAL sample
+    # streams (byteStreamVideoCoder*, PccAppDecoder.cpp:136-147)
+    byteStreamVideoCoderOccupancy: bool = True
+    byteStreamVideoCoderGeometry: bool = True
+    byteStreamVideoCoderAttribute: bool = True
+    # colour transform applied to the output clouds (0 none | 1 RGB->YCbCr
+    # Rec.709; PccAppDecoder.cpp:111-115)
+    colorTransform: int = 0
+    # HDRConvert for the attribute YUV420->RGB444 inverse conversion
+    # (colorSpaceConversionPath + inverseColorSpaceConversionConfig)
+    colorSpaceConversionPath: str = ""
+    inverseColorSpaceConversionConfig: str = ""
+    # exclude geometry smoothing from attribute transfer (decoder-side
+    # attributeTransferFilterType, PccAppDecoder.cpp:152-155)
+    attributeTransferFilterType: int = 0
+    # per-patch chroma up-sampling of the decoded attribute video
+    # (patchColorSubsampling, PccAppDecoder.cpp:166-169)
+    patchColorSubsampling: bool = False
+    # SHVC layer to decode from layered sub-streams (PccAppDecoder.cpp:160)
+    shvcLayerIndex: int = 8
 
 
 class Decoder:
@@ -92,7 +112,22 @@ class Decoder:
         if ctx is not None and ctx.vps_list and comp != "occupancy":
             fb_w = ctx.vps.atlas(0).vps_frame_width
             fb_h = ctx.vps.atlas(0).vps_frame_height
-        video = decode_annexb_probed(data, binary, template, fb_w, fb_h)
+        # SHVC layered payloads: keep NALs up to the requested layer before
+        # decoding (shvcLayerIndex, PccAppDecoder.cpp:160-163)
+        from ..video.hevc_probe import filter_hevc_layers, hevc_layer_ids
+
+        if (
+            self.params.shvcLayerIndex >= 0
+            and len(hevc_layer_ids(data)) > 1
+        ):
+            data = filter_hevc_layers(data, self.params.shvcLayerIndex)
+        video = decode_annexb_probed(
+            data, binary, template, fb_w, fb_h,
+            byte_stream=bool(getattr(
+                self.params, f"byteStreamVideoCoder{suffix}", True
+            )),
+            keep_files=self.params.keepIntermediateFiles,
+        )
         if output_bitdepth is not None and output_bitdepth != video.bitdepth:
             video = video.convert_bitdepth(output_bitdepth)
         return video

@@ -144,7 +144,8 @@ class Encoder:
         min_h = max(p.minimumImageHeight, 64)
         trial_g = copy.deepcopy(frame_segs)
         for fi in range(1, len(trial_g)):
-            match_patches(trial_g[fi - 1], trial_g[fi])
+            match_patches(trial_g[fi - 1], trial_g[fi],
+                          max_candidate_count=p.maxCandidateCount)
             # the real GPA path aligns matched patches (which GROWS them,
             # up to max_grow px/axis) before packing — the trial must do the
             # same or its height underestimates and the real pack can
@@ -164,7 +165,8 @@ class Encoder:
         h_frame = 0
         for fi, segs in enumerate(trial_f):
             if fi > 0:
-                match_patches(trial_f[fi - 1], segs)
+                match_patches(trial_f[fi - 1], segs,
+                              max_candidate_count=p.maxCandidateCount)
                 h = pack_patches_consistent(
                     segs, trial_f[fi - 1], width, min_h, **kw
                 )
@@ -333,7 +335,8 @@ class Encoder:
                 # GOF on one chain-owned grid; finally impose decode order
                 # and remap reference indices through the permutations
                 for fi in range(1, len(frame_segs)):
-                    match_patches(frame_segs[fi - 1], frame_segs[fi])
+                    match_patches(frame_segs[fi - 1], frame_segs[fi],
+                                  max_candidate_count=p.maxCandidateCount)
                     for seg in frame_segs[fi]:
                         ri = seg.patch.best_match_idx
                         if ri >= 0:
@@ -391,7 +394,8 @@ class Encoder:
                 for fi, segs in enumerate(frame_segs):
                     if use_inter and fi > 0:
                         prev = frame_segs[fi - 1]
-                        match_patches(prev, segs)
+                        match_patches(prev, segs,
+                                      max_candidate_count=p.maxCandidateCount)
                         for seg in segs:
                             ri = seg.patch.best_match_idx
                             if ri >= 0:
@@ -667,7 +671,10 @@ class Encoder:
                 from ..codec.mapstream import geo_bias, make_delta
 
                 gpl = geo_video.planes[0]
-                geo_venc = self._venc("geometry", lossless=p.losslessGeo)
+                # per-map encoders: geometry0Config/geometry1Config attach
+                # to the respective map sub-streams (PccAppEncoder names)
+                geo_venc = self._venc("geometry0", lossless=p.losslessGeo)
+                geo_venc1 = self._venc("geometry1", lossless=p.losslessGeo)
 
                 def _geo_vep(delta: int) -> VideoEncoderParams:
                     if p.losslessGeo:
@@ -692,7 +699,7 @@ class Encoder:
                         gpl[1::2], rec0,
                         geo_bias(p.geometryNominal2dBitdepth), maxv,
                     )
-                d1_payload, d1_recon = geo_venc.encode(
+                d1_payload, d1_recon = geo_venc1.encode(
                     Video(width, height, p.geometryNominal2dBitdepth,
                           ColorFormat.YUV400, [d1_plane]),
                     _geo_vep(p.deltaQPD1),
@@ -972,6 +979,18 @@ class Encoder:
                     width, height, 8, ColorFormat.YUV420,
                     [np.asarray(y), np.asarray(u), np.asarray(v)],
                 )
+            elif p.colorSpaceConversionPath and p.colorSpaceConversionConfig:
+                # external HDRConvert RGB444->YUV420 (colorSpaceConversion*
+                # options; PCCVirtualColorConverter HDRTOOLS path)
+                from ..video.hdrtools import ExternalColorConverter
+
+                arr = np.asarray(rgb_u8)
+                attr_video = ExternalColorConverter(
+                    p.colorSpaceConversionPath, p.colorSpaceConversionConfig
+                ).convert(Video(
+                    width, height, 8, ColorFormat.RGB444,
+                    [arr[..., 0], arr[..., 1], arr[..., 2]],
+                ))
             else:
                 y, u, v = rgb8_to_yuv420(rgb_u8, p.chromaDownsampleFilter)
                 attr_video = Video(
@@ -1003,7 +1022,12 @@ class Encoder:
                     make_delta,
                 )
 
-                attr_venc = self._venc("attribute", lossless=p.losslessAttribute)
+                attr_venc = self._venc(
+                    "attribute0", lossless=p.losslessAttribute
+                )
+                attr_venc1 = self._venc(
+                    "attribute1", lossless=p.losslessAttribute
+                )
 
                 def _attr_vep(delta: int) -> VideoEncoderParams:
                     if p.losslessAttribute:
@@ -1027,7 +1051,7 @@ class Encoder:
                         make_delta(pl[1::2], r0, attr_bias(8), 255)
                         for pl, r0 in zip(attr_video.planes, rec0p)
                     ]
-                t1_payload, t1_recon = attr_venc.encode(
+                t1_payload, t1_recon = attr_venc1.encode(
                     Video(width, height, 8, attr_video.format, t1_planes),
                     _attr_vep(p.deltaQPT1),
                 )
@@ -1255,6 +1279,20 @@ class Encoder:
                 rgb_rec = np.stack(
                     [np.asarray(pl) for pl in attr_recon.planes], axis=-1
                 )
+            elif (
+                p.colorSpaceConversionPath
+                and p.inverseColorSpaceConversionConfig
+            ):
+                # closed loop mirrors the decoder's HDRConvert inverse
+                from ..video.hdrtools import ExternalColorConverter
+
+                conv = ExternalColorConverter(
+                    p.colorSpaceConversionPath,
+                    p.inverseColorSpaceConversionConfig,
+                ).convert(attr_recon)
+                rgb_rec = np.stack(
+                    [np.asarray(pl) for pl in conv.planes], axis=-1
+                )
             else:
                 rgb_rec = np.asarray(
                     yuv420_to_rgb8(
@@ -1420,10 +1458,20 @@ class Encoder:
         # group explicitly.  All-RBV streams are CODEC_GROUP_MP4RA with an
         # 'rbv1' Component Codec Mapping SEI entry; external codecs signal
         # their family's group (getCodedCodecId inverse).
+        from ..utils.enums import CodecId
+
         sig = cg.signalling(
             component_codec_id(p, "Occupancy"),
             component_codec_id(p, "Geometry"),
             component_codec_id(p, "Attribute"),
+            pinned_group=p.profileCodecGroupIdc or None,
+            codec_id_index={
+                CodecId.JM_APP: p.avcCodecIdIndex,
+                CodecId.HM_APP: p.hevcCodecIdIndex,
+                CodecId.FFMPEG_APP: p.hevcCodecIdIndex,
+                CodecId.SHM_APP: p.shvcCodecIdIndex,
+                CodecId.VTM_APP: p.vvcCodecIdIndex,
+            },
         )
         ptl.ptl_profile_codec_group_idc = (
             p.profileCodecGroupIdc if p.profileCodecGroupIdc
@@ -1432,6 +1480,17 @@ class Encoder:
         ptl.ptl_profile_toolset_idc = p.profileToolsetIdc
         ptl.ptl_profile_reconstruction_idc = p.profileReconstructionIdc
         ptl.ptl_level_idc = p.levelIdc
+        if p.oneV3CFrameOnlyFlag:
+            from ..bitstream.syntax import (
+                ProfileToolsetConstraintsInformation,
+            )
+
+            ptl.ptl_tool_constraints_present_flag = True
+            ptl.ptl_toolset_constraints = (
+                ProfileToolsetConstraintsInformation(
+                    ptc_one_v3c_frame_only_flag=True,
+                )
+            )
         va = vps.atlas(0)
         va.vps_frame_width = width
         va.vps_frame_height = height
@@ -1528,11 +1587,21 @@ class Encoder:
                 p.pointLocalReconstruction and p.mapCountMinus1 == 0
             ),
             asps_auxiliary_video_enabled_flag=raw_geo_payload is not None,
+            # constructAspsRefListStruct parity (PCCEncoderParameters.cpp:
+            # 1227-1246): maxNumRefAtalsList lists of maxNumRefAtlasFrame
+            # short-term entries at afoc deltas 1..N (sign flag true =
+            # reference frame precedes, matching the reference's
+            # afocDiff>0 encoding)
             ref_list_structs=[
                 RefListStruct(
-                    num_ref_entries=1, abs_delta_afoc_st=[1],
-                    straf_entry_sign_flag=[True],
+                    num_ref_entries=max(1, p.maxNumRefAtlasFrame),
+                    abs_delta_afoc_st=[
+                        1 + i for i in range(max(1, p.maxNumRefAtlasFrame))
+                    ],
+                    straf_entry_sign_flag=[True]
+                    * max(1, p.maxNumRefAtlasFrame),
                 )
+                for _ in range(max(1, p.maxNumRefAtalsList))
             ],
         )
         atlas.asps_list.append(asps)

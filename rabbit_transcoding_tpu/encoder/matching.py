@@ -98,15 +98,20 @@ def match_patches(
     prev: list[SegmentedPatch],
     cur: list[SegmentedPatch],
     iou_threshold: float = 0.25,
+    max_candidate_count: int = 0,
 ) -> None:
     """Greedy best-IoU matching; sets cur[i].patch.best_match_idx to the
     matched prev index (-1 = unmatched).  Only same-projection patches match
-    (inter coding inherits the projection from the reference)."""
+    (inter coding inherits the projection from the reference).
+
+    max_candidate_count > 0 keeps only the N best-IoU reference candidates
+    per current patch before the greedy pass (reference maxCandidateCount,
+    PCCEncoderParameters.cpp:82 — bounds the ordering search)."""
     for seg in cur:
         seg.patch.best_match_idx = -1
     if not prev or not cur:
         return
-    candidates = []
+    per_cur: list[list[tuple[float, int, int]]] = [[] for _ in cur]
     for ci, c in enumerate(cur):
         for pi, pr in enumerate(prev):
             if (
@@ -117,7 +122,12 @@ def match_patches(
                 continue
             iou = _iou(c, pr)
             if iou >= iou_threshold:
-                candidates.append((iou, ci, pi))
+                per_cur[ci].append((iou, ci, pi))
+    if max_candidate_count > 0:
+        for ci in range(len(cur)):
+            per_cur[ci].sort(reverse=True)
+            del per_cur[ci][max_candidate_count:]
+    candidates = [t for lst in per_cur for t in lst]
     candidates.sort(reverse=True)
     used_cur: set[int] = set()
     used_prev: set[int] = set()

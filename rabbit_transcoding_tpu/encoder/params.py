@@ -264,6 +264,63 @@ class EncoderParameters:
     # self-checks
     decodedAtlasInformationHash: int = 1  # 0=off, 1=MD5
 
+    # --- stream-level signalling plumbing (reference names) ---
+    # force the sample-stream size-field width (ssvh_unit_size_precision_
+    # bytes_minus1 + 1); 0 = derive from the largest unit (PccAppEncoder
+    # forcedSsvhUnitSizePrecisionBytes, PCCBitstreamWriter precision arg)
+    forcedSsvhUnitSizePrecisionBytes: int = 0
+    # ptc_one_v3c_frame_only_flag in the PTL toolset constraints
+    # (PCCEncoderParameters.cpp:251 "V-PCC Basic")
+    oneV3CFrameOnlyFlag: bool = False
+    # coded codec-id indices used by the Component Codec Mapping SEI under
+    # the MP4RA codec group (PCCEncoderParameters.cpp:245-248,
+    # getCodecIdIndex :1248-1276); only consulted when profileCodecGroupIdc
+    # is pinned to MP4RA (127) with external codec components
+    avcCodecIdIndex: int = 0
+    hevcCodecIdIndex: int = 1
+    shvcCodecIdIndex: int = 2
+    vvcCodecIdIndex: int = 3
+    # keep external-codec intermediate files (YUV/bin/cfg) for inspection
+    # (keepIntermediateFiles, PCCVideoEncoder.cpp:346-402)
+    keepIntermediateFiles: bool = False
+    # hand Annex-B byte streams to external codec binaries (default) or
+    # NAL sample streams (byteStreamVideoEncoder*, PccAppEncoder.cpp;
+    # reference default true, PCCEncoderParameters.cpp:117-119)
+    byteStreamVideoEncoderOccupancy: bool = True
+    byteStreamVideoEncoderGeometry: bool = True
+    byteStreamVideoEncoderAttribute: bool = True
+    # color transform applied to source colors at load time and inverted on
+    # reconstruction write (0 none | 1 RGB->YCbCr Rec.709; reference
+    # COLOR_TRANSFORM_* PCCCommon.h:92)
+    colorTransform: int = 0
+    # HDRConvert binary + cfgs: when set, the attribute 444<->420
+    # conversions route through the external converter instead of the
+    # internal filter banks (PCCVirtualColorConverter, cfg/hdrconvert)
+    colorSpaceConversionPath: str = ""
+    colorSpaceConversionConfig: str = ""
+    inverseColorSpaceConversionConfig: str = ""
+    # per-map external-codec cfgs in multipleStreams mode (geometry0Config/
+    # geometry1Config/attribute0Config/attribute1Config); fall back to the
+    # single-stream geometryConfig/attributeConfig when empty
+    geometry0Config: str = ""
+    geometry1Config: str = ""
+    attribute0Config: str = ""
+    attribute1Config: str = ""
+    # spatial-consistency matching: max candidate patches examined per
+    # patch (maxCandidateCount, PCCEncoderParameters.cpp:82)
+    maxCandidateCount: int = 4
+    # ATL reference-list signalling (constructAspsRefListStruct,
+    # PCCEncoderParameters.cpp:1227-1246; reference option keeps the
+    # historical 'Atals' typo)
+    maxNumRefAtalsList: int = 1
+    maxNumRefAtlasFrame: int = 1
+    # SHVC layered coding via the SHM external encoder (shvcLayerIndex/
+    # shvcRateX/shvcRateY, PCCEncoderParameters.cpp:274-276): rateX/rateY
+    # are the per-layer downscale divisors passed to the SHM template
+    shvcLayerIndex: int = 8
+    shvcRateX: int = 0
+    shvcRateY: int = 0
+
     # ------------------------------------------------------------------
     def roi_boxes(self) -> list[tuple[int, int, int, int, int, int]]:
         """Parsed ROI bounding boxes [(minx, maxx, miny, maxy, minz, maxz)];

@@ -46,6 +46,11 @@ class ForeignCodec:
     encoder_binary: str
     decoder_template: str
     encoder_template: str
+    # byteStreamVideoCoder* / keepIntermediateFiles / per-component cfg
+    # (baseline-path parity, PccAppTranscoder.cpp:119-216)
+    byte_stream: bool = True
+    keep_files: bool = False
+    config_path: str = ""
 
     def decode(
         self,
@@ -57,10 +62,15 @@ class ForeignCodec:
         return external_mod.decode_annexb_probed(
             payload, self.decoder_binary, self.decoder_template,
             fallback_width, fallback_height, fallback_bitdepth,
+            byte_stream=self.byte_stream, keep_files=self.keep_files,
         )
 
     def encode(self, video: Video, qp: int) -> bytes:
-        enc = ExternalVideoEncoder(self.encoder_binary, self.encoder_template)
+        enc = ExternalVideoEncoder(
+            self.encoder_binary, self.encoder_template,
+            byte_stream=self.byte_stream, keep_files=self.keep_files,
+            config_path=self.config_path,
+        )
         payload, _ = enc.encode(video, VideoEncoderParams(qp=qp))
         return payload
 
@@ -134,7 +144,17 @@ def resolve(
     )
     if dec_bin is None or enc_bin is None:
         return None
-    return ForeignCodec(dec_bin, enc_bin, dec_tmpl, enc_tmpl)
+    cfg_attr = {"occupancy": "occupancyMapConfig",
+                "geometry": "geometryConfig",
+                "attribute": "attributeConfig"}[comp]
+    return ForeignCodec(
+        dec_bin, enc_bin, dec_tmpl, enc_tmpl,
+        byte_stream=bool(
+            getattr(params, f"byteStreamVideoCoder{suffix}", True)
+        ),
+        keep_files=bool(getattr(params, "keepIntermediateFiles", False)),
+        config_path=getattr(params, cfg_attr, "") or "",
+    )
 
 
 def foreign_qp(params, vtype: VideoType) -> int:

@@ -105,6 +105,25 @@ class TranscoderParameters:
     keepIntermediateFiles: bool = False
     computeHashSei: bool = True
 
+    # remaining PccAppTranscoder CLI parity (PccAppTranscoder.cpp:111-217)
+    startFrameNumber: int = 0
+    # external binaries consume/emit Annex-B (default) vs NAL sample
+    # streams on the baseline route (byteStreamVideoCoder*)
+    byteStreamVideoCoderGeometry: bool = True
+    byteStreamVideoCoderAttribute: bool = True
+    # external-codec cfg files for the baseline re-encode route (the
+    # occupancyMapConfig/geometryConfig/attributeConfig/geometryMPConfig
+    # cascade slots; ignored on the RBV fast path)
+    occupancyMapConfig: str = ""
+    geometryConfig: str = ""
+    attributeConfig: str = ""
+    geometryMPConfig: str = ""
+    # accepted for cfg-cascade compatibility (encoder-side flags that ride
+    # shared condition cfgs; the transcoder itself never repacks patches,
+    # matching the reference which parses-and-ignores them here)
+    constrainedPack: bool = True
+    globalPatchAllocation: bool = False
+
     def effective_geometry_qp(self) -> int:
         return self.qualityValGeo if self.qualityValGeo >= 0 else self.geometryQP
 

@@ -189,6 +189,9 @@ class OptionRegistry:
     def __getitem__(self, name: str) -> Any:
         return self.values[name]
 
+    def __contains__(self, name: str) -> bool:
+        return name.lower() in self._options
+
     def help_text(self, title: str = "options") -> str:
         lines = [title]
         for opt in self._options.values():

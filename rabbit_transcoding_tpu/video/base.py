@@ -89,15 +89,32 @@ _ROLE_COMP = {
     "occupancy": "Occupancy",
     "geometry": "Geometry",
     "geometryMP": "Geometry",   # raw-points aux video rides the geometry codec
+    "geometry0": "Geometry",    # per-map sub-streams (multipleStreams)
+    "geometry1": "Geometry",
     "attribute": "Attribute",
     "attributeMP": "Attribute",
+    "attribute0": "Attribute",
+    "attribute1": "Attribute",
 }
 _ROLE_CFG = {
     "occupancy": "occupancyMapConfig",
     "geometry": "geometryConfig",
     "geometryMP": "geometryMPConfig",
+    # per-map cfgs (geometry0Config/... PccAppEncoder option names); empty
+    # values fall back to the single-stream cfg in component_encoder
+    "geometry0": "geometry0Config",
+    "geometry1": "geometry1Config",
     "attribute": "attributeConfig",
     "attributeMP": "attributeMPConfig",
+    "attribute0": "attribute0Config",
+    "attribute1": "attribute1Config",
+}
+# per-map cfg fallback when the map-specific option is unset
+_ROLE_CFG_FALLBACK = {
+    "geometry0": "geometryConfig",
+    "geometry1": "geometryConfig",
+    "attribute0": "attributeConfig",
+    "attribute1": "attributeConfig",
 }
 # cfg-file flag of each external encoder CLI (HM-family -c; JM lencod -d)
 _CONFIG_FLAG = {CodecId.JM_APP: "-d"}
@@ -135,10 +152,19 @@ def component_encoder(params, role: str, lossless: bool = False) -> "VideoEncode
 
     explicit = getattr(params, f"videoEncoder{comp}Path", "")
     config = getattr(params, _ROLE_CFG[role], "") or ""
+    if not config and role in _ROLE_CFG_FALLBACK:
+        config = getattr(params, _ROLE_CFG_FALLBACK[role], "") or ""
+    keep = bool(getattr(params, "keepIntermediateFiles", False))
+    byte_stream = bool(
+        getattr(params, f"byteStreamVideoEncoder{comp}", True)
+    )
     if codec_id == CodecId.FFMPEG_APP:
         binary = _resolve_binary(codec_id, "ffmpeg", "ENCODER", explicit)
         # ffmpeg has no HM-style cfg file; options ride the template
-        return ExternalVideoEncoder(binary, FFMPEG_ENCODER_TEMPLATE)
+        return ExternalVideoEncoder(
+            binary, FFMPEG_ENCODER_TEMPLATE, keep_files=keep,
+            byte_stream=byte_stream,
+        )
     if codec_id not in _EXTERNAL_APPS:
         raise ValueError(f"unsupported encoder codec id {codec_id}")
     from . import external
@@ -148,6 +174,7 @@ def component_encoder(params, role: str, lossless: bool = False) -> "VideoEncode
     return ExternalVideoEncoder(
         binary, getattr(external, tmpl), config_path=config,
         config_flag=_CONFIG_FLAG.get(codec_id, "-c"),
+        keep_files=keep, byte_stream=byte_stream,
     )
 
 

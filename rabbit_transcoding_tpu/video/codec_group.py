@@ -101,7 +101,13 @@ class CodecSignalling:
     ccm_entries: list
 
 
-def signalling(occ: CodecId, geo: CodecId, attr: CodecId) -> CodecSignalling:
+def signalling(
+    occ: CodecId,
+    geo: CodecId,
+    attr: CodecId,
+    pinned_group: int | None = None,
+    codec_id_index: dict | None = None,
+) -> CodecSignalling:
     """Derive PTL group + per-component coded ids + CCM SEI entries from the
     per-component encoder selection (encoder-side getCodedCodecId inverse).
 
@@ -112,6 +118,31 @@ def signalling(occ: CodecId, geo: CodecId, attr: CodecId) -> CodecSignalling:
     one stream has no group encoding — reject it like the reference would.
     """
     comps = {"occupancy": occ, "geometry": geo, "attribute": attr}
+    if pinned_group == CODEC_GROUP_MP4RA:
+        # the user forced the MP4RA group: every component is identified by
+        # a CCM SEI entry; external families use the configured codec-id
+        # indices (reference *CodecIdIndex options, "Index use if CMC SEI",
+        # PCCEncoderParameters.cpp:245-248 + getCodecIdIndex :1248-1276)
+        idx = codec_id_index or {}
+        default_idx = {
+            CodecId.RBV: 0, CodecId.RBV_LOSSLESS: 0,
+            CodecId.JM_APP: 0, CodecId.HM_APP: 1,
+            CodecId.FFMPEG_APP: 1, CodecId.SHM_APP: 2, CodecId.VTM_APP: 3,
+        }
+        ids, ccm, seen = {}, [], {}
+        for name, c in comps.items():
+            cid = idx.get(c, default_idx[c])
+            fourcc = _FOURCC_OF[c]
+            if cid in seen and seen[cid] != fourcc:
+                raise ValueError(
+                    f"codec-id index {cid} maps to both {seen[cid]!r} and "
+                    f"{fourcc!r}; set distinct *CodecIdIndex values"
+                )
+            if cid not in seen:
+                seen[cid] = fourcc
+                ccm.append((cid, fourcc))
+            ids[name] = cid
+        return CodecSignalling(CODEC_GROUP_MP4RA, ids, ccm)
     ext_groups = {
         _GROUP_OF[c] for c in comps.values()
         if _GROUP_OF[c] != CODEC_GROUP_MP4RA

@@ -61,6 +61,28 @@ _CHROMA_CODE = {
 }
 
 
+class _workdir:
+    """TemporaryDirectory that survives when keep_files is set
+    (keepIntermediateFiles, PCCVideoEncoder.cpp:346-402)."""
+
+    def __init__(self, keep: bool):
+        self.keep = keep
+        self._td = None
+
+    def __enter__(self) -> str:
+        if self.keep:
+            path = tempfile.mkdtemp(prefix="rbx_ext_keep_")
+            print(f"keepIntermediateFiles: {path}")
+            return path
+        self._td = tempfile.TemporaryDirectory(prefix="rbx_ext_")
+        return self._td.__enter__()
+
+    def __exit__(self, *exc):
+        if self._td is not None:
+            return self._td.__exit__(*exc)
+        return False
+
+
 class ExternalVideoEncoder(VideoEncoder):
     """Runs an external encoder binary over temp files (the reference's
     file-based IPC, PCCVideoEncoder.cpp:346-402 keepIntermediateFiles
@@ -74,15 +96,20 @@ class ExternalVideoEncoder(VideoEncoder):
 
     def __init__(self, binary: str, template: str = HM_ENCODER_TEMPLATE,
                  keep_files: bool = False, config_path: str = "",
-                 config_flag: str = "-c"):
+                 config_flag: str = "-c", byte_stream: bool = True):
         self.binary = binary
         self.template = template
         self.keep_files = keep_files
         self.config_path = config_path
         self.config_flag = config_flag
+        # byteStreamVideoEncoder* parity: True (default) = the binary
+        # emits an Annex-B byte stream; False = it emits a NAL sample
+        # stream, converted back to Annex-B here so the rest of the
+        # pipeline always sees byte streams
+        self.byte_stream = byte_stream
 
     def encode(self, video: Video, params: VideoEncoderParams) -> tuple[bytes, Video]:
-        with tempfile.TemporaryDirectory(prefix="rbx_ext_") as td:
+        with _workdir(self.keep_files) as td:
             in_path = os.path.join(td, "in.yuv")
             out_path = os.path.join(td, "out.bin")
             rec_path = os.path.join(td, "rec.yuv")
@@ -107,6 +134,12 @@ class ExternalVideoEncoder(VideoEncoder):
                 )
             with open(out_path, "rb") as fh:
                 payload = fh.read()
+            if not self.byte_stream and payload:
+                from ..bitstream.video_bitstream import (
+                    sample_stream_to_byte_stream,
+                )
+
+                payload = sample_stream_to_byte_stream(payload)
             if os.path.exists(rec_path):
                 recon = Video().read(
                     rec_path, video.width, video.height, video.frame_count,
@@ -120,16 +153,27 @@ class ExternalVideoEncoder(VideoEncoder):
 class ExternalVideoDecoder(VideoDecoder):
     def __init__(self, binary: str, template: str = HM_DECODER_TEMPLATE,
                  width: int = 0, height: int = 0, frames: int = 0,
-                 bitdepth: int = 8, fmt: ColorFormat = ColorFormat.YUV420):
+                 bitdepth: int = 8, fmt: ColorFormat = ColorFormat.YUV420,
+                 keep_files: bool = False, byte_stream: bool = True):
         self.binary = binary
         self.template = template
         self.width, self.height, self.frames = width, height, frames
         self.bitdepth, self.fmt = bitdepth, fmt
+        self.keep_files = keep_files
+        # byteStreamVideoCoder* parity: False = the binary consumes a NAL
+        # sample stream, so convert the Annex-B payload before handing over
+        self.byte_stream = byte_stream
 
     def decode(self, payload: bytes, output_bitdepth: int | None = None) -> Video:
-        with tempfile.TemporaryDirectory(prefix="rbx_ext_") as td:
+        with _workdir(self.keep_files) as td:
             in_path = os.path.join(td, "in.bin")
             out_path = os.path.join(td, "out.yuv")
+            if not self.byte_stream and payload:
+                from ..bitstream.video_bitstream import (
+                    byte_stream_to_sample_stream,
+                )
+
+                payload = byte_stream_to_sample_stream(payload)
             with open(in_path, "wb") as fh:
                 fh.write(payload)
             cmd = self.template.format(
@@ -186,6 +230,8 @@ def decode_annexb_probed(
     fallback_width: int = 0,
     fallback_height: int = 0,
     fallback_bitdepth: int = 8,
+    byte_stream: bool = True,
+    keep_files: bool = False,
 ) -> Video:
     """Decode an Annex-B payload through an external binary, sizing the
     output from the payload's own SPS (the role PccLibHevcParser plays for
@@ -212,5 +258,6 @@ def decode_annexb_probed(
         binary, template,
         width=width, height=height, frames=0,  # inferred from file size
         bitdepth=bitdepth, fmt=fmt,
+        byte_stream=byte_stream, keep_files=keep_files,
     )
     return dec.decode(payload)
