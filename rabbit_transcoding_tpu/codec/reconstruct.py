@@ -49,6 +49,17 @@ class GeneratePointCloudParameters:
     pbf_passes: int = 2
     pbf_filter_size: int = 3
     pbf_threshold: float = 4.0
+    # full-KNN geometry smoothing (the reference's gridSmoothing=0 path,
+    # PCCCodec::smoothPointCloud; knobs neighborCountSmoothing/
+    # radius2Smoothing/radius2BoundaryDetection ride here since no SEI
+    # carries them — both sides must configure identically, like the
+    # reference's CLI-symmetric design)
+    grid_smoothing: bool = True
+    radius2_smoothing: float = 64.0
+    radius2_boundary_detection: float = 64.0
+    # post-smoothing attribute re-transfer selector (attrTransferFilterType;
+    # 0 = geometry smoothing excluded from attribute transfer)
+    attr_transfer_filter_type: int = 0
 
 
 def round_up(x: int, m: int) -> int:
@@ -260,6 +271,12 @@ class ReconstructionEngine:
             ]
 
         boundary = occupancy_boundary(occ_maps[:, :h, :w])
+        # per-point patch index (the reference's partition vector): pixel
+        # block ownership minus one, same source the PLR path uses
+        owner_pt = (
+            np.repeat(np.repeat(b2p0, block, axis=1), block, axis=2)
+            [:, :h, :w].reshape(f, h * w).astype(np.int32) - 1
+        )
         clouds: list[PointSet] = []
         for fi in range(f):
             msk = valid[fi]
@@ -267,6 +284,7 @@ class ReconstructionEngine:
             typ_parts = [
                 boundary[fi][msk].astype(np.uint8)
             ] * map_count
+            part_parts = [owner_pt[fi][msk]] * map_count
             col_parts = (
                 [cm[fi][msk] for cm in colors_maps]
                 if colors_maps is not None
@@ -276,6 +294,7 @@ class ReconstructionEngine:
                 pmsk = plr_masks[fi]
                 pos_parts.append(pts_maps[map_count][fi][pmsk])
                 typ_parts.append(boundary[fi][pmsk].astype(np.uint8))
+                part_parts.append(owner_pt[fi][pmsk])
                 if col_parts is not None:
                     # PLR points take their pixel's (map-0) color
                     col_parts.append(colors_maps[0][fi][pmsk])
@@ -289,7 +308,8 @@ class ReconstructionEngine:
                     refl_parts.append(refl_maps[0][fi][plr_masks[fi]])
                 refl = np.concatenate(refl_parts, axis=0)
             ps = PointSet(positions=pos, colors=col, reflectances=refl,
-                          types=np.concatenate(typ_parts))
+                          types=np.concatenate(typ_parts),
+                          partition=np.concatenate(part_parts))
             if self.params.remove_duplicate_points:
                 ps = ps.remove_duplicates()
             clouds.append(ps)

@@ -32,6 +32,7 @@ class PointSet:
         reflectances: np.ndarray | None = None,
         colors16: np.ndarray | None = None,
         types: np.ndarray | None = None,
+        partition: np.ndarray | None = None,
     ) -> None:
         self.positions = (
             np.zeros((0, 3), np.int32) if positions is None else np.asarray(positions)
@@ -43,6 +44,11 @@ class PointSet:
             None if reflectances is None else np.asarray(reflectances, np.uint16)
         )
         self.types = None if types is None else np.asarray(types, np.uint8)
+        # per-point patch index (the reference's partition vector fed to
+        # smoothPointCloud/colorSmoothing; PCCCodec.cpp:52,149)
+        self.partition = (
+            None if partition is None else np.asarray(partition, np.int32)
+        )
 
     # ------------------------------------------------------------------
     @property
@@ -77,6 +83,9 @@ class PointSet:
             else self.reflectances.copy(),
             colors16=None if self.colors16 is None else self.colors16.copy(),
             types=None if self.types is None else self.types.copy(),
+            partition=(
+                None if self.partition is None else self.partition.copy()
+            ),
         )
 
     def bounding_box(self) -> tuple[np.ndarray, np.ndarray]:
@@ -122,6 +131,7 @@ class PointSet:
             else self.reflectances[idx],
             colors16=None if self.colors16 is None else self.colors16[idx],
             types=None if self.types is None else self.types[idx],
+            partition=None if self.partition is None else self.partition[idx],
         )
 
     def convert_rgb_to_yuv(self) -> None:

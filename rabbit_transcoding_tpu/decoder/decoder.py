@@ -49,9 +49,12 @@ class DecoderParameters:
     # (colorSpaceConversionPath + inverseColorSpaceConversionConfig)
     colorSpaceConversionPath: str = ""
     inverseColorSpaceConversionConfig: str = ""
-    # exclude geometry smoothing from attribute transfer (decoder-side
-    # attributeTransferFilterType, PccAppDecoder.cpp:152-155)
-    attributeTransferFilterType: int = 0
+    # post-smoothing attribute transfer selector (decoder-side
+    # attributeTransferFilterType, PccAppDecoder.cpp:152-155; -1 = derive
+    # from the stream's reconstruction profile like the reference,
+    # PCCDecoderParameters.cpp:60,115-145; 0 excludes geometry smoothing
+    # from attribute transfer)
+    attributeTransferFilterType: int = -1
     # per-patch chroma up-sampling of the decoded attribute video
     # (patchColorSubsampling, PccAppDecoder.cpp:166-169)
     patchColorSubsampling: bool = False
@@ -391,6 +394,12 @@ class Decoder:
                         else np.concatenate(
                             [ps.types, np.zeros(len(pts), np.uint8)]
                         ),
+                        # raw/EOM points belong to no projected patch
+                        partition=None
+                        if ps.partition is None
+                        else np.concatenate(
+                            [ps.partition, np.full(len(pts), -1, np.int32)]
+                        ),
                     )
                     clouds[fi] = merged.remove_duplicates()
 
@@ -480,6 +489,12 @@ class Decoder:
                         else np.concatenate(
                             [ps.types, np.zeros(len(pts), np.uint8)]
                         ),
+                        # raw/EOM points belong to no projected patch
+                        partition=None
+                        if ps.partition is None
+                        else np.concatenate(
+                            [ps.partition, np.full(len(pts), -1, np.int32)]
+                        ),
                     )
                     clouds[fi] = merged.remove_duplicates()
 
@@ -496,8 +511,21 @@ class Decoder:
         )
         sei = find_geometry_smoothing_sei(atlas.seis_prefix + atlas.seis_suffix)
         if sei is not None:
+            # attributeTransferFilterType: explicit CLI value, or derived
+            # from the stream's PTL reconstruction profile like the
+            # reference (PCCDecoderParameters.cpp:115-145: Rec1 -> 1, else 0)
+            atf = self.params.attributeTransferFilterType
+            if atf < 0:
+                rec_idc = (
+                    context.vps.profile_tier_level
+                    .ptl_profile_reconstruction_idc
+                )
+                atf = 1 if rec_idc == 1 else 0
             with self.timer.stage("smoothPointCloudPostprocess"):
-                clouds = apply_geometry_smoothing(clouds, sei, coord_bits)
+                clouds = apply_geometry_smoothing(
+                    clouds, sei, coord_bits,
+                    attr_transfer_filter_type=atf,
+                )
         from ..codec.postprocess import (
             apply_color_smoothing,
             find_attribute_smoothing_sei,

@@ -916,14 +916,18 @@ class Encoder:
                     if p.flagColorPreSmoothing and len(colors):
                         # encoder-side pre-smoothing of the transferred
                         # colors on the reconstructed positions
-                        # (presmoothPointCloudColor, PCCEncoder.cpp:6578)
-                        from ..ops.smoothing import smooth_colors
+                        # (presmoothPointCloudColor, PCCEncoder.cpp:6578):
+                        # radius-KNN centroid, local-luma-entropy gated
+                        from ..ops.smoothing import presmooth_colors
 
-                        colors, _ = smooth_colors(
+                        colors, _ = presmooth_colors(
                             pts_maps[m][i][msk], colors,
+                            radius2=p.radius2ColorPreSmoothing,
+                            max_neighbors=p.neighborCountColorPreSmoothing,
                             threshold=p.thresholdColorPreSmoothing,
-                            grid_size=p.gridSize,
-                            coord_bits=p.geometry3dCoordinatesBitdepth,
+                            entropy_threshold=(
+                                p.thresholdColorPreSmoothingLocalEntropy
+                            ),
                         )
                     canvas = attr_rgb[i * n_maps + m].reshape(-1, 3)
                     canvas[np.nonzero(msk)[0]] = colors
@@ -1267,8 +1271,14 @@ class Encoder:
             from ..bitstream.sei import SeiAttributeSmoothing
 
             color_sei = SeiAttributeSmoothing(
-                as_smoothing_grid_size_minus2=p.gridSize - 2,
+                as_smoothing_grid_size_minus2=p.cgridSize - 2,
                 as_smoothing_threshold=int(p.thresholdColorSmoothing),
+                as_smoothing_threshold_variation=int(
+                    p.thresholdColorVariation
+                ),
+                as_smoothing_threshold_difference=int(
+                    p.thresholdColorDifference
+                ),
             )
 
         # 7. decoder-identical reconstructed clouds (colors from decoded attr)
@@ -1336,18 +1346,34 @@ class Encoder:
             from ..codec.reconstruct import occupancy_boundary
 
             boundary = occupancy_boundary(occ_decoded[:, :height, :width])
+            # per-point patch index (the reference's partition vector;
+            # decoder side: ReconstructionEngine computes the identical
+            # ownership from its own b2p) — feeds the gated color smoothing
+            owner_pt = (
+                np.repeat(
+                    np.repeat(b2p0, p.occupancyResolution, axis=1),
+                    p.occupancyResolution, axis=2,
+                )[:, :height, :width]
+                .reshape(n_frames, height * width).astype(np.int32) - 1
+            )
             recon_clouds = []
             for i in range(n_frames):
                 msk = valid[i]
                 pos_list = [pts_maps[m][i][msk] for m in range(n_maps)]
                 typ_list = [boundary[i][msk].astype(np.uint8)] * n_maps
+                part_list = [owner_pt[i][msk]] * n_maps
                 if plr_masks is not None:
                     pos_list.append(plr_pts[i][plr_masks[i]])
                     typ_list.append(
                         boundary[i][plr_masks[i]].astype(np.uint8)
                     )
+                    part_list.append(owner_pt[i][plr_masks[i]])
                 typ_list.append(np.zeros(
                     len(raw_points_rec[i]) + len(eom_points[i]), np.uint8
+                ))
+                # raw/EOM points belong to no projected patch
+                part_list.append(np.full(
+                    len(raw_points_rec[i]) + len(eom_points[i]), -1, np.int32
                 ))
                 pos = np.concatenate(
                     pos_list + [raw_points_rec[i], eom_points[i]],
@@ -1394,16 +1420,43 @@ class Encoder:
                     )
                     refl = np.concatenate(refl_parts)
                 ps = PointSet(positions=pos, colors=col, reflectances=refl,
-                              types=np.concatenate(typ_list))
+                              types=np.concatenate(typ_list),
+                              partition=np.concatenate(part_list))
                 if p.removeDuplicatePoints:
                     ps = ps.remove_duplicates()
                 recon_clouds.append(ps)
-            if smoothing_sei is not None:
-                from ..codec.postprocess import apply_geometry_smoothing
+            if smoothing_sei is not None or (
+                p.flagGeometrySmoothing and not p.gridSmoothing
+            ):
+                from ..codec.postprocess import (
+                    KnnSmoothingParams,
+                    apply_geometry_smoothing,
+                )
 
                 recon_clouds = apply_geometry_smoothing(
                     recon_clouds, smoothing_sei,
                     coord_bits=p.geometry3dCoordinatesBitdepth,
+                    # gridSmoothing=0: the reference runs full-KNN smoothing
+                    # in the encoder closed loop and writes NO SEI (only the
+                    # grid method is signalled, PCCEncoder.cpp:8456); the
+                    # decoder consequently does not smooth — an intentional
+                    # reference asymmetry this path reproduces
+                    knn=KnnSmoothingParams(
+                        flag=p.flagGeometrySmoothing,
+                        grid=p.gridSmoothing,
+                        neighbor_count=p.neighborCountSmoothing,
+                        radius2=p.radius2Smoothing,
+                        radius2_boundary=p.radius2BoundaryDetection,
+                        threshold=p.thresholdSmoothing,
+                    ),
+                    # post-smoothing attribute re-transfer: active only
+                    # under Rec1 (the reference squashes it under Rec0/Rec2,
+                    # PCCEncoderParameters.cpp:740-796); the decoder derives
+                    # the same setting from the stream's PTL
+                    attr_transfer_filter_type=(
+                        p.attributeTransferFilterType
+                        if p.profileReconstructionIdc == 1 else 0
+                    ),
                 )
             if color_sei is not None:
                 from ..codec.postprocess import apply_color_smoothing

@@ -244,8 +244,32 @@ class EncoderParameters:
     gridSize: int = 8
     thresholdSmoothing: float = 64.0
     minNeighborsSmoothing: int = 4
+    # full-KNN smoothing knobs (the gridSmoothing=0 path,
+    # PCCCodec::smoothPointCloud; defaults PCCEncoderParameters.cpp:92-94).
+    # Like the reference, this variant is NOT SEI-carried and the closed
+    # loop/decoder only smooth on the SEI — the knobs configure the library
+    # capability (ops/smoothing.knn_smooth via codec/postprocess).
+    neighborCountSmoothing: int = 64
+    radius2Smoothing: float = 64.0
+    radius2BoundaryDetection: float = 64.0
     flagColorSmoothing: bool = False
     thresholdColorSmoothing: float = 10.0
+    # grid color smoothing knobs (cgridSize/thresholdColorDifference/
+    # thresholdColorVariation -> the attribute-smoothing SEI fields;
+    # defaults PCCEncoderParameters.cpp:147-150)
+    cgridSize: int = 4
+    thresholdColorDifference: float = 10.0
+    thresholdColorVariation: float = 6.0
+    # post-smoothing attribute re-transfer selector (attrTransferFilterType,
+    # PCCEncoderParameters.cpp:270; active only under
+    # profileReconstructionIdc=1, squashed to 0 under Rec0/Rec2 like the
+    # reference :740-796)
+    attributeTransferFilterType: int = 1
+    # color pre-smoothing knobs (presmoothPointCloudColor; defaults
+    # PCCEncoderParameters.cpp:152-154)
+    thresholdColorPreSmoothingLocalEntropy: float = 4.5
+    radius2ColorPreSmoothing: float = 64.0
+    neighborCountColorPreSmoothing: int = 64
 
     # profile/tier/level signalling (reference names; land in the VPS PTL)
     profileCodecGroupIdc: int = 0

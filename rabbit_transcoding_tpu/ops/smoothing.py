@@ -103,14 +103,108 @@ def color_grid_smooth(
     return out, move
 
 
+@partial(jax.jit, static_argnames=("grid_size", "grid_dim"))
+def color_grid_smooth_gated(
+    points: jax.Array,        # (N, 3) int32 (padded)
+    colors: jax.Array,        # (N, 3) uint8
+    valid: jax.Array,         # (N,) bool
+    partition: jax.Array,     # (N,) int32 patch index per point
+    eligible: jax.Array,      # (N,) bool: boundary points only
+    threshold: jax.Array,     # reference thresholdColorSmoothing
+    thr_variation: jax.Array, # reference thresholdColorVariation
+    thr_difference: jax.Array,  # reference thresholdColorDifference
+    grid_size: int = 8,
+    grid_dim: int = 128,
+):
+    """Fully gated color smoothing (PCCCodec::colorSmoothing +
+    addGridColorCentroid + gridFilteringColor + smoothPointCloudColorLC,
+    PCCCodec.cpp:149-290,:1268): a boundary point's color snaps to its
+    neighborhood mean only when
+      - its own cell holds points of more than one patch (colorDoSmooth),
+      - the cell's luma spread is small (reference: |mean - median| <=
+        thresholdColorVariation; here the std-dev carries the same gate),
+      - neighbor cells whose luma mean differs from the own cell's by more
+        than thresholdColorDifference are excluded from the centroid,
+      - the luma distance to the centroid (scaled x10, the reference's
+        16-bit *10/256) reaches thresholdColorSmoothing.
+    One scatter pass builds per-cell {color sum, count, luma sum, luma
+    sumsq, partition min/max}; each point gathers its 27-cell stats."""
+    cell = jnp.clip(points // grid_size, 0, grid_dim - 1)
+    w = valid.astype(jnp.float32)
+    c = colors.astype(jnp.float32)
+    lw = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+    lum = c @ lw
+    acc = jnp.zeros((grid_dim, grid_dim, grid_dim, 6), jnp.float32)
+    acc = acc.at[cell[:, 0], cell[:, 1], cell[:, 2]].add(
+        jnp.concatenate(
+            [c * w[:, None], w[:, None], (lum * w)[:, None],
+             (lum * lum * w)[:, None]],
+            axis=1,
+        ),
+        mode="drop",
+    )
+    big = jnp.int32(1 << 30)
+    pmin = jnp.full((grid_dim, grid_dim, grid_dim), big, jnp.int32)
+    pmax = jnp.full((grid_dim, grid_dim, grid_dim), -big, jnp.int32)
+    pv = jnp.where(valid, partition, big)
+    pmin = pmin.at[cell[:, 0], cell[:, 1], cell[:, 2]].min(pv, mode="drop")
+    pv2 = jnp.where(valid, partition, -big)
+    pmax = pmax.at[cell[:, 0], cell[:, 1], cell[:, 2]].max(pv2, mode="drop")
+
+    own = acc[cell[:, 0], cell[:, 1], cell[:, 2]]
+    own_cnt = jnp.maximum(own[:, 3], 1.0)
+    own_mean_lum = own[:, 4] / own_cnt
+    own_var = jnp.maximum(own[:, 5] / own_cnt - own_mean_lum ** 2, 0.0)
+    own_ok = jnp.sqrt(own_var) <= thr_variation
+    mixed = (
+        pmax[cell[:, 0], cell[:, 1], cell[:, 2]]
+        != pmin[cell[:, 0], cell[:, 1], cell[:, 2]]
+    )
+
+    csum = jnp.zeros((points.shape[0], 3), jnp.float32)
+    ccnt = jnp.zeros((points.shape[0],), jnp.float32)
+    for off in _OFFSETS:
+        nb = jnp.clip(cell + jnp.asarray(off), 0, grid_dim - 1)
+        st = acc[nb[:, 0], nb[:, 1], nb[:, 2]]
+        cnt = jnp.maximum(st[:, 3], 1.0)
+        mean_lum = st[:, 4] / cnt
+        var = jnp.maximum(st[:, 5] / cnt - mean_lum ** 2, 0.0)
+        use = (
+            (st[:, 3] > 0.0)
+            & (jnp.abs(mean_lum - own_mean_lum) <= thr_difference)
+            & (jnp.sqrt(var) <= thr_variation)
+        ).astype(jnp.float32)
+        csum = csum + st[:, :3] * use[:, None]
+        ccnt = ccnt + st[:, 3] * use
+    mean = csum / jnp.maximum(ccnt, 1.0)[:, None]
+    dev = jnp.abs(lum - mean @ lw) * 10.0
+    move = (
+        valid & eligible & mixed & own_ok
+        & (dev >= threshold) & (ccnt > 0.0)
+    )
+    out = jnp.where(
+        move[:, None],
+        jnp.clip(jnp.round(mean), 0, 255).astype(jnp.uint8),
+        colors,
+    )
+    return out, move
+
+
 def smooth_colors(
     positions: np.ndarray,
     colors: np.ndarray,
     threshold: float = 10.0,
     grid_size: int = 8,
     coord_bits: int = 10,
+    partition: np.ndarray | None = None,
+    eligible: np.ndarray | None = None,
+    threshold_variation: float = 255.0,
+    threshold_difference: float = 255.0,
 ) -> tuple[np.ndarray, int]:
-    """Host wrapper for color_grid_smooth."""
+    """Host wrapper for color smoothing.  With a per-point `partition`
+    (patch index) the fully gated reference algorithm runs
+    (color_grid_smooth_gated); without one, the legacy neighborhood-mean
+    filter (color_grid_smooth)."""
     n = len(positions)
     if n == 0:
         return colors, 0
@@ -121,12 +215,139 @@ def smooth_colors(
     cols[:n] = colors
     valid = np.zeros((cap,), bool)
     valid[:n] = True
-    grid_dim = max(2, (1 << coord_bits) // grid_size)
-    out, moved = color_grid_smooth(
+    # clamp the cell grid to the occupied extent (pow2-rounded so jit keys
+    # stay few): the dense (grid_dim^3, 6) accumulator at vox10/cgrid4 would
+    # otherwise be 256^3 cells regardless of content
+    occ_dim = int(positions.max()) // grid_size + 2
+    grid_dim = max(2, min(
+        (1 << coord_bits) // grid_size,
+        1 << (occ_dim - 1).bit_length(),
+    ))
+    if partition is None:
+        out, moved = color_grid_smooth(
+            jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid),
+            jnp.float32(threshold), grid_size, grid_dim,
+        )
+        return np.asarray(out)[:n], int(np.asarray(moved).sum())
+    part = np.zeros((cap,), np.int32)
+    part[:n] = partition
+    elig = np.zeros((cap,), bool)
+    elig[:n] = True if eligible is None else eligible
+    out, moved = color_grid_smooth_gated(
         jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid),
-        jnp.float32(threshold), grid_size, grid_dim,
+        jnp.asarray(part), jnp.asarray(elig),
+        jnp.float32(threshold), jnp.float32(threshold_variation),
+        jnp.float32(threshold_difference), grid_size, grid_dim,
     )
     return np.asarray(out)[:n], int(np.asarray(moved).sum())
+
+
+def knn_smooth(
+    positions: np.ndarray,
+    partition: np.ndarray,
+    neighbor_count: int = 64,
+    radius2: float = 64.0,
+    radius2_boundary: float = 64.0,
+    threshold: float = 64.0,
+    eligible: np.ndarray | None = None,
+) -> tuple[np.ndarray, int]:
+    """Full-KNN geometry smoothing (PCCCodec::smoothPointCloud, the
+    gridSmoothing=0 path; reference knobs neighborCountSmoothing /
+    radius2Smoothing / radius2BoundaryDetection / thresholdSmoothing).
+
+    Per point: neighbors within sqrt(radius2) (capped neighbor_count); if
+    any neighbor within sqrt(radius2_boundary) belongs to a DIFFERENT patch
+    and the rounded-centroid distance reaches `threshold`, the point snaps
+    to the rounded neighborhood centroid (the reference's integer rounding
+    kept).  KNN runs on device via the grid-hash kernel."""
+    from .knn import grid_knn
+
+    n = len(positions)
+    if n == 0:
+        return positions, 0
+    k = max(1, neighbor_count)
+    pos = positions.astype(np.int32)
+    d2, idx = grid_knn(
+        jnp.asarray(pos), jnp.asarray(pos), k=min(k, 64),
+        cap=max(32, min(k, 64)),
+    )
+    d2 = np.asarray(d2)
+    idx = np.asarray(idx)
+    inr = (d2 <= radius2) & (idx >= 0)
+    safe = np.clip(idx, 0, n - 1)
+    cnt = inr.sum(axis=1)
+    centroid = (pos[safe] * inr[..., None]).sum(axis=1)
+    other = (
+        inr & (d2 <= radius2_boundary)
+        & (partition[safe] != partition[:, None])
+    ).any(axis=1)
+    nc = np.maximum(cnt, 1)
+    # the reference's integer centroid rounding (PCCCodec.cpp:~smoothPointCloud)
+    cent_i = ((centroid + (nc // 2)[:, None]) // nc[:, None]).astype(np.int64)
+    # reference: |sum(neighbors) - n*point|^2 / n  ==  n * |mean - point|^2
+    d2c = np.floor(
+        ((centroid - pos * nc[:, None]).astype(np.float64) ** 2).sum(axis=1)
+        + nc / 2.0
+    ) / nc
+    move = other & (d2c >= threshold)
+    if eligible is not None:
+        move &= eligible
+    out = pos.copy()
+    out[move] = cent_i[move].astype(np.int32)
+    return out, int(move.sum())
+
+
+def presmooth_colors(
+    positions: np.ndarray,
+    colors: np.ndarray,
+    eligible: np.ndarray | None = None,
+    radius2: float = 64.0,
+    max_neighbors: int = 64,
+    threshold: float = 10.0,
+    entropy_threshold: float = 4.5,
+) -> tuple[np.ndarray, int]:
+    """Encoder-side color pre-smoothing (presmoothPointCloudColor,
+    PCCEncoder.cpp: radius-KNN per boundary point; the color snaps to the
+    neighborhood centroid only where the local luma ENTROPY is low — flat
+    regions — and the L1 color distance to the centroid reaches
+    thresholdColorPreSmoothing).  Decoder-invisible."""
+    from scipy.spatial import cKDTree
+
+    n = len(positions)
+    if n == 0:
+        return colors, 0
+    k = min(max(1, max_neighbors), n)
+    tree = cKDTree(positions)
+    cand = np.arange(n) if eligible is None else np.nonzero(eligible)[0]
+    if len(cand) == 0:
+        return colors, 0
+    d, idx = tree.query(positions[cand], k=k)
+    if k == 1:
+        d = d[:, None]
+        idx = idx[:, None]
+    inr = (d * d) <= radius2
+    nc = np.maximum(inr.sum(axis=1), 1)
+    cols = colors.astype(np.int64)
+    centroid = (cols[idx] * inr[..., None]).sum(axis=1)
+    centroid = (centroid + (nc // 2)[:, None]) // nc[:, None]
+    # local luma Shannon entropy over the in-radius neighbors
+    lum = (
+        0.2126 * cols[idx][..., 0] + 0.7152 * cols[idx][..., 1]
+        + 0.0722 * cols[idx][..., 2]
+    ).astype(np.int32)
+    ent = np.zeros(len(cand))
+    for r in range(len(cand)):
+        vals = lum[r][inr[r]]
+        if len(vals) == 0:
+            continue
+        _, counts = np.unique(vals, return_counts=True)
+        p = counts / counts.sum()
+        ent[r] = -(p * np.log2(p)).sum()
+    dist1 = np.abs(centroid - cols[cand]).sum(axis=1)
+    move = (dist1 >= threshold) & (ent < entropy_threshold)
+    out = colors.copy()
+    out[cand[move]] = np.clip(centroid[move], 0, 255).astype(colors.dtype)
+    return out, int(move.sum())
 
 
 def smooth_cloud(

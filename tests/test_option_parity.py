@@ -122,11 +122,7 @@ flagColorPreSmoothing surfaceSeparation
 PENDING_ENCODER_OPTIONS: set = set("""
 normalOrientation gridBasedRefineSegmentation voxelDimensionRefineSegmentation
 searchRadiusRefineSegmentation enablePatchSplitting log2QuantizerSizeX
-log2QuantizerSizeY depthQuantizationStep EOMFixBitCount
-attributeTransferFilterType neighborCountSmoothing radius2Smoothing
-radius2BoundaryDetection patchExpansion cgridSize thresholdColorDifference
-thresholdColorVariation thresholdColorPreSmoothingLocalEntropy
-radius2ColorPreSmoothing neighborCountColorPreSmoothing
+log2QuantizerSizeY depthQuantizationStep EOMFixBitCount patchExpansion
 useRawPointsSeparateVideo attributeRawSeparateVideoWidth groupDilation
 offsetLossyOM thresholdLossyOM prefilterLossyOM useEightOrientations
 attributeBGFill minNormSumOfInvDist4MPSelection globalPackingStrategyGOF
