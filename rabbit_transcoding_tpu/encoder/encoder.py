@@ -116,6 +116,21 @@ class Encoder:
 
         return component_encoder(self.params, role, lossless)
 
+    def _pbf_knobs(self) -> tuple[int, int, float]:
+        """(passes, filter size, threshold) for patch-border filtering.
+        0 means auto, derived exactly like the reference
+        (PCCEncoderParameters.cpp:1132-1133: passes from occupancyPrecision,
+        size = occupancyPrecision); clamped to the occupancy-synthesis SEI
+        field widths so the decoder rederives the identical values."""
+        p = self.params
+        passes = p.pbfPassesCount or (
+            1 if p.occupancyPrecision <= 2
+            else 2 if p.occupancyPrecision == 4 else 4
+        )
+        size = p.pbfFilterSize or p.occupancyPrecision
+        log2_thr = min(4, max(1, p.pbfLog2Threshold))
+        return min(4, max(1, passes)), min(8, max(1, size)), float(1 << log2_thr)
+
     def _external(self, comp: str) -> bool:
         """True when an external (non-RBV) codec is selected for the
         component — the closed loop must then trust the binary's recon."""
@@ -577,14 +592,25 @@ class Encoder:
             downscale_maxpool(jnp.asarray(occ_planes), p.occupancyPrecision)
         )
         use_lossy_occ = p.lossyOccupancyMap and not p.enhancedOccupancyMapCode
-        occ_threshold = 127 if use_lossy_occ else 0
+        # occupied pixels code as offsetLossyOM (0 = full range, our DCT-
+        # friendly default); decoder binarises at the OI-carried threshold
+        # (thresholdLossyOM, 0 = half the offset) — PCCEncoder.cpp:901,973
+        occ_fill = p.offsetLossyOM if p.offsetLossyOM > 0 else 255
+        occ_threshold = (
+            (p.thresholdLossyOM if p.thresholdLossyOM > 0 else occ_fill // 2)
+            if use_lossy_occ else 0
+        )
         if use_lossy_occ:
-            # scale to 0/255 so the DCT codec sees full-range content, then
-            # binarise at the OI threshold on both sides
+            occ_plane = (occ_small > 0).astype(np.uint8) * np.uint8(occ_fill)
+            if p.prefilterLossyOM:
+                from ..ops.occupancy import prefilter_lossy_om
+
+                occ_plane = np.asarray(
+                    prefilter_lossy_om(jnp.asarray(occ_plane))
+                )
             occ_video = Video(
                 width // p.occupancyPrecision, height // p.occupancyPrecision,
-                8, ColorFormat.YUV400,
-                [(occ_small > 0).astype(np.uint8) * 255],
+                8, ColorFormat.YUV400, [occ_plane],
             )
             occ_payload, occ_recon = self._venc("occupancy").encode(
                 occ_video,
@@ -769,11 +795,13 @@ class Encoder:
                     np.repeat(b2p_blk, p.occupancyResolution, axis=1),
                     p.occupancyResolution, axis=2,
                 )[:, :height, :width].astype(np.int32)
+                pbf_passes, pbf_size, pbf_thr = self._pbf_knobs()
                 occ_decoded = np.asarray(pbf_refine(
                     jnp.asarray(occ_decoded),
                     jnp.asarray(geo_rec_p0[::n_maps][:n_frames]),
                     jnp.asarray(owner_px),
-                    jnp.float32(4.0), passes=2, radius=1,
+                    jnp.float32(pbf_thr), passes=pbf_passes,
+                    radius=max(1, pbf_size // 2),
                 )).astype(np.uint8)
             occ_dev = jnp.asarray(occ_decoded)
             table_dev = jnp.asarray(table)
@@ -1481,9 +1509,14 @@ class Encoder:
             if p.pbfEnableFlag:
                 from ..bitstream.sei import SeiOccupancySynthesis
 
-                # defaults encode threshold=4, 2 passes, size 3 — the same
-                # constants the closed loop above used
-                context.atlas(0).seis_prefix.append(SeiOccupancySynthesis())
+                # the SEI carries the same knobs the closed loop above used
+                # (decoder rederives passes/size/threshold from these)
+                pbf_passes, pbf_size, pbf_thr = self._pbf_knobs()
+                context.atlas(0).seis_prefix.append(SeiOccupancySynthesis(
+                    os_pbf_log2_threshold_minus1=int(pbf_thr).bit_length() - 2,
+                    os_pbf_passes_count_minus1=pbf_passes - 1,
+                    os_pbf_filter_size_minus1=pbf_size - 1,
+                ))
             if smoothing_sei is not None:
                 context.atlas(0).seis_prefix.append(smoothing_sei)
             if color_sei is not None:
@@ -1560,7 +1593,12 @@ class Encoder:
             sig.component_ids["occupancy"]
         )
         if p.lossyOccupancyMap and not p.enhancedOccupancyMapCode:
-            va.occupancy_information.oi_lossy_occupancy_compression_threshold = 127
+            # must match the closed loop's binarisation threshold above
+            # (thresholdLossyOM, or half the coded offset when unset)
+            fill = p.offsetLossyOM if p.offsetLossyOM > 0 else 255
+            va.occupancy_information.oi_lossy_occupancy_compression_threshold = (
+                p.thresholdLossyOM if p.thresholdLossyOM > 0 else fill // 2
+            )
         va.geometry_information.gi_geometry_codec_id = (
             sig.component_ids["geometry"]
         )

@@ -65,6 +65,14 @@ class EncoderParameters:
     # OI threshold (reference: lossyOccupancyMap + occupancyMapQP)
     lossyOccupancyMap: bool = False
     occupancyMapQP: int = 38
+    # lossy-OM shaping knobs (PCCEncoder.cpp:901,920,973): occupied pixels
+    # code as `offsetLossyOM` (0 = full range), the decoder binarises at the
+    # OI-carried threshold (`thresholdLossyOM`, 0 = half the offset), and
+    # `prefilterLossyOM` runs the 3x3 kernel {12,28,12;28,96,28;12,28,12}>>8
+    # over the occupancy video before encoding (PCCEncoderConstant.h:40)
+    offsetLossyOM: int = 0
+    thresholdLossyOM: int = 0
+    prefilterLossyOM: bool = False
     # 45-degree extended projection planes (reference name):
     # 0 off · 1 about Y · 2 about X · 3 about Z · 4 all three ·
     # 5 partial (top partialAdditionalProjectionPlane slice of the longest
@@ -203,6 +211,12 @@ class EncoderParameters:
     # PCCPatch.h:301-435): emit the SEI and erode dilated occupancy rims
     # whose decoded geometry deviates off-surface (decoder applies the same)
     pbfEnableFlag: bool = False
+    # PBF knobs (reference defaults + auto-derivation,
+    # PCCEncoderParameters.cpp:222-224,1132-1133): 0 passes = auto from
+    # occupancyPrecision (<=2 -> 1, ==4 -> 2, else 4); 0 size = precision
+    pbfPassesCount: int = 0
+    pbfFilterSize: int = 0
+    pbfLog2Threshold: int = 2
 
     # reconstruction / attribute
     removeDuplicatePoints: bool = True

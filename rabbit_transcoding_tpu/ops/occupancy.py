@@ -39,6 +39,25 @@ def upsample_nearest(occ: jax.Array, factor: int) -> jax.Array:
     return jnp.repeat(jnp.repeat(occ, factor, axis=1), factor, axis=2)
 
 
+@_aotp()
+def prefilter_lossy_om(planes: jax.Array) -> jax.Array:
+    """3x3 smoothing prefilter over the lossy occupancy video
+    (preFilterOccupancyMap, PCCEncoder.cpp:827-852; kernel
+    PCCEncoderConstant.h:40 = {12,28,12;28,96,28;12,28,12}, >>8, edge
+    clamp).  Softens the binary edges so the DCT codec spends fewer bits."""
+    k = jnp.asarray(
+        [[12, 28, 12], [28, 96, 28], [12, 28, 12]], jnp.int32
+    )
+    x = jnp.pad(planes.astype(jnp.int32), ((0, 0), (1, 1), (1, 1)),
+                mode="edge")
+    h, w = planes.shape[1], planes.shape[2]
+    out = jnp.zeros_like(planes, dtype=jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + k[dy, dx] * x[:, dy:dy + h, dx:dx + w]
+    return (out >> 8).astype(jnp.uint8)
+
+
 @_aotp(static_argnames=("threshold",))
 def binarize(occ: jax.Array, threshold: int = 0) -> jax.Array:
     """Occupancy video plane -> binary map (lossy-occupancy threshold,

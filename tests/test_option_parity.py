@@ -124,7 +124,7 @@ normalOrientation gridBasedRefineSegmentation voxelDimensionRefineSegmentation
 searchRadiusRefineSegmentation enablePatchSplitting log2QuantizerSizeX
 log2QuantizerSizeY depthQuantizationStep EOMFixBitCount patchExpansion
 useRawPointsSeparateVideo attributeRawSeparateVideoWidth groupDilation
-offsetLossyOM thresholdLossyOM prefilterLossyOM useEightOrientations
+useEightOrientations
 attributeBGFill minNormSumOfInvDist4MPSelection globalPackingStrategyGOF
 globalPackingStrategyReset globalPackingStrategyThreshold
 patchPrecedenceOrder lowDelayEncoding geometryPadding
@@ -133,7 +133,7 @@ uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
 tilePartitionWidthList tilePartitionHeightList tileSegmentationType
 enablePointCloudPartitioning numTilesHor tileHeightToWidthRatio
 numCutsAlong1stLongestAxis numCutsAlong2ndLongestAxis
-numCutsAlong3rdLongestAxis pbfFilterSize pbfPassesCount pbfLog2Threshold
+numCutsAlong3rdLongestAxis
 """.split())
 
 
