@@ -55,6 +55,9 @@ class GeneratePointCloudParameters:
     # carries them — both sides must configure identically, like the
     # reference's CLI-symmetric design)
     grid_smoothing: bool = True
+    # b2p precedence (asps_patch_precedence_order_flag): True = first-coded
+    # patch wins contested blocks; False = last-coded wins (reverse scan)
+    patch_precedence: bool = True
     radius2_smoothing: float = 64.0
     radius2_boundary_detection: float = 64.0
     # post-smoothing attribute re-transfer selector (attrTransferFilterType;
@@ -185,6 +188,7 @@ class ReconstructionEngine:
             b2p_blk = np.asarray(repro_ops.block_to_patch(
                 jnp.asarray(occ_maps), jnp.asarray(table),
                 jnp.asarray(counts), block,
+                reverse=not self.params.patch_precedence,
             ))
             owner_px = np.repeat(
                 np.repeat(b2p_blk, block, axis=1), block, axis=2
@@ -207,6 +211,7 @@ class ReconstructionEngine:
             pts_m, valid_m, b2p_m = repro_ops.reproject(
                 jnp.asarray(geo.astype(np.int32)),
                 occ_dev, table_dev, counts_dev, block,
+                reverse=not self.params.patch_precedence,
             )
             pts_maps.append(np.asarray(pts_m))
             if valid is None:
@@ -226,6 +231,7 @@ class ReconstructionEngine:
             geo0 = np.asarray(geo_video.planes[0])[:f, :h, :w].astype(np.int32)
             pts_plr, _, _ = repro_ops.reproject(
                 jnp.asarray(geo0 + 1), occ_dev, table_dev, counts_dev, block,
+                reverse=not self.params.patch_precedence,
             )
             pts_plr = np.asarray(pts_plr)
             owner = np.repeat(
@@ -331,6 +337,6 @@ class ReconstructionEngine:
         return np.asarray(
             repro_ops.block_to_patch(
                 jnp.asarray(occ_maps), jnp.asarray(table), jnp.asarray(counts),
-                block_size,
+                block_size, reverse=not self.params.patch_precedence,
             )
         )

@@ -285,6 +285,11 @@ class Decoder:
                 attr_video = _deinterleave(attr_video, ColorFormat.YUV420)
 
         gpc = GeneratePointCloudParameters()
+        # b2p precedence follows the signalled asps flag (PCCCodec.cpp:2068)
+        if atlas.asps_list:
+            gpc.patch_precedence = bool(
+                atlas.asps_list[0].asps_patch_precedence_order_flag
+            )
         from ..bitstream.sei import SeiOccupancySynthesis
 
         for sei in atlas.seis_prefix + atlas.seis_suffix:

@@ -153,8 +153,9 @@ class Encoder:
 
         kw = dict(
             block=p.occupancyResolution,
-            try_orientations=p.packingTryOrientations,
+            try_orientations=p.useEightOrientations,
             safeguard=p.safeGuardDistance,
+            low_delay=p.lowDelayEncoding,
         )
         min_h = max(p.minimumImageHeight, 64)
         trial_g = copy.deepcopy(frame_segs)
@@ -173,7 +174,13 @@ class Encoder:
                         max_depth=(1 << p.geometryNominal2dBitdepth) - 1,
                     )
         try:
-            h_gpa = pack_gof_adaptive(trial_g, width, min_h, **kw)
+            h_gpa = pack_gof_adaptive(
+                trial_g, width, min_h,
+                window=p.globalPackingStrategyGOF,
+                reset_chains=p.globalPackingStrategyReset,
+                area_ratio_threshold=p.globalPackingStrategyThreshold,
+                **kw,
+            )
         except RuntimeError:
             return False  # global grid overflowed: per-frame it is
         trial_f = copy.deepcopy(frame_segs)
@@ -364,8 +371,12 @@ class Encoder:
                 height = pack_gof_adaptive(
                     frame_segs, width, max(p.minimumImageHeight, 64),
                     block=p.occupancyResolution,
-                    try_orientations=p.packingTryOrientations,
+                    try_orientations=p.useEightOrientations,
                     safeguard=p.safeGuardDistance,
+                    low_delay=p.lowDelayEncoding,
+                    window=p.globalPackingStrategyGOF,
+                    reset_chains=p.globalPackingStrategyReset,
+                    area_ratio_threshold=p.globalPackingStrategyThreshold,
                 )
                 height = -(-height // 64) * 64
                 tile_band = height
@@ -423,8 +434,9 @@ class Encoder:
                         h = pack_patches_consistent(
                             segs, prev, width, max(height, 64),
                             block=p.occupancyResolution,
-                            try_orientations=p.packingTryOrientations,
+                            try_orientations=p.useEightOrientations,
                             safeguard=p.safeGuardDistance,
+                            low_delay=p.lowDelayEncoding,
                         )
                         # demote matches whose placement lost non-codeable
                         # inter fields (orientation is inherited, not coded)
@@ -451,9 +463,10 @@ class Encoder:
                         h = pack_patches(
                             segs, width, max(height, 64),
                             block=p.occupancyResolution,
-                            try_orientations=p.packingTryOrientations,
+                            try_orientations=p.useEightOrientations,
                             safeguard=p.safeGuardDistance,
                             tetris=p.packingStrategy == 1,
+                            low_delay=p.lowDelayEncoding,
                         )
                     height = max(height, h)
                 height = -(-height // 64) * 64
@@ -485,9 +498,10 @@ class Encoder:
                             h = pack_patches(
                                 group, width, 64,
                                 block=p.occupancyResolution,
-                                try_orientations=p.packingTryOrientations,
-                            safeguard=p.safeGuardDistance,
+                                try_orientations=p.useEightOrientations,
+                                safeguard=p.safeGuardDistance,
                                 tetris=p.packingStrategy == 1,
+                                low_delay=p.lowDelayEncoding,
                             )
                             band = max(band, h)
                 band = -(-band // 64) * 64
@@ -565,7 +579,7 @@ class Encoder:
             tbl0, cnt0 = repro_ops.build_patch_table(patch_lists0, maxp0)
             b2p_blk0 = np.asarray(repro_ops.block_to_patch(
                 jnp.asarray(occ_planes), jnp.asarray(tbl0), jnp.asarray(cnt0),
-                p.occupancyResolution,
+                p.occupancyResolution, reverse=not p.patchPrecedenceOrder,
             ))
             blk_owner_px = np.repeat(
                 np.repeat(b2p_blk0, p.occupancyResolution, axis=1),
@@ -790,6 +804,7 @@ class Encoder:
                 b2p_blk = np.asarray(repro_ops.block_to_patch(
                     jnp.asarray(occ_decoded), jnp.asarray(table),
                     jnp.asarray(counts), p.occupancyResolution,
+                    reverse=not p.patchPrecedenceOrder,
                 ))
                 owner_px = np.repeat(
                     np.repeat(b2p_blk, p.occupancyResolution, axis=1),
@@ -815,6 +830,7 @@ class Encoder:
                     jnp.asarray(geo_rec_planes[m::n_maps]),
                     occ_dev, table_dev, counts_dev,
                     p.occupancyResolution,
+                    reverse=not p.patchPrecedenceOrder,
                 )
                 pts_maps.append(np.asarray(pts_m))
                 if valid is None:
@@ -1352,6 +1368,7 @@ class Encoder:
                 pts_p, _, _ = repro_ops.reproject(
                     jnp.asarray(geo_rec_planes[::n_maps] + 1),
                     occ_dev, table_dev, counts_dev, p.occupancyResolution,
+                    reverse=not p.patchPrecedenceOrder,
                 )
                 plr_pts = np.asarray(pts_p)
                 owner = np.repeat(
@@ -1670,6 +1687,8 @@ class Encoder:
             ),
             asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
             asps_patch_size_quantizer_present_flag=True,
+            asps_use_eight_orientations_flag=p.useEightOrientations,
+            asps_patch_precedence_order_flag=p.patchPrecedenceOrder,
             asps_map_count_minus1=p.mapCountMinus1,
             asps_pixel_deinterleaving_flag=use_pi,
             asps_raw_patch_enabled_flag=raw_geo_payload is not None,

@@ -70,7 +70,7 @@ class Packer:
 
     def __init__(self, width: int, height: int, block: int = 16,
                  try_orientations: bool = True, max_height: int = 4096,
-                 safeguard: int = 0):
+                 safeguard: int = 0, low_delay: bool = False):
         self.width = width
         self.block = block
         self.nbx = width // block
@@ -78,8 +78,11 @@ class Packer:
         # owner grid: -1 free, otherwise owning chain id
         self.owner = np.full((max(4, height // block), self.nbx), -1,
                              np.int32)
+        # useEightOrientations=0 keeps the 2 orientations a u(1)
+        # pdu_orientation_index can code (DEFAULT/SWAP, reference FLEXIBLE)
         self.orientations = (
-            _ORIENTATIONS if try_orientations else [PatchOrientation.DEFAULT]
+            _ORIENTATIONS if try_orientations
+            else [PatchOrientation.DEFAULT, PatchOrientation.SWAP]
         )
         self.max_height = max_height
         self.used_height = 0
@@ -87,10 +90,18 @@ class Packer:
         # this many free blocks between different patches — pays height for
         # less background-fill bleeding into dilated lossy occupancy
         self.safeguard = safeguard
+        # lowDelayEncoding (PCCEncoder.cpp:1469-1474): a patch claims its
+        # whole bounding box, not just its occupied blocks, so no later
+        # patch ever interleaves into an earlier patch's rectangle
+        self.low_delay = low_delay
 
     @property
     def used(self) -> np.ndarray:
         return self.owner >= 0
+
+    def _fp(self, seg: SegmentedPatch) -> np.ndarray:
+        fp = _block_footprint(seg, self.block)
+        return np.ones_like(fp) if self.low_delay else fp
 
     def _mark(self, seg: SegmentedPatch, cfp: np.ndarray, bx: int, by: int,
               o: PatchOrientation, chain: int) -> None:
@@ -131,7 +142,7 @@ class Packer:
                      o: PatchOrientation, chain: int = 0) -> bool:
         """Pin a patch to an exact position/orientation if the blocks are
         free or already owned by the same chain."""
-        fp = _block_footprint(seg, self.block)
+        fp = self._fp(seg)
         cfp = _oriented_footprint(fp, o)
         w_b, h_b = cfp.shape
         while (by + h_b) > self.owner.shape[0]:
@@ -148,7 +159,7 @@ class Packer:
               tetris: bool = False) -> None:
         if tetris:
             return self._place_tetris(seg, chain)
-        fp = _block_footprint(seg, self.block)
+        fp = self._fp(seg)
         bx, by, o, cfp = self.place_footprint(fp, chain)
         self._mark(seg, cfp, bx, by, o, chain)
 
@@ -218,7 +229,7 @@ class Packer:
             100*v0 + gap-under-the-patch + internal holes
         (the 100*v0 term biases toward the canvas top, exactly the
         reference's lambda)."""
-        fp = _block_footprint(seg, self.block)
+        fp = self._fp(seg)
         LAM = 100
         while True:
             horizon = self._horizon()
@@ -282,13 +293,14 @@ def pack_patches(
     max_height: int = 4096,
     tetris: bool = False,
     safeguard: int = 0,
+    low_delay: bool = False,
 ) -> int:
     """Assign (u0, v0, orientation) to every patch in place; returns the used
     atlas height (multiple of `block`, may exceed `height` up to max_height).
     tetris=True uses the lowest-skyline orientation choice (packTetris
     analog) instead of plain first-fit."""
     packer = Packer(width, height, block, try_orientations, max_height,
-                    safeguard=safeguard)
+                    safeguard=safeguard, low_delay=low_delay)
     order = sorted(
         range(len(segs)),
         key=lambda i: segs[i].occupancy.sum(),
@@ -308,13 +320,14 @@ def pack_patches_consistent(
     try_orientations: bool = True,
     max_height: int = 4096,
     safeguard: int = 0,
+    low_delay: bool = False,
 ) -> int:
     """Spatially consistent packing (spatialConsistencyPackFlexible analog):
     patches matched to the previous frame (patch.best_match_idx set by
     encoder.matching) keep the reference's position/orientation when those
     blocks are free; everything else first-fits into the gaps."""
     packer = Packer(width, height, block, try_orientations, max_height,
-                    safeguard=safeguard)
+                    safeguard=safeguard, low_delay=low_delay)
     deferred = []
     order = sorted(
         range(len(segs)),
@@ -344,6 +357,7 @@ def pack_gof_global(
     try_orientations: bool = True,
     max_height: int = 4096,
     safeguard: int = 0,
+    low_delay: bool = False,
 ) -> int:
     """Global patch allocation (performDataAdaptiveGPAMethod analog,
     PCCEncoder.cpp:6792): ONE packing grid for the whole GOF.  Temporally
@@ -352,7 +366,7 @@ def pack_gof_global(
     matched patch keeps its position across ALL frames.  Requires
     patch.best_match_idx set frame-to-frame (encoder.matching)."""
     packer = Packer(width, height, block, try_orientations, max_height,
-                    safeguard=safeguard)
+                    safeguard=safeguard, low_delay=low_delay)
     next_chain = 0
     chains_prev: list[int] = []
     for fi, segs in enumerate(frame_segs):
@@ -407,6 +421,10 @@ def pack_gof_adaptive(
     max_height: int = 4096,
     safeguard: int = 0,
     min_union_ratio: float = 0.15,
+    low_delay: bool = False,
+    window: int = 0,
+    reset_chains: bool = False,
+    area_ratio_threshold: float = 0.0,
 ) -> int:
     """Data-adaptive GPA with union packing, ITERATIVE re-allocation and
     subcontext splitting (performDataAdaptiveGPAMethod parity,
@@ -430,16 +448,33 @@ def pack_gof_adaptive(
     (inter patches inherit orientation, encoder.py drops the match if it
     changed).  Returns the atlas height."""
     n = len(frame_segs)
-    # chain labels: follow best_match_idx links frame to frame
+    # chain labels: follow best_match_idx links frame to frame.
+    # globalPackingStrategyGOF windows cut chains (and, with Reset, the
+    # coded inter links) at window boundaries (PCCEncoder.cpp:1843,1857);
+    # globalPackingStrategyThreshold breaks links whose footprint areas
+    # diverge (PCCEncoder.cpp:1768-1769)
     chain_of: list[list[int]] = []
     next_chain = 0
     for fi, segs in enumerate(frame_segs):
+        at_window_start = window > 0 and fi % window == 0 and fi > 0
         row = []
         for seg in segs:
             ri = seg.patch.best_match_idx
-            if fi > 0 and 0 <= ri < len(chain_of[fi - 1]):
+            linked = not at_window_start and fi > 0 and (
+                0 <= ri < len(chain_of[fi - 1])
+            )
+            if linked and area_ratio_threshold > 0.0:
+                a1 = float(seg.occupancy.sum())
+                a2 = float(frame_segs[fi - 1][ri].occupancy.sum())
+                if a1 > 0 and a2 > 0 and min(a1 / a2, a2 / a1) < (
+                    area_ratio_threshold
+                ):
+                    linked = False
+            if linked:
                 row.append(chain_of[fi - 1][ri])
             else:
+                if at_window_start and reset_chains and ri >= 0:
+                    seg.patch.best_match_idx = -1  # coded intra at the cut
                 row.append(next_chain)
                 next_chain += 1
         chain_of.append(row)
@@ -462,7 +497,8 @@ def pack_gof_adaptive(
             return None  # badPatchCount
         # union footprints, packed on one grid (re-packed per window)
         upacker = Packer(width, height, block, try_orientations,
-                         max_height, safeguard=safeguard)
+                         max_height, safeguard=safeguard,
+                         low_delay=low_delay)
         union_pos: dict[int, tuple[int, int, PatchOrientation]] = {}
         unions = []
         for c in spanning:
@@ -475,6 +511,8 @@ def pack_gof_adaptive(
             u = np.zeros((nbu, nbv), bool)
             for f in fps:
                 u[: f.shape[0], : f.shape[1]] |= f
+            if low_delay:
+                u[:] = True
             unions.append((c, u))
         unions.sort(key=lambda cu: int(cu[1].sum()), reverse=True)
         for c, u in unions:
@@ -487,7 +525,8 @@ def pack_gof_adaptive(
         span_set = set(spanning)
         for fi in window:
             fpk = Packer(width, height, block, try_orientations,
-                         max_height, safeguard=safeguard)
+                         max_height, safeguard=safeguard,
+                         low_delay=low_delay)
             fpk.reserve(reserved)
             order = sorted(
                 (i for i in range(len(frame_segs[fi]))
@@ -521,7 +560,9 @@ def pack_gof_adaptive(
     s = 0
     while s < n:
         last_good = None
-        for e in range(s, n):
+        # a fixed strategy window caps how far a subcontext may grow
+        e_max = min(n, s + window) if window > 0 else n
+        for e in range(s, e_max):
             try:
                 res = pack_window(s, e)
             except RuntimeError:

@@ -173,7 +173,25 @@ class EncoderParameters:
     maxCCEdgeDistance: float = 5.0
 
     # packing
-    packingTryOrientations: bool = True
+    # orientation search width (reference name useEightOrientations): all 8
+    # placement orientations vs DEFAULT+SWAP only.  We default ON (denser
+    # packing; the reference defaults off, PCCEncoderParameters.cpp:181) and
+    # signal the choice in asps_use_eight_orientations_flag.
+    useEightOrientations: bool = True
+    # conservative placement: a patch claims its whole bounding box
+    # (PCCEncoder.cpp:1469-1474) so no later patch interleaves into it
+    lowDelayEncoding: bool = False
+    # b2p precedence (asps_patch_precedence_order_flag): True = first-coded
+    # patch wins contested blocks (our native order — the closed loop and
+    # decoder both honor the signalled flag); False = reference-default
+    # last-coded-wins (PCCCodec.cpp:2068-2072)
+    patchPrecedenceOrder: bool = True
+    # GPA window knobs (PCCEncoder.cpp:1843,1857,1768): window size in
+    # frames (0 = whole GOF), chain reset at window boundaries, and the
+    # matched-pair area-ratio below which a temporal chain is broken
+    globalPackingStrategyGOF: int = 0
+    globalPackingStrategyReset: bool = False
+    globalPackingStrategyThreshold: float = 0.0
     # multi-tile atlas: uniform horizontal bands, one ATL per tile per frame
     # (reference: tile options of PCCEncoderParameters / AFTI)
     tileCount: int = 1

@@ -64,14 +64,21 @@ def build_patch_table(
 
 
 # ===========================================================================
-@partial(jax.jit, static_argnames=("block_size",))
+@partial(jax.jit, static_argnames=("block_size", "reverse"))
 def block_to_patch(
     occ: jax.Array,        # (F, H, W) uint8 binary occupancy
     table: jax.Array,      # (F, maxP, FIELDS) int32
     counts: jax.Array,     # (F,) int32
     block_size: int,
+    reverse: bool = False,
 ) -> jax.Array:
-    """-> (F, H/bs, W/bs) int32; 0 = unowned, k = owned by patch k-1."""
+    """-> (F, H/bs, W/bs) int32; 0 = unowned, k = owned by patch k-1.
+
+    Default: the FIRST-coded patch covering a block owns it
+    (asps_patch_precedence_order_flag=1 semantics — the flag our streams
+    declare).  reverse=True claims in reversed coding order, i.e. the
+    LAST-coded patch wins (flag=0, the reference's overwrite loop,
+    PCCCodec.cpp:2068-2072)."""
     f, h, w = occ.shape
     nby, nbx = h // block_size, w // block_size
     occ_block = (
@@ -81,14 +88,15 @@ def block_to_patch(
     by = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 0)
 
     def per_frame(tbl, count, occ_b):
-        def step(b2p, pi):
-            row = tbl[pi]
+        def step(b2p, i):
+            pi = jnp.where(reverse, count - 1 - i, i)
+            row = tbl[jnp.clip(pi, 0, tbl.shape[0] - 1)]
             x0 = row[F_CX0] // block_size
             y0 = row[F_CY0] // block_size
             x1 = (row[F_CX0] + row[F_CW] + block_size - 1) // block_size
             y1 = (row[F_CY0] + row[F_CH] + block_size - 1) // block_size
             inside = (bx >= x0) & (bx < x1) & (by >= y0) & (by < y1)
-            claim = inside & occ_b & (b2p == 0) & (pi < count)
+            claim = inside & occ_b & (b2p == 0) & (i < count) & (pi >= 0)
             return jnp.where(claim, pi + 1, b2p), None
 
         b2p0 = jnp.zeros((nby, nbx), jnp.int32)
@@ -110,13 +118,14 @@ def _inverse_orientation(dx, dy, w, h, orient):
     return u, v
 
 
-@partial(jax.jit, static_argnames=("block_size",))
+@partial(jax.jit, static_argnames=("block_size", "reverse"))
 def reproject(
     geo: jax.Array,        # (F, H, W) int32/uint16 depth plane
     occ: jax.Array,        # (F, H, W) uint8 binary occupancy
     table: jax.Array,      # (F, maxP, FIELDS) int32
     counts: jax.Array,     # (F,) int32
     block_size: int,
+    reverse: bool = False,
 ):
     """-> (points (F, H*W, 3) int32, valid (F, H*W) bool, b2p (F, nby, nbx)).
 
@@ -124,7 +133,7 @@ def reproject(
     layer).  Output is dense+masked; compaction happens downstream (host or
     segment ops) so all shapes stay static for XLA."""
     f, h, w = geo.shape
-    b2p = block_to_patch(occ, table, counts, block_size)
+    b2p = block_to_patch(occ, table, counts, block_size, reverse)
 
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)

@@ -124,10 +124,7 @@ normalOrientation gridBasedRefineSegmentation voxelDimensionRefineSegmentation
 searchRadiusRefineSegmentation enablePatchSplitting log2QuantizerSizeX
 log2QuantizerSizeY depthQuantizationStep EOMFixBitCount patchExpansion
 useRawPointsSeparateVideo attributeRawSeparateVideoWidth groupDilation
-useEightOrientations
-attributeBGFill minNormSumOfInvDist4MPSelection globalPackingStrategyGOF
-globalPackingStrategyReset globalPackingStrategyThreshold
-patchPrecedenceOrder lowDelayEncoding geometryPadding
+attributeBGFill minNormSumOfInvDist4MPSelection geometryPadding
 apply3dMotionCompensation usePccRDO nbPlrmMode patchSize numMaxTilePerFrame
 uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
 tilePartitionWidthList tilePartitionHeightList tileSegmentationType
