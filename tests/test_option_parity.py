@@ -115,6 +115,34 @@ normalDataPath resolution dropdups neighborsProc nbThread minimumImageHeight
 flagColorPreSmoothing surfaceSeparation
 """.split()
 
+# PccAppNormalGenerator.cpp (incl. the UNUSED cfg-compat registrations)
+NORMALS_OPTIONS = """
+configurationFolder uncompressedDataFolder uncompressedDataPath srcPlyPath
+dstPlyPath startFrameNumber frameCount nbThread viewPointX viewPointY
+viewPointZ radiusNormalSmoothing radiusNormalEstimation
+radiusNormalOrientation weightNormalSmoothing
+numberOfNearestNeighborsInNormalSmoothing
+numberOfNearestNeighborsInNormalEstimation
+numberOfNearestNeighborsInNormalOrientation
+numberOfIterationsInNormalSmoothing orientationStrategy storeEigenvalues
+storeNumberOfNearestNeighborsInNormalEstimation storeCentroids
+geometry3dCoordinatesBitdepth geometryNominal2dBitdepth groupOfFramesSize
+iterationCountRefineSegmentation minNormSumOfInvDist4MPSelection
+partialAdditionalProjectionPlane maxPatchSize roiBoundingBoxMinX
+roiBoundingBoxMaxX roiBoundingBoxMinY roiBoundingBoxMaxY roiBoundingBoxMinZ
+roiBoundingBoxMaxZ numTilesHor tileHeightToWidthRatio
+numCutsAlong1stLongestAxis numCutsAlong2ndLongestAxis
+numCutsAlong3rdLongestAxis voxelDimensionRefineSegmentation
+minimumImageHeight flagColorPreSmoothing surfaceSeparation
+enhancedProjectionPlane skipAvgIfIdenticalSourcePointPresentBwd
+""".split()
+
+# PccAppColorConverter.cpp
+COLORCONV_OPTIONS = """
+srcVideoPath dstVideoPath configFile width height colorFormat inputNumBytes
+outputNumBytes
+""".split()
+
 
 # Encoder options not yet bound (tracked work list; each batch that lands
 # must remove its options from here — the test fails on BOTH a missing
@@ -174,6 +202,21 @@ def _registry_for(app: str):
             "checkConformance": (False, ""), "path": ("", ""),
             "level": (30, ""), "fps": (30, ""),
         }
+    elif app == "normals":
+        from rabbit_transcoding_tpu.apps.normals import (
+            _UNUSED_CFG_OPTIONS,
+            NormalsParams,
+        )
+
+        params = NormalsParams()
+        extra = {name: ("", "") for name in _UNUSED_CFG_OPTIONS}
+    elif app == "color_convert":
+        from rabbit_transcoding_tpu.apps.color_convert import (
+            ColorConvertParams,
+        )
+
+        params = ColorConvertParams()
+        extra = {}
     else:  # metrics
         from rabbit_transcoding_tpu.apps.metrics import MetricsAppParams
 
@@ -195,6 +238,8 @@ def _registry_for(app: str):
         ("decode", DECODER_OPTIONS),
         ("transcode", TRANSCODER_OPTIONS),
         ("metrics", METRICS_OPTIONS),
+        ("normals", NORMALS_OPTIONS),
+        ("color_convert", COLORCONV_OPTIONS),
     ],
 )
 def test_every_reference_option_is_accepted(app, options):
