@@ -43,6 +43,33 @@ def morton_order(points: np.ndarray, bits: int = 21) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
+def prune_isolated_raw_points(
+    points: np.ndarray,
+    min_norm_sum_of_inv_dist: float = 0.35,
+    max_neighbor_count: int = 16,
+    max_dist2: float = 10.0,
+) -> np.ndarray:
+    """lossyRawPointsPatch density pruning (PCCEncoder::generateRawPointsPatch,
+    /root/reference/source/lib/PccLibEncoder/source/PCCEncoder.cpp:4271-4292):
+    a raw point survives only if the sum of inverse SQUARED distances to its
+    <=16 nearest raw points within dist^2<=10 reaches
+    minNormSumOfInvDist4MPSelection * 16 — isolated noise is not worth lossy
+    aux-video samples.  Returns a boolean keep mask."""
+    n = len(points)
+    if n <= 1:
+        return np.zeros(n, dtype=bool)
+    from scipy.spatial import cKDTree
+
+    k = min(max_neighbor_count + 1, n)  # +1: query returns self first
+    dist, _ = cKDTree(points).query(points, k=k, workers=-1)
+    if dist.ndim == 1:
+        dist = dist[:, None]
+    d2 = dist[:, 1:] ** 2
+    inv = np.where((d2 > 0) & (d2 <= max_dist2), 1.0 / np.maximum(d2, 1e-12),
+                   0.0)
+    return inv.sum(axis=1) >= min_norm_sum_of_inv_dist * max_neighbor_count
+
+
 def _rows(n_samples: int) -> int:
     return max(16, -(-n_samples // AUX_WIDTH) // 16 * 16 + 16) if n_samples else 16
 

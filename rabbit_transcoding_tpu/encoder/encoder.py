@@ -208,6 +208,14 @@ class Encoder:
             max_nn_count_refine_segmentation=p.maxNNCountRefineSegmentation,
             iteration_count_refine_segmentation=p.iterationCountRefineSegmentation,
             lambda_refine_segmentation=p.lambdaRefineSegmentation,
+            normal_orientation=p.normalOrientation,
+            grid_based_refine_segmentation=p.gridBasedRefineSegmentation,
+            voxel_dimension_refine_segmentation=(
+                p.voxelDimensionRefineSegmentation
+            ),
+            search_radius_refine_segmentation=(
+                p.searchRadiusRefineSegmentation
+            ),
             min_point_count_per_cc_patch_segmentation=(
                 p.minPointCountPerCCPatchSegmentation
             ),
@@ -897,6 +905,24 @@ class Encoder:
                         else np.zeros((prev_n, 3), np.uint8)
                     )
                     raw_colors[i] = np.concatenate([prev_c, src.colors[miss]])
+
+        if (p.lossyRawPointsPatch and p.rawPointsPatch
+                and not p.losslessGeo):
+            # lossy raw patches: prune isolated raw points — noise is not
+            # worth lossy aux-video samples (minNormSumOfInvDist4MPSelection,
+            # PCCEncoder.cpp:4271-4292)
+            from ..codec.raw_points import prune_isolated_raw_points
+
+            for i in range(n_frames):
+                if len(raw_points[i]) == 0:
+                    continue
+                keep = prune_isolated_raw_points(
+                    raw_points[i].astype(np.float32),
+                    p.minNormSumOfInvDist4MPSelection,
+                )
+                raw_points[i] = raw_points[i][keep]
+                if raw_colors[i] is not None:
+                    raw_colors[i] = raw_colors[i][keep]
 
         if p.mortonOrderSortRawPoints and p.rawPointsPatch:
             from ..codec.raw_points import morton_order

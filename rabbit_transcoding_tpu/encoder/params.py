@@ -160,6 +160,17 @@ class EncoderParameters:
     iterationCountRefineSegmentation: int = 10
     lambdaRefineSegmentation: float = 3.0
     nnNormalEstimation: int = 16
+    # normalOrientation (PCCPatchSegmenter.cpp:88): 0 none | 1 spanning tree
+    # | 2 viewpoint | 3 cubemap projection
+    normalOrientation: int = 1
+    # gridBasedRefineSegmentation (refineSegmentationGridBased,
+    # PCCPatchSegmenter.cpp:1334): PPI smoothing over voxel-level score
+    # histograms within searchRadius instead of the point KNN graph
+    gridBasedRefineSegmentation: bool = False
+    voxelDimensionRefineSegmentation: int = 4
+    searchRadiusRefineSegmentation: int = 192
+    # lossyRawPointsPatch density pruning threshold (PCCEncoder.cpp:4274)
+    minNormSumOfInvDist4MPSelection: float = 0.35
     # CC adjacency KNN width (distinct from the refine pass's);
     # 0 = reuse the refine graph width
     maxNNCountPatchSegmentation: int = 16

@@ -114,6 +114,18 @@ class SegmenterParams:
     max_nn_count_refine_segmentation: int = 48
     iteration_count_refine_segmentation: int = 10
     lambda_refine_segmentation: float = 3.0
+    # normalOrientation (PCCPatchSegmenter.cpp:88-98): orientation strategy
+    # for the segmentation normals — 0 none (estimation-time viewpoint flip
+    # only), 1 spanning tree (the default; here the centroid-outward +
+    # consistency-sweep analog), 2 viewpoint, 3 cubemap projection
+    normal_orientation: int = 1
+    # gridBasedRefineSegmentation (refineSegmentationGridBased,
+    # PCCPatchSegmenter.cpp:1334): smooth the PPI with voxel-level score
+    # histograms over a radius-limited voxel adjacency instead of the
+    # point-level KNN graph
+    grid_based_refine_segmentation: bool = False
+    voxel_dimension_refine_segmentation: int = 4
+    search_radius_refine_segmentation: int = 192
     min_point_count_per_cc_patch_segmentation: int = 16
     surface_thickness: int = 4
     max_allowed_depth: int = 255
@@ -289,6 +301,85 @@ def refine_segmentation(
     p = _refine_all(
         p, scores, idx, lam_over_k,
         params.iteration_count_refine_segmentation,
+    )
+    return np.asarray(p)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "n_vox"))
+def _grid_refine_all(
+    ppi: jax.Array, scores: jax.Array, inv: jax.Array, adj: jax.Array,
+    adj_ok: jax.Array, weights: jax.Array, n_iter: int, n_vox: int,
+) -> jax.Array:
+    """All grid-based refinement iterations in ONE device program: per
+    iteration the per-voxel PPI histogram is rebuilt (segment_sum), summed
+    over the voxel adjacency, and every point re-argmaxes its direction
+    score plus the weighted neighborhood histogram."""
+    ndirs = scores.shape[1]
+
+    def body(_, p):
+        hist = jax.ops.segment_sum(
+            jax.nn.one_hot(p, ndirs, dtype=jnp.float32), inv,
+            num_segments=n_vox,
+        )                                                   # (V, ndirs)
+        smooth = (hist[adj] * adj_ok[..., None]).sum(axis=1)  # (V, ndirs)
+        sc = scores + (weights[:, None] * smooth)[inv]
+        return jnp.argmax(sc, axis=1).astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, n_iter, body, ppi)
+
+
+def refine_segmentation_grid_based(
+    points: np.ndarray,
+    normals: np.ndarray,
+    ppi: np.ndarray,
+    params: SegmenterParams,
+) -> np.ndarray:
+    """refineSegmentationGridBased (PCCPatchSegmenter.cpp:1334-1513): the
+    partition smooths over VOXEL-level PPI histograms gathered within a
+    search radius, so far fewer neighbor relations are evaluated than in the
+    point-KNN variant.  TPU split: voxelization + radius-limited voxel
+    adjacency (truncated once the cumulative member-point count reaches
+    maxNNCount, which also fixes the lambda/nnPointCount weight) on host;
+    all iterations run as one device program."""
+    vdim = max(1, params.voxel_dimension_refine_segmentation)
+    half = vdim // 2
+    vox = (points.astype(np.int64) + half) // vdim
+    key = (vox[:, 0] << 42) | (vox[:, 1] << 21) | vox[:, 2]
+    _, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    centers = vox[first].astype(np.float32)
+    n_vox = len(centers)
+    counts = np.bincount(inv, minlength=n_vox).astype(np.int64)
+    radius = max(1.0, params.search_radius_refine_segmentation / vdim)
+    k = int(min(n_vox, 128))
+    tree = cKDTree(centers)
+    dist, adj = tree.query(centers, k=k, workers=-1)
+    if adj.ndim == 1:
+        dist, adj = dist[:, None], adj[:, None]
+    ok = dist <= radius
+    # truncate each adjacency once the cumulative point count reaches
+    # maxNNCount; the weight is lambda over the point count actually summed
+    cum = np.cumsum(np.where(ok, counts[adj], 0), axis=1)
+    reached = cum >= params.max_nn_count_refine_segmentation
+    # keep neighbors up to and including the one that crosses the threshold
+    keep = ~np.roll(reached, 1, axis=1)
+    keep[:, 0] = True
+    ok &= keep
+    nn_points = np.maximum(np.where(ok, counts[adj], 0).sum(axis=1), 1)
+    weights = (params.lambda_refine_segmentation / nn_points).astype(
+        np.float32
+    )
+    scores = _ppi_scores(
+        jnp.asarray(normals),
+        jnp.asarray(_direction_weights(
+            int(params.additional_projection_mode), params.axis_weight
+        )),
+        int(params.additional_projection_mode),
+    )
+    p = _grid_refine_all(
+        jnp.asarray(ppi.astype(np.int32)), scores,
+        jnp.asarray(inv.astype(np.int32)), jnp.asarray(adj.astype(np.int32)),
+        jnp.asarray(ok), jnp.asarray(weights),
+        params.iteration_count_refine_segmentation, n_vox,
     )
     return np.asarray(p)
 
@@ -699,6 +790,39 @@ def _build_patch(
     )
 
 
+def _segmentation_normals(
+    points: np.ndarray, params: SegmenterParams, nbr_idx: np.ndarray
+) -> np.ndarray:
+    """Normals with the configured orientation strategy (normalOrientation).
+    Strategy 1 (spanning tree) is the default fast path shared with every
+    earlier round; other strategies route through generate_normals."""
+    if params.normal_orientation == 1:
+        normals, _ = compute_normals(
+            points, k=params.nn_normal_estimation,
+            nbr_idx=nbr_idx[:, : params.nn_normal_estimation],
+        )
+        return normals
+    from .normals import NormalsGenParams, generate_normals
+
+    return generate_normals(
+        points.astype(np.float32),
+        NormalsGenParams(
+            knn_normal_estimation=params.nn_normal_estimation,
+            knn_normal_orientation=params.nn_normal_estimation,
+            orientation_strategy=params.normal_orientation,
+        ),
+    )["normals"]
+
+
+def _refine_dispatch(
+    points: np.ndarray, normals: np.ndarray, ppi: np.ndarray,
+    nbr_idx: np.ndarray, params: SegmenterParams,
+) -> np.ndarray:
+    if params.grid_based_refine_segmentation:
+        return refine_segmentation_grid_based(points, normals, ppi, params)
+    return refine_segmentation(normals, ppi, nbr_idx, params)
+
+
 def segment_frame(
     points: np.ndarray, params: SegmenterParams | None = None,
     colors: np.ndarray | None = None,
@@ -719,29 +843,23 @@ def segment_frame(
         )
         vox_pos = vox[first].astype(np.int32)
         nbr_v = knn_indices(vox_pos, k)
-        normals_v, _ = compute_normals(
-            vox_pos, k=params.nn_normal_estimation,
-            nbr_idx=nbr_v[:, : params.nn_normal_estimation],
-        )
+        normals_v = _segmentation_normals(vox_pos, params, nbr_v)
         ppi_v = initial_segmentation(
             normals_v, params.additional_projection_mode,
             params.axis_weight,
         )
-        ppi_v = refine_segmentation(normals_v, ppi_v, nbr_v, params)
+        ppi_v = _refine_dispatch(vox_pos, normals_v, ppi_v, nbr_v, params)
         return segment_patches(
             points, ppi_v[inv].astype(np.int32), nbr_v, params,
             voxel_map=(inv.astype(np.int32), vox_pos, ppi_v),
             colors=colors,
         )
     nbr = knn_indices(points, k)
-    normals, _ = compute_normals(
-        points, k=params.nn_normal_estimation,
-        nbr_idx=nbr[:, : params.nn_normal_estimation],
-    )
+    normals = _segmentation_normals(points, params, nbr)
     ppi = initial_segmentation(
         normals, params.additional_projection_mode, params.axis_weight
     )
-    ppi = refine_segmentation(normals, ppi, nbr, params)
+    ppi = _refine_dispatch(points, normals, ppi, nbr, params)
     return segment_patches(points, ppi, nbr, params, normals=normals,
                            colors=colors)
 

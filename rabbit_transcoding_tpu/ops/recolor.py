@@ -75,14 +75,25 @@ def _prefix_ok_count(colors: np.ndarray, limit: np.ndarray,
     n, k = colors.shape[:2]
     if k == 1:
         return np.minimum(limit, 1)
-    pd = ((colors[:, :, None, :] - colors[:, None, :, :]) ** 2).sum(-1)
-    # newmax[:, c] = max_{j<c} ||col_j - col_c||^2  (spread added by cand c)
     lower = np.arange(k)[None, :, None] < np.arange(k)[None, None, :]
-    newmax = np.where(lower, pd, -np.inf).max(axis=1)  # (N,K); [:,0] = -inf
-    run = np.maximum.accumulate(newmax, axis=1)        # spread of prefix c+1
-    ok = (run <= max_color_dist2) & (np.arange(k)[None, :] < limit[:, None])
-    # run is non-decreasing so ok is prefix-true; prefix length 1 always ok
-    return np.maximum(ok.sum(axis=1), 1)
+    out = np.empty(n, np.int64)
+    # chunked + Gram-formula pairwise distances: the naive broadcasted
+    # (N,K,K,3) difference tensor is multi-GB once the backward candidate
+    # cap is reached (96^2 pairs x 35k targets thrashed a real encode)
+    block = max(1, int(8_000_000 // (k * k)))
+    for s in range(0, n, block):
+        c = colors[s:s + block]
+        sq = (c * c).sum(-1)                                # (B,K)
+        pd = sq[:, :, None] + sq[:, None, :] - 2.0 * np.einsum(
+            "bkc,bjc->bkj", c, c)
+        # newmax[:, c] = max_{j<c} ||col_j - col_c||^2 (spread added by c)
+        newmax = np.where(lower, pd, -np.inf).max(axis=1)   # (B,K)
+        run = np.maximum.accumulate(newmax, axis=1)         # prefix spread
+        ok = (run <= max_color_dist2) & (
+            np.arange(k)[None, :] < limit[s:s + block, None])
+        # run is non-decreasing so ok is prefix-true; length 1 always ok
+        out[s:s + block] = np.maximum(ok.sum(axis=1), 1)
+    return out
 
 
 def _masked_weighted_avg(colors: np.ndarray, w: np.ndarray,

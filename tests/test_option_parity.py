@@ -148,11 +148,10 @@ outputNumBytes
 # must remove its options from here — the test fails on BOTH a missing
 # non-pending option and a pending option that silently became bound).
 PENDING_ENCODER_OPTIONS: set = set("""
-normalOrientation gridBasedRefineSegmentation voxelDimensionRefineSegmentation
-searchRadiusRefineSegmentation enablePatchSplitting log2QuantizerSizeX
+enablePatchSplitting log2QuantizerSizeX
 log2QuantizerSizeY depthQuantizationStep EOMFixBitCount patchExpansion
 useRawPointsSeparateVideo attributeRawSeparateVideoWidth groupDilation
-attributeBGFill minNormSumOfInvDist4MPSelection geometryPadding
+attributeBGFill geometryPadding
 apply3dMotionCompensation usePccRDO nbPlrmMode patchSize numMaxTilePerFrame
 uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
 tilePartitionWidthList tilePartitionHeightList tileSegmentationType

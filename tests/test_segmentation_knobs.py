@@ -90,3 +90,88 @@ class TestPatchSegmentationGraphWidth:
         cov_w = sum(len(s.point_indices) for s in segs_wide)
         cov_n = sum(len(s.point_indices) for s in segs_narrow)
         assert cov_n >= int(0.9 * cov_w)
+
+
+def _two_plane_cloud(n=24):
+    """Two orthogonal planes: +z facing and +x facing."""
+    a, b = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    z_plane = np.stack([a.ravel(), b.ravel(), np.full(a.size, 4)], axis=1)
+    x_plane = np.stack([np.full(a.size, 4), a.ravel(), b.ravel() + n], axis=1)
+    return np.concatenate([z_plane, x_plane]).astype(np.int32)
+
+
+class TestGridBasedRefineSegmentation:
+    def test_matches_point_refine_on_clean_planes(self):
+        from rabbit_transcoding_tpu.encoder.normals import compute_normals
+        from rabbit_transcoding_tpu.encoder.segment import (
+            initial_segmentation,
+            refine_segmentation,
+            refine_segmentation_grid_based,
+        )
+
+        pts = _two_plane_cloud()
+        nbr = knn_indices(pts.astype(np.float32), k=48)
+        normals, _ = compute_normals(pts.astype(np.float32), k=16,
+                                     nbr_idx=nbr[:, :16])
+        ppi0 = initial_segmentation(normals)
+        params = SegmenterParams()
+        plain = refine_segmentation(normals, ppi0, nbr, params)
+        grid = refine_segmentation_grid_based(pts, normals, ppi0, params)
+        # both refinements agree on the clean interiors (boundary rows may
+        # differ); require >90% identical labels
+        assert np.mean(plain == grid) > 0.9
+        assert set(np.unique(grid)) <= set(range(6))
+
+    def test_grid_refine_smooths_label_noise(self):
+        from rabbit_transcoding_tpu.encoder.normals import compute_normals
+        from rabbit_transcoding_tpu.encoder.segment import (
+            initial_segmentation,
+            refine_segmentation_grid_based,
+        )
+
+        pts = _two_plane_cloud()
+        nbr = knn_indices(pts.astype(np.float32), k=16)
+        normals, _ = compute_normals(pts.astype(np.float32), k=16,
+                                     nbr_idx=nbr)
+        ppi = initial_segmentation(normals)
+        rng = np.random.default_rng(0)
+        noisy = ppi.copy()
+        flip = rng.random(len(ppi)) < 0.15
+        noisy[flip] = rng.integers(0, 6, flip.sum())
+        refined = refine_segmentation_grid_based(
+            pts, normals, noisy, SegmenterParams()
+        )
+        assert np.mean(refined == ppi) > np.mean(noisy == ppi)
+
+    def test_e2e_segment_frame_with_grid_refine(self):
+        pts = _two_plane_cloud()
+        segs, missed = segment_frame(
+            pts, SegmenterParams(grid_based_refine_segmentation=True)
+        )
+        covered = sum(len(s.point_indices) for s in segs) + len(missed)
+        assert covered >= len(pts) * 0.95
+
+
+class TestNormalOrientationKnob:
+    def test_strategies_run_end_to_end(self):
+        pts = _two_plane_cloud()
+        for strategy in (0, 2, 3):
+            segs, missed = segment_frame(
+                pts, SegmenterParams(normal_orientation=strategy)
+            )
+            assert len(segs) >= 1
+
+
+class TestLossyRawPruning:
+    def test_isolated_points_pruned_clustered_kept(self):
+        from rabbit_transcoding_tpu.codec.raw_points import (
+            prune_isolated_raw_points,
+        )
+
+        rng = np.random.default_rng(1)
+        cluster = rng.integers(0, 3, size=(64, 3)).astype(np.float32)
+        isolated = np.array([[200.0, 200, 200], [400, 10, 40]], np.float32)
+        pts = np.concatenate([cluster, isolated])
+        keep = prune_isolated_raw_points(pts)
+        assert keep[:64].all()
+        assert not keep[64:].any()
