@@ -680,6 +680,27 @@ class Encoder:
                 filled = np.asarray(
                     push_pull_fill(jnp.asarray(gpad), jnp.asarray(opad))
                 )[:, :oh, :ow]
+                if p.geometryPadding == 1:
+                    # dilate3DPadding analog (PCCEncoder.cpp:5989): pixels
+                    # the DECODED occupancy claims but the original does not
+                    # become real points, so give them near-surface depths
+                    # (4-neighbour propagation from occupied pixels) instead
+                    # of wide-area push-pull averages
+                    from ..ops.dilate import dilate
+
+                    near = np.asarray(dilate(
+                        jnp.asarray(gpad), jnp.asarray(opad),
+                        iterations=max(2, p.occupancyPrecision),
+                    ))[:, :oh, :ow]
+                    rim = (np.repeat(occ_decoded, n_maps, axis=0) > 0) & (
+                        occ_rep == 0)
+                    filled = np.where(rim, near, filled)
+                if (p.groupDilation and p.absoluteD1 and n_maps == 2
+                        and not p.multipleStreams
+                        and not p.singleMapPixelInterleaving):
+                    from ..ops.dilate import group_dilation
+
+                    filled = group_dilation(filled, occ_planes, n_maps)
             geo_video = Video(
                 width, height, p.geometryNominal2dBitdepth, ColorFormat.YUV400,
                 [np.clip(np.round(filled), 0,
@@ -1012,19 +1033,29 @@ class Encoder:
                     valid.reshape(n_frames, height, width).astype(np.uint8),
                     n_maps, axis=0,
                 )
-                rpad, opad2, (oh, ow) = pad_pow2(
+                from ..ops.dilate import background_fill
+
+                filled_rgb = background_fill(
                     attr_rgb.astype(np.float32).transpose(3, 0, 1, 2).reshape(
                         -1, height, width
                     ),
                     np.tile(valid_mask, (3, 1, 1)),
+                    p.attributeBGFill,
                 )
-                filled_rgb = np.asarray(
-                    push_pull_fill(jnp.asarray(rpad), jnp.asarray(opad2))
-                )[:, :oh, :ow]
                 filled_rgb = (
                     filled_rgb.reshape(3, n_frames * n_maps, height, width)
                     .transpose(1, 2, 3, 0)
                 )
+                if (p.groupDilation and p.absoluteT1 and n_maps == 2
+                        and not p.multipleStreams
+                        and not p.singleMapPixelInterleaving):
+                    from ..ops.dilate import group_dilation
+
+                    filled_rgb = group_dilation(
+                        filled_rgb,
+                        valid.reshape(n_frames, height, width),
+                        n_maps,
+                    )
             rgb_u8 = jnp.asarray(
                 np.clip(np.round(filled_rgb), 0, 255).astype(np.uint8)
             )

@@ -37,6 +37,14 @@ class EncoderParameters:
     # (vps_map_absolute_coding_enabled_flag[1]=0); requires multipleStreams
     absoluteD1: bool = True
     absoluteT1: bool = True
+    # background padding family (PCCEncoder.cpp:371-443, 5749, 5989):
+    # attributeBGFill 0 dilate | 1 smoothed push-pull | 2 harmonic | 3 none;
+    # geometryPadding 1 refines decoded-occupancy rim pixels with
+    # nearest-surface depths (dilate3DPadding analog); groupDilation averages
+    # the dual-map background pair so T1/D1 predicts it for free
+    attributeBGFill: int = 1
+    geometryPadding: int = 0
+    groupDilation: bool = True
     rawPointsPatch: bool = True  # missed points -> raw patches in aux video
     # sort raw points along the Morton curve before aux-video packing:
     # spatial locality becomes sequence locality the entropy coder rewards

@@ -89,6 +89,71 @@ def dilate(img: jax.Array, occ: jax.Array, iterations: int = 2) -> jax.Array:
     return val
 
 
+@partial(aot_jit, static_argnames=("iterations",))
+def harmonic_fill(
+    img: jax.Array, occ: jax.Array, iterations: int = 24
+) -> jax.Array:
+    """dilateHarmonicBackgroundFill analog (PCCEncoder.cpp:6120): solve the
+    Laplace equation over the unoccupied pixels with occupied pixels as the
+    Dirichlet boundary.  The reference runs a mipmap-initialised
+    Gauss-Seidel; here the push-pull fill provides the multigrid
+    initialisation and fused Jacobi sweeps relax it — the whole solve is one
+    device program."""
+    mask = occ > 0
+    v = push_pull_fill(img, occ)
+
+    def body(_, v):
+        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        avg = 0.25 * (vp[:, :-2, 1:-1] + vp[:, 2:, 1:-1]
+                      + vp[:, 1:-1, :-2] + vp[:, 1:-1, 2:])
+        return jnp.where(mask, img.astype(jnp.float32), avg)
+
+    return jax.lax.fori_loop(0, iterations, body, v)
+
+
+def background_fill(planes, occ, mode: int, pad_fn=None):
+    """attributeBGFill / geometry fill dispatch (PCCEncoder.cpp:371-443):
+    0 = iterative dilate, 1 = smoothed push-pull (default), 2 = harmonic
+    background fill, >=3 = no padding.  planes/occ are (F, H, W) numpy;
+    returns float32 (F, H, W)."""
+    import numpy as np
+
+    if mode >= 3:
+        return planes.astype("float32")
+    ppad, opad, (oh, ow) = pad_pow2(planes.astype("float32"), occ)
+    jp, jo = jnp.asarray(ppad), jnp.asarray(opad)
+    if mode == 0:
+        out = dilate(jp, jo, iterations=8)
+    elif mode == 2:
+        out = harmonic_fill(jp, jo)
+    else:
+        out = push_pull_fill(jp, jo)
+    return np.asarray(out)[:, :oh, :ow]
+
+
+def group_dilation(filled, occ, n_maps: int):
+    """Group dilation (PCCEncoder.cpp:405-427, 5749): with interleaved
+    dual-map video, both maps' background pixels take the rounded average of
+    the pair so the D1/T1 frame predicts its background from D0/T0 for free.
+    filled: (F*n_maps, H, W[,C]) float; occ: (F, H, W) of the shared
+    occupancy.  In place; returns filled."""
+    import numpy as np
+
+    if n_maps != 2:
+        return filled
+    if not getattr(filled.flags, "writeable", True):
+        filled = filled.copy()
+    bg = occ == 0
+    d0 = np.round(filled[0::2])
+    d1 = np.round(filled[1::2])
+    avg = np.floor((d0 + d1 + 1.0) / 2.0)
+    if filled.ndim == 4:
+        bg = bg[..., None] & np.ones(filled.shape[-1], bool)
+    filled[0::2] = np.where(bg, avg, filled[0::2])
+    filled[1::2] = np.where(bg, avg, filled[1::2])
+    return filled
+
+
 def pad_pow2(x, occ):
     """Pad trailing dims of (F, H, W) arrays up to powers of two (for
     push_pull_fill); returns (padded_img, padded_occ, (H, W))."""

@@ -150,8 +150,7 @@ outputNumBytes
 PENDING_ENCODER_OPTIONS: set = set("""
 enablePatchSplitting log2QuantizerSizeX
 log2QuantizerSizeY depthQuantizationStep EOMFixBitCount patchExpansion
-useRawPointsSeparateVideo attributeRawSeparateVideoWidth groupDilation
-attributeBGFill geometryPadding
+useRawPointsSeparateVideo attributeRawSeparateVideoWidth
 apply3dMotionCompensation usePccRDO nbPlrmMode patchSize numMaxTilePerFrame
 uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
 tilePartitionWidthList tilePartitionHeightList tileSegmentationType
