@@ -431,8 +431,19 @@ class AtlasSequenceParameterSetRbsp:
     asps_eom_fix_bit_count_minus1: int = 0
     asps_auxiliary_video_enabled_flag: bool = False
     asps_plr_enabled_flag: bool = False
-    # PLR information (23090-5 plri_*, one per map; patch-level modes here)
+    # PLR information (23090-5 8.3.6.1.2 plri_*, PCCBitstreamWriter.cpp:
+    # 774-796): number_of_modes_minus1 coded mode descriptors follow the
+    # implicit mode 0 (no interpolate / no filling / minD1 0 / neighbor 1 =
+    # no extra point); descriptor i defines coded mode value i+1
     asps_plr_number_of_modes_minus1: int = 1
+    plri_interpolate_flag: list = dataclasses.field(
+        default_factory=lambda: [False])
+    plri_filling_flag: list = dataclasses.field(
+        default_factory=lambda: [False])
+    plri_minimum_depth: list = dataclasses.field(default_factory=lambda: [1])
+    plri_neighbour_minus1: list = dataclasses.field(
+        default_factory=lambda: [0])
+    plri_block_threshold_per_patch_minus1: int = 8
     asps_vui_parameters_present_flag: bool = False
     # V-PCC extension
     asps_vpcc_extension_present_flag: bool = True
@@ -471,6 +482,12 @@ class AtlasSequenceParameterSetRbsp:
         bw.u(1, self.asps_plr_enabled_flag)
         if self.asps_plr_enabled_flag:
             bw.u(4, self.asps_plr_number_of_modes_minus1)
+            for i in range(self.asps_plr_number_of_modes_minus1):
+                bw.u(1, self.plri_interpolate_flag[i])
+                bw.u(1, self.plri_filling_flag[i])
+                bw.u(2, self.plri_minimum_depth[i])
+                bw.u(2, self.plri_neighbour_minus1[i])
+            bw.u(6, self.plri_block_threshold_per_patch_minus1)
         bw.u(1, self.asps_vui_parameters_present_flag)
         bw.u(1, self.asps_vpcc_extension_present_flag)
         if self.asps_vpcc_extension_present_flag:
@@ -513,6 +530,16 @@ class AtlasSequenceParameterSetRbsp:
         s.asps_plr_enabled_flag = bool(br.u(1))
         if s.asps_plr_enabled_flag:
             s.asps_plr_number_of_modes_minus1 = br.u(4)
+            s.plri_interpolate_flag = []
+            s.plri_filling_flag = []
+            s.plri_minimum_depth = []
+            s.plri_neighbour_minus1 = []
+            for _ in range(s.asps_plr_number_of_modes_minus1):
+                s.plri_interpolate_flag.append(bool(br.u(1)))
+                s.plri_filling_flag.append(bool(br.u(1)))
+                s.plri_minimum_depth.append(br.u(2))
+                s.plri_neighbour_minus1.append(br.u(2))
+            s.plri_block_threshold_per_patch_minus1 = br.u(6)
         s.asps_vui_parameters_present_flag = bool(br.u(1))
         s.asps_vpcc_extension_present_flag = bool(br.u(1))
         if s.asps_vpcc_extension_present_flag:

@@ -43,6 +43,12 @@ class GeneratePointCloudParameters:
     remove_duplicate_points: bool = True
     pixel_deinterleaving: bool = False
     point_local_reconstruction: bool = False
+    # PLR mode table indexed by coded plrd mode value; entry 0 is the
+    # implicit no-op mode, later entries come from the ASPS plri descriptors
+    # (interpolate, filling, minimum_depth, neighbor) — PCCDecoder.cpp:
+    # 528-541.  The default matches this framework's historical single
+    # "+1 layer" mode (minD1=1).
+    plr_modes: tuple = ((False, False, 0, 1), (False, False, 1, 1))
     # occupancy synthesis / PBF (from the SeiOccupancySynthesis SEI):
     # erode dilated occupancy rims whose geometry deviates off-surface
     pbf_enable: bool = False
@@ -87,21 +93,20 @@ def occupancy_boundary(occ: np.ndarray) -> np.ndarray:
     return (b & ~interior).reshape(occ.shape[0], -1)
 
 
-def apply_block_plr(
-    plr_masks: np.ndarray,
+def plr_mode_map(
     patch_lists: list[list[Patch]],
     h: int,
     w: int,
     owner: np.ndarray,
-) -> None:
-    """Refine patch-level PLR masks with block-level modes (plrd_level=0).
+) -> np.ndarray:
+    """(F, H*W) uint8 per-pixel PLR mode values.
 
-    plr_masks is (F, H*W) bool, already ANDed with per-patch flags; for
-    patches carrying plr_block_modes, pixels whose PATCH-LOCAL packing block
-    has mode 0 are cleared in place.  owner is the (F, H*W) pixel-level
-    patch index (-1 = none) — patch bounding boxes may interleave, so only
-    pixels owned by the patch are touched.  Canvas pixels map to patch-local
-    coords via canvas_to_patch, so the block grid is orientation-free — used
+    Patch-level modes (plrd_level=1) apply to every owned pixel; patches
+    carrying plrd_block_modes (plrd_level=0) override per PATCH-LOCAL
+    packing block.  owner is the (F, H*W) pixel-level patch index (-1 =
+    none) — patch bounding boxes may interleave, so only pixels owned by the
+    patch are touched.  Canvas pixels map to patch-local coords via
+    canvas_to_patch, so the block grid is orientation-free — used
     identically by the decoder and the encoder's closed loop."""
     from ..utils.enums import PatchOrientation
 
@@ -109,9 +114,18 @@ def apply_block_plr(
         PatchOrientation.SWAP, PatchOrientation.ROT90,
         PatchOrientation.ROT270, PatchOrientation.MROT90,
     }
+    f = len(patch_lists)
+    modes = np.zeros((f, h * w), np.uint8)
     for fi, pl in enumerate(patch_lists):
-        frame_mask = plr_masks[fi].reshape(h, w)
-        frame_owner = owner[fi].reshape(h, w)
+        if not pl:
+            continue
+        vals = np.zeros(len(pl) + 1, np.uint8)
+        for pi, p in enumerate(pl):
+            vals[pi] = 0 if p.plr_block_modes is not None else p.plr_mode
+        own = owner[fi]
+        modes[fi] = vals[np.clip(own, 0, len(pl) - 1)] * (own >= 0)
+        frame_modes = modes[fi].reshape(h, w)
+        frame_owner = own.reshape(h, w)
         for pi, p in enumerate(pl):
             if p.plr_block_modes is None or p.plr_mode == 0:
                 continue
@@ -131,10 +145,97 @@ def apply_block_plr(
             bv, bu = p.plr_block_modes.shape
             bi = np.clip(v // res, 0, bv - 1)
             bj = np.clip(u // res, 0, bu - 1)
-            off = (p.plr_block_modes[bi, bj] == 0) & (
-                frame_owner[y0:y0 + hc, x0:x0 + wc] == pi
+            owned = frame_owner[y0:y0 + hc, x0:x0 + wc] == pi
+            blk = p.plr_block_modes[bi, bj]
+            frame_modes[y0:y0 + hc, x0:x0 + wc] = np.where(
+                owned, blk, frame_modes[y0:y0 + hc, x0:x0 + wc]
             )
-            frame_mask[y0:y0 + hc, x0:x0 + wc] &= ~off
+    return modes
+
+
+_PLR_NEIGHBOR_THRESHOLD = 4  # g_neighborThreshold (PCCCommon.h:127)
+
+# canonical PLR mode table, (interpolate, filling, minD1, neighbor) —
+# g_pointLocalReconstructionMode (PCCEncoderParameters.cpp:40-44); entry 0
+# is the implicit no-op mode, nbPlrmMode selects the first N entries
+PLR_MODE_TABLE = (
+    (False, False, 0, 1), (True, False, 0, 1), (True, True, 0, 1),
+    (True, False, 0, 2), (True, True, 0, 2),
+    (False, False, 1, 1), (True, False, 1, 1), (True, True, 1, 1),
+    (True, False, 1, 2), (True, True, 1, 2),
+)
+
+
+def plr_delta_neighbors(geo: np.ndarray, radius: int) -> np.ndarray:
+    """getDeltaNeighbors analog (PCCCodec.cpp:238-264), vectorised: per
+    pixel, the largest positive depth step to any pixel within the
+    (2r+1)^2 window that stays <= g_neighborThreshold, minus one.  Depths
+    are patch-relative (rel domain: D1 >= D0 for both projection modes), so
+    the projection-mode sign dance collapses."""
+    f, h, w = geo.shape
+    g = geo.astype(np.int32)
+    delta = np.zeros((f, h, w), np.int32)
+    pad = np.pad(g, ((0, 0), (radius, radius), (radius, radius)),
+                 mode="edge")
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = pad[:, radius + dy: radius + dy + h,
+                     radius + dx: radius + dx + w]
+            d = nb - g
+            ok = d <= _PLR_NEIGHBOR_THRESHOLD
+            delta = np.where(ok & (d > delta), d, delta)
+    return np.where(delta > 0, delta - 1, 0)
+
+
+def synthesize_plr_layers(
+    patch_lists: list[list[Patch]],
+    geo0: np.ndarray,            # (F, H, W) rel-depth map-0 DECODED plane
+    valid: np.ndarray,           # (F, H*W) bool occupied-and-owned pixels
+    b2p0: np.ndarray,            # (F, H/bs, W/bs) block ownership (1-based)
+    occ_dev, table_dev, counts_dev,
+    block: int,
+    plr_modes,                   # mode table incl. implicit entry 0
+    reverse: bool,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Shared PLR layer synthesis (generatePoints, PCCCodec.cpp:472-498):
+    per pixel, delta = neighborhood depth step when the mode interpolates,
+    clamped up to the mode's minD1; a point lands at rel depth + delta and
+    intermediate depths fill when requested.  Returns [(points (F,H*W,3),
+    mask (F,H*W))].  Called by BOTH the decoder and the encoder's closed
+    loop so the reconstructions stay byte-identical."""
+    f, h, w = geo0.shape
+    owner = np.repeat(
+        np.repeat(b2p0, block, axis=1), block, axis=2
+    )[:, :h, :w].reshape(f, h * w) - 1
+    mode_px = plr_mode_map(patch_lists, h, w, owner)
+    table_m = np.asarray([list(m) for m in plr_modes], np.int32)
+    mode_px = np.minimum(mode_px, len(table_m) - 1)
+    interp_px = table_m[mode_px, 0].astype(bool)
+    fill_px = table_m[mode_px, 1].astype(bool)
+    mind_px = table_m[mode_px, 2]
+    neigh_px = table_m[mode_px, 3]
+    delta_px = np.zeros((f, h * w), np.int32)
+    if interp_px.any():
+        for r in np.unique(neigh_px[interp_px]):
+            dmap = plr_delta_neighbors(geo0, int(r)).reshape(f, -1)
+            sel = interp_px & (neigh_px == r)
+            delta_px = np.where(sel, dmap, delta_px)
+    delta_px = np.maximum(delta_px, mind_px)
+    delta_px = np.where(valid, delta_px, 0)
+    layers: list[tuple[np.ndarray, np.ndarray]] = []
+    max_delta = int(delta_px.max()) if delta_px.size else 0
+    for k in range(1, max_delta + 1):
+        mask_k = valid & ((delta_px == k) | (fill_px & (k < delta_px)))
+        if not mask_k.any():
+            continue
+        pts_k, _, _ = repro_ops.reproject(
+            jnp.asarray(geo0 + k), occ_dev, table_dev, counts_dev,
+            block, reverse=reverse,
+        )
+        layers.append((np.asarray(pts_k), mask_k))
+    return layers
 
 
 class ReconstructionEngine:
@@ -218,34 +319,22 @@ class ReconstructionEngine:
                 valid = np.asarray(valid_m)
                 b2p0 = np.asarray(b2p_m)
 
-        # PLR: single-map streams synthesize a second layer (depth + 1) for
-        # patches whose coded plr_mode requests it (PCCCodec PLR analog)
-        plr_masks = None
+        # PLR: single-map streams synthesize extra layers per the coded mode
+        # table (generatePoints, PCCCodec.cpp:472-498): delta = neighborhood
+        # depth step when the mode interpolates, clamped up to minD1; the
+        # point lands at rel depth + delta, with intermediate depths filled
+        # when the mode requests filling.
+        plr_layers: list[tuple[np.ndarray, np.ndarray]] = []
         if map_count == 1 and any(
             p.plr_mode for pl in patch_lists for p in pl
         ):
-            plr_flags = np.zeros((f, max_patches), bool)
-            for fi, pl in enumerate(patch_lists):
-                for pi, p in enumerate(pl):
-                    plr_flags[fi, pi] = p.plr_mode > 0
             geo0 = np.asarray(geo_video.planes[0])[:f, :h, :w].astype(np.int32)
-            pts_plr, _, _ = repro_ops.reproject(
-                jnp.asarray(geo0 + 1), occ_dev, table_dev, counts_dev, block,
+            plr_layers = synthesize_plr_layers(
+                patch_lists, geo0, valid, b2p0,
+                occ_dev, table_dev, counts_dev, block,
+                self.params.plr_modes,
                 reverse=not self.params.patch_precedence,
             )
-            pts_plr = np.asarray(pts_plr)
-            owner = np.repeat(
-                np.repeat(b2p0, block, axis=1), block, axis=2
-            )[:, :h, :w].reshape(f, h * w) - 1
-            plr_masks = valid & plr_flags[
-                np.arange(f)[:, None], np.clip(owner, 0, max_patches - 1)
-            ]
-            if any(
-                p.plr_block_modes is not None
-                for pl in patch_lists for p in pl
-            ):
-                apply_block_plr(plr_masks, patch_lists, h, w, owner)
-            pts_maps.append(pts_plr)
 
         refl_maps = None
         if refl_video is not None:
@@ -296,9 +385,11 @@ class ReconstructionEngine:
                 if colors_maps is not None
                 else None
             )
-            if plr_masks is not None:
-                pmsk = plr_masks[fi]
-                pos_parts.append(pts_maps[map_count][fi][pmsk])
+            for pts_k, mask_k in plr_layers:
+                pmsk = mask_k[fi]
+                if not pmsk.any():
+                    continue
+                pos_parts.append(pts_k[fi][pmsk])
                 typ_parts.append(boundary[fi][pmsk].astype(np.uint8))
                 part_parts.append(owner_pt[fi][pmsk])
                 if col_parts is not None:
@@ -310,8 +401,9 @@ class ReconstructionEngine:
             refl = None
             if refl_maps is not None:
                 refl_parts = [rm[fi][msk] for rm in refl_maps]
-                if plr_masks is not None:
-                    refl_parts.append(refl_maps[0][fi][plr_masks[fi]])
+                for _, mask_k in plr_layers:
+                    if mask_k[fi].any():
+                        refl_parts.append(refl_maps[0][fi][mask_k[fi]])
                 refl = np.concatenate(refl_parts, axis=0)
             ps = PointSet(positions=pos, colors=col, reflectances=refl,
                           types=np.concatenate(typ_parts),

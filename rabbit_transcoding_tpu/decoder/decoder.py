@@ -290,6 +290,24 @@ class Decoder:
             gpc.patch_precedence = bool(
                 atlas.asps_list[0].asps_patch_precedence_order_flag
             )
+            asps0 = atlas.asps_list[0]
+            if asps0.asps_plr_enabled_flag:
+                # mode table = implicit no-op + the coded plri descriptors
+                # (setPointLocalReconstruction, PCCDecoder.cpp:528-541)
+                gpc.plr_modes = tuple(
+                    [(False, False, 0, 1)]
+                    + [
+                        (
+                            bool(asps0.plri_interpolate_flag[i]),
+                            bool(asps0.plri_filling_flag[i]),
+                            int(asps0.plri_minimum_depth[i]),
+                            int(asps0.plri_neighbour_minus1[i]) + 1,
+                        )
+                        for i in range(
+                            asps0.asps_plr_number_of_modes_minus1
+                        )
+                    ]
+                )
         from ..bitstream.sei import SeiOccupancySynthesis
 
         for sei in atlas.seis_prefix + atlas.seis_suffix:

@@ -84,6 +84,14 @@ def _patch_id_map(
     )[:, :height, :width]
 
 
+def _plr_coded_modes(nb_plrm_mode: int):
+    """The coded plri descriptors: canonical table entries 1..N-1 (entry 0
+    is the implicit no-op mode)."""
+    from ..codec.reconstruct import PLR_MODE_TABLE
+
+    return PLR_MODE_TABLE[1:max(2, min(nb_plrm_mode, 10))]
+
+
 def _roi_index(centroid, rois) -> int:
     """ROI containing the centroid; nearest ROI center when outside all."""
     best, best_d = 0, float("inf")
@@ -520,43 +528,84 @@ class Encoder:
                 height = band * p.tileCount
                 tile_band = band
 
-        # 1b. PLR search (single-map): patches with real surface thickness
-        # request second-layer synthesis (pointLocalReconstructionSearch
-        # analog, PCCEncoder.cpp:5364 — patch-level decision here)
+        # 1b. PLR search (single-map): per patch (or packing block) pick the
+        # coded mode whose synthesized depth set best matches the true
+        # second-layer depths (pointLocalReconstructionSearch analog,
+        # PCCEncoder.cpp:5364-5527 — the reference measures 3D block
+        # distances; here the same comparison runs per pixel along the
+        # normal axis, vectorised over the whole patch)
         use_plr = p.pointLocalReconstruction and p.mapCountMinus1 == 0
         if use_plr:
+            from ..codec.reconstruct import (
+                PLR_MODE_TABLE,
+                plr_delta_neighbors,
+            )
+
+            plr_table = PLR_MODE_TABLE[:max(2, min(p.nbPlrmMode, 10))]
             ppbs = p.occupancyResolution
             for segs in frame_segs:
                 for seg in segs:
                     occ = seg.occupancy
                     if not occ.any():
                         continue
-                    thick_px = (seg.depth1 > seg.depth0) & occ
-                    if p.plrLevel == 0:
-                        # block-level decision: mode 1 only for packing
-                        # blocks whose occupied pixels show real thickness.
+                    t = np.where(occ, seg.depth1 - seg.depth0, 0)
+                    g = np.where(occ, seg.depth0, -(10 ** 6))[None]
+                    dmaps = {
+                        r: plr_delta_neighbors(g, r)[0] for r in (1, 2)
+                    }
+                    # per-mode squared-distance error along the normal axis:
+                    # synthesized depths score their distance to the true
+                    # set {0, t}; the true far layer scores its distance to
+                    # the nearest synthesized depth (or 0) — the 1D
+                    # equivalent of the reference's 3D block distances
+                    tpos = t > 0
+                    errs = []
+                    for interp, fill, mind, neigh in plr_table:
+                        dm = dmaps[neigh] if interp else np.zeros_like(t)
+                        dm = np.minimum(np.maximum(dm, mind), 5)
+                        if fill:
+                            fwd = np.zeros(t.shape)
+                            for s in range(1, 6):
+                                c = np.minimum(s, np.abs(s - t)) ** 2
+                                fwd += np.where(dm >= s, c, 0)
+                            back = np.where(t <= dm, 0, (t - dm) ** 2)
+                        else:
+                            fwd = np.where(
+                                dm > 0,
+                                np.minimum(dm, np.abs(dm - t)) ** 2, 0,
+                            )
+                            back = np.where(
+                                dm > 0,
+                                np.minimum(t, np.abs(t - dm)) ** 2, t ** 2,
+                            )
+                        back = np.where(dm == 0, t ** 2, back)
+                        err = fwd + np.where(tpos, back, 0)
+                        errs.append(np.where(occ, err, 0))
+                    errs = np.stack(errs)                    # (M, su, sv)
+                    su, sv = occ.shape
+                    bu = (su + ppbs - 1) // ppbs
+                    bv = (sv + ppbs - 1) // ppbs
+                    # small patches always decide at patch level
+                    # (plri_block_threshold_per_patch, PCCEncoder.cpp:5418)
+                    if p.plrLevel != 0 or bu * bv <= p.patchSize:
+                        seg.patch.plr_mode = int(errs.sum((1, 2)).argmin())
+                        seg.patch.plr_block_modes = None
+                    else:
+                        ep = np.zeros((len(plr_table), bu * ppbs, bv * ppbs),
+                                      errs.dtype)
+                        ep[:, :su, :sv] = errs
+                        blk_err = ep.reshape(
+                            len(plr_table), bu, ppbs, bv, ppbs
+                        ).sum((2, 4))
                         # seg arrays are (size_u, size_v) u-major; the plrd
-                        # grid is (size_v0, size_u0) v-major -> transpose.
-                        su, sv = occ.shape
-                        bu = (su + ppbs - 1) // ppbs
-                        bv = (sv + ppbs - 1) // ppbs
+                        # grid is (size_v0, size_u0) v-major -> transpose
+                        modes = blk_err.argmin(axis=0).astype(np.uint8).T
                         occ_p = np.zeros((bu * ppbs, bv * ppbs), bool)
                         occ_p[:su, :sv] = occ
-                        thick_p = np.zeros_like(occ_p)
-                        thick_p[:su, :sv] = thick_px
-                        occ_b = occ_p.reshape(bu, ppbs, bv, ppbs).sum((1, 3))
-                        thick_b = thick_p.reshape(
-                            bu, ppbs, bv, ppbs
-                        ).sum((1, 3))
-                        modes = (
-                            (thick_b > 0.2 * np.maximum(occ_b, 1))
-                            & (occ_b > 0)
-                        ).astype(np.uint8).T
+                        occ_b = occ_p.reshape(bu, ppbs, bv, ppbs).any((1, 3))
+                        modes = np.where(occ_b.T, modes, 0).astype(np.uint8)
                         seg.patch.plr_block_modes = modes
                         seg.patch.plr_mode = int(modes.any())
-                    else:
-                        thick = thick_px[occ].mean()
-                        seg.patch.plr_mode = 1 if thick > 0.2 else 0
 
         # 2. rasterize occupancy + geometry planes (map-interleaved layout:
         # plane index = frame * M + map, the reference's single-stream
@@ -1412,38 +1461,27 @@ class Encoder:
                         jnp.asarray(attr_recon.planes[2]),
                     )
                 )
-            # PLR second-layer synthesis (mirrors ReconstructionEngine)
-            plr_masks = None
-            plr_pts = None
+            # PLR layer synthesis: the exact function the decoder runs, on
+            # the identical decoded plane (byte-identical closed loop)
+            plr_layers = []
             if use_plr and any(
                 s2.patch.plr_mode for segs in frame_segs for s2 in segs
             ):
-                plr_flags = np.zeros((n_frames, table.shape[1]), bool)
-                for i, segs in enumerate(frame_segs):
-                    for pi, s2 in enumerate(segs):
-                        plr_flags[i, pi] = s2.patch.plr_mode > 0
-                pts_p, _, _ = repro_ops.reproject(
-                    jnp.asarray(geo_rec_planes[::n_maps] + 1),
-                    occ_dev, table_dev, counts_dev, p.occupancyResolution,
+                from ..codec.reconstruct import (
+                    PLR_MODE_TABLE,
+                    synthesize_plr_layers,
+                )
+
+                plr_layers = synthesize_plr_layers(
+                    [[s2.patch for s2 in segs] for segs in frame_segs],
+                    np.asarray(
+                        geo_rec_planes[::n_maps][:n_frames]
+                    ).astype(np.int32)[:, :height, :width],
+                    valid, b2p0, occ_dev, table_dev, counts_dev,
+                    p.occupancyResolution,
+                    PLR_MODE_TABLE[:max(2, min(p.nbPlrmMode, 10))],
                     reverse=not p.patchPrecedenceOrder,
                 )
-                plr_pts = np.asarray(pts_p)
-                owner = np.repeat(
-                    np.repeat(b2p0, p.occupancyResolution, axis=1),
-                    p.occupancyResolution, axis=2,
-                )[:, :height, :width].reshape(n_frames, height * width) - 1
-                plr_masks = valid & plr_flags[
-                    np.arange(n_frames)[:, None],
-                    np.clip(owner, 0, table.shape[1] - 1),
-                ]
-                if p.plrLevel == 0:
-                    from ..codec.reconstruct import apply_block_plr
-
-                    apply_block_plr(
-                        plr_masks,
-                        [[s2.patch for s2 in segs] for segs in frame_segs],
-                        height, width, owner,
-                    )
 
             from ..codec.reconstruct import occupancy_boundary
 
@@ -1464,12 +1502,14 @@ class Encoder:
                 pos_list = [pts_maps[m][i][msk] for m in range(n_maps)]
                 typ_list = [boundary[i][msk].astype(np.uint8)] * n_maps
                 part_list = [owner_pt[i][msk]] * n_maps
-                if plr_masks is not None:
-                    pos_list.append(plr_pts[i][plr_masks[i]])
+                for plr_pts_k, plr_mask_k in plr_layers:
+                    if not plr_mask_k[i].any():
+                        continue
+                    pos_list.append(plr_pts_k[i][plr_mask_k[i]])
                     typ_list.append(
-                        boundary[i][plr_masks[i]].astype(np.uint8)
+                        boundary[i][plr_mask_k[i]].astype(np.uint8)
                     )
-                    part_list.append(owner_pt[i][plr_masks[i]])
+                    part_list.append(owner_pt[i][plr_mask_k[i]])
                 typ_list.append(np.zeros(
                     len(raw_points_rec[i]) + len(eom_points[i]), np.uint8
                 ))
@@ -1488,10 +1528,13 @@ class Encoder:
                         rgb_rec[i * n_maps + m].reshape(-1, 3)[msk]
                         for m in range(n_maps)
                     ]
-                    if plr_masks is not None:
-                        col_parts.append(
-                            rgb_rec[i * n_maps].reshape(-1, 3)[plr_masks[i]]
-                        )
+                    for _, plr_mask_k in plr_layers:
+                        if plr_mask_k[i].any():
+                            col_parts.append(
+                                rgb_rec[i * n_maps].reshape(-1, 3)[
+                                    plr_mask_k[i]
+                                ]
+                            )
                     col_parts.append(
                         raw_colors_rec[i]
                         if raw_colors_rec[i] is not None
@@ -1509,12 +1552,13 @@ class Encoder:
                         refl_recon_planes[i * n_maps + m].reshape(-1)[msk]
                         for m in range(n_maps)
                     ]
-                    if plr_masks is not None:
-                        refl_parts.append(
-                            refl_recon_planes[i * n_maps].reshape(-1)[
-                                plr_masks[i]
-                            ]
-                        )
+                    for _, plr_mask_k in plr_layers:
+                        if plr_mask_k[i].any():
+                            refl_parts.append(
+                                refl_recon_planes[i * n_maps].reshape(-1)[
+                                    plr_mask_k[i]
+                                ]
+                            )
                     refl_parts.append(
                         np.zeros(
                             len(raw_points_rec[i]) + len(eom_points[i]), np.uint16
@@ -1752,6 +1796,26 @@ class Encoder:
             asps_eom_patch_enabled_flag=p.enhancedOccupancyMapCode,
             asps_plr_enabled_flag=(
                 p.pointLocalReconstruction and p.mapCountMinus1 == 0
+            ),
+            # plri descriptors: coded modes 1..N-1 from the canonical table
+            # (setPointLocalReconstruction, PCCEncoder.cpp:7829-7846)
+            asps_plr_number_of_modes_minus1=(
+                max(2, min(p.nbPlrmMode, 10)) - 1
+            ),
+            plri_interpolate_flag=[
+                m[0] for m in _plr_coded_modes(p.nbPlrmMode)
+            ],
+            plri_filling_flag=[
+                m[1] for m in _plr_coded_modes(p.nbPlrmMode)
+            ],
+            plri_minimum_depth=[
+                m[2] for m in _plr_coded_modes(p.nbPlrmMode)
+            ],
+            plri_neighbour_minus1=[
+                m[3] - 1 for m in _plr_coded_modes(p.nbPlrmMode)
+            ],
+            plri_block_threshold_per_patch_minus1=max(
+                0, min(p.patchSize - 1, 63)
             ),
             asps_auxiliary_video_enabled_flag=raw_geo_payload is not None,
             # constructAspsRefListStruct parity (PCCEncoderParameters.cpp:

@@ -65,6 +65,14 @@ class EncoderParameters:
     # plrd_level_flag: 1 = one PLR mode per patch (default), 0 = one mode per
     # packing block (finer rate/quality trade, 23090-5 8.3.7.9 block level)
     plrLevel: int = 1
+    # nbPlrmMode: number of PLR modes incl. the implicit no-op (the first N
+    # entries of the canonical g_pointLocalReconstructionMode table,
+    # PCCEncoderParameters.cpp:40-44,168)
+    nbPlrmMode: int = 6
+    # patchSize: patches with at most this many packing blocks always code
+    # PLR at patch level (plri_block_threshold_per_patch,
+    # PCCEncoder.cpp:5418,7837)
+    patchSize: int = 9
     # single-map pixel interleaving (PCCEncoderParameters.h:218): both depth
     # maps checkerboard into ONE geometry/attribute video
     # (asps_pixel_deinterleaving_flag); requires mapCountMinus1 = 1

@@ -151,7 +151,7 @@ PENDING_ENCODER_OPTIONS: set = set("""
 enablePatchSplitting log2QuantizerSizeX
 log2QuantizerSizeY depthQuantizationStep EOMFixBitCount patchExpansion
 useRawPointsSeparateVideo attributeRawSeparateVideoWidth
-apply3dMotionCompensation usePccRDO nbPlrmMode patchSize numMaxTilePerFrame
+apply3dMotionCompensation usePccRDO numMaxTilePerFrame
 uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
 tilePartitionWidthList tilePartitionHeightList tileSegmentationType
 enablePointCloudPartitioning numTilesHor tileHeightToWidthRatio
