@@ -27,14 +27,17 @@ def eom_bits_for_cells(
     flat_cells: np.ndarray,   # (N,) flattened patch-space cell index
     depth0: np.ndarray,       # flattened D0 map (rel depths, -1 empty)
     depth1: np.ndarray,       # flattened D1 map
+    max_bits: int = MAX_EOM_BITS,
 ) -> np.ndarray:
-    """Bit mask per patch cell for points strictly between D0 and D1."""
+    """Bit mask per patch cell for points strictly between D0 and D1.
+    max_bits = EOMFixBitCount (asps_eom_fix_bit_count): deeper interior
+    points are not representable and stay in the missed set."""
     bits = np.zeros(depth0.shape, np.uint8)
     d0 = depth0[flat_cells]
     d1 = depth1[flat_cells]
     k = points_rel - d0 - 1
     between = (d0 >= 0) & (points_rel > d0) & (points_rel < d1) & (
-        k < MAX_EOM_BITS
+        k < min(max_bits, MAX_EOM_BITS)
     ) & (k >= 0)
     np.bitwise_or.at(
         bits, flat_cells[between],

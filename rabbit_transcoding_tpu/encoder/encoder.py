@@ -230,6 +230,9 @@ class Encoder:
             surface_thickness=p.surfaceThickness,
             surface_separation=p.surfaceSeparation,
             max_patch_size=p.maxPatchSize,
+            enable_patch_splitting=p.enablePatchSplitting,
+            patch_expansion=p.patchExpansion,
+            eom_fix_bit_count=max(1, min(p.EOMFixBitCount, 7)),
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
             # mode 5 dispatches via segment_frame_partial (which sets the
             # per-pass modes itself); the plain path sees canonical
@@ -1794,6 +1797,7 @@ class Encoder:
             asps_pixel_deinterleaving_flag=use_pi,
             asps_raw_patch_enabled_flag=raw_geo_payload is not None,
             asps_eom_patch_enabled_flag=p.enhancedOccupancyMapCode,
+            asps_eom_fix_bit_count_minus1=max(1, min(p.EOMFixBitCount, 7)) - 1,
             asps_plr_enabled_flag=(
                 p.pointLocalReconstruction and p.mapCountMinus1 == 0
             ),

@@ -59,6 +59,16 @@ class EncoderParameters:
     # EOM: code between-layer points in the occupancy bit planes (reference:
     # enhancedOccupancyMapCode; forces occupancyPrecision 1)
     enhancedOccupancyMapCode: bool = False
+    # EOMFixBitCount (asps_eom_fix_bit_count): between-layer depth bits per
+    # EOM cell.  The reference defaults to 2; this framework's lossless
+    # occupancy plane carries up to 7, kept as the default so deep interiors
+    # stay in EOM instead of spilling to the raw patch
+    EOMFixBitCount: int = 7
+    # patchExpansion (PCCPatchSegmenter.cpp:578): grow components (largest
+    # first) across partition seams within dist^2 <= 2
+    patchExpansion: bool = False
+    # enablePatchSplitting gates the maxPatchSize component splitting
+    enablePatchSplitting: bool = True
     # PLR: synthesize a second layer per patch in single-map mode (reference:
     # pointLocalReconstruction + PLR search, PCCEncoder.cpp:350,5364)
     pointLocalReconstruction: bool = False

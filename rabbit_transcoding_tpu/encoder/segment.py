@@ -152,6 +152,17 @@ class SegmenterParams:
     # maxPatchSize (reference sequence cfgs): components wider than this in
     # tangent/bitangent split at the median of the longer axis; 0 = off
     max_patch_size: int = 1024
+    # enablePatchSplitting (PCCPatchSegmenter.cpp:920-947): gates the
+    # maxPatchSize component splitting
+    enable_patch_splitting: bool = True
+    # patchExpansion (PCCPatchSegmenter.cpp:578,925-945): components
+    # (largest first) absorb unclaimed KNN-adjacent points of other,
+    # non-opposite partitions within dist^2 <= 2 — fewer cross-plane seams
+    patch_expansion: bool = False
+    # EOMFixBitCount (asps_eom_fix_bit_count): how many between-layer depth
+    # bits one EOM cell carries; deeper interior points fall back to the
+    # missed set.  This framework's occupancy plane carries up to 7.
+    eom_fix_bit_count: int = 7
     # surfaceSeparation (PCCPatchSegmenter.cpp:1087,1110 + colorSimilarity
     # PCCPatchSegmenter.h:158): a point only joins the D0..D1 column when
     # its color is within +/-128 per channel of the D0 point — dissimilar
@@ -515,6 +526,7 @@ def segment_patches(
             cc_nbr, node_ppi, node_pos, params.max_cc_edge_distance
         )
 
+    expansion_claimed = np.zeros(n, bool)
     for _ in range(params.max_missed_point_iterations):
         if remaining.sum() < params.min_point_count_per_cc_patch_segmentation:
             break
@@ -543,6 +555,8 @@ def segment_patches(
             pts_sorted[bounds[ci] : bounds[ci + 1]]
             for ci in range(len(uniq))
         ]
+        if params.patch_expansion:
+            comps.sort(key=len)  # pop() processes largest first
         while comps:
             idx = comps.pop()
             if len(idx) < params.min_point_count_per_cc_patch_segmentation:
@@ -552,7 +566,26 @@ def segment_patches(
             # enough and is not re-patched (PCCPatchSegmenter.cpp:778)
             if not (raw_dist2[idx] > det_thr).any():
                 continue
-            if params.max_patch_size > 0:
+            if params.patch_expansion and inv is None:
+                # absorb unclaimed adjacent points of other (non-opposite)
+                # partitions within dist^2 <= 2 (PCCPatchSegmenter.cpp:
+                # 925-945; components processed largest-first)
+                c = int(ppi[idx[0]])
+                cand = cc_nbr[idx].reshape(-1)
+                diff = points[np.repeat(idx, cc_nbr.shape[1])].astype(
+                    np.int64) - points[cand].astype(np.int64)
+                d2 = np.einsum("nc,nc->n", diff, diff)
+                pn = ppi[cand]
+                ok = (
+                    (d2 <= 2) & ~expansion_claimed[cand] & remaining[cand]
+                    & (pn != c) & (pn != c + 3) & (pn + 3 != c)
+                )
+                extra = np.unique(cand[ok])
+                if len(extra):
+                    expansion_claimed[extra] = True
+                    idx = np.concatenate([idx, extra])
+            expansion_claimed[idx] = True
+            if params.max_patch_size > 0 and params.enable_patch_splitting:
                 halves = _split_oversized(points, idx, int(ppi[idx[0]]),
                                           params)
                 if halves is not None:
@@ -755,8 +788,17 @@ def _build_patch(
     from ..codec.eom import eom_bits_for_cells
 
     eom = eom_bits_for_cells(
-        pt_rel[covered], flat[covered], rel, rel1
+        pt_rel[covered], flat[covered], rel, rel1,
+        max_bits=params.eom_fix_bit_count,
     ).reshape(size_u, size_v)
+    if params.eom_fix_bit_count < 7:
+        # interior points beyond the EOM bit budget are not representable:
+        # un-cover them so they rejoin the missed set (raw recovery)
+        d0v = rel[flat]
+        d1v = rel1.reshape(-1)[flat]
+        interior = (d0v >= 0) & (pt_rel > d0v) & (pt_rel < d1v)
+        over = interior & (pt_rel - d0v - 1 >= params.eom_fix_bit_count)
+        covered &= ~over
 
     patch = Patch(
         index=patch_index,

@@ -32,6 +32,11 @@ def roundtrip(src, **kw):
         geometryQP=4, attributeQP=8, occupancyPrecision=1,
         surfaceThickness=6, flagGeometrySmoothing=False,
         constrainedPack=False,
+        # these tests count exact interior-layer recovery: keep the CTC
+        # proximity tolerances (maxAllowedDist2RawPoints*) out of the
+        # missed-points accounting
+        maxAllowedDist2RawPointsSelection=0.0,
+        maxAllowedDist2RawPointsDetection=0.0,
     )
     base.update(kw)
     enc = Encoder(EncoderParameters(**base))
@@ -117,3 +122,44 @@ class TestEom:
             for p, c in zip(pts.tolist(), cols)
         )
         assert exact == len(pts), (exact, len(pts))
+
+
+class TestEomFixBitCount:
+    """asps_eom_fix_bit_count (EOMFixBitCount): interior points beyond the
+    per-cell bit budget leave EOM and recover through the raw patch."""
+
+    def test_lossless_survives_small_bit_budget(self):
+        src = filled_slab_cloud(thickness=4)
+        # single map: asps_eom_fix_bit_count is only coded when
+        # asps_map_count_minus1 == 0 (23090-5 ASPS syntax)
+        kw = dict(enhancedOccupancyMapCode=True, losslessGeo=True,
+                  rawPointsPatch=True, attributeVideo444=True,
+                  losslessAttribute=True, mapCountMinus1=0)
+        ctx1, dec1, _ = roundtrip(src, EOMFixBitCount=1, **kw)
+        ctx7, dec7, _ = roundtrip(src, EOMFixBitCount=7, **kw)
+        src_set = set(map(tuple, src.positions.tolist()))
+        for dec in (dec1, dec7):
+            assert src_set <= set(map(tuple, dec.positions.tolist()))
+        assert ctx1.atlas(0).asps_list[0].asps_eom_fix_bit_count_minus1 == 0
+        assert ctx7.atlas(0).asps_list[0].asps_eom_fix_bit_count_minus1 == 6
+        # the tight budget pushes the deep interior layers into the raw
+        # patch: the raw aux geometry stream must be larger
+        from rabbit_transcoding_tpu.utils.enums import VideoType
+
+        raw1 = len(ctx1.atlas(0).video_bitstreams[VideoType.GEOMETRY_RAW])
+        raw7 = len(
+            ctx7.atlas(0).video_bitstreams.get(
+                VideoType.GEOMETRY_RAW,
+                type("E", (), {"data": b""})(),
+            ).data
+            if VideoType.GEOMETRY_RAW in ctx7.atlas(0).video_bitstreams
+            else b""
+        )
+        assert raw1 > raw7
+
+
+class TestPatchExpansion:
+    def test_expansion_closed_loop_and_fewer_missed(self):
+        src = filled_slab_cloud(thickness=2)
+        ctx, dec, recon = roundtrip(src, patchExpansion=True)
+        assert dec.compute_checksum() == recon.compute_checksum()

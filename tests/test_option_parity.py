@@ -148,8 +148,8 @@ outputNumBytes
 # must remove its options from here — the test fails on BOTH a missing
 # non-pending option and a pending option that silently became bound).
 PENDING_ENCODER_OPTIONS: set = set("""
-enablePatchSplitting log2QuantizerSizeX
-log2QuantizerSizeY depthQuantizationStep EOMFixBitCount patchExpansion
+log2QuantizerSizeX
+log2QuantizerSizeY depthQuantizationStep
 useRawPointsSeparateVideo attributeRawSeparateVideoWidth
 apply3dMotionCompensation usePccRDO numMaxTilePerFrame
 uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
