@@ -84,6 +84,34 @@ def _patch_id_map(
     )[:, :height, :width]
 
 
+def _pad_seg_to_quantizer(seg, qx: int, qy: int) -> None:
+    """Pad a SegmentedPatch's arrays up to (qx, qy) multiples so the coded
+    pdu_2d_size_{x,y} (in ath_patch_size_*_info_quantizer units) equal the
+    exact patch dims — the placement-orientation inverses require exact
+    coded sizes (see PARITY invariants)."""
+    su, sv = seg.occupancy.shape
+    nu = -(-su // qx) * qx
+    nv = -(-sv // qy) * qy
+    if (nu, nv) == (su, sv):
+        return
+
+    def pad2(a, fill):
+        out = np.full((nu, nv), fill, a.dtype)
+        out[:su, :sv] = a
+        return out
+
+    seg.occupancy = pad2(seg.occupancy, False)
+    seg.depth0 = pad2(seg.depth0, -1)
+    seg.depth1 = pad2(seg.depth1, -1)
+    if seg.eom is not None:
+        seg.eom = pad2(seg.eom, 0)
+    p = seg.patch
+    res = p.occupancy_resolution
+    p.size_u, p.size_v = nu, nv
+    p.size_u0 = (nu + res - 1) // res
+    p.size_v0 = (nv + res - 1) // res
+
+
 def _plr_coded_modes(nb_plrm_mode: int):
     """The coded plri descriptors: canonical table entries 1..N-1 (entry 0
     is the implicit no-op mode)."""
@@ -211,6 +239,9 @@ class Encoder:
     ) -> tuple[Context, list[PointSet]]:
         """Encode one GOF -> (bitstream Context, decoder-identical recon)."""
         p = self.params
+        # depthQuantizationStep rounds to a power of two: ath_pos_min_d is a
+        # bit-shift quantizer (23090-5), so the effective minLevel is 1<<n
+        d_shift = max(0, max(1, p.depthQuantizationStep).bit_length() - 1)
         seg_params = SegmenterParams(
             nn_normal_estimation=p.nnNormalEstimation,
             max_nn_count_refine_segmentation=p.maxNNCountRefineSegmentation,
@@ -234,6 +265,7 @@ class Encoder:
             patch_expansion=p.patchExpansion,
             eom_fix_bit_count=max(1, min(p.EOMFixBitCount, 7)),
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
+            min_level=1 << d_shift,
             # mode 5 dispatches via segment_frame_partial (which sets the
             # per-pass modes itself); the plain path sees canonical
             additional_projection_mode=(
@@ -364,6 +396,16 @@ class Encoder:
                 else:
                     raw_points.append(np.zeros((0, 3), np.int32))
                     raw_colors.append(None)
+        # patch-size quantizer: pad every patch to (1<<log2QuantizerSize)
+        # multiples BEFORE packing so coded sizes stay exact and placements
+        # reserve the padded footprint
+        qpx = 1 << max(0, p.log2QuantizerSizeX)
+        qpy = 1 << max(0, p.log2QuantizerSizeY)
+        if qpx > 1 or qpy > 1:
+            for segs in frame_segs:
+                for seg in segs:
+                    _pad_seg_to_quantizer(seg, qpx, qpy)
+
         with self.timer.stage("placeSegments"):
             width = p.minimumImageWidth
             use_inter = p.constrainedPack and p.tileCount <= 1 and len(
@@ -1656,6 +1698,10 @@ class Encoder:
         from ..video.base import component_codec_id
 
         p = self.params
+        # coded-size / min-d quantizer units (must match encode()'s padding)
+        qpx = 1 << max(0, p.log2QuantizerSizeX)
+        qpy = 1 << max(0, p.log2QuantizerSizeY)
+        d_shift = max(0, max(1, p.depthQuantizationStep).bit_length() - 1)
         context = Context()
         vps = V3CParameterSet()
         ptl = vps.profile_tier_level
@@ -1872,8 +1918,9 @@ class Encoder:
                 ),
                 ath_id=tile,
                 ath_atlas_frm_order_cnt_lsb=fi % 256,
-                ath_patch_size_x_info_quantizer=0,
-                ath_patch_size_y_info_quantizer=0,
+                ath_patch_size_x_info_quantizer=max(0, p.log2QuantizerSizeX),
+                ath_patch_size_y_info_quantizer=max(0, p.log2QuantizerSizeY),
+                ath_pos_min_d_quantizer=d_shift,
             )
             du = AtlasTileDataUnit()
             pred_idx = 0
@@ -1911,11 +1958,17 @@ class Encoder:
                                 ipdu_patch_index=ref_i - pred_idx,
                                 ipdu_2d_pos_x=patch.u0 - ref.u0,
                                 ipdu_2d_pos_y=patch.v0 - ref.v0,
-                                ipdu_2d_delta_size_x=patch.size_u - ref.size_u,
-                                ipdu_2d_delta_size_y=patch.size_v - ref.size_v,
+                                ipdu_2d_delta_size_x=(
+                                    (patch.size_u - ref.size_u) // qpx
+                                ),
+                                ipdu_2d_delta_size_y=(
+                                    (patch.size_v - ref.size_v) // qpy
+                                ),
                                 ipdu_3d_offset_u=patch.u1 - ref.u1,
                                 ipdu_3d_offset_v=patch.v1 - ref.v1,
-                                ipdu_3d_offset_d=patch.d1 - ref.d1,
+                                ipdu_3d_offset_d=(
+                                    (patch.d1 - ref.d1) >> d_shift
+                                ),
                                 ipdu_3d_range_d=patch.size_d - ref.size_d,
                             ),
                         )
@@ -1932,11 +1985,11 @@ class Encoder:
                         data=PatchDataUnit(
                             pdu_2d_pos_x=patch.u0,
                             pdu_2d_pos_y=patch.v0 - tile * band_blocks,
-                            pdu_2d_size_x_minus1=patch.size_u - 1,
-                            pdu_2d_size_y_minus1=patch.size_v - 1,
+                            pdu_2d_size_x_minus1=patch.size_u // qpx - 1,
+                            pdu_2d_size_y_minus1=patch.size_v // qpy - 1,
                             pdu_3d_offset_u=patch.u1,
                             pdu_3d_offset_v=patch.v1,
-                            pdu_3d_offset_d=patch.d1,
+                            pdu_3d_offset_d=patch.d1 >> d_shift,
                             pdu_3d_range_d=patch.size_d,
                             pdu_projection_id=projection_id_of(
                                 patch.normal_axis, patch.projection_mode,

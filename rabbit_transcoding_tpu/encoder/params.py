@@ -69,6 +69,15 @@ class EncoderParameters:
     patchExpansion: bool = False
     # enablePatchSplitting gates the maxPatchSize component splitting
     enablePatchSplitting: bool = True
+    # patch-size quantizers (ath_patch_size_{x,y}_info_quantizer): patch
+    # sizes pad up to multiples of 1<<log2QuantizerSize* and code in those
+    # units.  0 = exact pixel sizes (this framework's default — the
+    # placement-orientation inverses then need no padding at all)
+    log2QuantizerSizeX: int = 0
+    log2QuantizerSizeY: int = 0
+    # depthQuantizationStep (minLevel): power-of-two step for the patch D1
+    # reference; codes pdu_3d_offset_d in ath_pos_min_d_quantizer units
+    depthQuantizationStep: int = 1
     # PLR: synthesize a second layer per patch in single-map mode (reference:
     # pointLocalReconstruction + PLR search, PCCEncoder.cpp:350,5364)
     pointLocalReconstruction: bool = False

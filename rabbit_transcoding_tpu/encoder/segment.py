@@ -163,6 +163,11 @@ class SegmenterParams:
     # bits one EOM cell carries; deeper interior points fall back to the
     # missed set.  This framework's occupancy plane carries up to 7.
     eom_fix_bit_count: int = 7
+    # depthQuantizationStep (minLevel, PCCEncoderParameters.cpp:76): the
+    # patch D1 reference floors to a multiple of this so pdu_3d_offset_d
+    # codes in ath_pos_min_d_quantizer units; relative depths absorb the
+    # residue (points pushed past max_allowed_depth go missed)
+    min_level: int = 1
     # surfaceSeparation (PCCPatchSegmenter.cpp:1087,1110 + colorSimilarity
     # PCCPatchSegmenter.h:158): a point only joins the D0..D1 column when
     # its color is within +/-128 per channel of the D0 point — dissimilar
@@ -724,6 +729,11 @@ def _build_patch(
     if not occupied.any():
         return None
     d1 = int(d0[occupied].min())
+    if params.min_level > 1:
+        # depthQuantizationStep: floor (toward -inf, so both projection
+        # modes stay rel>=0) to a minLevel multiple; the relative depths
+        # grow by the residue and pdu_3d_offset_d codes d1 >> quantizer
+        d1 = (d1 // params.min_level) * params.min_level
     rel = np.where(occupied, d0 - d1, -1)
     # depth-range clamp: cells too deep are dropped (their points stay missed)
     too_deep = occupied & (rel > params.max_allowed_depth)

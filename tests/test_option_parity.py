@@ -148,8 +148,6 @@ outputNumBytes
 # must remove its options from here — the test fails on BOTH a missing
 # non-pending option and a pending option that silently became bound).
 PENDING_ENCODER_OPTIONS: set = set("""
-log2QuantizerSizeX
-log2QuantizerSizeY depthQuantizationStep
 useRawPointsSeparateVideo attributeRawSeparateVideoWidth
 apply3dMotionCompensation usePccRDO numMaxTilePerFrame
 uniformPartitionSpacing tilePartitionWidth tilePartitionHeight

@@ -1,0 +1,87 @@
+"""Patch-size and min-d quantizers (ath_patch_size_{x,y}_info_quantizer,
+ath_pos_min_d_quantizer — log2QuantizerSizeX/Y + depthQuantizationStep)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
+from rabbit_transcoding_tpu.codec.patch_frame import decode_patch_frames
+from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+from rabbit_transcoding_tpu.decoder.decoder import Decoder
+from rabbit_transcoding_tpu.encoder.encoder import Encoder
+from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+
+from test_dualmap import thin_slab_cloud
+
+
+def roundtrip(src_frames, **kw):
+    base = dict(
+        minimumImageWidth=128, minimumImageHeight=64,
+        geometryQP=4, attributeQP=8, occupancyPrecision=2,
+        flagGeometrySmoothing=False,
+    )
+    base.update(kw)
+    enc = Encoder(EncoderParameters(**base))
+    ctx, recon = enc.encode(GroupOfFrames(src_frames))
+    w = V3CWriter()
+    data = w.write(w.encode(ctx))
+    ctx2 = V3CReader().decode(V3CReader().read(data)[0])
+    return ctx2, Decoder().decode(ctx2), recon
+
+
+class TestPatchSizeQuantizer:
+    def test_sizes_multiples_and_closed_loop(self):
+        src = thin_slab_cloud()
+        ctx, dec, recon = roundtrip(
+            [src], log2QuantizerSizeX=2, log2QuantizerSizeY=3,
+        )
+        patches = decode_patch_frames(ctx.atlas(0))[0]
+        assert patches
+        for p in patches:
+            assert p.size_u % 4 == 0
+            assert p.size_v % 8 == 0
+        assert dec[0].compute_checksum() == recon[0].compute_checksum()
+
+    def test_quantized_inter_chain(self):
+        src = thin_slab_cloud()
+        ctx, dec, recon = roundtrip(
+            [src, src, src], log2QuantizerSizeX=2, log2QuantizerSizeY=2,
+            constrainedPack=True,
+        )
+        for d, r in zip(dec, recon):
+            assert d.compute_checksum() == r.compute_checksum()
+
+    def test_quality_unaffected_by_padding(self):
+        from scipy.spatial import cKDTree
+
+        src = thin_slab_cloud()
+        _, dec_q, _ = roundtrip([src], log2QuantizerSizeX=2,
+                                log2QuantizerSizeY=2)
+        _, dec_0, _ = roundtrip([src])
+        dq = cKDTree(dec_q[0].positions).query(src.positions, k=1)[0]
+        d0 = cKDTree(dec_0[0].positions).query(src.positions, k=1)[0]
+        assert np.mean(dq ** 2) <= np.mean(d0 ** 2) * 1.5 + 0.1
+
+
+class TestMinDQuantizer:
+    def test_d1_multiples_and_closed_loop(self):
+        src = thin_slab_cloud()
+        ctx, dec, recon = roundtrip([src], depthQuantizationStep=64)
+        patches = decode_patch_frames(ctx.atlas(0))[0]
+        assert patches
+        assert any(
+            atl.header.ath_pos_min_d_quantizer == 6
+            for atl in ctx.atlas(0).atlas_tile_layers
+        )
+        for p in patches:
+            assert p.d1 % 64 == 0, p.d1
+        assert dec[0].compute_checksum() == recon[0].compute_checksum()
+
+    def test_inter_chain_with_min_d(self):
+        src = thin_slab_cloud()
+        ctx, dec, recon = roundtrip(
+            [src, src], depthQuantizationStep=64, constrainedPack=True,
+        )
+        for d, r in zip(dec, recon):
+            assert d.compute_checksum() == r.compute_checksum()
