@@ -70,8 +70,8 @@ def prune_isolated_raw_points(
     return inv.sum(axis=1) >= min_norm_sum_of_inv_dist * max_neighbor_count
 
 
-def _rows(n_samples: int) -> int:
-    return max(16, -(-n_samples // AUX_WIDTH) // 16 * 16 + 16) if n_samples else 16
+def _rows(n_samples: int, width: int = AUX_WIDTH) -> int:
+    return max(16, -(-n_samples // width) // 16 * 16 + 16) if n_samples else 16
 
 
 def build_raw_videos(
@@ -79,12 +79,13 @@ def build_raw_videos(
     raw_colors: list[np.ndarray | None],
     bitdepth: int,
     extra_colors: list[np.ndarray | None] | None = None,
+    width: int = AUX_WIDTH,
 ) -> tuple[Video, Video]:
     """Pack per-frame raw point lists into aux geometry/attribute videos.
     `extra_colors` (EOM point colors) append after each frame's raw block in
     the attribute video — the decoder reads them at offset raw_count."""
     f = len(raw_points)
-    geo_rows = max(_rows(3 * max((len(p) for p in raw_points), default=0)), 16)
+    geo_rows = max(_rows(3 * max((len(p) for p in raw_points), default=0), width), 16)
     n_attr = [
         len(raw_points[i]) + (
             len(extra_colors[i]) if extra_colors and extra_colors[i] is not None
@@ -92,9 +93,9 @@ def build_raw_videos(
         )
         for i in range(f)
     ]
-    attr_rows = max(_rows(max(n_attr, default=0)), 16)
-    geo = np.zeros((f, geo_rows, AUX_WIDTH), np.uint16)
-    rgb = np.zeros((3, f, attr_rows, AUX_WIDTH), np.uint8)
+    attr_rows = max(_rows(max(n_attr, default=0), width), 16)
+    geo = np.zeros((f, geo_rows, width), np.uint16)
+    rgb = np.zeros((3, f, attr_rows, width), np.uint8)
     for fi, pts in enumerate(raw_points):
         if len(pts):
             stream = np.ascontiguousarray(pts.astype(np.uint16)).reshape(-1)
@@ -108,20 +109,20 @@ def build_raw_videos(
             off = len(pts)
             for c in range(3):
                 rgb[c, fi].reshape(-1)[off : off + len(ec)] = ec[:, c]
-    geo_video = Video(AUX_WIDTH, geo_rows, bitdepth, ColorFormat.YUV400, [geo])
+    geo_video = Video(width, geo_rows, bitdepth, ColorFormat.YUV400, [geo])
     attr_video = Video(
-        AUX_WIDTH, attr_rows, 8, ColorFormat.RGB444, [rgb[0], rgb[1], rgb[2]]
+        width, attr_rows, 8, ColorFormat.RGB444, [rgb[0], rgb[1], rgb[2]]
     )
     return geo_video, attr_video
 
 
-def make_raw_patch_unit(n_points: int) -> RawPatchDataUnit:
-    rows = -(-3 * n_points // AUX_WIDTH)
+def make_raw_patch_unit(n_points: int, width: int = AUX_WIDTH) -> RawPatchDataUnit:
+    rows = -(-3 * n_points // width)
     return RawPatchDataUnit(
         rpdu_patch_in_auxiliary_video_flag=True,
         rpdu_2d_pos_x=0,
         rpdu_2d_pos_y=0,
-        rpdu_2d_size_x_minus1=AUX_WIDTH - 1,
+        rpdu_2d_size_x_minus1=width - 1,
         rpdu_2d_size_y_minus1=max(0, rows - 1),
         rpdu_3d_offset_u=0,
         rpdu_3d_offset_v=0,

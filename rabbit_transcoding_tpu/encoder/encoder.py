@@ -294,6 +294,9 @@ class Encoder:
             ),
         )
 
+        if p.apply3dMotionCompensation:
+            # 3D-consistent motion rides the RBV MC search here
+            p.motionEstimation = True
         if p.enhancedOccupancyMapCode and p.occupancyPrecision != 1:
             # EOM bit planes ride the occupancy samples; any downscale
             # destroys them (reference couples EOM with lossless occupancy)
@@ -888,10 +891,18 @@ class Encoder:
                     "geometry", lossless=True
                 ).encode(geo_video, VideoEncoderParams(lossless=True, qp=0))
             else:
+                # usePccRDO analog: occupancy-masked MC distortion — only
+                # pixels that become points drive the motion choice
+                geo_w = None
+                if p.usePccRDO and p.motionEstimation and not use_pi:
+                    geo_w = np.repeat(
+                        occ_decoded.astype(np.float32), n_maps, axis=0
+                    )
                 geo_payload, geo_recon = self._venc("geometry").encode(
                     geo_video,
                     VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
-                                       motion=p.motionEstimation),
+                                       motion=p.motionEstimation,
+                                       mc_weight=geo_w),
                 )
             if use_pi:
                 # closed loop continues in dual-map layout: de-interleave
@@ -1397,6 +1408,7 @@ class Encoder:
                 max(p.geometryNominal2dBitdepth,
                     p.geometry3dCoordinatesBitdepth),
                 extra_colors=eom_colors,
+                width=max(16, p.attributeRawSeparateVideoWidth),
             )
             if use_lossy_raw:
                 raw_geo_payload, rg_rec = self._venc("geometryMP").encode(
@@ -2022,7 +2034,10 @@ class Encoder:
                             if inter_frame
                             else PatchModeITile.I_RAW
                         ),
-                        data=make_raw_patch_unit(len(raw_points[fi])),
+                        data=make_raw_patch_unit(
+                            len(raw_points[fi]),
+                            width=max(16, p.attributeRawSeparateVideoWidth),
+                        ),
                     )
                 )
             if tile == 0 and eom_points is not None and len(

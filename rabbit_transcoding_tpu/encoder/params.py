@@ -78,6 +78,13 @@ class EncoderParameters:
     # depthQuantizationStep (minLevel): power-of-two step for the patch D1
     # reference; codes pdu_3d_offset_d in ath_pos_min_d_quantizer units
     depthQuantizationStep: int = 1
+    # useRawPointsSeparateVideo: accepted for cfg compatibility — this
+    # framework always carries raw/EOM samples in the auxiliary video
+    # (rpdu_patch_in_auxiliary_video_flag=1), which is lossless under RBV by
+    # default, so both settings give bit-exact raw points
+    useRawPointsSeparateVideo: bool = True
+    # attributeRawSeparateVideoWidth: width of the auxiliary raw videos
+    attributeRawSeparateVideoWidth: int = 256
     # PLR: synthesize a second layer per patch in single-map mode (reference:
     # pointLocalReconstruction + PLR search, PCCEncoder.cpp:350,5364)
     pointLocalReconstruction: bool = False
@@ -161,6 +168,14 @@ class EncoderParameters:
     videoGopSize: int = 2
     # motion-compensated P frames in the video codec (HM-ME analog)
     motionEstimation: bool = True
+    # usePccRDO analog: occupancy-aware RDO — the video motion search masks
+    # its distortion with the decoded occupancy so only pixels that become
+    # points drive MV choice (the reference patches HM for the same effect)
+    usePccRDO: bool = False
+    # apply3dMotionCompensation: exploit 3D-consistent motion in the video
+    # layer; with the native RBV codec this turns on its MC P-frame search
+    # (the reference writes blockinfo files to steer HM's search instead)
+    apply3dMotionCompensation: bool = False
     # 444->420 chroma downsample filter (ops/color._DOWN_FILTERS bank:
     # 0 DF_F0, 1 DF_F1, 2 DF_TM5, 3 DF_FV — PCCInternalColorConverter.cpp:37)
     chromaDownsampleFilter: int = 1

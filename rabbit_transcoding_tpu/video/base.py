@@ -34,6 +34,9 @@ class VideoEncoderParams:
     lossless: bool = False
     block_size: int = 16
     motion: bool = False   # motion-compensated P frames
+    # occupancy-aware RDO (usePccRDO analog): optional (F, H, W) weights
+    # masking the MC distortion so only patch content drives MV choice
+    mc_weight: object = None
     # reserved for external backends
     config_path: str = ""
     extra_args: str = ""
@@ -236,6 +239,7 @@ class RbvVideoEncoder(VideoEncoder):
             gop_size=1 if params.all_intra else params.gop_size,
             lossless=params.lossless or self.force_lossless,
             motion=params.motion and not params.all_intra,
+            mc_weight=params.mc_weight,
         )
         return rbv.encode(video, rp)
 

@@ -115,7 +115,7 @@ _MC_OFFSETS = tuple(
 )
 
 
-def _mc_search(frame, prev, block: int, lam=0.0):
+def _mc_search(frame, prev, block: int, lam=0.0, weight=None):
     """-> (mv_idx (nby, nbx) int32, pred (H, W) f32): best rate-biased SAD
     candidate.  cost = SAD + lam * (4 + |dy| + |dx|) for nonzero motion
     (zero extra for the zero MV): without this bias, blocks grab tiny SAD
@@ -133,6 +133,10 @@ def _mc_search(frame, prev, block: int, lam=0.0):
     for si, (dy, dx) in enumerate(_MC_OFFSETS):
         shifted = jax.lax.dynamic_slice(padded, (r + dy, r + dx), (h, w))
         diff = jnp.abs(frame - shifted)
+        if weight is not None:
+            # occupancy-aware RDO (usePccRDO analog): background mismatch
+            # costs nothing — MVs track the PATCH content, not the padding
+            diff = diff * weight
         cost = diff.reshape(nby, block, nbx, block).sum(axis=(1, 3))
         if dy or dx:
             cost = cost + lam * (4.0 + abs(dy) + abs(dx))
@@ -332,7 +336,56 @@ def _reencode_with_mv(pixels, mv, qstep, maxval, block: int, gop: int):
 from ..utils.aot import aot_jit
 
 _encode_device = aot_jit(_encode_impl, static_argnames=("block", "gop"))
+def _encode_impl_mc_w(frames, weights, qstep, maxval, block: int, gop: int):
+    """Occupancy-weighted MC variant (usePccRDO analog): the motion search's
+    SAD is masked by a per-pixel weight plane so only patch content drives
+    the MVs; coefficients/recon stay bit-compatible with the plain decoder
+    (weights steer encoder CHOICES only)."""
+    frames = frames.astype(jnp.float32)
+    weights = weights.astype(jnp.float32)
+    f, h, w = frames.shape
+    nby, nbx = h // block, w // block
+    n_gops = f // gop
+    gframes = frames.reshape(n_gops, gop, h, w)
+    gweights = weights.reshape(n_gops, gop, h, w)
+
+    def code(frame, pred, dz):
+        res = frame - pred
+        q = _quantize(dct2d(blockify(res, block)), qstep, dz)
+        rec = pred + deblockify(idct2d(q * qstep))
+        return q.astype(jnp.int16), jnp.clip(jnp.round(rec), 0.0, maxval)
+
+    lam = qstep * _MC_LAMBDA_SCALE
+
+    def one_gop(g, wg):
+        q0, rec0 = code(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
+        mv0 = jnp.zeros((nby, nbx), jnp.int32)
+
+        def step(prev_rec, fw):
+            frame, wt = fw
+            mv, pred = _mc_search(frame, prev_rec, block, lam, wt)
+            q, rec = code(frame, pred, _DZ_INTER)
+            return rec, (q, mv, rec)
+
+        _, (qs, mvs, recs) = jax.lax.scan(step, rec0, (g[1:], wg[1:]))
+        return (
+            jnp.concatenate([q0[None], qs], axis=0),
+            jnp.concatenate([mv0[None], mvs], axis=0),
+            jnp.concatenate([rec0[None], recs], axis=0),
+        )
+
+    q, mv, rec = jax.vmap(one_gop)(gframes, gweights)
+    return (
+        q.reshape(f, nby, nbx, block, block),
+        mv.reshape(f, nby, nbx),
+        rec.reshape(f, h, w).astype(jnp.uint16),
+    )
+
+
 _encode_device_mc = aot_jit(_encode_impl_mc, static_argnames=("block", "gop"))
+_encode_device_mc_w = aot_jit(
+    _encode_impl_mc_w, static_argnames=("block", "gop")
+)
 
 
 def _decode_mc_u16(coeffs, mv, qstep, maxval, block: int, gop: int):
@@ -744,6 +797,9 @@ class RbvParams:
     zlib_level: int = 6
     # motion-compensated P frames (block search on device, flags bit 1)
     motion: bool = False
+    # optional (F, H, W) float weights masking the MC search's distortion
+    # (occupancy-aware RDO); encoder-side only, bitstream-compatible
+    mc_weight: object = None
 
 
 def _plane_dims(width: int, height: int, fmt: ColorFormat) -> list[tuple[int, int]]:
@@ -802,9 +858,26 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
                     [padded, np.repeat(padded[-1:], fpad, axis=0)], axis=0
                 )
             if use_mc:
-                q, mv, rec = _encode_device_mc(
-                    jnp.asarray(padded), qstep, jnp.float32(maxval), b, gop
-                )
+                wplane = params.mc_weight
+                if wplane is not None and wplane.shape[-2:] == (orig_h,
+                                                                orig_w):
+                    wpad = pad_to_block(
+                        np.asarray(wplane, np.float32), b
+                    )
+                    if fpad:
+                        wpad = np.concatenate(
+                            [wpad, np.repeat(wpad[-1:], fpad, axis=0)],
+                            axis=0,
+                        )
+                    q, mv, rec = _encode_device_mc_w(
+                        jnp.asarray(padded), jnp.asarray(wpad), qstep,
+                        jnp.float32(maxval), b, gop,
+                    )
+                else:
+                    q, mv, rec = _encode_device_mc(
+                        jnp.asarray(padded), qstep, jnp.float32(maxval), b,
+                        gop,
+                    )
                 blobs.append(
                     _encode_mv_section(np.asarray(mv)[:f], params.zlib_level)
                     + _encode_coeff_blob(q[:f], params.zlib_level)

@@ -148,8 +148,7 @@ outputNumBytes
 # must remove its options from here — the test fails on BOTH a missing
 # non-pending option and a pending option that silently became bound).
 PENDING_ENCODER_OPTIONS: set = set("""
-useRawPointsSeparateVideo attributeRawSeparateVideoWidth
-apply3dMotionCompensation usePccRDO numMaxTilePerFrame
+numMaxTilePerFrame
 uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
 tilePartitionWidthList tilePartitionHeightList tileSegmentationType
 enablePointCloudPartitioning numTilesHor tileHeightToWidthRatio

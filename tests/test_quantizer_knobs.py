@@ -85,3 +85,43 @@ class TestMinDQuantizer:
         )
         for d, r in zip(dec, recon):
             assert d.compute_checksum() == r.compute_checksum()
+
+
+class TestOccupancyAwareRdo:
+    """usePccRDO analog: the MC search's distortion masks to occupied
+    pixels; the bitstream stays decoder-compatible."""
+
+    def test_weighted_mc_roundtrip_and_weights_ignore_background(self):
+        import jax.numpy as jnp
+        from rabbit_transcoding_tpu.video import rbv
+        from rabbit_transcoding_tpu.core.image import Video
+        from rabbit_transcoding_tpu.utils.enums import ColorFormat
+
+        rng = np.random.default_rng(7)
+        f, h, w = 4, 32, 32
+        frames = np.zeros((f, h, w), np.uint16)
+        occ = np.zeros((f, h, w), np.float32)
+        # a patch moving +2px/frame over noisy background
+        bg = rng.integers(0, 255, size=(f, h, w))
+        patch = rng.integers(100, 200, size=(8, 8))
+        for i in range(f):
+            frames[i] = bg[i]
+            frames[i, 8:16, 4 + 2 * i:12 + 2 * i] = patch
+            occ[i, 8:16, 4 + 2 * i:12 + 2 * i] = 1.0
+        vid = Video(w, h, 8, ColorFormat.YUV400, [frames])
+        payload, recon = rbv.encode(vid, rbv.RbvParams(
+            qp=8, gop_size=4, motion=True, mc_weight=occ,
+        ))
+        dec = rbv.decode(payload)
+        assert np.array_equal(
+            np.asarray(dec.planes[0]), np.asarray(recon.planes[0])
+        )
+
+    def test_e2e_use_pcc_rdo(self):
+        src = thin_slab_cloud()
+        ctx, dec, recon = roundtrip(
+            [src, src], usePccRDO=True, apply3dMotionCompensation=True,
+            constrainedPack=True,
+        )
+        for d, r in zip(dec, recon):
+            assert d.compute_checksum() == r.compute_checksum()

@@ -202,3 +202,32 @@ class TestLossyRawPoints:
                 )[0]
                 assert float(np.mean(d**2)) < 50.0  # lossy but bounded
         assert sizes[True] < sizes[False]
+
+
+class TestAuxVideoWidth:
+    """attributeRawSeparateVideoWidth: the aux raw videos honor the
+    configured width, and lossless recovery is width-independent."""
+
+    def test_width_is_configurable_and_lossless(self):
+        import numpy as np
+
+        from rabbit_transcoding_tpu.codec.raw_points import (
+            build_raw_videos,
+            make_raw_patch_unit,
+            recover_raw_points,
+        )
+
+        rng = np.random.default_rng(5)
+        pts = rng.integers(0, 255, size=(333, 3)).astype(np.int32)
+        cols = rng.integers(0, 255, size=(333, 3)).astype(np.uint8)
+        for width in (64, 128, 256):
+            geo_v, attr_v = build_raw_videos([pts], [cols], 8, width=width)
+            assert geo_v.width == width and attr_v.width == width
+            unit = make_raw_patch_unit(len(pts), width=width)
+            assert unit.rpdu_2d_size_x_minus1 == width - 1
+            rec, rcol = recover_raw_points(
+                [unit], np.asarray(geo_v.planes[0][0]),
+                np.stack([np.asarray(p[0]) for p in attr_v.planes], -1),
+            )
+            assert np.array_equal(rec, pts)
+            assert np.array_equal(rcol, cols)
