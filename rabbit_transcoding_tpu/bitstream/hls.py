@@ -72,15 +72,13 @@ class AtlasHLS:
             w64 = (afti.afti_partition_cols_width_minus1 + 1) * 64
             h64 = (afti.afti_partition_rows_height_minus1 + 1) * 64
             return (tile_id % cols) * w64, (tile_id // cols) * h64
-        x = sum(
-            (w + 1) * 64
-            for w in afti.afti_partition_column_widths_minus1[: tile_id]
-        )
+        # explicit lists: tiles stack as horizontal bands (one partition
+        # column), matching this encoder's tile packing
         y = sum(
             (h + 1) * 64
             for h in afti.afti_partition_row_heights_minus1[: tile_id]
         )
-        return x, y
+        return 0, y
 
     def set_video_bitstream(self, vb: VideoBitstream) -> None:
         self.video_bitstreams[vb.type] = vb

@@ -583,9 +583,15 @@ class AtlasFrameTileInformation:
             else:
                 bw.ue(self.afti_num_partition_columns_minus1)
                 bw.ue(self.afti_num_partition_rows_minus1)
-                for w in self.afti_partition_column_widths_minus1:
+                # the LAST partition's size is implicit (frame remainder) —
+                # only num_minus1 entries are coded (23090-5 AFTI syntax)
+                for w in self.afti_partition_column_widths_minus1[
+                    : self.afti_num_partition_columns_minus1
+                ]:
                     bw.ue(w)
-                for h in self.afti_partition_row_heights_minus1:
+                for h in self.afti_partition_row_heights_minus1[
+                    : self.afti_num_partition_rows_minus1
+                ]:
                     bw.ue(h)
             bw.u(1, self.afti_single_partition_per_tile_flag)
             if not self.afti_single_partition_per_tile_flag:

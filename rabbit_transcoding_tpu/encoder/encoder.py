@@ -292,6 +292,16 @@ class Encoder:
             max_allowed_dist2_raw_points_selection=(
                 0.0 if p.losslessGeo else p.maxAllowedDist2RawPointsSelection
             ),
+            partition_rois=(
+                tuple(p.roi_boxes())
+                if p.enablePointCloudPartitioning and p.roi_boxes()
+                else ()
+            ),
+            partition_cuts=(
+                p.numCutsAlong1stLongestAxis,
+                p.numCutsAlong2ndLongestAxis,
+                p.numCutsAlong3rdLongestAxis,
+            ),
         )
 
         if p.apply3dMotionCompensation:
@@ -319,6 +329,11 @@ class Encoder:
         if p.roi_boxes():
             # ROI tiling: one tile per ROI (generateTilesFromSegments)
             p.tileCount = max(p.tileCount, len(p.roi_boxes()))
+        if p.tileSegmentationType >= 2:
+            # fixed grid of numMaxTilePerFrame tiles
+            p.tileCount = max(p.tileCount, max(1, p.numMaxTilePerFrame))
+        elif p.tileSegmentationType == 0 and not p.roi_boxes():
+            p.tileCount = max(1, p.tileCount)
         if p.multipleStreams:
             # per-map sub-streams exclude the single-map interleave modes
             p.singleMapPixelInterleaving = False
@@ -1907,10 +1922,36 @@ class Encoder:
         if n_tiles > 1:
             afti = afps.atlas_frame_tile_information
             afti.afti_single_tile_in_atlas_frame_flag = False
-            afti.afti_uniform_partition_spacing_flag = True
-            afti.afti_partition_cols_width_minus1 = width // 64 - 1
-            afti.afti_partition_rows_height_minus1 = (tile_band or height) // 64 - 1
             afti.afti_single_partition_per_tile_flag = True
+            if not p.uniformPartitionSpacing and (
+                p.tilePartitionWidthList or p.tilePartitionHeightList
+            ):
+                # explicit per-column/row partition lists (64px units)
+                cols = [int(v) for v in p.tilePartitionWidthList] or [
+                    width // 64
+                ]
+                rows = [int(v) for v in p.tilePartitionHeightList] or [
+                    (tile_band or height) // 64
+                ] * n_tiles
+                afti.afti_uniform_partition_spacing_flag = False
+                afti.afti_num_partition_columns_minus1 = len(cols) - 1
+                afti.afti_num_partition_rows_minus1 = len(rows) - 1
+                afti.afti_partition_column_widths_minus1 = [
+                    c - 1 for c in cols
+                ]
+                afti.afti_partition_row_heights_minus1 = [
+                    r - 1 for r in rows
+                ]
+            else:
+                afti.afti_uniform_partition_spacing_flag = True
+                afti.afti_partition_cols_width_minus1 = (
+                    p.tilePartitionWidth - 1 if p.tilePartitionWidth > 0
+                    else width // 64 - 1
+                )
+                afti.afti_partition_rows_height_minus1 = (
+                    p.tilePartitionHeight - 1 if p.tilePartitionHeight > 0
+                    else (tile_band or height) // 64 - 1
+                )
         atlas.afps_list.append(afps)
 
         band_blocks = (

@@ -256,6 +256,27 @@ class EncoderParameters:
     # multi-tile atlas: uniform horizontal bands, one ATL per tile per frame
     # (reference: tile options of PCCEncoderParameters / AFTI)
     tileCount: int = 1
+    # tileSegmentationType (PCCEncoderParameters.h): 0 = single tile,
+    # 1 = tiles from point-cloud partitioning (the ROI path), 2 = fixed
+    # grid of numMaxTilePerFrame tiles
+    tileSegmentationType: int = 0
+    numMaxTilePerFrame: int = 1
+    # AFTI partition grid: uniform spacing (width/height in 64px units) or
+    # explicit per-column/row lists
+    uniformPartitionSpacing: bool = True
+    tilePartitionWidth: int = 0
+    tilePartitionHeight: int = 0
+    tilePartitionWidthList: list = dataclasses.field(default_factory=list)
+    tilePartitionHeightList: list = dataclasses.field(default_factory=list)
+    # point-cloud partitioning (PCCPatchSegmenter.cpp:585-660): each ROI is
+    # cut along its sorted-longest axes into chunks and connected
+    # components never span a chunk boundary
+    enablePointCloudPartitioning: bool = False
+    numTilesHor: int = 2
+    tileHeightToWidthRatio: float = 1.0
+    numCutsAlong1stLongestAxis: int = 0
+    numCutsAlong2ndLongestAxis: int = 0
+    numCutsAlong3rdLongestAxis: int = 0
     # ROI-driven tiling (reference: roiBoundingBox* sequence options +
     # generateTilesFromSegments, PCCEncoder.cpp:5108): comma-separated
     # per-ROI bounds; when set, patches tile by the ROI containing their

@@ -168,6 +168,12 @@ class SegmenterParams:
     # codes in ath_pos_min_d_quantizer units; relative depths absorb the
     # residue (points pushed past max_allowed_depth go missed)
     min_level: int = 1
+    # enablePointCloudPartitioning (PCCPatchSegmenter.cpp:585-660): ROIs cut
+    # along their sorted-longest axes into chunks; connected components
+    # never span a chunk boundary.  partition_rois = ((minx,maxx,miny,maxy,
+    # minz,maxz), ...); partition_cuts = cuts along (1st,2nd,3rd) longest
+    partition_rois: tuple = ()
+    partition_cuts: tuple = (0, 0, 0)
     # surfaceSeparation (PCCPatchSegmenter.cpp:1087,1110 + colorSimilarity
     # PCCPatchSegmenter.h:158): a point only joins the D0..D1 column when
     # its color is within +/-128 per channel of the D0 point — dissimilar
@@ -400,6 +406,44 @@ def refine_segmentation_grid_based(
     return np.asarray(p)
 
 
+def _chunk_ids(points: np.ndarray, rois, cuts) -> np.ndarray:
+    """Per-point chunk labels for enablePointCloudPartitioning
+    (PCCPatchSegmenter.cpp:585-660): each ROI's bounding box is cut into
+    (cuts[k]+1) equal ranges along its k-th longest axis; points outside all
+    ROIs share chunk 0 of the nearest... the reference requires ROIs to
+    cover the cloud, so out-of-ROI points get the last matching ROI's grid
+    clamped to its edge."""
+    n = len(points)
+    ids = np.zeros(n, np.int64)
+    pts = points.astype(np.float64)
+    base = 1
+    for r, (x0, x1, y0, y1, z0, z1) in enumerate(rois):
+        lo = np.array([x0, y0, z0], np.float64)
+        hi = np.array([x1, y1, z1], np.float64)
+        inside = ((pts >= lo) & (pts <= hi)).all(axis=1)
+        if not inside.any():
+            continue
+        lens = hi - lo
+        order = np.argsort(-lens)              # axes, longest first
+        ncuts = np.zeros(3, np.int64)
+        for rank in range(3):
+            ncuts[order[rank]] = max(0, int(cuts[rank]))
+        buckets = np.zeros((n, 3), np.int64)
+        for a in range(3):
+            nb = ncuts[a] + 1
+            span = max(lens[a], 1e-9)
+            buckets[:, a] = np.clip(
+                ((pts[:, a] - lo[a]) * nb / (span + 1e-9)).astype(np.int64),
+                0, nb - 1,
+            )
+        local = buckets[:, 0] + (ncuts[0] + 1) * (
+            buckets[:, 1] + (ncuts[1] + 1) * buckets[:, 2]
+        )
+        ids = np.where(inside, base + local, ids)
+        base += int(np.prod(ncuts + 1))
+    return ids
+
+
 def _candidate_edges(
     nbr_idx: np.ndarray,
     ppi: np.ndarray,
@@ -524,6 +568,13 @@ def segment_patches(
         edge_src, edge_dst = _candidate_edges(
             cc_nbr, ppi, points, params.max_cc_edge_distance
         )
+        if params.partition_rois and any(c > 0 for c in
+                                         params.partition_cuts):
+            # enablePointCloudPartitioning: components never span a chunk
+            chunks = _chunk_ids(points, params.partition_rois,
+                                params.partition_cuts)
+            keep = chunks[edge_src] == chunks[edge_dst]
+            edge_src, edge_dst = edge_src[keep], edge_dst[keep]
     else:
         inv, node_pos, node_ppi = voxel_map
         n_nodes = len(node_pos)

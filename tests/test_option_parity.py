@@ -147,14 +147,8 @@ outputNumBytes
 # Encoder options not yet bound (tracked work list; each batch that lands
 # must remove its options from here — the test fails on BOTH a missing
 # non-pending option and a pending option that silently became bound).
-PENDING_ENCODER_OPTIONS: set = set("""
-numMaxTilePerFrame
-uniformPartitionSpacing tilePartitionWidth tilePartitionHeight
-tilePartitionWidthList tilePartitionHeightList tileSegmentationType
-enablePointCloudPartitioning numTilesHor tileHeightToWidthRatio
-numCutsAlong1stLongestAxis numCutsAlong2ndLongestAxis
-numCutsAlong3rdLongestAxis
-""".split())
+# Round 3 closed the list: every reference encoder option is bound.
+PENDING_ENCODER_OPTIONS: set = set()
 
 
 def _registry_for(app: str):

@@ -112,3 +112,89 @@ class TestRoiTiles:
                 assert lo < 64
             else:
                 assert max(p.u1, p.v1, p.d1) >= 48
+
+
+class TestTileOptionFamily:
+    """tileSegmentationType / numMaxTilePerFrame / partition grid options /
+    enablePointCloudPartitioning chunk cuts."""
+
+    def test_fixed_grid_type2(self):
+        src = make_sphere_cloud(seed=0)
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=8, attributeQP=16, occupancyPrecision=2,
+            tileSegmentationType=2, numMaxTilePerFrame=3,
+            flagGeometrySmoothing=False,
+        ))
+        ctx, recon = enc.encode(GroupOfFrames([src]))
+        assert enc.params.tileCount == 3
+        clouds = Decoder().decode(ctx)
+        assert clouds[0].compute_checksum() == recon[0].compute_checksum()
+
+    def test_explicit_partition_lists(self):
+        src = make_sphere_cloud(seed=0)
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=8, attributeQP=16, occupancyPrecision=2,
+            tileCount=2, uniformPartitionSpacing=False,
+            flagGeometrySmoothing=False,
+        ))
+        ctx, recon = enc.encode(GroupOfFrames([src]))
+        # fill the lists from the atlas the encoder actually built
+        afti = ctx.atlas(0).afps(0).atlas_frame_tile_information
+        h64 = afti.afti_partition_rows_height_minus1 + 1
+        enc2 = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=8, attributeQP=16, occupancyPrecision=2,
+            tileCount=2, uniformPartitionSpacing=False,
+            tilePartitionWidthList=[4], tilePartitionHeightList=[h64, h64],
+            flagGeometrySmoothing=False,
+        ))
+        ctx2, recon2 = enc2.encode(GroupOfFrames([src]))
+        afti2 = ctx2.atlas(0).afps(0).atlas_frame_tile_information
+        assert not afti2.afti_uniform_partition_spacing_flag
+        # only num_minus1 sizes are coded (the last is the frame remainder)
+        assert afti2.afti_partition_row_heights_minus1[:1] == [h64 - 1]
+        w = V3CWriter()
+        data = w.write(w.encode(ctx2))
+        ctx3 = V3CReader().decode(V3CReader().read(data)[0])
+        clouds = Decoder().decode(ctx3)
+        assert clouds[0].compute_checksum() == recon2[0].compute_checksum()
+
+    def test_chunk_cuts_split_components(self):
+        from rabbit_transcoding_tpu.encoder.segment import (
+            SegmenterParams,
+            segment_frame,
+        )
+
+        # one long wall: without cuts it is one component; with 3 cuts
+        # along the longest axis it must split into >= 4 patches
+        g = np.mgrid[0:200, 0:24].reshape(2, -1).T
+        pts = np.column_stack(
+            [g[:, 0], g[:, 1], np.full(len(g), 6)]
+        ).astype(np.int32)
+        base = SegmenterParams()
+        segs0, _ = segment_frame(pts, base)
+        segs3, _ = segment_frame(pts, SegmenterParams(
+            partition_rois=((0, 255, 0, 255, 0, 255),),
+            partition_cuts=(3, 0, 0),
+        ))
+        assert len(segs3) >= len(segs0) + 3
+        covered = sum(len(s.point_indices) for s in segs3)
+        assert covered >= 0.98 * len(pts)
+
+    def test_point_cloud_partitioning_e2e(self):
+        src = make_sphere_cloud(seed=0)
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=8, attributeQP=16, occupancyPrecision=2,
+            flagGeometrySmoothing=False,
+            enablePointCloudPartitioning=True,
+            numCutsAlong1stLongestAxis=1,
+            roiBoundingBoxMinX="0", roiBoundingBoxMaxX="127",
+            roiBoundingBoxMinY="0", roiBoundingBoxMaxY="127",
+            roiBoundingBoxMinZ="0", roiBoundingBoxMaxZ="127",
+        ))
+        ctx, recon = enc.encode(GroupOfFrames([src]))
+        clouds = Decoder().decode(ctx)
+        assert clouds[0].compute_checksum() == recon[0].compute_checksum()
