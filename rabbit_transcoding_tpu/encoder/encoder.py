@@ -1853,6 +1853,11 @@ class Encoder:
         asps = AtlasSequenceParameterSetRbsp(
             asps_frame_width=width,
             asps_frame_height=height,
+            # the packing block size IS occupancyResolution (the reference
+            # couples them the same way); default 16 -> log2 4
+            asps_log2_patch_packing_block_size=max(
+                0, p.occupancyResolution.bit_length() - 1
+            ),
             asps_geometry_3d_bitdepth_minus1=geom3d_bits - 1,
             asps_extended_projection_enabled_flag=(
                 p.additionalProjectionPlaneMode > 0
