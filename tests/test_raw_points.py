@@ -186,6 +186,10 @@ class TestLossyRawPoints:
                 lossyRawPointsPatch=lossy,
                 auxGeometryQP=12, auxAttributeQP=12,
                 frameCount=1, groupOfFramesSize=1,
+                # this scatter is pure isolated noise — the reference-
+                # faithful density pruning would (correctly) drop ALL of
+                # it; pin pruning off to exercise the lossy aux coding
+                minNormSumOfInvDist4MPSelection=0.0,
             )
             ctx, recon = Encoder(p).encode(GroupOfFrames([src]))
             sizes[lossy] = len(
