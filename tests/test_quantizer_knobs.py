@@ -125,3 +125,43 @@ class TestOccupancyAwareRdo:
         )
         for d, r in zip(dec, recon):
             assert d.compute_checksum() == r.compute_checksum()
+
+
+class TestTranscodeNewSyntax:
+    """Streams carrying round-3 syntax (size/min-d quantizers, plri mode
+    table) must transcode in every mode with metadata preserved."""
+
+    def test_transcode_quantized_plr_stream(self):
+        from rabbit_transcoding_tpu.transcoder.params import (
+            TranscoderParameters,
+        )
+        from rabbit_transcoding_tpu.transcoder.transcoder import Transcoder
+
+        src = thin_slab_cloud()
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=128, minimumImageHeight=64,
+            geometryQP=8, attributeQP=12, occupancyPrecision=2,
+            mapCountMinus1=0, pointLocalReconstruction=True,
+            log2QuantizerSizeX=2, log2QuantizerSizeY=2,
+            depthQuantizationStep=64, flagGeometrySmoothing=False,
+        ))
+        ctx, _ = enc.encode(GroupOfFrames([src, src]))
+        w = V3CWriter()
+        hq = w.write(w.encode(ctx))
+        r = V3CReader()
+        for mode in ("reencode", "requant", "auto"):
+            c = r.decode(r.read(hq)[0])
+            Transcoder(TranscoderParameters(
+                geometryQP=24, attributeQP=30, mode=mode,
+                computeHashSei=False,
+            )).transcode(c)
+            out = w.write(w.encode(c))
+            c2 = r.decode(r.read(out)[0])
+            asps = c2.atlas(0).asps_list[0]
+            assert asps.asps_plr_enabled_flag
+            assert asps.asps_plr_number_of_modes_minus1 == 5
+            atl0 = c2.atlas(0).atlas_tile_layers[0]
+            assert atl0.header.ath_pos_min_d_quantizer == 6
+            assert atl0.header.ath_patch_size_x_info_quantizer == 2
+            clouds = Decoder().decode(c2)
+            assert clouds[0].point_count > 0.5 * src.point_count
