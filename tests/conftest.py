@@ -61,6 +61,11 @@ _SLOW_PREFIXES = (
     "test_stream_app.py::TestShardedMixedInputs",
     "test_stream_app.py::TestStreamDriver",
     "test_tiles.py::TestTiles::test_tiled_closed_loop",
+    "test_tiles.py::TestTiles::test_tile_structure",
+    "test_padding_knobs.py::TestPaddingE2E::"
+    "test_harmonic_fill_and_rim_padding_closed_loop",
+    "test_quantizer_knobs.py::TestPatchSizeQuantizer",
+    "test_quantizer_knobs.py::TestTranscodeNewSyntax",
     "test_vox11.py",
     "test_encoder_units.py::TestMaxPatchSize",
     "test_encoder_units.py::TestColorPreSmoothing",
