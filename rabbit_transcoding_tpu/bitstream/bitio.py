@@ -127,11 +127,21 @@ class BitReader:
         return self._bit == 0
 
     def byte_align(self) -> None:
+        """Skip to the next byte boundary (no-op when already aligned)."""
         if self._bit:
             one = self.u(1)
             del one
             while self._bit:
                 self.u(1)
+
+    def rbsp_trailing(self) -> None:
+        """Consume rbsp_trailing_bits: the stop bit is ALWAYS present (the
+        writer's byte_align emits '1' + zero pad even when already aligned),
+        so an aligned reader must still eat one full byte — a landed-exactly-
+        on-a-byte tile header once desynced the whole data unit here."""
+        self.u(1)
+        while self._bit:
+            self.u(1)
 
     def read_bytes(self, n: int) -> bytes:
         if self._bit:

@@ -100,8 +100,13 @@ class AtlasHLS:
             offset_v_bits=geom3d,
             offset_d_bits=max(1, geom3d - min_d_quant),
             # bitCountForMaxDepth = min(geom2d-1, geom3d-1) + 1 - quantizer
-            # (PCCBitstreamReader.cpp:1042; ath_pos_delta_max_d_quantizer 0)
-            range_d_bits=max(1, min(geom2d, geom3d)),
+            # (PCCBitstreamReader.cpp:1042)
+            range_d_bits=max(1, min(geom2d, geom3d) - (
+                ath.ath_pos_delta_max_d_quantizer
+                if ath is not None
+                and asps.asps_normal_axis_max_delta_value_enabled_flag
+                else 0
+            )),
             projection_bits=max(
                 1,
                 (asps.asps_max_number_projections_minus1).bit_length()

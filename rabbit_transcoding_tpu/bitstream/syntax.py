@@ -370,7 +370,7 @@ class V3CParameterSet:
                 a.attribute_information = AttributeInformation.read(br)
             s.atlases.append(a)
         s.vps_extension_present_flag = bool(br.u(1))
-        br.byte_align()
+        br.rbsp_trailing()
         return s
 
 
@@ -548,7 +548,7 @@ class AtlasSequenceParameterSetRbsp:
                 s.asps_vpcc_surface_thickness_minus1 = br.u(7)
             else:
                 s.asps_vpcc_surface_thickness_minus1 = 0
-        br.byte_align()
+        br.rbsp_trailing()
         return s
 
 
@@ -676,7 +676,7 @@ class AtlasFrameParameterSetRbsp:
         s.afps_lod_mode_enabled_flag = bool(br.u(1))
         s.afps_raw_3d_offset_bit_count_explicit_mode_flag = bool(br.u(1))
         s.afps_extension_present_flag = bool(br.u(1))
-        br.byte_align()
+        br.rbsp_trailing()
         return s
 
 
@@ -1115,7 +1115,7 @@ class AtlasTileHeader:
                 s.ath_patch_size_y_info_quantizer = br.u(3)
             if afps.afps_raw_3d_offset_bit_count_explicit_mode_flag:
                 s.ath_raw_3d_offset_axis_bit_count_minus1 = br.u(5)
-        br.byte_align()
+        br.rbsp_trailing()
         return s
 
 
@@ -1181,7 +1181,7 @@ class AtlasTileDataUnit:
             s.patches.append(
                 PatchInformationData(patch_mode=mode, data=unit_cls.read(br, ctx))
             )
-        br.byte_align()
+        br.rbsp_trailing()
         return s
 
 

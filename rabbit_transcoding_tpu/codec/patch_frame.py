@@ -121,6 +121,13 @@ def decode_tile_patches(
     else:
         qx = qy = ppbs
     min_d_shift = atl.header.ath_pos_min_d_quantizer
+    # quantDD range shift (coded only when the ASPS enables max-delta
+    # quantization; identity otherwise)
+    range_d_shift = (
+        atl.header.ath_pos_delta_max_d_quantizer
+        if asps.asps_normal_axis_max_delta_value_enabled_flag
+        else 0
+    )
     patches: list[Patch] = []
     pred_idx = 0  # running reference-patch predictor (spec: RefIdx accumulation)
 
@@ -138,7 +145,8 @@ def decode_tile_patches(
             # rotated-space coords need one extra bit; offset = half the
             # rotated range (2^(geom3d bitdepth - 1))
             rot_off = 1 << asps.asps_geometry_3d_bitdepth_minus1
-            p = _intra_patch(du, idx, ppbs, qx, qy, min_d_shift, rot_off)
+            p = _intra_patch(du, idx, ppbs, qx, qy, min_d_shift,
+                             rot_off, range_d_shift)
             # intra positions are tile-relative; refs of inter/merge/skip
             # patches are already atlas-global, so only intra shifts
             p.u0 += tile_origin[0] // ppbs
@@ -160,7 +168,9 @@ def decode_tile_patches(
             p.u1 = ref.u1 + du.ipdu_3d_offset_u
             p.v1 = ref.v1 + du.ipdu_3d_offset_v
             p.d1 = ref.d1 + (du.ipdu_3d_offset_d << min_d_shift)
-            p.size_d = max(0, ref.size_d + du.ipdu_3d_range_d)
+            p.size_d = max(
+                0, ref.size_d + (du.ipdu_3d_range_d << range_d_shift)
+            )
             patches.append(p)
         elif isinstance(du, MergePatchDataUnit):
             ref_idx = pred_idx
@@ -180,7 +190,10 @@ def decode_tile_patches(
                 p.u1 = ref.u1 + du.mpdu_3d_offset_u
                 p.v1 = ref.v1 + du.mpdu_3d_offset_v
                 p.d1 = ref.d1 + (du.mpdu_3d_offset_d << min_d_shift)
-                p.size_d = max(0, ref.size_d + du.mpdu_3d_range_d)
+                p.size_d = max(
+                    0,
+                    ref.size_d + (du.mpdu_3d_range_d << range_d_shift),
+                )
             patches.append(p)
         elif isinstance(du, SkipPatchDataUnit):
             ref_idx = pred_idx
@@ -201,7 +214,7 @@ def decode_tile_patches(
 
 def _intra_patch(
     du: PatchDataUnit, idx: int, ppbs: int, qx: int, qy: int, min_d_shift: int,
-    rot_offset: int = 1024,
+    rot_offset: int = 1024, range_d_shift: int = 0,
 ) -> Patch:
     normal, tangent, bitangent, mode, rot = _axes_of(du.pdu_projection_id)
     size_u = (du.pdu_2d_size_x_minus1 + 1) * qx
@@ -222,7 +235,13 @@ def _intra_patch(
         u1=du.pdu_3d_offset_u,
         v1=du.pdu_3d_offset_v,
         d1=du.pdu_3d_offset_d << min_d_shift,
-        size_d=du.pdu_3d_range_d,
+        # quantDD units (sizeD = quantDD*minLevel - 1, PCCDecoder.cpp:953);
+        # identity when the shift is 0
+        size_d=(
+            ((du.pdu_3d_range_d << range_d_shift) - 1
+             if du.pdu_3d_range_d else 0)
+            if range_d_shift else du.pdu_3d_range_d
+        ),
         normal_axis=normal,
         tangent_axis=tangent,
         bitangent_axis=bitangent,

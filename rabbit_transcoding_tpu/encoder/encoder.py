@@ -1869,6 +1869,9 @@ class Encoder:
             ),
             asps_geometry_2d_bitdepth_minus1=p.geometryNominal2dBitdepth - 1,
             asps_patch_size_quantizer_present_flag=True,
+            # minLevel>1 also quantizes the coded depth range (quantDD):
+            # ath_pos_delta_max_d_quantizer rides the same shift
+            asps_normal_axis_max_delta_value_enabled_flag=d_shift > 0,
             asps_use_eight_orientations_flag=p.useEightOrientations,
             asps_patch_precedence_order_flag=p.patchPrecedenceOrder,
             asps_map_count_minus1=p.mapCountMinus1,
@@ -1979,6 +1982,7 @@ class Encoder:
                 ath_patch_size_x_info_quantizer=max(0, p.log2QuantizerSizeX),
                 ath_patch_size_y_info_quantizer=max(0, p.log2QuantizerSizeY),
                 ath_pos_min_d_quantizer=d_shift,
+                ath_pos_delta_max_d_quantizer=d_shift,
             )
             du = AtlasTileDataUnit()
             pred_idx = 0
@@ -2027,7 +2031,9 @@ class Encoder:
                                 ipdu_3d_offset_d=(
                                     (patch.d1 - ref.d1) >> d_shift
                                 ),
-                                ipdu_3d_range_d=patch.size_d - ref.size_d,
+                                ipdu_3d_range_d=(
+                                    (patch.size_d - ref.size_d) >> d_shift
+                                ),
                             ),
                         )
                     )
@@ -2048,7 +2054,11 @@ class Encoder:
                             pdu_3d_offset_u=patch.u1,
                             pdu_3d_offset_v=patch.v1,
                             pdu_3d_offset_d=patch.d1 >> d_shift,
-                            pdu_3d_range_d=patch.size_d,
+                            # quantDD units when minLevel>1 (identity at 0)
+                            pdu_3d_range_d=(
+                                (patch.size_d + 1) >> d_shift
+                                if d_shift else patch.size_d
+                            ),
                             pdu_projection_id=projection_id_of(
                                 patch.normal_axis, patch.projection_mode,
                                 patch.rotation_axis,

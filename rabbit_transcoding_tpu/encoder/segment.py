@@ -406,6 +406,16 @@ def refine_segmentation_grid_based(
     return np.asarray(p)
 
 
+def _quantize_size_d(size_d: int, min_level: int) -> int:
+    """quantDD rounding: the coded depth range is ceil((sizeD)/minLevel)
+    units, decoded as units*minLevel - 1 (PCCEncoder.cpp:1166,
+    PCCDecoder.cpp:953)."""
+    if min_level <= 1 or size_d <= 0:
+        return max(0, size_d)
+    units = (size_d - 1) // min_level + 1
+    return units * min_level - 1
+
+
 def _chunk_ids(points: np.ndarray, rois, cuts) -> np.ndarray:
     """Per-point chunk labels for enablePointCloudPartitioning
     (PCCPatchSegmenter.cpp:585-660): each ROI's bounding box is cut into
@@ -872,7 +882,13 @@ def _build_patch(
         u1=u1,
         v1=v1,
         d1=d1 if mode == 0 else -d1,
-        size_d=int(rel1.max()) if occupied.any() else 0,
+        # minLevel>1 also quantizes the CODED depth range up (quantDD,
+        # PCCDecoder.cpp:953: sizeD = quantDD*minLevel - 1) so both sides
+        # carry the identical decoded value
+        size_d=(
+            _quantize_size_d(int(rel1.max()), params.min_level)
+            if occupied.any() else 0
+        ),
         normal_axis=normal,
         tangent_axis=tangent,
         bitangent_axis=bitangent,

@@ -165,3 +165,20 @@ class TestTranscodeNewSyntax:
             assert atl0.header.ath_patch_size_x_info_quantizer == 2
             clouds = Decoder().decode(c2)
             assert clouds[0].point_count > 0.5 * src.point_count
+
+
+class TestRangeDQuantizer:
+    def test_size_d_quantized_units_roundtrip(self):
+        src = thin_slab_cloud()
+        ctx, dec, recon = roundtrip(
+            [src, src], depthQuantizationStep=64, constrainedPack=True,
+        )
+        asps = ctx.atlas(0).asps_list[0]
+        assert asps.asps_normal_axis_max_delta_value_enabled_flag
+        patches = decode_patch_frames(ctx.atlas(0))
+        for pl in patches:
+            for p in pl:
+                # decoded sizeD sits on the quantDD lattice: q*64 - 1 (or 0)
+                assert p.size_d == 0 or (p.size_d + 1) % 64 == 0, p.size_d
+        for d, r in zip(dec, recon):
+            assert d.compute_checksum() == r.compute_checksum()
