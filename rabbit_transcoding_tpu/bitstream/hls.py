@@ -72,13 +72,19 @@ class AtlasHLS:
             w64 = (afti.afti_partition_cols_width_minus1 + 1) * 64
             h64 = (afti.afti_partition_rows_height_minus1 + 1) * 64
             return (tile_id % cols) * w64, (tile_id // cols) * h64
-        # explicit lists: tiles stack as horizontal bands (one partition
-        # column), matching this encoder's tile packing
+        # explicit lists: tile_id walks the partition grid row-major (with
+        # one column — this encoder's band layout — x is always 0)
+        cols = afti.afti_num_partition_columns_minus1 + 1
+        col, row = tile_id % cols, tile_id // cols
+        x = sum(
+            (w + 1) * 64
+            for w in afti.afti_partition_column_widths_minus1[:col]
+        )
         y = sum(
             (h + 1) * 64
-            for h in afti.afti_partition_row_heights_minus1[: tile_id]
+            for h in afti.afti_partition_row_heights_minus1[:row]
         )
-        return 0, y
+        return x, y
 
     def set_video_bitstream(self, vb: VideoBitstream) -> None:
         self.video_bitstreams[vb.type] = vb
@@ -126,8 +132,13 @@ class AtlasHLS:
                 else geom3d
             ),
             plr_enabled=asps.asps_plr_enabled_flag,
+            # coded values are (mode - 1) in 0..numberOfModesMinus1-1:
+            # ceilLog2(numberOfModesMinus1) bits, the reference's width
+            # (PCCBitstreamReader plrd; ceilLog2(x) = (x-1).bit_length())
             plr_mode_bits=max(
-                1, asps.asps_plr_number_of_modes_minus1.bit_length()
+                1,
+                (asps.asps_plr_number_of_modes_minus1 - 1).bit_length()
+                if asps.asps_plr_number_of_modes_minus1 > 1 else 1,
             ),
             packing_block_size=(
                 1 << asps.asps_log2_patch_packing_block_size

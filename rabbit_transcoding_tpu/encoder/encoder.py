@@ -12,6 +12,8 @@ segmentation graph work, packing, entropy and syntax.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from ..bitstream.hls import AtlasHLS, Context
@@ -112,6 +114,15 @@ def _pad_seg_to_quantizer(seg, qx: int, qy: int) -> None:
     p.size_v0 = (nv + res - 1) // res
 
 
+def _max_size_d(geom2d: int, geom3d: int, d_shift: int) -> int:
+    """Largest decodable patch depth range: pdu_3d_range_d codes in
+    max(1, min(geom2d, geom3d) - quantizer) bits, in quantDD units when the
+    quantizer is non-zero (decoded sizeD = units*minLevel - 1)."""
+    bits = max(1, min(geom2d, geom3d) - d_shift)
+    q_max = (1 << bits) - 1
+    return q_max * (1 << d_shift) - 1 if d_shift else q_max
+
+
 def _plr_coded_modes(nb_plrm_mode: int):
     """The coded plri descriptors: canonical table entries 1..N-1 (entry 0
     is the implicit no-op mode)."""
@@ -187,6 +198,7 @@ class Encoder:
         copies; the winner is packed for real by the caller."""
         import copy
 
+        d_shift = max(0, max(1, p.depthQuantizationStep).bit_length() - 1)
         kw = dict(
             block=p.occupancyResolution,
             try_orientations=p.useEightOrientations,
@@ -208,6 +220,10 @@ class Encoder:
                     align_matched_patch(
                         seg, trial_g[fi - 1][ri],
                         max_depth=(1 << p.geometryNominal2dBitdepth) - 1,
+                        max_size_d=_max_size_d(
+                            p.geometryNominal2dBitdepth,
+                            p.geometry3dCoordinatesBitdepth, d_shift,
+                        ),
                     )
         try:
             h_gpa = pack_gof_adaptive(
@@ -263,9 +279,20 @@ class Encoder:
             max_patch_size=p.maxPatchSize,
             enable_patch_splitting=p.enablePatchSplitting,
             patch_expansion=p.patchExpansion,
-            eom_fix_bit_count=max(1, min(p.EOMFixBitCount, 7)),
+            # the bit budget only un-covers interior points when EOM bits
+            # are actually coded; without EOM the D0..D1 span covers them
+            eom_fix_bit_count=(
+                max(1, min(p.EOMFixBitCount, 7))
+                if p.enhancedOccupancyMapCode else 7
+            ),
             max_allowed_depth=(1 << p.geometryNominal2dBitdepth) - 1,
             min_level=1 << d_shift,
+            # pdu_3d_range_d bit budget (see hls.syntax_context): the patch
+            # depth range must stay codable or BitWriter.u would overflow
+            max_size_d=_max_size_d(
+                p.geometryNominal2dBitdepth, p.geometry3dCoordinatesBitdepth,
+                d_shift,
+            ),
             # mode 5 dispatches via segment_frame_partial (which sets the
             # per-pass modes itself); the plain path sees canonical
             additional_projection_mode=(
@@ -446,6 +473,10 @@ class Encoder:
                                 max_depth=(
                                     (1 << p.geometryNominal2dBitdepth) - 1
                                 ),
+                                max_size_d=_max_size_d(
+                                    p.geometryNominal2dBitdepth,
+                                    p.geometry3dCoordinatesBitdepth, d_shift,
+                                ),
                             )
                 height = pack_gof_adaptive(
                     frame_segs, width, max(p.minimumImageHeight, 64),
@@ -508,6 +539,10 @@ class Encoder:
                                     seg, prev[ri],
                                     max_depth=(
                                         (1 << p.geometryNominal2dBitdepth) - 1
+                                    ),
+                                    max_size_d=_max_size_d(
+                                        p.geometryNominal2dBitdepth,
+                                        p.geometry3dCoordinatesBitdepth, d_shift,
                                     ),
                                 )
                         h = pack_patches_consistent(
@@ -613,8 +648,10 @@ class Encoder:
                         continue
                     t = np.where(occ, seg.depth1 - seg.depth0, 0)
                     g = np.where(occ, seg.depth0, -(10 ** 6))[None]
+                    # only the radii the active mode table interpolates with
+                    radii = {m[3] for m in plr_table if m[0]}
                     dmaps = {
-                        r: plr_delta_neighbors(g, r)[0] for r in (1, 2)
+                        r: plr_delta_neighbors(g, r)[0] for r in radii
                     }
                     # per-mode squared-distance error along the normal axis:
                     # synthesized depths score their distance to the true
@@ -910,9 +947,8 @@ class Encoder:
                 # pixels that become points drive the motion choice
                 geo_w = None
                 if p.usePccRDO and p.motionEstimation and not use_pi:
-                    geo_w = np.repeat(
-                        occ_decoded.astype(np.float32), n_maps, axis=0
-                    )
+                    # uint8 mask: it crosses the host-device link
+                    geo_w = np.repeat(occ_decoded, n_maps, axis=0)
                 geo_payload, geo_recon = self._venc("geometry").encode(
                     geo_video,
                     VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
@@ -1931,16 +1967,27 @@ class Encoder:
             afti = afps.atlas_frame_tile_information
             afti.afti_single_tile_in_atlas_frame_flag = False
             afti.afti_single_partition_per_tile_flag = True
+            band64 = (tile_band or height) // 64
             if not p.uniformPartitionSpacing and (
                 p.tilePartitionWidthList or p.tilePartitionHeightList
             ):
-                # explicit per-column/row partition lists (64px units)
+                # explicit per-column/row partition lists (64px units).
+                # Patch positions are coded relative to tile*band origins,
+                # so the coded rows MUST equal the packed band — user lists
+                # that disagree would silently shift every tile at decode
                 cols = [int(v) for v in p.tilePartitionWidthList] or [
                     width // 64
                 ]
-                rows = [int(v) for v in p.tilePartitionHeightList] or [
-                    (tile_band or height) // 64
-                ] * n_tiles
+                rows = [int(v) for v in p.tilePartitionHeightList]
+                if len(rows) != n_tiles or any(r != band64 for r in rows):
+                    if rows:
+                        print(
+                            "warning: tilePartitionHeightList does not "
+                            f"match the packed tile band ({band64}x64 px); "
+                            "using the packed band",
+                            file=sys.stderr,
+                        )
+                    rows = [band64] * n_tiles
                 afti.afti_uniform_partition_spacing_flag = False
                 afti.afti_num_partition_columns_minus1 = len(cols) - 1
                 afti.afti_num_partition_rows_minus1 = len(rows) - 1
@@ -1951,15 +1998,18 @@ class Encoder:
                     r - 1 for r in rows
                 ]
             else:
+                if p.tilePartitionHeight > 0 and p.tilePartitionHeight != band64:
+                    print(
+                        "warning: tilePartitionHeight does not match the "
+                        f"packed tile band ({band64}x64 px); using the band",
+                        file=sys.stderr,
+                    )
                 afti.afti_uniform_partition_spacing_flag = True
                 afti.afti_partition_cols_width_minus1 = (
                     p.tilePartitionWidth - 1 if p.tilePartitionWidth > 0
                     else width // 64 - 1
                 )
-                afti.afti_partition_rows_height_minus1 = (
-                    p.tilePartitionHeight - 1 if p.tilePartitionHeight > 0
-                    else (tile_band or height) // 64 - 1
-                )
+                afti.afti_partition_rows_height_minus1 = band64 - 1
         atlas.afps_list.append(afps)
 
         band_blocks = (

@@ -49,6 +49,7 @@ def align_matched_patch(
     ref: SegmentedPatch,
     max_grow: int = 48,
     max_depth: int = 1023,
+    max_size_d: int = 255,
 ) -> None:
     """Rebase a matched patch's 3D offsets (u1/v1/d1) onto the reference's
     so identical surface voxels land on identical canvas pixels with
@@ -89,7 +90,9 @@ def align_matched_patch(
             seg.depth0 = np.where(occ, seg.depth0 + dd, -1)
             seg.depth1 = np.where(occ, seg.depth1 + dd, -1)
             p.d1 = r.d1
-            p.size_d += dd
+            # size_d stays within the coded range budget (informational
+            # field; the depths themselves are bounded by max_depth above)
+            p.size_d = min(p.size_d + dd, max_size_d)
     p.size_u0 = -(-p.size_u // p.occupancy_resolution)
     p.size_v0 = -(-p.size_v // p.occupancy_resolution)
 

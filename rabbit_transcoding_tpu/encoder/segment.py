@@ -168,6 +168,12 @@ class SegmenterParams:
     # codes in ath_pos_min_d_quantizer units; relative depths absorb the
     # residue (points pushed past max_allowed_depth go missed)
     min_level: int = 1
+    # hard cap on the relative depth range a patch may cover: the D1 plane
+    # codes at the nominal 2D bitdepth AND pdu_3d_range_d has a fixed bit
+    # budget (shrunk by ath_pos_delta_max_d_quantizer) — points beyond go
+    # missed instead of silently clipping in the video plane or overflowing
+    # the coded field
+    max_size_d: int = 255
     # enablePointCloudPartitioning (PCCPatchSegmenter.cpp:585-660): ROIs cut
     # along their sorted-longest axes into chunks; connected components
     # never span a chunk boundary.  partition_rois = ((minx,maxx,miny,maxy,
@@ -623,8 +629,14 @@ def segment_patches(
         ]
         if params.patch_expansion:
             comps.sort(key=len)  # pop() processes largest first
+        absorbed_this_round = np.zeros(n, bool)
         while comps:
             idx = comps.pop()
+            if params.patch_expansion:
+                # points absorbed into an earlier (larger) component this
+                # round must leave their donor component or they would code
+                # twice; uncovered ones legitimately re-cluster next round
+                idx = idx[~absorbed_this_round[idx]]
             if len(idx) < params.min_point_count_per_cc_patch_segmentation:
                 continue
             # detection threshold: a component of only mildly-missed points
@@ -649,6 +661,7 @@ def segment_patches(
                 extra = np.unique(cand[ok])
                 if len(extra):
                     expansion_claimed[extra] = True
+                    absorbed_this_round[extra] = True
                     idx = np.concatenate([idx, extra])
             expansion_claimed[idx] = True
             if params.max_patch_size > 0 and params.enable_patch_splitting:
@@ -832,7 +845,7 @@ def _build_patch(
     pt_rel = dd - d1
     covered = (cell_rel >= 0) & (pt_rel - cell_rel <= params.surface_thickness) & (
         pt_rel >= cell_rel
-    )
+    ) & (pt_rel <= min(params.max_allowed_depth, params.max_size_d))
     if params.surface_separation and colors is not None:
         # surfaceSeparation: only color-similar points join the D0 column
         # (colorSimilarity threshold 128, PCCPatchSegmenter.h:158); the

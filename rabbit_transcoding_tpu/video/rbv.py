@@ -233,14 +233,23 @@ def _decode_impl(coeffs, qstep, maxval, block: int, gop: int):
     return rec.reshape(f, h, w)
 
 
-def _encode_impl_mc(frames, qstep, maxval, block: int, gop: int):
-    """Motion-compensated variant: P frames search the previous recon.
-    -> (coeffs, mv (F, nby, nbx) int32, recon)."""
+def _encode_impl_mc_core(
+    frames, weights, qstep, maxval, block: int, gop: int, weighted: bool
+):
+    """Motion-compensated encode: P frames search the previous recon.
+    -> (coeffs, mv (F, nby, nbx) int32, recon).  With weighted=True the
+    search SAD is masked per pixel (occupancy-aware RDO, usePccRDO analog);
+    the unweighted specialization traces `weights` away (callers pass the
+    frames array itself so no extra bytes cross the link)."""
     frames = frames.astype(jnp.float32)
     f, h, w = frames.shape
     nby, nbx = h // block, w // block
     n_gops = f // gop
     gframes = frames.reshape(n_gops, gop, h, w)
+    gweights = (
+        weights.astype(jnp.float32).reshape(n_gops, gop, h, w)
+        if weighted else gframes
+    )
 
     def code(frame, pred, dz):
         res = frame - pred
@@ -250,27 +259,36 @@ def _encode_impl_mc(frames, qstep, maxval, block: int, gop: int):
 
     lam = qstep * _MC_LAMBDA_SCALE
 
-    def one_gop(g):
+    def one_gop(g, wg):
         q0, rec0 = code(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
         mv0 = jnp.zeros((nby, nbx), jnp.int32)
 
-        def step(prev_rec, frame):
-            mv, pred = _mc_search(frame, prev_rec, block, lam)
+        def step(prev_rec, fw):
+            frame, wt = fw
+            mv, pred = _mc_search(
+                frame, prev_rec, block, lam, wt if weighted else None
+            )
             q, rec = code(frame, pred, _DZ_INTER)
             return rec, (q, mv, rec)
 
-        _, (qs, mvs, recs) = jax.lax.scan(step, rec0, g[1:])
+        _, (qs, mvs, recs) = jax.lax.scan(step, rec0, (g[1:], wg[1:]))
         return (
             jnp.concatenate([q0[None], qs], axis=0),
             jnp.concatenate([mv0[None], mvs], axis=0),
             jnp.concatenate([rec0[None], recs], axis=0),
         )
 
-    q, mv, rec = jax.vmap(one_gop)(gframes)
+    q, mv, rec = jax.vmap(one_gop)(gframes, gweights)
     return (
         q.reshape(f, nby, nbx, block, block),
         mv.reshape(f, nby, nbx),
         rec.reshape(f, h, w).astype(jnp.uint16),
+    )
+
+
+def _encode_impl_mc(frames, qstep, maxval, block: int, gop: int):
+    return _encode_impl_mc_core(
+        frames, frames, qstep, maxval, block, gop, weighted=False
     )
 
 
@@ -337,48 +355,8 @@ from ..utils.aot import aot_jit
 
 _encode_device = aot_jit(_encode_impl, static_argnames=("block", "gop"))
 def _encode_impl_mc_w(frames, weights, qstep, maxval, block: int, gop: int):
-    """Occupancy-weighted MC variant (usePccRDO analog): the motion search's
-    SAD is masked by a per-pixel weight plane so only patch content drives
-    the MVs; coefficients/recon stay bit-compatible with the plain decoder
-    (weights steer encoder CHOICES only)."""
-    frames = frames.astype(jnp.float32)
-    weights = weights.astype(jnp.float32)
-    f, h, w = frames.shape
-    nby, nbx = h // block, w // block
-    n_gops = f // gop
-    gframes = frames.reshape(n_gops, gop, h, w)
-    gweights = weights.reshape(n_gops, gop, h, w)
-
-    def code(frame, pred, dz):
-        res = frame - pred
-        q = _quantize(dct2d(blockify(res, block)), qstep, dz)
-        rec = pred + deblockify(idct2d(q * qstep))
-        return q.astype(jnp.int16), jnp.clip(jnp.round(rec), 0.0, maxval)
-
-    lam = qstep * _MC_LAMBDA_SCALE
-
-    def one_gop(g, wg):
-        q0, rec0 = code(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
-        mv0 = jnp.zeros((nby, nbx), jnp.int32)
-
-        def step(prev_rec, fw):
-            frame, wt = fw
-            mv, pred = _mc_search(frame, prev_rec, block, lam, wt)
-            q, rec = code(frame, pred, _DZ_INTER)
-            return rec, (q, mv, rec)
-
-        _, (qs, mvs, recs) = jax.lax.scan(step, rec0, (g[1:], wg[1:]))
-        return (
-            jnp.concatenate([q0[None], qs], axis=0),
-            jnp.concatenate([mv0[None], mvs], axis=0),
-            jnp.concatenate([rec0[None], recs], axis=0),
-        )
-
-    q, mv, rec = jax.vmap(one_gop)(gframes, gweights)
-    return (
-        q.reshape(f, nby, nbx, block, block),
-        mv.reshape(f, nby, nbx),
-        rec.reshape(f, h, w).astype(jnp.uint16),
+    return _encode_impl_mc_core(
+        frames, weights, qstep, maxval, block, gop, weighted=True
     )
 
 
@@ -861,8 +839,10 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
                 wplane = params.mc_weight
                 if wplane is not None and wplane.shape[-2:] == (orig_h,
                                                                 orig_w):
+                    # uint8 over the link (tunnel bandwidth is the ceiling);
+                    # the device program casts to float32
                     wpad = pad_to_block(
-                        np.asarray(wplane, np.float32), b
+                        np.asarray(wplane, np.uint8), b
                     )
                     if fpad:
                         wpad = np.concatenate(
