@@ -1381,10 +1381,22 @@ class Encoder:
                     "attribute", lossless=True
                 ).encode(attr_video, VideoEncoderParams(lossless=True, qp=0))
             else:
+                # usePccRDO: luma-plane MC distortion masks to the valid
+                # (decoded-occupancy ∧ patch-owned) pixels; chroma planes
+                # skip automatically (shape mismatch at half resolution)
+                attr_w = None
+                if (p.usePccRDO and p.motionEstimation
+                        and not p.singleMapPixelInterleaving):
+                    attr_w = np.repeat(
+                        valid.reshape(n_frames, height, width)
+                        .astype(np.uint8),
+                        n_maps, axis=0,
+                    )
                 attr_payload, attr_recon = self._venc("attribute").encode(
                     attr_video,
                     VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop,
-                                       motion=p.motionEstimation),
+                                       motion=p.motionEstimation,
+                                       mc_weight=attr_w),
                 )
             if use_pi:
                 from ..ops.interleave import deinterleave_maps
