@@ -92,11 +92,12 @@ def main(argv=None) -> int:
                     tracer, atlas, decode_patch_frames(atlas), clouds
                 )
             all_clouds.extend(clouds)
-    if params.colorTransform == 1:
-        # "the colour transform to be applied" — output clouds carry YCbCr
-        # (sources below are loaded with the same transform for metrics)
-        for ps in all_clouds:
-            ps.convert_rgb_to_yuv()
+    # colorTransform=1 streams already carry YCbCr in the decoded clouds
+    # (the encoder transformed the sources at load and the attribute video
+    # coded those values) — transforming again here would double-apply it;
+    # the metrics sources below load with the same transform so both sides
+    # compare in the coded space (PccAppDecoder passes the transform only
+    # to source loading, never to the reconstruction).
     if params.reconstructedDataPath:
         GroupOfFrames(all_clouds).write(params.reconstructedDataPath, frame0)
     if params.computeChecksum:

@@ -55,8 +55,12 @@ class DecoderParameters:
     # PCCDecoderParameters.cpp:60,115-145; 0 excludes geometry smoothing
     # from attribute transfer)
     attributeTransferFilterType: int = -1
-    # per-patch chroma up-sampling of the decoded attribute video
-    # (patchColorSubsampling, PccAppDecoder.cpp:166-169)
+    # patchColorSubsampling (PccAppDecoder.cpp:166-169): accepted for cfg
+    # compatibility but a NO-OP here — the encoder's closed loop
+    # reconstructs with the shared standard 420 up-sampling even when it
+    # down-sampled patch-aware, so the decoder must use the same standard
+    # up-sampling for checksums to match; a per-patch up-sample would
+    # DIVERGE from the coded closed loop
     patchColorSubsampling: bool = False
     # SHVC layer to decode from layered sub-streams (PccAppDecoder.cpp:160)
     shvcLayerIndex: int = 8

@@ -1116,6 +1116,7 @@ class Encoder:
         attr_recon = None
         attr_payload_maps = None
         attr_payload_parts = None  # partitions 1.. when dimension-partitioned
+        attr_boundary = None  # lazy: only when flagColorPreSmoothing
         with self.timer.stage("generateAttributeVideo"):
           if not p.noAttributes:
             attr_rgb = np.zeros(
@@ -1167,8 +1168,18 @@ class Encoder:
                         # radius-KNN centroid, local-luma-entropy gated
                         from ..ops.smoothing import presmooth_colors
 
+                        from ..codec.reconstruct import occupancy_boundary
+
+                        if attr_boundary is None:
+                            attr_boundary = occupancy_boundary(
+                                occ_decoded[:, :height, :width]
+                            )
                         colors, _ = presmooth_colors(
                             pts_maps[m][i][msk], colors,
+                            # only patch-BOUNDARY points presmooth
+                            # (presmoothPointCloudColor processes
+                            # boundaryPointType==2, PCCEncoder.cpp:6590)
+                            eligible=attr_boundary[i][msk],
                             radius2=p.radius2ColorPreSmoothing,
                             max_neighbors=p.neighborCountColorPreSmoothing,
                             threshold=p.thresholdColorPreSmoothing,
@@ -1885,6 +1896,19 @@ class Encoder:
         context.vps_list.append(vps)
 
         atlas = context.atlas(0)
+        # reflectance is ALWAYS RBV-lossless (a semantic attribute): under
+        # an external codec group its AI entry must map to rbv1 through the
+        # CCM SEI, not inherit the group codec's id 0
+        refl_cid = 0
+        if refl_payload is not None:
+            refl_cid = next(
+                (c for c, f in sig.ccm_entries if f == cg.RBV_4CC), None
+            )
+            if refl_cid is None:
+                refl_cid = max(
+                    (c for c, _ in sig.ccm_entries), default=-1
+                ) + 1
+                sig.ccm_entries.append((refl_cid, cg.RBV_4CC))
         if sig.ccm_entries:
             from ..bitstream.sei import SeiComponentCodecMapping
 
@@ -2213,7 +2237,7 @@ class Encoder:
         if refl_payload is not None:
             va.attribute_information.ai_attribute_count += 1
             va.attribute_information.ai_attribute_type_id.append(3)  # reflectance
-            va.attribute_information.ai_attribute_codec_id.append(0)
+            va.attribute_information.ai_attribute_codec_id.append(refl_cid)
             va.attribute_information.ai_attribute_dimension_minus1.append(0)
             va.attribute_information.ai_attribute_2d_bitdepth_minus1.append(15)
             va.attribute_information.ai_attribute_msb_align_flag.append(False)

@@ -223,6 +223,13 @@ def smooth_colors(
         (1 << coord_bits) // grid_size,
         1 << (occ_dim - 1).bit_length(),
     ))
+    # memory guard: the dense per-cell stats are grid_dim^3 x ~8 floats —
+    # 256^3 (cgridSize 4, full vox10 extent) would be >500 MB of device
+    # buffers.  Coarsen the cell size instead; BOTH sides derive the same
+    # grid from the same decoded cloud, so the closed loop stays identical.
+    while grid_dim > 128:
+        grid_size *= 2
+        grid_dim = (grid_dim + 1) // 2
     if partition is None:
         out, moved = color_grid_smooth(
             jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(valid),
@@ -266,6 +273,15 @@ def knn_smooth(
     if n == 0:
         return positions, 0
     k = max(1, neighbor_count)
+    if k > 64:
+        import sys
+
+        print(
+            f"warning: neighborCountSmoothing={k} exceeds the device KNN "
+            "kernel's 64-neighbor tile; smoothing with 64",
+            file=sys.stderr,
+        )
+        k = 64
     pos = positions.astype(np.int32)
     d2, idx = grid_knn(
         jnp.asarray(pos), jnp.asarray(pos), k=min(k, 64),
@@ -335,14 +351,19 @@ def presmooth_colors(
         0.2126 * cols[idx][..., 0] + 0.7152 * cols[idx][..., 1]
         + 0.0722 * cols[idx][..., 2]
     ).astype(np.int32)
-    ent = np.zeros(len(cand))
-    for r in range(len(cand)):
-        vals = lum[r][inr[r]]
-        if len(vals) == 0:
-            continue
-        _, counts = np.unique(vals, return_counts=True)
-        p = counts / counts.sum()
-        ent[r] = -(p * np.log2(p)).sum()
+    # vectorized per-row Shannon entropy: scatter-add in-radius luma values
+    # into a (rows, 256) histogram (a per-row python unique() loop measured
+    # minutes per frame on this 1-core host)
+    rows = len(cand)
+    hist = np.zeros((rows, 256), np.int32)
+    rr = np.repeat(np.arange(rows), k)
+    lv = np.clip(lum.reshape(-1), 0, 255)
+    sel = inr.reshape(-1)
+    np.add.at(hist, (rr[sel], lv[sel]), 1)
+    tot = np.maximum(hist.sum(axis=1, keepdims=True), 1)
+    pmat = hist / tot
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.where(pmat > 0, pmat * np.log2(pmat), 0.0).sum(axis=1)
     dist1 = np.abs(centroid - cols[cand]).sum(axis=1)
     move = (dist1 >= threshold) & (ent < entropy_threshold)
     out = colors.copy()

@@ -212,6 +212,15 @@ class Transcoder:
                 f"{p.occupancyPrecision}"
             )
         factor = p.occupancyPrecision // cur_precision
+        if factor * cur_precision != p.occupancyPrecision:
+            import sys
+
+            print(
+                f"warning: occupancyPrecision {p.occupancyPrecision} is not "
+                f"a multiple of the stream's precision {cur_precision}; "
+                f"using {factor * cur_precision}",
+                file=sys.stderr,
+            )
         if factor > 1:
             video = Video(
                 video.width // factor, video.height // factor,
