@@ -374,6 +374,18 @@ class Encoder:
             # would mis-decode one component (the reference CTC couples
             # them too — D1-from-rec-D0 conditions always pair with T1)
             p.absoluteT1 = p.absoluteD1
+        if p.losslessAttribute and not p.absoluteT1:
+            # the predicted T1 residual clips its bias to [0,255]: any
+            # map0/map1 color difference beyond +/-128 would be destroyed —
+            # incompatible with a lossless attribute promise (one VPS flag
+            # couples D1/T1, so both go absolute)
+            print(
+                "warning: losslessAttribute forces absolute map coding "
+                "(the predicted-T1 residual clips large map deltas)",
+                file=sys.stderr,
+            )
+            p.absoluteT1 = True
+            p.absoluteD1 = True
 
         # 1. segmentation + packing (per frame; all-intra atlas)
         with self.timer.stage("generateSegments"):

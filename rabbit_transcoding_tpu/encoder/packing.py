@@ -495,8 +495,14 @@ def pack_gof_adaptive(
         ]
         if e > s and len(spanning) < min_union_ratio * len(alive):
             return None  # badPatchCount
-        # union footprints, packed on one grid (re-packed per window)
-        upacker = Packer(width, height, block, try_orientations,
+        # union footprints, packed on one grid (re-packed per window).
+        # Orientation is pinned to DEFAULT: chain members inherit the
+        # union's (position, orientation) but anchor rotations/mirrors at
+        # their OWN size — a member smaller than the union would rasterize
+        # outside the blocks the union reserved and collide with transients
+        # packed into the gap.  DEFAULT anchors at the corner regardless of
+        # size, so member pixels always stay inside the union footprint.
+        upacker = Packer(width, height, block, False,
                          max_height, safeguard=safeguard,
                          low_delay=low_delay)
         union_pos: dict[int, tuple[int, int, PatchOrientation]] = {}

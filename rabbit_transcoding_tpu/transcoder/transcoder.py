@@ -330,24 +330,16 @@ class Transcoder:
             and vb0.data.startswith(b"RBV") and vb1.data.startswith(b"RBV")
         )
 
-    def _make_map_pair_payloads(
-        self, atlas, t0: VideoType, t1: VideoType, qp: int, component: str,
+    def _prepare_map_pair(
+        self, atlas, t0: VideoType, t1: VideoType, component: str,
         occ_mask: np.ndarray | None = None,
-    ) -> tuple[bytes, bytes]:
-        """Joint transcode of a predicted map pair: decode both, rebuild the
-        absolute map 1 from (delta, rec0_old), re-encode map 0 at the new
-        QP, then re-derive and encode the delta against the NEW rec0 —
-        closed-loop-consistent with the encoder/decoder delta semantics.
-        Lossless inputs go through the occupancy-anchored fill; MC inputs
-        keep motion compensation in the re-encode."""
-        from ..codec.mapstream import (
-            attr_bias,
-            combine_map1,
-            geo_bias,
-            make_delta,
-        )
+    ):
+        """The QP-invariant prefix of a predicted-map-pair transcode: decode
+        both maps, rebuild the absolute map 1 from (delta, rec0_old), and
+        (for lossless inputs) the occupancy-anchored fill.  Hoisted out of
+        the per-QP encode so ABR's bisection probes pay it once."""
+        from ..codec.mapstream import attr_bias, combine_map1, geo_bias
 
-        p = self.params
         data0 = atlas.video_bitstreams[t0].data
         data1 = atlas.video_bitstreams[t1].data
         info0 = rbv.probe(data0)
@@ -372,6 +364,23 @@ class Transcoder:
                 occ_mask, self._map_count(atlas),
             )
             abs1 = [np.asarray(pl) for pl in abs1_v.planes]
+        return (v0, v1, abs1, bias, maxv, use_motion)
+
+    def _make_map_pair_payloads(
+        self, atlas, t0: VideoType, t1: VideoType, qp: int, component: str,
+        occ_mask: np.ndarray | None = None, prepared=None,
+    ) -> tuple[bytes, bytes]:
+        """Joint transcode of a predicted map pair: re-encode map 0 at the
+        new QP, then re-derive and encode the delta against the NEW rec0 —
+        closed-loop-consistent with the encoder/decoder delta semantics."""
+        from ..codec.mapstream import make_delta
+
+        p = self.params
+        if prepared is None:
+            prepared = self._prepare_map_pair(
+                atlas, t0, t1, component, occ_mask=occ_mask
+            )
+        v0, v1, abs1, bias, maxv, use_motion = prepared
         gop = max(1, 1 if p.allIntra else p.videoGopSize)
         vep = VideoEncoderParams(
             qp=qp, gop_size=gop,
@@ -654,24 +663,35 @@ class Transcoder:
             if not vbs:
                 return 32, 0
             total_in = sum(len(vb.data) for _, vb in vbs)
-            qp_out = 32
+            # the family's representative QP is the LARGEST substream's
+            # choice (not whichever happened to search last)
+            qp_out, best_share = 32, -1.0
             nbytes = 0
             for t, vb in vbs:
                 share = len(vb.data) / max(1, total_in)
                 name = f"ext{t}" if isinstance(t, tuple) else t.name
-                qp_out, nb = search(
+                qp, nb = search(
                     vb, _install_for(t), family_budget * share,
                     f"{prefix}:{name}",
                 )
+                if share > best_share:
+                    qp_out, best_share = qp, share
                 nbytes += nb
             return qp_out, nbytes
 
         def search_pair(
             t0, t1, target_bytes, cache_key, component
         ) -> tuple[int, int]:
+            # decode + combine + fill are QP-invariant: pay them once for
+            # the whole bisection, re-encode per probe
+            prepared = self._prepare_map_pair(
+                atlas, t0, t1, component, occ_mask=occ_mask
+            )
+
             def make(qp: int) -> tuple[bytes, bytes]:
                 return self._make_map_pair_payloads(
-                    atlas, t0, t1, qp, component, occ_mask=occ_mask
+                    atlas, t0, t1, qp, component, occ_mask=occ_mask,
+                    prepared=prepared,
                 )
 
             def install(pair) -> None:

@@ -302,6 +302,9 @@ class ShvcVps:
             if default_output_layer_idc == 2:
                 out_flags = [bool(br.u(1)) for _ in layers_in_set]
                 n_out = sum(out_flags)
+                out_layers = [
+                    l for l, f in zip(layers_in_set, out_flags) if f
+                ]
             else:
                 # idc 0: all layers output; idc 1: highest layer only
                 n_out = (
@@ -309,13 +312,17 @@ class ShvcVps:
                     if default_output_layer_idc == 0
                     else 1
                 )
+                out_layers = layers_in_set
             num_output_layers.append(n_out)
             if num_ptl_minus1 > 0:
                 nbits = math.ceil(math.log2(num_ptl_minus1 + 1))
                 for _ in layers_in_set:  # necessary layers (all, here)
                     br.u(nbits)
             if n_out == 1:
-                top = layers_in_set[-1]
+                # alt_output_layer_flag conditions on the highest OUTPUT
+                # layer (OlsHighestOutputLayerId), not the highest layer in
+                # the set — under idc 2 a lower layer can be the only output
+                top = out_layers[-1] if out_layers else layers_in_set[-1]
                 if any(direct_dep[top]):
                     br.u(1)  # alt_output_layer_flag
         num_rep = br.ue() + 1
