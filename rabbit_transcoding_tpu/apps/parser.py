@@ -89,6 +89,54 @@ def main(argv=None) -> int:
                     else:
                         line += "  (unknown payload)"
             print(line)
+        # HLS summary (PccAppParser's structure dump analog)
+        try:
+            ctx = reader.decode(list(gof))
+            for atlas in ctx.atlases:
+                for asps in atlas.asps_list:
+                    tools = []
+                    if asps.asps_plr_enabled_flag:
+                        tools.append(
+                            f"plr[{asps.asps_plr_number_of_modes_minus1 + 1}"
+                            " modes]"
+                        )
+                    if asps.asps_eom_patch_enabled_flag:
+                        tools.append(
+                            f"eom[{asps.asps_eom_fix_bit_count_minus1 + 1}b]"
+                        )
+                    if asps.asps_pixel_deinterleaving_flag:
+                        tools.append("pixel-interleave")
+                    if asps.asps_raw_patch_enabled_flag:
+                        tools.append("raw")
+                    if asps.asps_extended_projection_enabled_flag:
+                        tools.append(
+                            "proj"
+                            f"{asps.asps_max_number_projections_minus1 + 1}"
+                        )
+                    print(
+                        f"  ASPS {asps.asps_atlas_sequence_parameter_set_id}:"
+                        f" {asps.asps_frame_width}x{asps.asps_frame_height}"
+                        f" maps={asps.asps_map_count_minus1 + 1}"
+                        f" geo2d={asps.asps_geometry_2d_bitdepth_minus1 + 1}"
+                        f" geo3d={asps.asps_geometry_3d_bitdepth_minus1 + 1}"
+                        + (f"  tools: {' '.join(tools)}" if tools else "")
+                    )
+                for atl in atlas.atlas_tile_layers[:1]:
+                    h = atl.header
+                    quants = []
+                    if h.ath_pos_min_d_quantizer:
+                        quants.append(f"minD<<{h.ath_pos_min_d_quantizer}")
+                    if h.ath_patch_size_x_info_quantizer or (
+                        h.ath_patch_size_y_info_quantizer
+                    ):
+                        quants.append(
+                            f"size q={1 << h.ath_patch_size_x_info_quantizer}"
+                            f"x{1 << h.ath_patch_size_y_info_quantizer}"
+                        )
+                    if quants:
+                        print(f"  ATH quantizers: {', '.join(quants)}")
+        except Exception as e:
+            print(f"  (HLS summary unavailable: {e})")
     print(reader.stat.report())
     return 0
 
