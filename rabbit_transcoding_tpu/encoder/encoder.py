@@ -1917,9 +1917,12 @@ class Encoder:
                 (c for c, f in sig.ccm_entries if f == cg.RBV_4CC), None
             )
             if refl_cid is None:
-                refl_cid = max(
-                    (c for c, _ in sig.ccm_entries), default=-1
-                ) + 1
+                # a fresh id: distinct from every group-component id AND
+                # every CCM-mapped id, or the mapping would relabel them
+                used = set(sig.component_ids.values()) | {
+                    c for c, _ in sig.ccm_entries
+                }
+                refl_cid = max(used, default=-1) + 1
                 sig.ccm_entries.append((refl_cid, cg.RBV_4CC))
         if sig.ccm_entries:
             from ..bitstream.sei import SeiComponentCodecMapping

@@ -256,3 +256,4 @@ class TestReflectanceTranscode:
         out = V3CWriter().write(V3CWriter().encode(ctx2))
         dec = Decoder().decode(r.decode(r.read(out)[0]))[0]
         assert dec.has_reflectances
+

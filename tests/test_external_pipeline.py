@@ -313,3 +313,35 @@ class TestConfigPassthrough:
                 EncoderParameters(videoEncoderGeometryCodecId="NOPE"),
                 "Geometry",
             )
+
+
+class TestReflectanceCodecSignalling:
+    def test_refl_maps_to_rbv_under_external_group(self, mock_bins):
+        """Reflectance is always RBV-lossless: when the main components use
+        an external codec family, the reflectance AI entry must resolve to
+        rbv1 through the CCM SEI, not inherit the group codec's id 0."""
+        enc_bin, _ = mock_bins
+        src = make_sphere_cloud(seed=4)
+        src.reflectances = (
+            (src.positions[:, 1].astype(np.uint32) * 31) % 60000
+        ).astype(np.uint16)
+        context, _ = Encoder(EncoderParameters(
+            minimumImageWidth=256, minimumImageHeight=64,
+            geometryQP=16, attributeQP=24, occupancyPrecision=2,
+            frameCount=1, groupOfFramesSize=1,
+            videoEncoderOccupancyCodecId="HM_APP",
+            videoEncoderGeometryCodecId="HM_APP",
+            videoEncoderAttributeCodecId="HM_APP",
+            videoEncoderOccupancyPath=enc_bin,
+            videoEncoderGeometryPath=enc_bin,
+            videoEncoderAttributePath=enc_bin,
+        )).encode(GroupOfFrames([src]))
+        ai = context.vps.atlas(0).attribute_information
+        assert ai.ai_attribute_count == 2
+        main_cid, refl_cid = ai.ai_attribute_codec_id
+        assert refl_cid != main_cid
+        ccm = [s for s in context.atlas(0).seis_prefix
+               if isinstance(s, SeiComponentCodecMapping)]
+        assert ccm, "external+RBV mix must emit a CCM SEI"
+        mapping = dict(zip(ccm[0].ccm_codec_id, ccm[0].ccm_codec_4cc))
+        assert mapping.get(refl_cid) == "rbv1"
