@@ -77,20 +77,50 @@ def round_up(x: int, m: int) -> int:
 
 def occupancy_boundary(occ: np.ndarray) -> np.ndarray:
     """(F, H, W) occupancy -> (F, H*W) bool marking occupied pixels missing
-    a 4-neighbor (or on the atlas border) — the points the reference tags
-    via identifyBoundaryPoints (PCCCodec.cpp:266).  Geometry smoothing only
-    moves these; interior surface points stay put."""
+    an 8-neighbor (or on the atlas border) — the points the reference tags
+    type 1 via identifyBoundaryPoints (PCCCodec.cpp:266-305, which checks
+    the four axial AND four diagonal neighbors, then force-tags every
+    border pixel).  Geometry smoothing only moves these; interior surface
+    points stay put."""
     b = occ.astype(bool)
     interior = b.copy()
     interior[:, 1:, :] &= b[:, :-1, :]
     interior[:, :-1, :] &= b[:, 1:, :]
     interior[:, :, 1:] &= b[:, :, :-1]
     interior[:, :, :-1] &= b[:, :, 1:]
+    # diagonals: a staircase contour pixel with all 4 axial neighbors
+    # occupied is still a boundary point in the reference
+    interior[:, 1:, 1:] &= b[:, :-1, :-1]
+    interior[:, 1:, :-1] &= b[:, :-1, 1:]
+    interior[:, :-1, 1:] &= b[:, 1:, :-1]
+    interior[:, :-1, :-1] &= b[:, 1:, 1:]
     interior[:, 0, :] = False
     interior[:, -1, :] = False
     interior[:, :, 0] = False
     interior[:, :, -1] = False
     return (b & ~interior).reshape(occ.shape[0], -1)
+
+
+def occupancy_near_boundary(occ: np.ndarray) -> np.ndarray:
+    """Type-2 boundary ring (identifyBoundaryPoints' second layer,
+    PCCCodec.cpp:306-320): occupied pixels NOT type 1 with an unoccupied
+    pixel at chebyshev distance exactly 2 (the 16 ring offsets; out-of-
+    bounds ring cells do not count).  Color pre-smoothing gates on this
+    set (presmoothPointCloudColor, PCCEncoder.cpp:6590)."""
+    b = occ.astype(bool)
+    f, h, w = b.shape
+    hole_near = np.zeros_like(b)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if abs(dy) <= 1 and abs(dx) <= 1:
+                continue
+            sy = slice(max(dy, 0), h + min(dy, 0))
+            sx = slice(max(dx, 0), w + min(dx, 0))
+            ty = slice(max(-dy, 0), h + min(-dy, 0))
+            tx = slice(max(-dx, 0), w + min(-dx, 0))
+            hole_near[:, ty, tx] |= ~b[:, sy, sx]
+    type1 = occupancy_boundary(occ).reshape(b.shape)
+    return (b & ~type1 & hole_near).reshape(f, -1)
 
 
 def plr_mode_map(
@@ -211,7 +241,14 @@ def synthesize_plr_layers(
     )[:, :h, :w].reshape(f, h * w) - 1
     mode_px = plr_mode_map(patch_lists, h, w, owner)
     table_m = np.asarray([list(m) for m in plr_modes], np.int32)
-    mode_px = np.minimum(mode_px, len(table_m) - 1)
+    top = int(mode_px.max()) if mode_px.size else 0
+    if top >= len(table_m):
+        # fail loudly (stream-driver containment catches it) rather than
+        # silently synthesizing with a remapped mode
+        raise ValueError(
+            f"coded PLR mode {top} exceeds the ASPS mode table "
+            f"({len(table_m)} entries)"
+        )
     interp_px = table_m[mode_px, 0].astype(bool)
     fill_px = table_m[mode_px, 1].astype(bool)
     mind_px = table_m[mode_px, 2]
@@ -226,12 +263,15 @@ def synthesize_plr_layers(
     delta_px = np.where(valid, delta_px, 0)
     layers: list[tuple[np.ndarray, np.ndarray]] = []
     max_delta = int(delta_px.max()) if delta_px.size else 0
+    # ship the plane ONCE; per-layer +k happens on device (the tunnel is
+    # the ceiling — one transfer instead of one per synthesized layer)
+    geo_dev = jnp.asarray(geo0) if max_delta else None
     for k in range(1, max_delta + 1):
         mask_k = valid & ((delta_px == k) | (fill_px & (k < delta_px)))
         if not mask_k.any():
             continue
         pts_k, _, _ = repro_ops.reproject(
-            jnp.asarray(geo0 + k), occ_dev, table_dev, counts_dev,
+            geo_dev + k, occ_dev, table_dev, counts_dev,
             block, reverse=reverse,
         )
         layers.append((np.asarray(pts_k), mask_k))
@@ -280,7 +320,10 @@ class ReconstructionEngine:
             raw_max = max((len(p) for p in patch_lists), default=1)
             max_patches = max(1, round_up(raw_max, 32))
         table, counts = repro_ops.build_patch_table(patch_lists, max_patches)
-        block = patch_lists[0][0].occupancy_resolution if patch_lists and patch_lists[0] else 16
+        # the first NON-EMPTY frame's resolution (frame 0 can be all-raw)
+        block = next(
+            (pl[0].occupancy_resolution for pl in patch_lists if pl), 16
+        )
 
         if self.params.pbf_enable:
             geo0_pbf = np.asarray(

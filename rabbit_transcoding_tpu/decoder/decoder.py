@@ -260,34 +260,6 @@ class Decoder:
                     atlas.get_video_bitstream(VideoType.ATTRIBUTE_REFL).data,
                 )
 
-        if (atlas.asps_list
-                and atlas.asps_list[0].asps_pixel_deinterleaving_flag):
-            # single-map pixel interleaving: restore the dual-map
-            # frame-interleaved layout the reconstruction engine expects
-            import jax.numpy as jnp
-
-            from ..core.image import Video
-            from ..ops.interleave import deinterleave_maps
-            from ..utils.enums import ColorFormat
-
-            def _deinterleave(video, cf):
-                planes = []
-                for pl in video.planes:
-                    m0, m1 = deinterleave_maps(jnp.asarray(pl))
-                    rec = np.empty(
-                        (2 * pl.shape[0],) + pl.shape[1:],
-                        np.asarray(pl).dtype,
-                    )
-                    rec[0::2] = np.asarray(m0)
-                    rec[1::2] = np.asarray(m1)
-                    planes.append(rec)
-                return Video(video.width, video.height, video.bitdepth,
-                             cf, planes)
-
-            geo_video = _deinterleave(geo_video, ColorFormat.YUV400)
-            if attr_video is not None:
-                attr_video = _deinterleave(attr_video, ColorFormat.YUV420)
-
         gpc = GeneratePointCloudParameters()
         # b2p precedence follows the signalled asps flag (PCCCodec.cpp:2068)
         if atlas.asps_list:
@@ -331,6 +303,49 @@ class Decoder:
             occ_maps = engine.occupancy_maps(
                 occ_video, width, height, occ_threshold
             )
+
+        if (atlas.asps_list
+                and atlas.asps_list[0].asps_pixel_deinterleaving_flag):
+            # single-map pixel interleaving: restore the dual-map
+            # frame-interleaved layout the reconstruction engine expects
+            import jax.numpy as jnp
+
+            from ..core.image import Video
+            from ..ops.interleave import deinterleave_maps
+            from ..utils.enums import ColorFormat
+
+            # occupancy-gated (and, for geometry, thickness-clamped)
+            # interpolation — decoder-identical to the encoder closed loop
+            st = (
+                atlas.asps_list[0].asps_vpcc_surface_thickness_minus1 + 1
+            )
+            occ_pi = jnp.asarray(occ_maps[:, :height, :width])
+
+            def _deinterleave(video, cf, thickness=None):
+                planes = []
+                for pl in video.planes:
+                    m0, m1 = deinterleave_maps(
+                        jnp.asarray(pl),
+                        occ=(
+                            occ_pi
+                            if pl.shape[1:] == occ_pi.shape[1:] else None
+                        ),
+                        thickness=thickness,
+                    )
+                    rec = np.empty(
+                        (2 * pl.shape[0],) + pl.shape[1:],
+                        np.asarray(pl).dtype,
+                    )
+                    rec[0::2] = np.asarray(m0)
+                    rec[1::2] = np.asarray(m1)
+                    planes.append(rec)
+                return Video(video.width, video.height, video.bitdepth,
+                             cf, planes)
+
+            geo_video = _deinterleave(geo_video, ColorFormat.YUV400,
+                                      thickness=st)
+            if attr_video is not None:
+                attr_video = _deinterleave(attr_video, ColorFormat.YUV420)
 
         with self.timer.stage("generatePointCloud"):
             map_count = (
@@ -465,10 +480,9 @@ class Decoder:
                     ).astype(np.uint8)
                     if not eom_plane.any():
                         continue
-                    block = (
-                        patch_frames[fi][0].occupancy_resolution
-                        if patch_frames[fi]
-                        else 16
+                    block = next(
+                        (pl[0].occupancy_resolution
+                         for pl in patch_frames if pl), 16,
                     )
                     owner_pix = np.repeat(
                         np.repeat(b2p[fi], block, 0), block, 1

@@ -972,7 +972,11 @@ class Encoder:
                 # the DECODED plane exactly as the decoder will
                 from ..ops.interleave import deinterleave_maps
 
-                m0, m1 = deinterleave_maps(jnp.asarray(geo_recon.planes[0]))
+                m0, m1 = deinterleave_maps(
+                    jnp.asarray(geo_recon.planes[0]),
+                    occ=jnp.asarray(occ_decoded),
+                    thickness=p.surfaceThickness,
+                )
                 rec = np.empty(
                     (2 * n_frames, height, width),
                     np.asarray(geo_recon.planes[0]).dtype,
@@ -1180,15 +1184,17 @@ class Encoder:
                         # radius-KNN centroid, local-luma-entropy gated
                         from ..ops.smoothing import presmooth_colors
 
-                        from ..codec.reconstruct import occupancy_boundary
+                        from ..codec.reconstruct import (
+                            occupancy_near_boundary,
+                        )
 
                         if attr_boundary is None:
-                            attr_boundary = occupancy_boundary(
+                            attr_boundary = occupancy_near_boundary(
                                 occ_decoded[:, :height, :width]
                             )
                         colors, _ = presmooth_colors(
                             pts_maps[m][i][msk], colors,
-                            # only patch-BOUNDARY points presmooth
+                            # only the TYPE-2 near-boundary ring presmooths
                             # (presmoothPointCloudColor processes
                             # boundaryPointType==2, PCCEncoder.cpp:6590)
                             eligible=attr_boundary[i][msk],
@@ -1426,7 +1432,15 @@ class Encoder:
 
                 rec_planes = []
                 for pl in attr_recon.planes:
-                    m0, m1 = deinterleave_maps(jnp.asarray(pl))
+                    # luma gates on occupancy; half-res chroma stays plain
+                    m0, m1 = deinterleave_maps(
+                        jnp.asarray(pl),
+                        occ=(
+                            jnp.asarray(occ_decoded)
+                            if pl.shape[1:] == occ_decoded.shape[1:]
+                            else None
+                        ),
+                    )
                     rec = np.empty(
                         (2 * n_frames,) + pl.shape[1:], np.asarray(pl).dtype
                     )
@@ -1963,6 +1977,11 @@ class Encoder:
             asps_patch_precedence_order_flag=p.patchPrecedenceOrder,
             asps_map_count_minus1=p.mapCountMinus1,
             asps_pixel_deinterleaving_flag=use_pi,
+            # the decoder's PI deinterleave clamp derives thickness from
+            # this field — it must carry the encoder's actual setting
+            asps_vpcc_surface_thickness_minus1=max(
+                0, p.surfaceThickness - 1
+            ),
             asps_raw_patch_enabled_flag=raw_geo_payload is not None,
             asps_eom_patch_enabled_flag=p.enhancedOccupancyMapCode,
             asps_eom_fix_bit_count_minus1=max(1, min(p.EOMFixBitCount, 7)) - 1,

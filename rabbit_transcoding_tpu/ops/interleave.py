@@ -31,27 +31,59 @@ def interleave_maps(m0: jax.Array, m1: jax.Array) -> jax.Array:
     return jnp.where(par0[None], m0, m1)
 
 
-@aot_jit
-def deinterleave_maps(plane: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(F, H, W) interleaved -> (map0, map1).
+from functools import partial  # noqa: E402
 
-    The missing map at (x, y) is the mean of the (x-1, y) and (x+1, y)
-    samples — opposite parity, i.e. exactly the needed map; atlas edge
-    columns use their single available neighbor.  (No near/far clamp: plane
-    values are absolute pixel depths whose ordering flips with the patch's
-    projection mode.)"""
+
+@partial(aot_jit, static_argnames=("use_occ", "use_clamp"))
+def _deinterleave_impl(plane, occ, thickness, use_occ: bool,
+                       use_clamp: bool):
     f, h, w = plane.shape
     p = plane.astype(jnp.int32)
     left = jnp.roll(p, 1, axis=2)
     right = jnp.roll(p, -1, axis=2)
     xx = jnp.arange(w)
-    has_l = (xx > 0)[None, None, :]
-    has_r = (xx < w - 1)[None, None, :]
-    interp = jnp.where(
-        has_l & has_r, (left + right) // 2,
-        jnp.where(has_l, left, right),
-    )
+    has_l = jnp.broadcast_to((xx > 0)[None, None, :], p.shape)
+    has_r = jnp.broadcast_to((xx < w - 1)[None, None, :], p.shape)
+    if use_occ:
+        # only OCCUPIED neighbors contribute (an unoccupied neighbor holds
+        # background fill, not the missing map's depth — the reference
+        # gates each neighbor the same way, PCCCodec.cpp:350-471)
+        ob = occ.astype(bool)
+        has_l = has_l & jnp.roll(ob, 1, axis=2)
+        has_r = has_r & jnp.roll(ob, -1, axis=2)
+    cnt = has_l.astype(jnp.int32) + has_r.astype(jnp.int32)
+    s = jnp.where(has_l, left, 0) + jnp.where(has_r, right, 0)
+    # no usable neighbor: duplicate the own-parity sample (a same-position
+    # point; remove-duplicates folds it)
+    interp = jnp.where(cnt > 0, s // jnp.maximum(cnt, 1), p)
+    if use_clamp:
+        # the missing map stays within surfaceThickness of the coded one
+        interp = jnp.clip(interp, p - thickness, p + thickness)
     par0 = _parity0(h, w)[None]
     m0 = jnp.where(par0, p, interp)
     m1 = jnp.where(par0, interp, p)
     return m0.astype(plane.dtype), m1.astype(plane.dtype)
+
+
+def deinterleave_maps(
+    plane: jax.Array,
+    occ: jax.Array | None = None,
+    thickness: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """(F, H, W) interleaved -> (map0, map1).
+
+    The missing map at (x, y) interpolates from the (x∓1, y) samples —
+    opposite parity, i.e. exactly the needed map.  With `occ` only occupied
+    neighbors contribute; with `thickness` (geometry planes) the result
+    clamps to the coded sample ± surfaceThickness (the reference's
+    pixel-interleave reconstruction applies both gates,
+    PCCCodec.cpp:350-471).  Encoder closed loop and decoder MUST pass the
+    same arguments."""
+    use_occ = occ is not None
+    use_clamp = thickness is not None
+    return _deinterleave_impl(
+        plane,
+        occ if use_occ else plane,
+        jnp.int32(thickness if use_clamp else 0),
+        use_occ, use_clamp,
+    )

@@ -19,9 +19,7 @@ from ..utils.aot import aot_jit
 
 def _aotp(**kw):
     # aot_jit == jax.jit off-TPU; persists executables on TPU (utils/aot.py)
-    def deco(fn):
-        return aot_jit(fn, **kw)
-    return deco
+    return partial(aot_jit, **kw)
 
 
 @_aotp(static_argnames=("factor",))
@@ -87,15 +85,17 @@ def pbf_refine(
     g = geo.astype(jnp.float32)
 
     def shift(x, dy, dx, fill):
+        # mask the FULL |dy|/|dx| wrap band (a radius-2 window once gathered
+        # the opposite atlas edge through jnp.roll's wraparound)
         out = jnp.roll(jnp.roll(x, dy, axis=1), dx, axis=2)
-        if dy == 1:
-            out = out.at[:, 0, :].set(fill)
-        elif dy == -1:
-            out = out.at[:, -1, :].set(fill)
-        if dx == 1:
-            out = out.at[:, :, 0].set(fill)
-        elif dx == -1:
-            out = out.at[:, :, -1].set(fill)
+        if dy > 0:
+            out = out.at[:, :dy, :].set(fill)
+        elif dy < 0:
+            out = out.at[:, dy:, :].set(fill)
+        if dx > 0:
+            out = out.at[:, :, :dx].set(fill)
+        elif dx < 0:
+            out = out.at[:, :, dx:].set(fill)
         return out
 
     offsets = [
