@@ -89,6 +89,25 @@ class AtlasHLS:
     def set_video_bitstream(self, vb: VideoBitstream) -> None:
         self.video_bitstreams[vb.type] = vb
 
+    def num_ref_idx_active(
+        self,
+        ath,
+        asps: AtlasSequenceParameterSetRbsp,
+        afps: AtlasFrameParameterSetRbsp,
+    ) -> int:
+        """NumRefIdxActive derivation — getNumRefIdxActive
+        (PCCHighLevelSyntax.cpp:45-63): override -> minus1+1, else
+        min(active ref list entries, afps default), P/SKIP tiles only."""
+        from ..utils.enums import AtlasTileType
+
+        if ath.ath_type not in (AtlasTileType.P_TILE, AtlasTileType.SKIP_TILE):
+            return 0
+        if ath.ath_num_ref_idx_active_override_flag:
+            return ath.ath_num_ref_idx_active_minus1 + 1
+        rl = ath.active_ref_list(asps)
+        entries = rl.num_ref_entries if rl is not None else 0
+        return min(entries, afps.afps_num_ref_idx_default_active_minus1 + 1)
+
     def syntax_context(
         self,
         asps: AtlasSequenceParameterSetRbsp,
@@ -101,6 +120,15 @@ class AtlasHLS:
         geom3d = asps.asps_geometry_3d_bitdepth_minus1 + 1
         geom2d = asps.asps_geometry_2d_bitdepth_minus1 + 1
         min_d_quant = ath.ath_pos_min_d_quantizer if ath is not None else 0
+        afti = afps.atlas_frame_tile_information
+        if ath is not None and asps.asps_auxiliary_video_enabled_flag:
+            # per-tile gate: the rpdu/epdu in-aux flag codes only when THIS
+            # tile has an aux sub-row (PCCBitstreamReader.cpp rawPatchDataUnit)
+            aux_present = (
+                afti.aux_row_height(afti.tile_index_of(ath.ath_id)) > 0
+            )
+        else:
+            aux_present = asps.asps_auxiliary_video_enabled_flag
         return SyntaxContext(
             offset_u_bits=geom3d,
             offset_v_bits=geom3d,
@@ -113,19 +141,21 @@ class AtlasHLS:
                 and asps.asps_normal_axis_max_delta_value_enabled_flag
                 else 0
             )),
-            projection_bits=max(
-                1,
-                (asps.asps_max_number_projections_minus1).bit_length()
-                if asps.asps_extended_projection_enabled_flag
-                else 3,
-            ),
+            # ceilLog2(MaxNumberProjectionsMinus1 + 1) unconditionally
+            # (PCCBitstreamReader.cpp:1050) == bit_length of the minus1 value
+            projection_bits=(
+                asps.asps_max_number_projections_minus1
+            ).bit_length(),
             use_eight_orientations=asps.asps_use_eight_orientations_flag,
             normal_axis_limits_quantization=(
                 asps.asps_normal_axis_limits_quantization_enabled_flag
             ),
+            normal_axis_max_delta=(
+                asps.asps_normal_axis_max_delta_value_enabled_flag
+            ),
             lod_mode_enabled=afps.afps_lod_mode_enabled_flag,
             num_ref_idx_active=num_ref_idx_active,
-            auxiliary_video_present=asps.asps_auxiliary_video_enabled_flag,
+            auxiliary_video_present=aux_present,
             raw_3d_offset_bits=(
                 ath.ath_raw_3d_offset_axis_bit_count_minus1 + 1
                 if ath is not None
@@ -134,11 +164,13 @@ class AtlasHLS:
             plr_enabled=asps.asps_plr_enabled_flag,
             # coded values are (mode - 1) in 0..numberOfModesMinus1-1:
             # ceilLog2(numberOfModesMinus1) bits, the reference's width
-            # (PCCBitstreamReader plrd; ceilLog2(x) = (x-1).bit_length())
-            plr_mode_bits=max(
-                1,
-                (asps.asps_plr_number_of_modes_minus1 - 1).bit_length()
-                if asps.asps_plr_number_of_modes_minus1 > 1 else 1,
+            # (PCCBitstreamReader plrData) — ZERO bits when only one coded
+            # mode exists, exactly as ceilLog2(1) == 0
+            plr_mode_bits=(
+                asps.asps_plr_number_of_modes_minus1 - 1
+            ).bit_length(),
+            plr_block_threshold_plus1=(
+                asps.plri_block_threshold_per_patch_minus1 + 1
             ),
             packing_block_size=(
                 1 << asps.asps_log2_patch_packing_block_size

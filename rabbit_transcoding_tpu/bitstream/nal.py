@@ -40,7 +40,13 @@ class NalUnit:
 
     @property
     def is_irap(self) -> bool:
-        return NalUnitType.NAL_IDR_N_LP <= self.nal_unit_type <= NalUnitType.NAL_GIDR_N_LP
+        """IRAP range per the reference's no-output-flag gate
+        (PCCBitstreamReader.cpp:783: NAL_BLA_W_LP..NAL_RSV_IRAP_ACL_29)."""
+        return (
+            NalUnitType.NAL_BLA_W_LP
+            <= self.nal_unit_type
+            <= NalUnitType.NAL_RSV_IRAP_ACL_29
+        )
 
     @property
     def is_acl(self) -> bool:

@@ -128,7 +128,9 @@ class V3CReader:
                 )
             elif t == NalUnitType.NAL_AFPS:
                 atlas.afps_list.append(
-                    AtlasFrameParameterSetRbsp.read(BitReader(nal.payload))
+                    AtlasFrameParameterSetRbsp.read(
+                        BitReader(nal.payload), atlas.asps
+                    )
                 )
             elif t in (NalUnitType.NAL_PREFIX_ESEI, NalUnitType.NAL_PREFIX_NSEI):
                 atlas.seis_prefix.extend(
@@ -156,11 +158,7 @@ class V3CReader:
         header = AtlasTileHeader.read(br, atlas.asps, atlas.afps, nal.is_irap)
         afps = atlas.afps(header.ath_atlas_frame_parameter_set_id)
         asps = atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
-        nri = (
-            header.ath_num_ref_idx_active_minus1 + 1
-            if header.ath_num_ref_idx_active_override_flag
-            else afps.afps_num_ref_idx_default_active_minus1 + 1
-        )
+        nri = atlas.num_ref_idx_active(header, asps, afps)
         ctx = atlas.syntax_context(asps, afps, nri, header)
         data_unit = AtlasTileDataUnit.read(br, header.ath_type, ctx)
         return AtlasTileLayerRbsp(header=header, data_unit=data_unit)

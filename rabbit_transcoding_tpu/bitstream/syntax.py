@@ -379,25 +379,29 @@ class V3CParameterSet:
 # ===========================================================================
 @dataclasses.dataclass
 class RefListStruct:
+    """23090-5 8.3.6.12.  st_ref_atlas_frame_flag is only coded when the
+    ASPS enables long-term reference frames (PCCBitstreamReader.cpp:885-916);
+    long-term entries themselves are not supported by this framework."""
+
     num_ref_entries: int = 0
     abs_delta_afoc_st: list[int] = field(default_factory=list)
     straf_entry_sign_flag: list[bool] = field(default_factory=list)
 
-    def write(self, bw: BitWriter) -> None:
+    def write(self, bw: BitWriter, long_term_enabled: bool = False) -> None:
         bw.ue(self.num_ref_entries)
         for i in range(self.num_ref_entries):
-            # st_ref_atlas_frame_flag always 1 here (no long-term refs yet)
-            bw.u(1, 1)
+            if long_term_enabled:
+                bw.u(1, 1)  # st_ref_atlas_frame_flag: short-term only
             bw.ue(self.abs_delta_afoc_st[i])
             if self.abs_delta_afoc_st[i] > 0:
                 bw.u(1, self.straf_entry_sign_flag[i])
 
     @classmethod
-    def read(cls, br: BitReader) -> "RefListStruct":
+    def read(cls, br: BitReader, long_term_enabled: bool = False) -> "RefListStruct":
         s = cls()
         s.num_ref_entries = br.ue()
         for _ in range(s.num_ref_entries):
-            st = br.u(1)
+            st = br.u(1) if long_term_enabled else 1
             assert st == 1, "long-term reference atlas frames not supported"
             d = br.ue()
             s.abs_delta_afoc_st.append(d)
@@ -426,16 +430,24 @@ class AtlasSequenceParameterSetRbsp:
     asps_patch_size_quantizer_present_flag: bool = False
     asps_map_count_minus1: int = 0
     asps_pixel_deinterleaving_flag: bool = False
+    asps_pixel_deinterleaving_map_flag: list[bool] = field(
+        default_factory=list
+    )
     asps_raw_patch_enabled_flag: bool = False
     asps_eom_patch_enabled_flag: bool = False
     asps_eom_fix_bit_count_minus1: int = 0
     asps_auxiliary_video_enabled_flag: bool = False
     asps_plr_enabled_flag: bool = False
-    # PLR information (23090-5 8.3.6.1.2 plri_*, PCCBitstreamWriter.cpp:
-    # 774-796): number_of_modes_minus1 coded mode descriptors follow the
-    # implicit mode 0 (no interpolate / no filling / minD1 0 / neighbor 1 =
-    # no extra point); descriptor i defines coded mode value i+1
+    # PLR information (23090-5 8.3.6.1.2 plri_*, coded once per map,
+    # PCCBitstreamReader.cpp:531-552): number_of_modes_minus1 coded mode
+    # descriptors follow the implicit mode 0 (no interpolate / no filling /
+    # minD1 0 / neighbor 1 = no extra point); descriptor i defines coded mode
+    # value i+1.  This framework reconstructs PLR on map 0 only, and every
+    # enabled map shares the descriptor set below (the flat fields);
+    # plri_map_enabled_flag records which maps carry PLR data.
     asps_plr_number_of_modes_minus1: int = 1
+    plri_map_enabled_flag: list[bool] = dataclasses.field(
+        default_factory=lambda: [True])
     plri_interpolate_flag: list = dataclasses.field(
         default_factory=lambda: [False])
     plri_filling_flag: list = dataclasses.field(
@@ -445,9 +457,15 @@ class AtlasSequenceParameterSetRbsp:
         default_factory=lambda: [0])
     plri_block_threshold_per_patch_minus1: int = 8
     asps_vui_parameters_present_flag: bool = False
-    # V-PCC extension
+    # extension signalling (23090-5: asps_extension_present_flag ->
+    # asps_vpcc_extension_present_flag u(1) + asps_extension_7bits u(7),
+    # PCCBitstreamReader.cpp:512-524)
     asps_vpcc_extension_present_flag: bool = True
+    asps_extension_7bits: int = 0
     asps_vpcc_remove_duplicate_point_enabled_flag: bool = False
+    # asps_vpcc_surface_thickness_minus1 is only CODED when pixel
+    # deinterleaving or PLR is enabled (PCCBitstreamReader.cpp:2380-2390);
+    # otherwise it keeps this default on the decode side.
     asps_vpcc_surface_thickness_minus1: int = 3
 
     def write(self, bw: BitWriter) -> None:
@@ -461,7 +479,7 @@ class AtlasSequenceParameterSetRbsp:
         bw.u(1, self.asps_long_term_ref_atlas_frames_flag)
         bw.ue(len(self.ref_list_structs))
         for rls in self.ref_list_structs:
-            rls.write(bw)
+            rls.write(bw, self.asps_long_term_ref_atlas_frames_flag)
         bw.u(1, self.asps_use_eight_orientations_flag)
         bw.u(1, self.asps_extended_projection_enabled_flag)
         if self.asps_extended_projection_enabled_flag:
@@ -473,6 +491,9 @@ class AtlasSequenceParameterSetRbsp:
         bw.u(1, self.asps_patch_size_quantizer_present_flag)
         bw.u(4, self.asps_map_count_minus1)
         bw.u(1, self.asps_pixel_deinterleaving_flag)
+        if self.asps_pixel_deinterleaving_flag:
+            for m in range(self.asps_map_count_minus1 + 1):
+                bw.u(1, self._pixel_deinterleaving_map(m))
         bw.u(1, self.asps_raw_patch_enabled_flag)
         bw.u(1, self.asps_eom_patch_enabled_flag)
         if self.asps_eom_patch_enabled_flag and self.asps_map_count_minus1 == 0:
@@ -481,21 +502,41 @@ class AtlasSequenceParameterSetRbsp:
             bw.u(1, self.asps_auxiliary_video_enabled_flag)
         bw.u(1, self.asps_plr_enabled_flag)
         if self.asps_plr_enabled_flag:
-            bw.u(4, self.asps_plr_number_of_modes_minus1)
-            for i in range(self.asps_plr_number_of_modes_minus1):
-                bw.u(1, self.plri_interpolate_flag[i])
-                bw.u(1, self.plri_filling_flag[i])
-                bw.u(2, self.plri_minimum_depth[i])
-                bw.u(2, self.plri_neighbour_minus1[i])
-            bw.u(6, self.plri_block_threshold_per_patch_minus1)
+            for m in range(self.asps_map_count_minus1 + 1):
+                enabled = self.plri_map_enabled(m)
+                bw.u(1, enabled)
+                if enabled:
+                    bw.u(4, self.asps_plr_number_of_modes_minus1)
+                    for i in range(self.asps_plr_number_of_modes_minus1):
+                        bw.u(1, self.plri_interpolate_flag[i])
+                        bw.u(1, self.plri_filling_flag[i])
+                        bw.u(2, self.plri_minimum_depth[i])
+                        bw.u(2, self.plri_neighbour_minus1[i])
+                    bw.u(6, self.plri_block_threshold_per_patch_minus1)
         bw.u(1, self.asps_vui_parameters_present_flag)
-        bw.u(1, self.asps_vpcc_extension_present_flag)
+        ext_present = (
+            self.asps_vpcc_extension_present_flag
+            or self.asps_extension_7bits != 0
+        )
+        bw.u(1, ext_present)
+        if ext_present:
+            bw.u(1, self.asps_vpcc_extension_present_flag)
+            bw.u(7, self.asps_extension_7bits)
         if self.asps_vpcc_extension_present_flag:
             bw.u(1, self.asps_vpcc_remove_duplicate_point_enabled_flag)
-            bw.u(1, self.asps_vpcc_surface_thickness_minus1 > 0)
-            if self.asps_vpcc_surface_thickness_minus1 > 0:
+            if self.asps_pixel_deinterleaving_flag or self.asps_plr_enabled_flag:
                 bw.u(7, self.asps_vpcc_surface_thickness_minus1)
         bw.byte_align()
+
+    def _pixel_deinterleaving_map(self, m: int) -> bool:
+        if m < len(self.asps_pixel_deinterleaving_map_flag):
+            return bool(self.asps_pixel_deinterleaving_map_flag[m])
+        return False
+
+    def plri_map_enabled(self, m: int) -> bool:
+        if m < len(self.plri_map_enabled_flag):
+            return bool(self.plri_map_enabled_flag[m])
+        return True
 
     @classmethod
     def read(cls, br: BitReader) -> "AtlasSequenceParameterSetRbsp":
@@ -509,7 +550,10 @@ class AtlasSequenceParameterSetRbsp:
         s.asps_max_dec_atlas_frame_buffering_minus1 = br.ue()
         s.asps_long_term_ref_atlas_frames_flag = bool(br.u(1))
         nrl = br.ue()
-        s.ref_list_structs = [RefListStruct.read(br) for _ in range(nrl)]
+        s.ref_list_structs = [
+            RefListStruct.read(br, s.asps_long_term_ref_atlas_frames_flag)
+            for _ in range(nrl)
+        ]
         s.asps_use_eight_orientations_flag = bool(br.u(1))
         s.asps_extended_projection_enabled_flag = bool(br.u(1))
         if s.asps_extended_projection_enabled_flag:
@@ -521,6 +565,10 @@ class AtlasSequenceParameterSetRbsp:
         s.asps_patch_size_quantizer_present_flag = bool(br.u(1))
         s.asps_map_count_minus1 = br.u(4)
         s.asps_pixel_deinterleaving_flag = bool(br.u(1))
+        if s.asps_pixel_deinterleaving_flag:
+            s.asps_pixel_deinterleaving_map_flag = [
+                bool(br.u(1)) for _ in range(s.asps_map_count_minus1 + 1)
+            ]
         s.asps_raw_patch_enabled_flag = bool(br.u(1))
         s.asps_eom_patch_enabled_flag = bool(br.u(1))
         if s.asps_eom_patch_enabled_flag and s.asps_map_count_minus1 == 0:
@@ -529,25 +577,34 @@ class AtlasSequenceParameterSetRbsp:
             s.asps_auxiliary_video_enabled_flag = bool(br.u(1))
         s.asps_plr_enabled_flag = bool(br.u(1))
         if s.asps_plr_enabled_flag:
-            s.asps_plr_number_of_modes_minus1 = br.u(4)
-            s.plri_interpolate_flag = []
-            s.plri_filling_flag = []
-            s.plri_minimum_depth = []
-            s.plri_neighbour_minus1 = []
-            for _ in range(s.asps_plr_number_of_modes_minus1):
-                s.plri_interpolate_flag.append(bool(br.u(1)))
-                s.plri_filling_flag.append(bool(br.u(1)))
-                s.plri_minimum_depth.append(br.u(2))
-                s.plri_neighbour_minus1.append(br.u(2))
-            s.plri_block_threshold_per_patch_minus1 = br.u(6)
+            s.plri_map_enabled_flag = []
+            for _ in range(s.asps_map_count_minus1 + 1):
+                enabled = bool(br.u(1))
+                s.plri_map_enabled_flag.append(enabled)
+                if not enabled:
+                    continue
+                s.asps_plr_number_of_modes_minus1 = br.u(4)
+                s.plri_interpolate_flag = []
+                s.plri_filling_flag = []
+                s.plri_minimum_depth = []
+                s.plri_neighbour_minus1 = []
+                for _ in range(s.asps_plr_number_of_modes_minus1):
+                    s.plri_interpolate_flag.append(bool(br.u(1)))
+                    s.plri_filling_flag.append(bool(br.u(1)))
+                    s.plri_minimum_depth.append(br.u(2))
+                    s.plri_neighbour_minus1.append(br.u(2))
+                s.plri_block_threshold_per_patch_minus1 = br.u(6)
         s.asps_vui_parameters_present_flag = bool(br.u(1))
-        s.asps_vpcc_extension_present_flag = bool(br.u(1))
+        if s.asps_vui_parameters_present_flag:
+            raise NotImplementedError("ASPS VUI parameters not supported")
+        s.asps_vpcc_extension_present_flag = False
+        if br.u(1):  # asps_extension_present_flag
+            s.asps_vpcc_extension_present_flag = bool(br.u(1))
+            s.asps_extension_7bits = br.u(7)
         if s.asps_vpcc_extension_present_flag:
             s.asps_vpcc_remove_duplicate_point_enabled_flag = bool(br.u(1))
-            if br.u(1):
+            if s.asps_pixel_deinterleaving_flag or s.asps_plr_enabled_flag:
                 s.asps_vpcc_surface_thickness_minus1 = br.u(7)
-            else:
-                s.asps_vpcc_surface_thickness_minus1 = 0
         br.rbsp_trailing()
         return s
 
@@ -555,8 +612,22 @@ class AtlasSequenceParameterSetRbsp:
 # ===========================================================================
 # AFPS + tile information
 # ===========================================================================
+def _ceil_log2(x: int) -> int:
+    """Reference ceilLog2 (PCCBitstreamCommon.h:566): bits to code 0..x-1."""
+    return max(0, (x - 1).bit_length()) if x > 0 else 0
+
+
+def _floor_log2(x: int) -> int:
+    return x.bit_length() - 1 if x > 0 else 0
+
+
 @dataclasses.dataclass
 class AtlasFrameTileInformation:
+    """afti_* — 23090-5 8.3.6.2.2 (PCCBitstreamReader.cpp:611-707).  The
+    partition grid's column/row counts are DERIVED from the ASPS frame size
+    in uniform mode; aux-video row fields are coded when the ASPS enables
+    auxiliary video, and gate rpdu/epdu_patch_in_auxiliary_video_flag."""
+
     afti_single_tile_in_atlas_frame_flag: bool = True
     afti_uniform_partition_spacing_flag: bool = True
     afti_partition_cols_width_minus1: int = 0
@@ -570,10 +641,43 @@ class AtlasFrameTileInformation:
     afti_top_left_partition_idx: list[int] = field(default_factory=list)
     afti_bottom_right_partition_column_offset: list[int] = field(default_factory=list)
     afti_bottom_right_partition_row_offset: list[int] = field(default_factory=list)
+    # auxiliary-video sub-rows (coded iff asps_auxiliary_video_enabled_flag)
+    afti_auxiliary_video_tile_row_width_minus1: int = 0
+    afti_auxiliary_video_tile_row_height: list[int] = field(
+        default_factory=list
+    )
     afti_signalled_tile_id_flag: bool = False
+    afti_signalled_tile_id_length_minus1: int = 0
     afti_tile_ids: list[int] = field(default_factory=list)
 
-    def write(self, bw: BitWriter) -> None:
+    def num_tiles(self) -> int:
+        return self.afti_num_tiles_in_atlas_frame_minus1 + 1
+
+    def tile_id(self, index: int) -> int:
+        if self.afti_signalled_tile_id_flag and index < len(self.afti_tile_ids):
+            return self.afti_tile_ids[index]
+        return index
+
+    def tile_index_of(self, tile_id: int) -> int:
+        """ath_id -> tile index (reference afti.getTileId inverse)."""
+        if self.afti_signalled_tile_id_flag and self.afti_tile_ids:
+            return self.afti_tile_ids.index(tile_id)
+        return tile_id
+
+    def aux_row_height(self, tile_index: int) -> int:
+        if tile_index < len(self.afti_auxiliary_video_tile_row_height):
+            return self.afti_auxiliary_video_tile_row_height[tile_index]
+        return 0
+
+    def ath_id_bits(self) -> int:
+        """Bit width of ath_id (PCCBitstreamReader.cpp:795-803)."""
+        if self.afti_signalled_tile_id_flag:
+            return self.afti_signalled_tile_id_length_minus1 + 1
+        if self.afti_num_tiles_in_atlas_frame_minus1 != 0:
+            return _ceil_log2(self.afti_num_tiles_in_atlas_frame_minus1 + 1)
+        return 0
+
+    def write(self, bw: BitWriter, asps: "AtlasSequenceParameterSetRbsp") -> None:
         bw.u(1, self.afti_single_tile_in_atlas_frame_flag)
         if not self.afti_single_tile_in_atlas_frame_flag:
             bw.u(1, self.afti_uniform_partition_spacing_flag)
@@ -595,19 +699,30 @@ class AtlasFrameTileInformation:
                     bw.ue(h)
             bw.u(1, self.afti_single_partition_per_tile_flag)
             if not self.afti_single_partition_per_tile_flag:
+                num_partitions = (
+                    self.afti_num_partition_columns_minus1 + 1
+                ) * (self.afti_num_partition_rows_minus1 + 1)
                 bw.ue(self.afti_num_tiles_in_atlas_frame_minus1)
+                bits = _ceil_log2(num_partitions)
                 for i in range(self.afti_num_tiles_in_atlas_frame_minus1 + 1):
-                    bw.ue(self.afti_top_left_partition_idx[i])
+                    bw.u(bits, self.afti_top_left_partition_idx[i])
                     bw.ue(self.afti_bottom_right_partition_column_offset[i])
                     bw.ue(self.afti_bottom_right_partition_row_offset[i])
+        if asps.asps_auxiliary_video_enabled_flag:
+            bw.ue(self.afti_auxiliary_video_tile_row_width_minus1)
+            for i in range(self.afti_num_tiles_in_atlas_frame_minus1 + 1):
+                bw.ue(self.aux_row_height(i))
         bw.u(1, self.afti_signalled_tile_id_flag)
         if self.afti_signalled_tile_id_flag:
-            bw.ue(len(self.afti_tile_ids) - 1)
-            for t in self.afti_tile_ids:
-                bw.ue(t)
+            bw.ue(self.afti_signalled_tile_id_length_minus1)
+            bits = self.afti_signalled_tile_id_length_minus1 + 1
+            for i in range(self.afti_num_tiles_in_atlas_frame_minus1 + 1):
+                bw.u(bits, self.afti_tile_ids[i])
 
     @classmethod
-    def read(cls, br: BitReader) -> "AtlasFrameTileInformation":
+    def read(
+        cls, br: BitReader, asps: "AtlasSequenceParameterSetRbsp"
+    ) -> "AtlasFrameTileInformation":
         s = cls()
         s.afti_single_tile_in_atlas_frame_flag = bool(br.u(1))
         if not s.afti_single_tile_in_atlas_frame_flag:
@@ -615,6 +730,15 @@ class AtlasFrameTileInformation:
             if s.afti_uniform_partition_spacing_flag:
                 s.afti_partition_cols_width_minus1 = br.ue()
                 s.afti_partition_rows_height_minus1 = br.ue()
+                # derived partition grid (PCCBitstreamReader.cpp:619-624)
+                w64 = (s.afti_partition_cols_width_minus1 + 1) * 64
+                h64 = (s.afti_partition_rows_height_minus1 + 1) * 64
+                s.afti_num_partition_columns_minus1 = (
+                    (asps.asps_frame_width + w64 - 1) // w64 - 1
+                )
+                s.afti_num_partition_rows_minus1 = (
+                    (asps.asps_frame_height + h64 - 1) // h64 - 1
+                )
             else:
                 s.afti_num_partition_columns_minus1 = br.ue()
                 s.afti_num_partition_rows_minus1 = br.ue()
@@ -625,16 +749,36 @@ class AtlasFrameTileInformation:
                     br.ue() for _ in range(s.afti_num_partition_rows_minus1)
                 ]
             s.afti_single_partition_per_tile_flag = bool(br.u(1))
+            num_partitions = (s.afti_num_partition_columns_minus1 + 1) * (
+                s.afti_num_partition_rows_minus1 + 1
+            )
             if not s.afti_single_partition_per_tile_flag:
                 s.afti_num_tiles_in_atlas_frame_minus1 = br.ue()
+                bits = _ceil_log2(num_partitions)
                 for _ in range(s.afti_num_tiles_in_atlas_frame_minus1 + 1):
-                    s.afti_top_left_partition_idx.append(br.ue())
+                    s.afti_top_left_partition_idx.append(br.u(bits))
                     s.afti_bottom_right_partition_column_offset.append(br.ue())
                     s.afti_bottom_right_partition_row_offset.append(br.ue())
+            else:
+                s.afti_num_tiles_in_atlas_frame_minus1 = num_partitions - 1
+                for i in range(num_partitions):
+                    s.afti_top_left_partition_idx.append(i)
+                    s.afti_bottom_right_partition_column_offset.append(0)
+                    s.afti_bottom_right_partition_row_offset.append(0)
+        if asps.asps_auxiliary_video_enabled_flag:
+            s.afti_auxiliary_video_tile_row_width_minus1 = br.ue()
+            s.afti_auxiliary_video_tile_row_height = [
+                br.ue()
+                for _ in range(s.afti_num_tiles_in_atlas_frame_minus1 + 1)
+            ]
         s.afti_signalled_tile_id_flag = bool(br.u(1))
         if s.afti_signalled_tile_id_flag:
-            n = br.ue() + 1
-            s.afti_tile_ids = [br.ue() for _ in range(n)]
+            s.afti_signalled_tile_id_length_minus1 = br.ue()
+            bits = s.afti_signalled_tile_id_length_minus1 + 1
+            s.afti_tile_ids = [
+                br.u(bits)
+                for _ in range(s.afti_num_tiles_in_atlas_frame_minus1 + 1)
+            ]
         return s
 
 
@@ -650,32 +794,42 @@ class AtlasFrameParameterSetRbsp:
     afps_additional_lt_afoc_lsb_len: int = 0
     afps_lod_mode_enabled_flag: bool = False
     afps_raw_3d_offset_bit_count_explicit_mode_flag: bool = False
-    afps_extension_present_flag: bool = False
+    afps_extension_8bits: int = 0
 
-    def write(self, bw: BitWriter) -> None:
+    def write(
+        self, bw: BitWriter, asps: AtlasSequenceParameterSetRbsp
+    ) -> None:
         bw.ue(self.afps_atlas_frame_parameter_set_id)
         bw.ue(self.afps_atlas_sequence_parameter_set_id)
-        self.atlas_frame_tile_information.write(bw)
+        self.atlas_frame_tile_information.write(bw, asps)
         bw.u(1, self.afps_output_flag_present_flag)
         bw.ue(self.afps_num_ref_idx_default_active_minus1)
         bw.ue(self.afps_additional_lt_afoc_lsb_len)
         bw.u(1, self.afps_lod_mode_enabled_flag)
         bw.u(1, self.afps_raw_3d_offset_bit_count_explicit_mode_flag)
-        bw.u(1, self.afps_extension_present_flag)
+        # afps_extension_flag -> afps_extension_8bits
+        # (PCCBitstreamReader.cpp:603-609)
+        bw.u(1, self.afps_extension_8bits != 0)
+        if self.afps_extension_8bits != 0:
+            bw.u(8, self.afps_extension_8bits)
         bw.byte_align()
 
     @classmethod
-    def read(cls, br: BitReader) -> "AtlasFrameParameterSetRbsp":
+    def read(cls, br: BitReader, asps_lookup) -> "AtlasFrameParameterSetRbsp":
         s = cls()
         s.afps_atlas_frame_parameter_set_id = br.ue()
         s.afps_atlas_sequence_parameter_set_id = br.ue()
-        s.atlas_frame_tile_information = AtlasFrameTileInformation.read(br)
+        asps = asps_lookup(s.afps_atlas_sequence_parameter_set_id)
+        s.atlas_frame_tile_information = AtlasFrameTileInformation.read(
+            br, asps
+        )
         s.afps_output_flag_present_flag = bool(br.u(1))
         s.afps_num_ref_idx_default_active_minus1 = br.ue()
         s.afps_additional_lt_afoc_lsb_len = br.ue()
         s.afps_lod_mode_enabled_flag = bool(br.u(1))
         s.afps_raw_3d_offset_bit_count_explicit_mode_flag = bool(br.u(1))
-        s.afps_extension_present_flag = bool(br.u(1))
+        if br.u(1):  # afps_extension_flag
+            s.afps_extension_8bits = br.u(8)
         br.rbsp_trailing()
         return s
 
@@ -683,38 +837,58 @@ class AtlasFrameParameterSetRbsp:
 # ===========================================================================
 # Patch data units
 # ===========================================================================
-def _write_plrd(bw, ctx, mode: int, block_modes) -> None:
+def _plrd_blocks(ctx, size_x_minus1: int, size_y_minus1: int) -> int:
+    """Packing-block count of a patch, derived from the coded 2D sizes
+    exactly as patch_frame derives size_u0/size_v0."""
+    ppbs = ctx.packing_block_size
+    bu = ((size_x_minus1 + 1) * ctx.patch_size_x_quantizer + ppbs - 1) // ppbs
+    bv = ((size_y_minus1 + 1) * ctx.patch_size_y_quantizer + ppbs - 1) // ppbs
+    return max(1, bu) * max(1, bv)
+
+
+def _write_plrd(bw, ctx, mode: int, block_modes,
+                size_x_minus1: int, size_y_minus1: int) -> None:
     """Point-local-reconstruction data (23090-5 8.3.7.9 plrd).
 
     plrd_level_flag=0 -> one present flag + mode per packing block of the
-    patch (patch-local raster order); =1 -> a single patch-level mode.
-    Behavioural parity with TMC2's writePLRData
-    (/root/reference/source/lib/PccLibBitstreamWriter, plrd loop)."""
+    patch (patch-local raster order); =1 -> a single patch-level mode.  The
+    level flag is only CODED when the block count exceeds
+    plri_block_threshold_per_patch_minus1+1, else inferred patch-level
+    (PCCBitstreamReader.cpp:1287-1343).  Mode values code in
+    ceilLog2(plri_number_of_modes_minus1) bits."""
+    block_count = _plrd_blocks(ctx, size_x_minus1, size_y_minus1)
+    threshold_gated = block_count > ctx.plr_block_threshold_plus1
     if block_modes is not None:
+        assert threshold_gated, (
+            "block-level PLR requires blockCount > threshold+1 "
+            f"({block_count} <= {ctx.plr_block_threshold_plus1})"
+        )
         bw.u(1, 0)  # plrd_level_flag: block level
+        assert len(block_modes) == block_count
         for m in block_modes:
             bw.u(1, m > 0)
             if m > 0:
                 bw.u(ctx.plr_mode_bits, m - 1)
     else:
-        bw.u(1, 1)  # plrd_level_flag: patch level
+        if threshold_gated:
+            bw.u(1, 1)  # plrd_level_flag: patch level
         bw.u(1, mode > 0)
         if mode > 0:
             bw.u(ctx.plr_mode_bits, mode - 1)
 
 
 def _read_plrd(br, ctx, size_x_minus1: int, size_y_minus1: int):
-    """-> (patch_mode, block_modes|None).  Block count is derived from the
-    coded 2D sizes exactly as patch_frame derives size_u0/size_v0."""
-    level = br.u(1)
+    """-> (patch_mode, block_modes|None)."""
+    block_count = _plrd_blocks(ctx, size_x_minus1, size_y_minus1)
+    if block_count > ctx.plr_block_threshold_plus1:
+        level = br.u(1)
+    else:
+        level = 1  # inferred patch-level
     if level == 1:
         mode = br.u(ctx.plr_mode_bits) + 1 if br.u(1) else 0
         return mode, None
-    ppbs = ctx.packing_block_size
-    bu = ((size_x_minus1 + 1) * ctx.patch_size_x_quantizer + ppbs - 1) // ppbs
-    bv = ((size_y_minus1 + 1) * ctx.patch_size_y_quantizer + ppbs - 1) // ppbs
     block_modes = []
-    for _ in range(max(1, bu) * max(1, bv)):
+    for _ in range(block_count):
         block_modes.append(br.u(ctx.plr_mode_bits) + 1 if br.u(1) else 0)
     mode = 1 if any(block_modes) else 0
     return mode, block_modes
@@ -752,7 +926,9 @@ class PatchDataUnit:
         bw.u(ctx.offset_u_bits, self.pdu_3d_offset_u)
         bw.u(ctx.offset_v_bits, self.pdu_3d_offset_v)
         bw.u(ctx.offset_d_bits, self.pdu_3d_offset_d)
-        if ctx.normal_axis_limits_quantization:
+        # pdu_3d_range_d gated on asps_normal_axis_max_delta_value_enabled
+        # (PCCBitstreamReader.cpp:1036-1043)
+        if ctx.normal_axis_max_delta:
             bw.u(ctx.range_d_bits, self.pdu_3d_range_d)
         bw.u(ctx.projection_bits, self.pdu_projection_id)
         bw.u(3 if ctx.use_eight_orientations else 1, self.pdu_orientation_index)
@@ -762,7 +938,8 @@ class PatchDataUnit:
                 bw.ue(self.pdu_lod_scale_x_minus1)
                 bw.ue(self.pdu_lod_scale_y_idc)
         if ctx.plr_enabled:
-            _write_plrd(bw, ctx, self.plrd_mode, self.plrd_block_modes)
+            _write_plrd(bw, ctx, self.plrd_mode, self.plrd_block_modes,
+                        self.pdu_2d_size_x_minus1, self.pdu_2d_size_y_minus1)
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "PatchDataUnit":
@@ -774,7 +951,7 @@ class PatchDataUnit:
         s.pdu_3d_offset_u = br.u(ctx.offset_u_bits)
         s.pdu_3d_offset_v = br.u(ctx.offset_v_bits)
         s.pdu_3d_offset_d = br.u(ctx.offset_d_bits)
-        if ctx.normal_axis_limits_quantization:
+        if ctx.normal_axis_max_delta:
             s.pdu_3d_range_d = br.u(ctx.range_d_bits)
         s.pdu_projection_id = br.u(ctx.projection_bits)
         s.pdu_orientation_index = br.u(3 if ctx.use_eight_orientations else 1)
@@ -815,8 +992,13 @@ class InterPatchDataUnit:
         bw.se(self.ipdu_3d_offset_u)
         bw.se(self.ipdu_3d_offset_v)
         bw.se(self.ipdu_3d_offset_d)
-        if ctx.normal_axis_limits_quantization:
+        if ctx.normal_axis_max_delta:
             bw.se(self.ipdu_3d_range_d)
+        if ctx.plr_enabled:
+            raise NotImplementedError(
+                "PLR data on inter patches is not supported (the encoder "
+                "codes PLR streams all-intra)"
+            )
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "InterPatchDataUnit":
@@ -831,8 +1013,12 @@ class InterPatchDataUnit:
         s.ipdu_3d_offset_u = br.se()
         s.ipdu_3d_offset_v = br.se()
         s.ipdu_3d_offset_d = br.se()
-        if ctx.normal_axis_limits_quantization:
+        if ctx.normal_axis_max_delta:
             s.ipdu_3d_range_d = br.se()
+        if ctx.plr_enabled:
+            raise NotImplementedError(
+                "PLR data on inter patches is not supported"
+            )
         return s
 
 
@@ -851,6 +1037,10 @@ class MergePatchDataUnit:
     mpdu_3d_range_d: int = 0
 
     def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
+        if ctx.plr_enabled:
+            raise NotImplementedError(
+                "PLR data on merge patches is not supported"
+            )
         if ctx.num_ref_idx_active > 1:
             bw.ue(self.mpdu_ref_index)
         bw.u(1, self.mpdu_override_2d_params_flag)
@@ -865,12 +1055,16 @@ class MergePatchDataUnit:
                 bw.se(self.mpdu_3d_offset_u)
                 bw.se(self.mpdu_3d_offset_v)
                 bw.se(self.mpdu_3d_offset_d)
-                if ctx.normal_axis_limits_quantization:
+                if ctx.normal_axis_max_delta:
                     bw.se(self.mpdu_3d_range_d)
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "MergePatchDataUnit":
         s = cls()
+        if ctx.plr_enabled:
+            raise NotImplementedError(
+                "PLR data on merge patches is not supported"
+            )
         if ctx.num_ref_idx_active > 1:
             s.mpdu_ref_index = br.ue()
         s.mpdu_override_2d_params_flag = bool(br.u(1))
@@ -885,7 +1079,7 @@ class MergePatchDataUnit:
                 s.mpdu_3d_offset_u = br.se()
                 s.mpdu_3d_offset_v = br.se()
                 s.mpdu_3d_offset_d = br.se()
-                if ctx.normal_axis_limits_quantization:
+                if ctx.normal_axis_max_delta:
                     s.mpdu_3d_range_d = br.se()
         return s
 
@@ -991,12 +1185,20 @@ class SyntaxContext:
     projection_bits: int = 3
     use_eight_orientations: bool = True
     normal_axis_limits_quantization: bool = True
+    # range_d fields are only coded when the ASPS enables max-delta
+    # signalling (PCCBitstreamReader.cpp:1036)
+    normal_axis_max_delta: bool = False
     lod_mode_enabled: bool = False
     num_ref_idx_active: int = 1
+    # true iff THIS TILE has an auxiliary video sub-row
+    # (afti_auxiliary_video_tile_row_height[tile] > 0,
+    # PCCBitstreamReader.cpp:1228-1234)
     auxiliary_video_present: bool = False
     raw_3d_offset_bits: int = 10
     plr_enabled: bool = False
     plr_mode_bits: int = 1
+    # plrd level flag coded only when blockCount > threshold+1
+    plr_block_threshold_plus1: int = 9
     # block-level plrd sizing: coded-size -> packing-block conversion
     packing_block_size: int = 16
     patch_size_x_quantizer: int = 16  # pixels per coded size unit (qx)
@@ -1026,6 +1228,15 @@ class AtlasTileHeader:
     ath_patch_size_y_info_quantizer: int = 0
     ath_raw_3d_offset_axis_bit_count_minus1: int = 9
 
+    def active_ref_list(
+        self, asps: AtlasSequenceParameterSetRbsp
+    ) -> RefListStruct | None:
+        if self.ath_ref_atlas_frame_list_asps_flag:
+            if asps.ref_list_structs:
+                return asps.ref_list_structs[self.ath_ref_atlas_frame_list_idx]
+            return None
+        return self.ref_list_struct
+
     def write(
         self,
         bw: BitWriter,
@@ -1033,11 +1244,16 @@ class AtlasTileHeader:
         afps: AtlasFrameParameterSetRbsp,
         nal_is_irap: bool,
     ) -> None:
+        """Field order matches PCCBitstreamReader::atlasTileHeader
+        (PCCBitstreamReader.cpp:779-866): quantizers and the raw-offset bit
+        count come BEFORE the num-ref-idx override, ath_id is u(v) sized by
+        the AFTI, and the raw-offset count codes in floorLog2(g3d) bits."""
+        afti = afps.atlas_frame_tile_information
         if nal_is_irap:
             bw.u(1, self.ath_no_output_of_prior_atlas_frames_flag)
         bw.ue(self.ath_atlas_frame_parameter_set_id)
         bw.ue(self.ath_atlas_adaptation_parameter_set_id)
-        bw.ue(self.ath_id)
+        bw.u(afti.ath_id_bits(), self.ath_id)
         bw.ue(int(self.ath_type))
         if afps.afps_output_flag_present_flag:
             bw.u(1, self.ath_atlas_output_flag)
@@ -1049,14 +1265,12 @@ class AtlasTileHeader:
             bw.u(1, self.ath_ref_atlas_frame_list_asps_flag)
         if not self.ath_ref_atlas_frame_list_asps_flag:
             assert self.ref_list_struct is not None
-            self.ref_list_struct.write(bw)
+            self.ref_list_struct.write(
+                bw, asps.asps_long_term_ref_atlas_frames_flag
+            )
         elif len(asps.ref_list_structs) > 1:
-            bw.u((len(asps.ref_list_structs) - 1).bit_length(),
+            bw.u(_ceil_log2(len(asps.ref_list_structs)),
                  self.ath_ref_atlas_frame_list_idx)
-        if self.ath_type == AtlasTileType.P_TILE:
-            bw.u(1, self.ath_num_ref_idx_active_override_flag)
-            if self.ath_num_ref_idx_active_override_flag:
-                bw.ue(self.ath_num_ref_idx_active_minus1)
         if self.ath_type != AtlasTileType.SKIP_TILE:
             if asps.asps_normal_axis_limits_quantization_enabled_flag:
                 bw.u(5, self.ath_pos_min_d_quantizer)
@@ -1066,7 +1280,15 @@ class AtlasTileHeader:
                 bw.u(3, self.ath_patch_size_x_info_quantizer)
                 bw.u(3, self.ath_patch_size_y_info_quantizer)
             if afps.afps_raw_3d_offset_bit_count_explicit_mode_flag:
-                bw.u(5, self.ath_raw_3d_offset_axis_bit_count_minus1)
+                bits = _floor_log2(asps.asps_geometry_3d_bitdepth_minus1 + 1)
+                bw.u(bits, self.ath_raw_3d_offset_axis_bit_count_minus1)
+            rl = self.active_ref_list(asps)
+            if self.ath_type == AtlasTileType.P_TILE and (
+                rl is not None and rl.num_ref_entries > 1
+            ):
+                bw.u(1, self.ath_num_ref_idx_active_override_flag)
+                if self.ath_num_ref_idx_active_override_flag:
+                    bw.ue(self.ath_num_ref_idx_active_minus1)
         bw.byte_align()
 
     @classmethod
@@ -1083,8 +1305,10 @@ class AtlasTileHeader:
         s.ath_atlas_frame_parameter_set_id = br.ue()
         afps = afps_lookup(s.ath_atlas_frame_parameter_set_id)
         asps = asps_lookup(afps.afps_atlas_sequence_parameter_set_id)
+        afti = afps.atlas_frame_tile_information
         s.ath_atlas_adaptation_parameter_set_id = br.ue()
-        s.ath_id = br.ue()
+        id_bits = afti.ath_id_bits()
+        s.ath_id = br.u(id_bits) if id_bits else 0
         s.ath_type = AtlasTileType(br.ue())
         if afps.afps_output_flag_present_flag:
             s.ath_atlas_output_flag = bool(br.u(1))
@@ -1096,15 +1320,13 @@ class AtlasTileHeader:
         else:
             s.ath_ref_atlas_frame_list_asps_flag = False
         if not s.ath_ref_atlas_frame_list_asps_flag:
-            s.ref_list_struct = RefListStruct.read(br)
+            s.ref_list_struct = RefListStruct.read(
+                br, asps.asps_long_term_ref_atlas_frames_flag
+            )
         elif len(asps.ref_list_structs) > 1:
             s.ath_ref_atlas_frame_list_idx = br.u(
-                (len(asps.ref_list_structs) - 1).bit_length()
+                _ceil_log2(len(asps.ref_list_structs))
             )
-        if s.ath_type == AtlasTileType.P_TILE:
-            s.ath_num_ref_idx_active_override_flag = bool(br.u(1))
-            if s.ath_num_ref_idx_active_override_flag:
-                s.ath_num_ref_idx_active_minus1 = br.ue()
         if s.ath_type != AtlasTileType.SKIP_TILE:
             if asps.asps_normal_axis_limits_quantization_enabled_flag:
                 s.ath_pos_min_d_quantizer = br.u(5)
@@ -1114,7 +1336,24 @@ class AtlasTileHeader:
                 s.ath_patch_size_x_info_quantizer = br.u(3)
                 s.ath_patch_size_y_info_quantizer = br.u(3)
             if afps.afps_raw_3d_offset_bit_count_explicit_mode_flag:
-                s.ath_raw_3d_offset_axis_bit_count_minus1 = br.u(5)
+                bits = _floor_log2(asps.asps_geometry_3d_bitdepth_minus1 + 1)
+                s.ath_raw_3d_offset_axis_bit_count_minus1 = br.u(bits)
+            else:
+                s.ath_raw_3d_offset_axis_bit_count_minus1 = (
+                    max(
+                        0,
+                        asps.asps_geometry_3d_bitdepth_minus1
+                        - asps.asps_geometry_2d_bitdepth_minus1,
+                    )
+                    - 1
+                )
+            rl = s.active_ref_list(asps)
+            if s.ath_type == AtlasTileType.P_TILE and (
+                rl is not None and rl.num_ref_entries > 1
+            ):
+                s.ath_num_ref_idx_active_override_flag = bool(br.u(1))
+                if s.ath_num_ref_idx_active_override_flag:
+                    s.ath_num_ref_idx_active_minus1 = br.ue()
         br.rbsp_trailing()
         return s
 
@@ -1144,6 +1383,11 @@ class AtlasTileDataUnit:
     }
 
     def write(self, bw: BitWriter, tile_type: AtlasTileType, ctx: SyntaxContext) -> None:
+        if tile_type == AtlasTileType.SKIP_TILE:
+            # skip tiles carry no patch modes at all
+            # (PCCBitstreamReader.cpp:917-922)
+            bw.byte_align()
+            return
         for pid in self.patches:
             bw.ue(pid.patch_mode)
             pid.data.write(bw, ctx)
@@ -1161,6 +1405,7 @@ class AtlasTileDataUnit:
     ) -> "AtlasTileDataUnit":
         s = cls()
         if tile_type == AtlasTileType.SKIP_TILE:
+            br.rbsp_trailing()
             return s
         units = cls._I_UNITS if tile_type == AtlasTileType.I_TILE else cls._P_UNITS
         end_val = int(

@@ -71,7 +71,9 @@ class V3CWriter:
             nals.append(NalUnit(NalUnitType.NAL_ASPS, payload=bw.data()))
         for afps in atlas.afps_list:
             bw = BitWriter()
-            afps.write(bw)
+            afps.write(
+                bw, atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
+            )
             nals.append(NalUnit(NalUnitType.NAL_AFPS, payload=bw.data()))
         if atlas.seis_prefix:
             bw = BitWriter()
@@ -103,14 +105,12 @@ class V3CWriter:
         asps = atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
         bw = BitWriter()
         is_irap = (
-            NalUnitType.NAL_IDR_N_LP <= nal_type <= NalUnitType.NAL_GIDR_N_LP
+            NalUnitType.NAL_BLA_W_LP
+            <= nal_type
+            <= NalUnitType.NAL_RSV_IRAP_ACL_29
         )
         atl.header.write(bw, asps, afps, is_irap)
-        nri = (
-            atl.header.ath_num_ref_idx_active_minus1 + 1
-            if atl.header.ath_num_ref_idx_active_override_flag
-            else afps.afps_num_ref_idx_default_active_minus1 + 1
-        )
+        nri = atlas.num_ref_idx_active(atl.header, asps, afps)
         ctx = atlas.syntax_context(asps, afps, nri, atl.header)
         atl.data_unit.write(bw, atl.header.ath_type, ctx)
         return bw.data()

@@ -28,7 +28,7 @@ def high_level_hash(atlas: AtlasHLS) -> bytes:
         h.update(bw.data())
     for afps in atlas.afps_list:
         bw = BitWriter()
-        afps.write(bw)
+        afps.write(bw, atlas.asps(afps.afps_atlas_sequence_parameter_set_id))
         h.update(bw.data())
     return h.digest()
 

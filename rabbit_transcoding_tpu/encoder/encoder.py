@@ -255,6 +255,16 @@ class Encoder:
     ) -> tuple[Context, list[PointSet]]:
         """Encode one GOF -> (bitstream Context, decoder-identical recon)."""
         p = self.params
+        if p.pointLocalReconstruction and p.mapCountMinus1 == 0 and (
+            p.log2QuantizerSizeX == 0 and p.log2QuantizerSizeY == 0
+        ):
+            # The reference parser sizes every PLR block map by the CODED
+            # patch size units directly (PCCBitstreamReader.cpp plrd
+            # allocate), so PLR streams must code sizes in packing-block
+            # units, exactly as TMC2 does.  Idempotent across GOFs.
+            block_log2 = max(0, p.occupancyResolution.bit_length() - 1)
+            p.log2QuantizerSizeX = block_log2
+            p.log2QuantizerSizeY = block_log2
         # depthQuantizationStep rounds to a power of two: ath_pos_min_d is a
         # bit-shift quantizer (23090-5), so the effective minLevel is 1<<n
         d_shift = max(0, max(1, p.depthQuantizationStep).bit_length() - 1)
@@ -2037,6 +2047,10 @@ class Encoder:
             afti = afps.atlas_frame_tile_information
             afti.afti_single_tile_in_atlas_frame_flag = False
             afti.afti_single_partition_per_tile_flag = True
+            # the read side DERIVES tile count from the partition grid in
+            # single-partition-per-tile mode; the writer's ath_id bit width
+            # (ath_id_bits) must see the same count
+            afti.afti_num_tiles_in_atlas_frame_minus1 = n_tiles - 1
             band64 = (tile_band or height) // 64
             if not p.uniformPartitionSpacing and (
                 p.tilePartitionWidthList or p.tilePartitionHeightList
@@ -2080,6 +2094,21 @@ class Encoder:
                     else width // 64 - 1
                 )
                 afti.afti_partition_rows_height_minus1 = band64 - 1
+        if raw_geo_payload is not None:
+            # aux sub-rows (PCCCodec.cpp:1869-1871 analog): tile 0 carries
+            # every raw/EOM aux patch (see the raw-unit emission below), and
+            # a nonzero row height is what gates the coded
+            # rpdu/epdu_patch_in_auxiliary_video_flag on the read side.  Our
+            # decoder takes the real aux dims from the RBV sub-stream
+            # header, so the height here is the 64-px presence gate only.
+            afti = afps.atlas_frame_tile_information
+            aux_w = max(16, p.attributeRawSeparateVideoWidth)
+            afti.afti_auxiliary_video_tile_row_width_minus1 = max(
+                0, aux_w // 64 - 1
+            )
+            afti.afti_auxiliary_video_tile_row_height = [1] + [0] * (
+                n_tiles - 1
+            )
         atlas.afps_list.append(afps)
 
         band_blocks = (
@@ -2103,6 +2132,20 @@ class Encoder:
                 ath_patch_size_y_info_quantizer=max(0, p.log2QuantizerSizeY),
                 ath_pos_min_d_quantizer=d_shift,
                 ath_pos_delta_max_d_quantizer=d_shift,
+                # afps explicit-mode flag is 0, so this value is NOT coded;
+                # it must equal the reader-side inference
+                # max(0, g3d_m1 - g2d_m1) - 1 (PCCBitstreamReader.cpp:869,
+                # PCCEncoder.cpp:8049) or the rpdu/epdu bit widths desync.
+                # Our raw units carry zero 3D offsets (codec/raw_points.py),
+                # so a 0-bit width is always sufficient.
+                ath_raw_3d_offset_axis_bit_count_minus1=(
+                    max(
+                        0,
+                        asps.asps_geometry_3d_bitdepth_minus1
+                        - asps.asps_geometry_2d_bitdepth_minus1,
+                    )
+                    - 1
+                ),
             )
             du = AtlasTileDataUnit()
             pred_idx = 0

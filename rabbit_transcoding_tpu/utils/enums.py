@@ -72,16 +72,36 @@ class VideoType(enum.IntEnum):
 
 
 class NalUnitType(enum.IntEnum):
-    """Atlas NAL unit types (23090-5 table 5, subset the framework emits)."""
+    """Atlas NAL unit types — numbering matches 23090-5 table 5 exactly
+    (reference PCCBitstreamCommon.h:264-330; cross-checked by the
+    reference-parser gate, tests/test_ref_bitstream_gate.py)."""
 
     NAL_TRAIL_N = 0
     NAL_TRAIL_R = 1
     NAL_TSA_N = 2
     NAL_TSA_R = 3
-    NAL_RADL_N = 8
-    NAL_RADL_R = 9
-    NAL_IDR_N_LP = 20
-    NAL_GIDR_N_LP = 22
+    NAL_STSA_N = 4
+    NAL_STSA_R = 5
+    NAL_RADL_N = 6
+    NAL_RADL_R = 7
+    NAL_RASL_N = 8
+    NAL_RASL_R = 9
+    NAL_SKIP_N = 10
+    NAL_SKIP_R = 11
+    NAL_BLA_W_LP = 16
+    NAL_BLA_W_RADL = 17
+    NAL_BLA_N_LP = 18
+    NAL_GBLA_W_LP = 19
+    NAL_GBLA_W_RADL = 20
+    NAL_GBLA_N_LP = 21
+    NAL_IDR_W_RADL = 22
+    NAL_IDR_N_LP = 23
+    NAL_GIDR_W_RADL = 24
+    NAL_GIDR_N_LP = 25
+    NAL_CRA = 26
+    NAL_GCRA = 27
+    NAL_RSV_IRAP_ACL_28 = 28
+    NAL_RSV_IRAP_ACL_29 = 29
     NAL_ASPS = 36
     NAL_AFPS = 37
     NAL_AUD = 38
@@ -93,6 +113,7 @@ class NalUnitType(enum.IntEnum):
     NAL_SUFFIX_NSEI = 44
     NAL_PREFIX_ESEI = 45
     NAL_SUFFIX_ESEI = 46
+    NAL_AAPS = 47
 
 
 class AtlasTileType(enum.IntEnum):
@@ -184,7 +205,7 @@ class SeiPayloadType(enum.IntEnum):
     ATLAS_OBJECT_INFORMATION = 16
     VIEWPORT_CAMERA_PARAMETERS = 17
     VIEWPORT_POSITION = 18
-    DECODED_ATLAS_INFORMATION_HASH = 21
+    DECODED_ATLAS_INFORMATION_HASH = 19
     ATTRIBUTE_TRANSFORMATION_PARAMS = 64
     OCCUPANCY_SYNTHESIS = 65
     GEOMETRY_SMOOTHING = 66

@@ -170,15 +170,18 @@ class TestSyntax:
         assert asps2.asps_vpcc_surface_thickness_minus1 == 3
 
     def test_afps_roundtrip(self):
+        asps = AtlasSequenceParameterSetRbsp()
         afps = AtlasFrameParameterSetRbsp(afps_num_ref_idx_default_active_minus1=2)
         bw = BitWriter()
-        afps.write(bw)
-        afps2 = AtlasFrameParameterSetRbsp.read(BitReader(bw.data()))
+        afps.write(bw, asps)
+        afps2 = AtlasFrameParameterSetRbsp.read(
+            BitReader(bw.data()), lambda _id: asps
+        )
         assert afps2.afps_num_ref_idx_default_active_minus1 == 2
         assert afps2.atlas_frame_tile_information.afti_single_tile_in_atlas_frame_flag
 
     def test_patch_data_unit_roundtrip(self):
-        ctx = SyntaxContext()
+        ctx = SyntaxContext(normal_axis_max_delta=True)
         pdus = [
             PatchDataUnit(
                 pdu_2d_pos_x=3, pdu_2d_pos_y=5, pdu_2d_size_x_minus1=15,
@@ -196,7 +199,7 @@ class TestSyntax:
         assert p2 == pdus[0]
 
     def test_inter_patch_roundtrip(self):
-        ctx = SyntaxContext(num_ref_idx_active=2)
+        ctx = SyntaxContext(num_ref_idx_active=2, normal_axis_max_delta=True)
         ipdu = InterPatchDataUnit(
             ipdu_ref_index=1, ipdu_patch_index=-3, ipdu_2d_pos_x=-5,
             ipdu_2d_pos_y=7, ipdu_2d_delta_size_x=2, ipdu_2d_delta_size_y=-2,
