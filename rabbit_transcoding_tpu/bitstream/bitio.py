@@ -72,6 +72,14 @@ class BitWriter:
         for b in s:
             self.u(8, b)
 
+    def st(self, s: bytes) -> None:
+        """st(v): byte-align, then NUL-terminated string
+        (PCCBitstream.h:204-208 writeString)."""
+        self.zero_align()
+        for b in s:
+            self.u(8, b)
+        self.u(8, 0)
+
     # -- results --------------------------------------------------------
     @property
     def size_bytes(self) -> int:
@@ -154,6 +162,18 @@ class BitReader:
 
     def string(self, width: int) -> bytes:
         return bytes(self.u(8) for _ in range(width))
+
+    def st(self) -> bytes:
+        """st(v): byte-align, then NUL-terminated string
+        (PCCBitstream.h:193-202 readString)."""
+        while not self.byte_aligned:
+            self.u(1)
+        out = bytearray()
+        b = self.u(8)
+        while b != 0:
+            out.append(b)
+            b = self.u(8)
+        return bytes(out)
 
     # -- state ----------------------------------------------------------
     @property

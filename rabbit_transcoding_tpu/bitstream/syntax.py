@@ -206,6 +206,13 @@ class AttributeInformation:
     )
     ai_attribute_2d_bitdepth_minus1: list[int] = field(default_factory=list)
     ai_attribute_msb_align_flag: list[bool] = field(default_factory=list)
+    # conditional fields (PCCBitstreamReader.cpp:388-397): the aux codec id
+    # codes only when the VPS signals auxiliary video for this atlas, and
+    # the absolute-coding persistence flag only with multiple maps
+    ai_auxiliary_attribute_codec_id: list[int] = field(default_factory=list)
+    ai_attribute_map_absolute_coding_persistence_flag: list[bool] = field(
+        default_factory=list
+    )
 
     def _partitions(self, i: int) -> int:
         if i < len(self.ai_attribute_dimension_partitions_minus1):
@@ -221,11 +228,27 @@ class AttributeInformation:
             c + 1 for c in self.ai_attribute_partition_channels_minus1[i]
         ]
 
-    def write(self, bw: BitWriter) -> None:
+    def _aux_codec_id(self, i: int) -> int:
+        if i < len(self.ai_auxiliary_attribute_codec_id):
+            return self.ai_auxiliary_attribute_codec_id[i]
+        return self.ai_attribute_codec_id[i]
+
+    def map_absolute_coding_persistence(self, i: int) -> bool:
+        if i < len(self.ai_attribute_map_absolute_coding_persistence_flag):
+            return self.ai_attribute_map_absolute_coding_persistence_flag[i]
+        return True
+
+    def write(
+        self, bw: BitWriter, auxiliary_video_present: bool, map_count_minus1: int
+    ) -> None:
         bw.u(7, self.ai_attribute_count)
         for i in range(self.ai_attribute_count):
             bw.u(4, self.ai_attribute_type_id[i])
             bw.u(8, self.ai_attribute_codec_id[i])
+            if auxiliary_video_present:
+                bw.u(8, self._aux_codec_id(i))
+            if map_count_minus1 > 0:
+                bw.u(1, self.map_absolute_coding_persistence(i))
             bw.u(6, self.ai_attribute_dimension_minus1[i])
             if self.ai_attribute_dimension_minus1[i] > 0:
                 k = self._partitions(i)
@@ -244,12 +267,23 @@ class AttributeInformation:
             bw.u(1, self.ai_attribute_msb_align_flag[i])
 
     @classmethod
-    def read(cls, br: BitReader) -> "AttributeInformation":
+    def read(
+        cls, br: BitReader, auxiliary_video_present: bool, map_count_minus1: int
+    ) -> "AttributeInformation":
         s = cls()
         s.ai_attribute_count = br.u(7)
         for i in range(s.ai_attribute_count):
             s.ai_attribute_type_id.append(br.u(4))
             s.ai_attribute_codec_id.append(br.u(8))
+            if auxiliary_video_present:
+                s.ai_auxiliary_attribute_codec_id.append(br.u(8))
+            else:
+                s.ai_auxiliary_attribute_codec_id.append(
+                    s.ai_attribute_codec_id[i]
+                )
+            s.ai_attribute_map_absolute_coding_persistence_flag.append(
+                bool(br.u(1)) if map_count_minus1 > 0 else True
+            )
             s.ai_attribute_dimension_minus1.append(br.u(6))
             if s.ai_attribute_dimension_minus1[i] > 0:
                 k = br.u(6)
@@ -328,7 +362,11 @@ class V3CParameterSet:
             if a.vps_geometry_video_present_flag:
                 a.geometry_information.write(bw, a.vps_auxiliary_video_present_flag)
             if a.vps_attribute_video_present_flag:
-                a.attribute_information.write(bw)
+                a.attribute_information.write(
+                    bw,
+                    a.vps_auxiliary_video_present_flag,
+                    a.vps_map_count_minus1,
+                )
         bw.u(1, self.vps_extension_present_flag)
         bw.byte_align()
 
@@ -367,7 +405,11 @@ class V3CParameterSet:
                     br, a.vps_auxiliary_video_present_flag
                 )
             if a.vps_attribute_video_present_flag:
-                a.attribute_information = AttributeInformation.read(br)
+                a.attribute_information = AttributeInformation.read(
+                    br,
+                    a.vps_auxiliary_video_present_flag,
+                    a.vps_map_count_minus1,
+                )
             s.atlases.append(a)
         s.vps_extension_present_flag = bool(br.u(1))
         br.rbsp_trailing()

@@ -75,9 +75,11 @@ class V3CWriter:
                 bw, atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
             )
             nals.append(NalUnit(NalUnitType.NAL_AFPS, payload=bw.data()))
-        if atlas.seis_prefix:
+        # one SEI message per NAL — the reference reader parses exactly one
+        # sei_message per sei_rbsp (PCCBitstreamReader.cpp:724-732)
+        for sei in atlas.seis_prefix:
             bw = BitWriter()
-            write_sei_rbsp(bw, atlas.seis_prefix)
+            write_sei_rbsp(bw, [sei])
             nals.append(NalUnit(NalUnitType.NAL_PREFIX_ESEI, payload=bw.data()))
         for i, atl in enumerate(atlas.atlas_tile_layers):
             nal_type = (
@@ -86,9 +88,9 @@ class V3CWriter:
             nals.append(
                 NalUnit(nal_type, payload=self._atl_payload(atlas, atl, nal_type))
             )
-        if atlas.seis_suffix:
+        for sei in atlas.seis_suffix:
             bw = BitWriter()
-            write_sei_rbsp(bw, atlas.seis_suffix)
+            write_sei_rbsp(bw, [sei])
             nals.append(NalUnit(NalUnitType.NAL_SUFFIX_ESEI, payload=bw.data()))
         payload = write_sample_stream_nal(nals)
         header = V3CUnitHeader(

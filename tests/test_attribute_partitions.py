@@ -30,9 +30,9 @@ from test_e2e_codec import make_sphere_cloud
 class TestAttributeInformationSyntax:
     def roundtrip(self, ai: AttributeInformation) -> AttributeInformation:
         bw = BitWriter()
-        ai.write(bw)
+        ai.write(bw, False, 0)
         bw.byte_align(0)
-        return AttributeInformation.read(BitReader(bw.data()))
+        return AttributeInformation.read(BitReader(bw.data()), False, 0)
 
     def test_three_single_channel_partitions(self):
         """3 partitions of 1 channel each: fully inferred (0 extra bits)."""
@@ -54,9 +54,9 @@ class TestAttributeInformationSyntax:
             ai_attribute_codec_id=[0], ai_attribute_dimension_minus1=[2],
             ai_attribute_2d_bitdepth_minus1=[7],
             ai_attribute_msb_align_flag=[False],
-        ).write(bw_plain)
+        ).write(bw_plain, False, 0)
         bw_part = BitWriter()
-        ai.write(bw_part)
+        ai.write(bw_part, False, 0)
         assert bw_part.size_bytes == bw_plain.size_bytes
 
     def test_uneven_partition_channels(self):

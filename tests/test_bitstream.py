@@ -345,24 +345,34 @@ class TestExtendedSei:
                                 tc_n_frames=7),
             sei_mod.SeiActiveSubBitstreams(
                 asb_active_attributes_changes_flag=True,
+                asb_all_attributes_active_flag=False,
                 asb_active_attribute_idx=[0, 1],
             ),
             sei_mod.SeiObjectLabelInformation(
-                oli_labels=[(0, "person"), (3, "chair")]
+                oli_labels=[(0, False, "person"), (3, False, "chair")]
             ),
             sei_mod.SeiVolumetricRectangleInformation(
-                rectangles=[(0, 1, 2, 100, 200, 5)]
+                vri_log2_max_object_idx_tracked=4,
+                vri_log2_max_rectangle_idx_updated=3,
+                rectangles=[(0, False, True, (1, 2, 100, 200), [5])],
             ),
             sei_mod.SeiViewportCameraParameters(vcp_camera_id=7,
                                                 vcp_camera_type=1),
             sei_mod.SeiViewportPosition(vp_viewport_id=1,
-                                        vp_position=(10, -20, 30)),
+                                        vp_position=(10, 20, 30)),
             sei_mod.SeiAttributeTransformationParams(
-                atp_params=[(0, 2, 65536, -5)]
+                atp_params=[(0, 2, [(True, True, 65536, -5),
+                                    (False, False, 0, 0)])]
             ),
             sei_mod.SeiSceneObjectInformation(
-                objects=[(0, False, 2, (1, 2, 3, 10, 20, 30)),
-                         (1, True, 0, None)]
+                soi_simple_objects_flag=False,
+                soi_3d_bounding_box_present_flag=True,
+                soi_log2_max_object_idx_updated=4,
+                objects=[
+                    {"idx": 0, "cancel": True,
+                     "bbox": (1, 2, 3, 10, 20, 30)},
+                    {"idx": 1, "cancel": False},
+                ],
             ),
             sei_mod.SeiManifest(entries=[(21, 1), (66, 2)]),
             sei_mod.SeiFillerPayload(size=5),
@@ -371,12 +381,12 @@ class TestExtendedSei:
             ),
             sei_mod.SeiAtlasObjectInformation(
                 aoi_num_atlases_minus1=1,
-                aoi_log2_max_object_idx_tracked_minus1=3,
+                aoi_log2_max_object_idx_tracked=4,
                 updates=[(5, [True, False]), (9, [False, True])],
             ),
             sei_mod.SeiPatchInformation(
-                pi_log2_max_object_idx_tracked_minus1=3,
-                pi_log2_max_patch_idx_updated_minus1=5,
+                pi_log2_max_object_idx_tracked=4,
+                pi_log2_max_patch_idx_updated=6,
                 tiles=[(0, False, [(7, False, [5, 9]), (8, True, [])])],
             ),
         ]
@@ -390,11 +400,15 @@ class TestExtendedSei:
         assert seis_out[1].rp_recovery_afoc_cnt == -2
         assert seis_out[3].tc_minutes == 34
         assert seis_out[4].asb_active_attribute_idx == [0, 1]
-        assert seis_out[5].oli_labels == [(0, "person"), (3, "chair")]
-        assert seis_out[6].rectangles == [(0, 1, 2, 100, 200, 5)]
-        assert seis_out[8].vp_position == (10, -20, 30)
-        assert seis_out[9].atp_params == [(0, 2, 65536, -5)]
-        assert seis_out[10].objects[0][3] == (1, 2, 3, 10, 20, 30)
+        assert seis_out[5].oli_labels == [(0, False, "person"),
+                                          (3, False, "chair")]
+        assert seis_out[6].rectangles == [
+            (0, False, True, (1, 2, 100, 200), [5])
+        ]
+        assert seis_out[8].vp_position == (10, 20, 30)
+        assert seis_out[9].atp_params == [(0, 2, [(True, True, 65536, -5),
+                                                  (False, False, 0, 0)])]
+        assert seis_out[10].objects[0]["bbox"] == (1, 2, 3, 10, 20, 30)
         assert seis_out[11].entries == [(21, 1), (66, 2)]
         assert seis_out[12].size == 5
         assert seis_out[13].user_data == b"\x00\x01t35"
