@@ -171,10 +171,15 @@ def main() -> int:
             # real coefficient-slab upload (~30 MB) measured 70+ s at
             # cold-link speed while steady-state windows move the same
             # volume in ~2 s — push a dummy buffer now, concurrently with
-            # stream setup, so the ramp-up cost is off the warmup path
-            big = np.zeros((16 << 20,), np.int16)
-            jax.block_until_ready(jax.device_put(big))
-            log("prewarm: bench-shape executables + link ready")
+            # stream setup, so the ramp-up cost is off the warmup path.
+            # The timed push also steers the adaptive int8 AC wire format
+            # (rbv._slab8_enabled): below ~100 MB/s the halved bytes pay.
+            from rabbit_transcoding_tpu.video import rbv as _rbv
+
+            rate = _rbv.measure_link_rate(32 << 20)
+            log(f"prewarm: executables ready; link {rate:.0f} MB/s"
+                + (" -> int8 AC slab uploads ON" if rate <
+                   _rbv._SLAB8_LINK_THRESHOLD_MBPS else ""))
         except Exception as e:
             log(f"prewarm failed (harmless): {e!r}")
 
@@ -262,10 +267,16 @@ def main() -> int:
         # shows high run-to-run variance; measure several windows and
         # report the best sustained throughput.
         import concurrent.futures as cf
+        import statistics
 
         depth = int(os.environ.get("BENCH_PIPELINE", "3"))
+        # the headline is the MEDIAN window (round-3 verdict: best-of-N
+        # overstates under the documented 2x tunnel variance); the best
+        # window rides along as a separate field.  5 windows when the
+        # phase allows, early-stopped by a wall budget in slow phases.
         walls = []
-        for _ in range(3):
+        budget_s = float(os.environ.get("BENCH_WINDOW_BUDGET_S", "90"))
+        for _ in range(5):
             t0 = time.perf_counter()
             if depth <= 1:
                 for _ in range(n_gofs):
@@ -277,7 +288,11 @@ def main() -> int:
                         fu.result()
             walls.append(time.perf_counter() - t0)
             log(f"window: {walls[-1]:.2f}s")
-        wall = min(walls)
+            if sum(walls) > budget_s and len(walls) >= 3:
+                log("window budget reached; stopping early")
+                break
+        wall = statistics.median(walls)
+        wall_best = min(walls)
         total_frames = frames * n_gofs
     else:
         # BASELINE config #5: concurrent streams, per-stream threads
@@ -291,9 +306,12 @@ def main() -> int:
                 range(n_streams),
             ))
         wall = time.perf_counter() - t0
+        wall_best = wall
         total_frames = frames * n_gofs * n_streams
     fps = total_frames / wall
-    log(f"{total_frames} frames in {wall:.2f}s -> {fps:.2f} fps/chip")
+    fps_best = total_frames / wall_best
+    log(f"{total_frames} frames, median window {wall:.2f}s -> {fps:.2f} "
+        f"fps/chip (best window {fps_best:.2f})")
 
     ms_fps = None
     ms_stale = False
@@ -384,10 +402,17 @@ def main() -> int:
     suffix = f"_{n_streams}streams" if n_streams > 1 else ""
     record = {
         "metric": f"vpcc_transcode_fps_1024_{mode}{suffix}",
+        # headline = MEDIAN window; best rides along below
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 30.0, 3),
+        "fps_best_window": round(fps_best, 2),
+        "n_windows": len(walls) if n_streams <= 1 else 1,
     }
+    if degraded:
+        # a slow tunnel phase was detected at warmup: optional TPU
+        # sections were shed (see log); fps still measured live
+        record["slow_tunnel_phase"] = True
     # auxiliary evidence rides in the same record so the driver artifact
     # (BENCH_r{N}.json) is self-contained even when stderr is truncated
     if d1_delta is not None:

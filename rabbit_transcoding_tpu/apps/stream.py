@@ -272,6 +272,23 @@ def main(argv=None) -> int:
         print("error: input/output stream count mismatch", file=sys.stderr)
         return 1
 
+    # measure the host->device link concurrently with the first GOF's host
+    # entropy work: the timed push doubles as link warmup (first real
+    # upload measured 70+ s at cold-link speed) and steers the adaptive
+    # int8 AC slab wire format on slow links (video/rbv.py note_link_rate)
+    import threading
+
+    def _probe_link() -> None:
+        try:
+            from ..video import rbv
+
+            rate = rbv.measure_link_rate()
+            print(f"link: {rate:.0f} MB/s", file=sys.stderr)
+        except Exception:
+            pass
+
+    threading.Thread(target=_probe_link, daemon=True).start()
+
     sw = Stopwatch()
     sw.start()
     results = []

@@ -55,6 +55,22 @@ def _load():
     lib.rbv_decompress_i16.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.rbv_compress_i16_bands.restype = ctypes.c_int64
+    lib.rbv_compress_i16_bands.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,          # data, n
+        ctypes.c_void_p, ctypes.c_void_p,         # seg_off, seg_len
+        ctypes.c_void_p, ctypes.c_int64,          # seg_band, n_segs
+        ctypes.c_int32,                           # n_bands
+        ctypes.c_void_p, ctypes.c_int64,          # out, cap
+    ]
+    lib.rbv_decompress_i16_bands.restype = ctypes.c_int64
+    lib.rbv_decompress_i16_bands.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,          # in, in_len
+        ctypes.c_void_p, ctypes.c_int64,          # out, n
+        ctypes.c_void_p, ctypes.c_void_p,         # seg_off, seg_len
+        ctypes.c_void_p, ctypes.c_int64,          # seg_band, n_segs
+        ctypes.c_int32,                           # n_bands
+    ]
     _lib = lib
     return lib
 
@@ -98,4 +114,61 @@ def decompress_i16(blob: bytes, n_elements: int):
     )
     if consumed < 0:
         raise RuntimeError("rbv_decompress_i16 failed (corrupt stream?)")
+    return out
+
+
+def _seg_arrays(segments):
+    import numpy as np
+
+    off = np.ascontiguousarray([s[0] for s in segments], np.int64)
+    length = np.ascontiguousarray([s[1] for s in segments], np.int64)
+    band = np.ascontiguousarray([s[2] for s in segments], np.int32)
+    return off, length, band
+
+
+def compress_i16_bands(arr, segments, n_bands: int) -> bytes:
+    """Context-banded rANS: `segments` is an ordered list of
+    (offset_elements, length_elements, band_id); each band gets its own
+    RLE0 token streams and frequency tables.  Zero-runs continue across
+    segment boundaries within a band."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native entropy library unavailable")
+    a = np.ascontiguousarray(arr, dtype=np.int16)
+    off, length, band = _seg_arrays(segments)
+    cap = a.nbytes + 8192 + (a.nbytes >> 2) + 2048 * n_bands
+    out = np.empty(cap, np.uint8)
+    n = lib.rbv_compress_i16_bands(
+        a.ctypes.data_as(ctypes.c_void_p), a.size,
+        off.ctypes.data_as(ctypes.c_void_p),
+        length.ctypes.data_as(ctypes.c_void_p),
+        band.ctypes.data_as(ctypes.c_void_p), len(segments),
+        n_bands,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if n < 0:
+        raise RuntimeError("rbv_compress_i16_bands failed")
+    return out[:n].tobytes()
+
+
+def decompress_i16_bands(blob: bytes, n_elements: int, segments,
+                         n_bands: int):
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native entropy library unavailable")
+    out = np.empty(n_elements, np.int16)
+    off, length, band = _seg_arrays(segments)
+    consumed = lib.rbv_decompress_i16_bands(
+        blob, len(blob), out.ctypes.data_as(ctypes.c_void_p), n_elements,
+        off.ctypes.data_as(ctypes.c_void_p),
+        length.ctypes.data_as(ctypes.c_void_p),
+        band.ctypes.data_as(ctypes.c_void_p), len(segments),
+        n_bands,
+    )
+    if consumed < 0:
+        raise RuntimeError("rbv_decompress_i16_bands failed (corrupt?)")
     return out

@@ -223,9 +223,159 @@ int64_t decode_stream(const uint8_t* p, int64_t avail,
   return consumed;
 }
 
+// --- banded tokenisation ----------------------------------------------------
+// Coefficient slabs are frequency-major: the DC rows, low-AC and high-AC
+// regions have very different zero-run and magnitude statistics, so giving
+// each frequency band its own rANS tables buys rate at zero speed cost
+// (same total token work, a few extra 516-byte tables).  The caller
+// describes the array as an ordered list of (offset, length, band)
+// segments; runs continue across segment boundaries WITHIN a band.
+struct BandTokens {
+  std::vector<uint8_t> runs, lo, hi;
+  uint64_t run = 0;
+  void flush_run() {
+    uint64_t r = run;
+    while (r >= 0x80) {
+      runs.push_back((uint8_t)(r & 0x7F) | 0x80);
+      r >>= 7;
+    }
+    runs.push_back((uint8_t)r);
+    run = 0;
+  }
+  void push(int16_t v) {
+    if (v == 0) {
+      run++;
+      return;
+    }
+    flush_run();
+    uint16_t z = (uint16_t)((v << 1) ^ (v >> 15));
+    lo.push_back((uint8_t)(z & 0xFF));
+    hi.push_back((uint8_t)(z >> 8));
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+int64_t rbv_compress_i16_bands(const int16_t* data, int64_t n,
+                               const int64_t* seg_off, const int64_t* seg_len,
+                               const int32_t* seg_band, int64_t n_segs,
+                               int32_t n_bands, uint8_t* out,
+                               int64_t out_cap) {
+  if (n_bands < 1 || n_bands > 255) return -1;
+  std::vector<BandTokens> bands(n_bands);
+  for (int64_t s = 0; s < n_segs; s++) {
+    int32_t b = seg_band[s];
+    if (b < 0 || b >= n_bands) return -1;
+    BandTokens& bt = bands[b];
+    const int16_t* p = data + seg_off[s];
+    int64_t len = seg_len[s];
+    if (seg_off[s] < 0 || seg_off[s] + len > n) return -1;
+    int64_t i = 0;
+    const int64_t len4 = len & ~int64_t(3);
+    while (i < len4) {
+      uint64_t w;
+      std::memcpy(&w, p + i, 8);
+      if (w == 0) {
+        bt.run += 4;
+        i += 4;
+        continue;
+      }
+      for (int64_t e = i + 4; i < e; i++) bt.push(p[i]);
+    }
+    for (; i < len; i++) bt.push(p[i]);
+  }
+  std::vector<uint8_t> out_v;
+  out_v.reserve(n / 4 + 2048);
+  out_v.push_back('R');
+  out_v.push_back('B');
+  for (int i = 0; i < 8; i++)
+    out_v.push_back((uint8_t)((uint64_t)n >> (8 * i)));
+  out_v.push_back((uint8_t)n_bands);
+  for (auto& bt : bands) {
+    bt.flush_run();
+    encode_stream(bt.runs, out_v);
+    encode_stream(bt.lo, out_v);
+    encode_stream(bt.hi, out_v);
+  }
+  if ((int64_t)out_v.size() > out_cap) return -1;
+  std::memcpy(out, out_v.data(), out_v.size());
+  return (int64_t)out_v.size();
+}
+
+int64_t rbv_decompress_i16_bands(const uint8_t* in, int64_t in_len,
+                                 int16_t* out, int64_t n,
+                                 const int64_t* seg_off,
+                                 const int64_t* seg_len,
+                                 const int32_t* seg_band, int64_t n_segs,
+                                 int32_t n_bands) {
+  if (in_len < 11 || in[0] != 'R' || in[1] != 'B') return -1;
+  uint64_t n_hdr = 0;
+  for (int i = 0; i < 8; i++) n_hdr |= ((uint64_t)in[2 + i]) << (8 * i);
+  if ((int64_t)n_hdr != n) return -1;
+  if ((int32_t)in[10] != n_bands) return -1;
+  int64_t pos = 11;
+  struct BandState {
+    std::vector<uint8_t> runs, lo, hi;
+    size_t ri = 0, li = 0;
+    uint64_t pending = 0;  // zeros left of the loaded run
+    bool has_run = false;  // a run token is loaded (pending may be 0 ->
+                           // the next element is the literal)
+  };
+  std::vector<BandState> bands(n_bands);
+  for (auto& bs : bands) {
+    int64_t c = decode_stream(in + pos, in_len - pos, bs.runs);
+    if (c < 0) return -1;
+    pos += c;
+    c = decode_stream(in + pos, in_len - pos, bs.lo);
+    if (c < 0) return -1;
+    pos += c;
+    c = decode_stream(in + pos, in_len - pos, bs.hi);
+    if (c < 0) return -1;
+    pos += c;
+    if (bs.lo.size() != bs.hi.size()) return -1;
+  }
+  for (int64_t s = 0; s < n_segs; s++) {
+    int32_t b = seg_band[s];
+    if (b < 0 || b >= n_bands) return -1;
+    BandState& bs = bands[b];
+    int16_t* o = out + seg_off[s];
+    int64_t len = seg_len[s];
+    if (seg_off[s] < 0 || seg_off[s] + len > n) return -1;
+    int64_t oi = 0;
+    while (oi < len) {
+      if (!bs.has_run) {
+        uint64_t run = 0;
+        int shift = 0;
+        while (true) {
+          if (bs.ri >= bs.runs.size()) return -1;
+          uint8_t byte = bs.runs[bs.ri++];
+          run |= (uint64_t)(byte & 0x7F) << shift;
+          if (!(byte & 0x80)) break;
+          shift += 7;
+        }
+        bs.pending = run;
+        bs.has_run = true;
+      }
+      if (bs.pending > 0) {
+        uint64_t take = bs.pending;
+        if ((int64_t)take > len - oi) take = (uint64_t)(len - oi);
+        std::memset(o + oi, 0, take * sizeof(int16_t));
+        oi += (int64_t)take;
+        bs.pending -= take;
+      } else {
+        // the loaded run is exhausted: the next element is its literal
+        bs.has_run = false;
+        if (bs.li >= bs.lo.size()) return -1;
+        uint16_t z = (uint16_t)bs.lo[bs.li] | ((uint16_t)bs.hi[bs.li] << 8);
+        bs.li++;
+        o[oi++] = (int16_t)((z >> 1) ^ (uint16_t)(-(int16_t)(z & 1)));
+      }
+    }
+  }
+  return pos;
+}
 
 int64_t rbv_compress_i16(const int16_t* data, int64_t n, uint8_t* out,
                          int64_t out_cap) {

@@ -585,10 +585,47 @@ _from_freq_slab = aot_jit(_from_freq_slab_impl,
 # blocking scalar round trip per plane that stalls the pipeline (A/B:
 # median window 1.37 s vs 0.81 s).  The entropy bitstream is unchanged
 # either way: int8 is only a wire format.
+_LINK_RATE_MBPS: float | None = None
+# below this host->device rate the halved wire bytes clearly pay for the
+# int8 narrowing work (the tunneled chip here measures 15-45 MB/s; local
+# PCIe-class links measure GB/s where the win is noise)
+_SLAB8_LINK_THRESHOLD_MBPS = 100.0
+
+
+def note_link_rate(mbps: float) -> None:
+    """Record a measured host->device link rate (MB/s) to steer adaptive
+    wire formats.  Callers: bench.py prewarm, apps/stream.py startup."""
+    global _LINK_RATE_MBPS
+    _LINK_RATE_MBPS = float(mbps)
+
+
+def measure_link_rate(nbytes: int = 32 << 20) -> float:
+    """Time one host->device push and record the rate.  Costs one transfer
+    of `nbytes` — call it where that transfer doubles as link warmup."""
+    import time
+
+    buf = np.zeros(nbytes // 2, np.int16)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(buf))
+    dt = max(1e-6, time.perf_counter() - t0)
+    rate = nbytes / dt / 1e6
+    note_link_rate(rate)
+    return rate
+
+
 def _slab8_enabled() -> bool:
+    """int8 AC wire format: explicit env override, else adaptive on the
+    measured link rate (A/B showed the win scales with 1/bandwidth and is
+    noise on fast links — see the block comment above)."""
     import os
 
-    return os.environ.get("RBV_SLAB8", "0") == "1"
+    env = os.environ.get("RBV_SLAB8")
+    if env is not None:
+        return env == "1"
+    return (
+        _LINK_RATE_MBPS is not None
+        and _LINK_RATE_MBPS < _SLAB8_LINK_THRESHOLD_MBPS
+    )
 
 
 def _from_freq_slab_split_impl(dc, ac, b: int, kmax: int):
@@ -637,6 +674,31 @@ def _split_mv_section(blob: bytes, f: int, nby: int, nbx: int):
     return mv, blob[5 + zlen :]
 
 
+# frequency-band context boundaries (zigzag octaves): DC, low-AC, mid-AC,
+# high-AC, tail have very different zero-run/magnitude statistics, so each
+# gets its own rANS tables (measured -1.5..-3% slab bytes on dense content;
+# a losing candidate on heavily-quantised slabs, where the size race below
+# discards it)
+_BAND_STARTS = (0, 1, 4, 16, 64)
+
+
+def _band_plan(kmax: int) -> list[int]:
+    """Band start frequencies for a slab of kmax rows."""
+    return [s for s in _BAND_STARTS if s < kmax]
+
+
+def _band_segments(f: int, kmax: int, s_blocks: int, starts: list[int]):
+    """Ordered (offset, length, band) covering the (F, kmax, S) slab."""
+    bounds = list(starts) + [kmax]
+    segs = []
+    for fi in range(f):
+        base = fi * kmax * s_blocks
+        for bi in range(len(starts)):
+            k0, k1 = bounds[bi], bounds[bi + 1]
+            segs.append((base + k0 * s_blocks, (k1 - k0) * s_blocks, bi))
+    return segs
+
+
 def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
     """Device coefficient tensor -> entropy blob via the frequency slab:
     only zigzag frequencies [0, kmax) carry energy and only they cross the
@@ -659,19 +721,35 @@ def _encode_coeff_blob(q_dev, level: int = 6) -> bytes:
 
     head = b"\x03" + struct.pack("<H", kmax)
     if native.available():
-        r = native.compress_i16(slab)
+        # candidate backends race; the smallest wins and decode reads the
+        # tag.  'B' = per-frequency-band rANS contexts: DC/low-AC/high-AC
+        # statistics differ enough that separate tables buy 1.5-3% on
+        # dense slabs, but the extra 516-byte tables LOSE on tiny or
+        # heavily-quantised slabs — hence a candidate, never forced.
+        # RBV_BANDS=0 removes it from the race (A/B knob).
+        import os
+
+        candidates: list[bytes] = []
+        starts = _band_plan(kmax)
+        if (len(starts) > 1 and slab.nbytes > 64 << 10
+                and os.environ.get("RBV_BANDS", "1") != "0"):
+            segs = _band_segments(f, kmax, nby * nbx, starts)
+            rb = native.compress_i16_bands(slab, segs, len(starts))
+            bandhdr = bytes([len(starts)]) + b"".join(
+                struct.pack("<H", s) for s in starts
+            )
+            candidates.append(head + b"B" + bandhdr + rb)
+        candidates.append(head + b"R" + native.compress_i16(slab))
         # order-0 rANS wins on noisy coefficients; LZ wins on repetitive
-        # structure — race both and keep the smaller (decode reads the tag)
-        # for small slabs.  Above 1 MB skip the race: this host has ONE
-        # core, the device step is ~30 ms, and a level-6 zlib pass over a
-        # multi-MB slab costs ~200 ms of serialized host time for a win
-        # rANS essentially never concedes on quantised coefficients
-        if slab.nbytes > 1 << 20:
-            return head + b"R" + r
-        z = zlib.compress(slab.tobytes(), level)
-        if len(r) <= len(z):
-            return head + b"R" + r
-        return head + b"Z" + z
+        # structure — race it too for small slabs.  Above 1 MB skip zlib:
+        # this host has ONE core, the device step is ~30 ms, and a level-6
+        # zlib pass over a multi-MB slab costs ~200 ms of serialized host
+        # time for a win rANS essentially never concedes on quantised
+        # coefficients
+        if slab.nbytes <= 1 << 20:
+            candidates.append(head + b"Z" + zlib.compress(slab.tobytes(),
+                                                          level))
+        return min(candidates, key=len)
     return head + b"Z" + zlib.compress(slab.tobytes(), level)
 
 
@@ -695,7 +773,19 @@ def _decode_coeff_blob(blob: bytes, f: int, nby: int, nbx: int, b: int):
             return jnp.zeros(shape, jnp.int16)
         backend = blob[3:4]
         n_el = f * kmax * nby * nbx
-        if backend == b"R":
+        if backend == b"B":
+            from .. import native
+
+            n_bands = blob[4]
+            starts = [
+                struct.unpack_from("<H", blob, 5 + 2 * i)[0]
+                for i in range(n_bands)
+            ]
+            segs = _band_segments(f, kmax, nby * nbx, starts)
+            slab = native.decompress_i16_bands(
+                blob[5 + 2 * n_bands:], n_el, segs, n_bands
+            ).reshape(f, kmax, nby, nbx)
+        elif backend == b"R":
             from .. import native
 
             slab = native.decompress_i16(blob[4:], n_el).reshape(

@@ -90,6 +90,126 @@ class TestRans:
         assert t_r < t_z * 1.2
 
 
+class TestBandedRans:
+    """Context-banded coder: per-band rANS tables with zero-runs that
+    continue across segment boundaries within a band (the coefficient-slab
+    wire format, video/rbv.py _encode_coeff_blob backend 'B')."""
+
+    def _slab_like(self, seed=0, f=3, kmax=24, s=400):
+        """Frequency-major slab with band-dependent statistics (like real
+        DCT coefficients: dense DC, sparse AC, near-empty tail)."""
+        rng = np.random.default_rng(seed)
+        a = np.zeros((f, kmax, s), np.int16)
+        a[:, 0] = rng.integers(-900, 900, (f, s))
+        a[:, 1:4] = (rng.integers(-60, 60, (f, 3, s))
+                     * (rng.random((f, 3, s)) < 0.5))
+        a[:, 4:16] = (rng.integers(-8, 8, (f, 12, s))
+                      * (rng.random((f, 12, s)) < 0.1))
+        a[:, 16:] = (rng.integers(-2, 3, (f, kmax - 16, s))
+                     * (rng.random((f, kmax - 16, s)) < 0.01))
+        return a
+
+    def _segs(self, f, kmax, s, starts):
+        bounds = list(starts) + [kmax]
+        return [
+            (fi * kmax * s + bounds[b] * s, (bounds[b + 1] - bounds[b]) * s, b)
+            for fi in range(f)
+            for b in range(len(starts))
+        ]
+
+    def test_roundtrip(self):
+        f, kmax, s = 3, 24, 400
+        a = self._slab_like(f=f, kmax=kmax, s=s)
+        starts = [0, 1, 4, 16]
+        segs = self._segs(f, kmax, s, starts)
+        flat = a.ravel()
+        blob = native.compress_i16_bands(flat, segs, len(starts))
+        back = native.decompress_i16_bands(blob, flat.size, segs,
+                                           len(starts))
+        assert np.array_equal(back, flat)
+
+    def test_beats_single_context_on_banded_stats(self):
+        """The whole point: bands with different statistics compress
+        smaller with per-band tables than with one global table."""
+        f, kmax, s = 8, 32, 1024
+        a = self._slab_like(seed=2, f=f, kmax=kmax, s=s)
+        starts = [0, 1, 4, 16]
+        segs = self._segs(f, kmax, s, starts)
+        flat = a.ravel()
+        banded = native.compress_i16_bands(flat, segs, len(starts))
+        single = native.compress_i16(flat)
+        assert np.array_equal(
+            native.decompress_i16_bands(banded, flat.size, segs,
+                                        len(starts)), flat)
+        assert len(banded) < len(single), (len(banded), len(single))
+
+    def test_runs_cross_segment_boundaries(self):
+        """A zero run spanning two segments of the same band costs one
+        token, not two — decode must re-split it identically."""
+        a = np.zeros(10_000, np.int16)
+        a[0] = 7
+        a[9_999] = -7
+        segs = [(0, 5_000, 0), (5_000, 5_000, 0)]
+        blob = native.compress_i16_bands(a, segs, 1)
+        assert np.array_equal(
+            native.decompress_i16_bands(blob, a.size, segs, 1), a)
+
+    def test_empty_and_single_band(self):
+        a = np.zeros(0, np.int16)
+        blob = native.compress_i16_bands(a, [], 1)
+        assert np.array_equal(
+            native.decompress_i16_bands(blob, 0, [], 1), a)
+
+    def test_corrupt_raises(self):
+        a = np.arange(2000, dtype=np.int16)
+        segs = [(0, 2000, 0)]
+        blob = native.compress_i16_bands(a, segs, 1)
+        with pytest.raises(RuntimeError):
+            native.decompress_i16_bands(blob[:-3] + b"\xff\xff\xff",
+                                        4000, segs, 1)
+        with pytest.raises(RuntimeError):
+            native.decompress_i16_bands(blob, 2000, segs, 2)
+
+    def test_coeff_blob_backend_selected(self):
+        """rbv routes big multi-band slabs through backend 'B' and the
+        blob roundtrips on the device path."""
+        import jax.numpy as jnp
+
+        from rabbit_transcoding_tpu.video import rbv
+
+        f, nby, nbx, b = 40, 16, 16, 8
+        rng = np.random.default_rng(5)
+        q = np.zeros((f, nby, nbx, b, b), np.int16)
+        q[..., 0, 0] = rng.integers(-400, 400, (f, nby, nbx))
+        q[..., 0, 1] = rng.integers(-30, 30, (f, nby, nbx))
+        q[..., 1, 0] = (rng.integers(-10, 10, (f, nby, nbx))
+                        * (rng.random((f, nby, nbx)) < 0.3))
+        blob = rbv._encode_coeff_blob(jnp.asarray(q))
+        assert blob[3:4] == b"B", blob[:6]
+        back = np.asarray(rbv._decode_coeff_blob(blob, f, nby, nbx, b))
+        assert np.array_equal(back, q)
+
+    def test_coeff_blob_single_context_knob(self, monkeypatch):
+        """RBV_BANDS=0 forces the old backend; both decode identically."""
+        import jax.numpy as jnp
+
+        from rabbit_transcoding_tpu.video import rbv
+
+        f, nby, nbx, b = 40, 16, 16, 8
+        rng = np.random.default_rng(6)
+        q = np.zeros((f, nby, nbx, b, b), np.int16)
+        q[..., 0, 0] = rng.integers(-400, 400, (f, nby, nbx))
+        dev = jnp.asarray(q)
+        monkeypatch.setenv("RBV_BANDS", "0")
+        blob0 = rbv._encode_coeff_blob(dev)
+        assert blob0[3:4] != b"B"
+        monkeypatch.delenv("RBV_BANDS")
+        blob1 = rbv._encode_coeff_blob(dev)
+        for blob in (blob0, blob1):
+            assert np.array_equal(
+                np.asarray(rbv._decode_coeff_blob(blob, f, nby, nbx, b)), q)
+
+
 class TestSanitizedBuild:
     """SURVEY §5.2: the reference has no sanitizers at all; host-native code
     here gets an AddressSanitizer build + roundtrip as a CI-style check."""

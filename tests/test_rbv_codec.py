@@ -225,3 +225,47 @@ class TestCompensatedRequant:
         mse_comp = float(np.mean((comp[last] - ref[last]) ** 2))
         mse_open = float(np.mean((open_loop[last] - ref[last]) ** 2))
         assert mse_comp < mse_open * 0.5, (mse_comp, mse_open)
+
+
+class TestAdaptiveSlab8:
+    """The int8 AC wire format turns on adaptively from the measured
+    host->device link rate (slow tunneled links only); RBV_SLAB8 env
+    overrides in both directions."""
+
+    def _reset(self):
+        rbv.note_link_rate(1e9)  # pretend fast
+        rbv._LINK_RATE_MBPS = None
+
+    def test_adaptive_from_link_rate(self, monkeypatch):
+        monkeypatch.delenv("RBV_SLAB8", raising=False)
+        old = rbv._LINK_RATE_MBPS
+        try:
+            rbv._LINK_RATE_MBPS = None
+            assert not rbv._slab8_enabled()  # unknown link: off
+            rbv.note_link_rate(20.0)  # tunnel-class
+            assert rbv._slab8_enabled()
+            rbv.note_link_rate(2000.0)  # PCIe-class
+            assert not rbv._slab8_enabled()
+        finally:
+            rbv._LINK_RATE_MBPS = old
+
+    def test_env_override_wins(self, monkeypatch):
+        old = rbv._LINK_RATE_MBPS
+        try:
+            rbv.note_link_rate(20.0)
+            monkeypatch.setenv("RBV_SLAB8", "0")
+            assert not rbv._slab8_enabled()
+            rbv.note_link_rate(2000.0)
+            monkeypatch.setenv("RBV_SLAB8", "1")
+            assert rbv._slab8_enabled()
+        finally:
+            rbv._LINK_RATE_MBPS = old
+
+    def test_measure_link_rate_records(self):
+        old = rbv._LINK_RATE_MBPS
+        try:
+            rate = rbv.measure_link_rate(1 << 20)
+            assert rate > 0
+            assert rbv._LINK_RATE_MBPS == rate
+        finally:
+            rbv._LINK_RATE_MBPS = old
