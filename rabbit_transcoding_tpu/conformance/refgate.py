@@ -39,9 +39,9 @@ def build_refgate() -> Path:
     """Compile refparse/refwrite against the reference libs (cached)."""
     binary = BUILD_DIR / "refparse"
     script = _TOOLS / "build.sh"
+    sources = [script, _TOOLS / "refparse.cpp", _TOOLS / "hevcparse.cpp"]
     if binary.exists() and binary.stat().st_mtime >= max(
-        script.stat().st_mtime,
-        (_TOOLS / "refparse.cpp").stat().st_mtime,
+        s.stat().st_mtime for s in sources if s.exists()
     ):
         return binary
     subprocess.run(
@@ -51,6 +51,29 @@ def build_refgate() -> Path:
         env={**os.environ, "REF": str(REF_ROOT)},
     )
     return binary
+
+
+def hevc_parser_available() -> bool:
+    return (REF_ROOT / "dependencies/PccLibHevcParser").is_dir()
+
+
+def run_hevcparse(stream_path: str | Path) -> dict[str, int]:
+    """Parse an Annex-B HEVC stream with the reference's PccLibHevcParser
+    (the library TMC2 probes HEVC sub-streams with) -> {key: int}."""
+    build_refgate()
+    out = subprocess.run(
+        [str(BUILD_DIR / "hevcparse"), str(stream_path)],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    fields: dict[str, int] = {}
+    for line in out.splitlines():
+        if "=" in line and not line.startswith(" "):
+            k, _, v = line.partition("=")
+            try:
+                fields[k] = int(v)
+            except ValueError:
+                pass
+    return fields
 
 
 def run_refparse(bin_path: str | Path) -> dict[str, int]:

@@ -75,6 +75,32 @@ class ForeignCodec:
         return payload
 
 
+@dataclasses.dataclass
+class IpcmCodec:
+    """In-tree fallback when no external binary resolves: the conformant
+    HEVC I-slice/IPCM subset (video/hevc_ipcm.py).  Decode requires the
+    payload to be inside the subset (resolve() gates on is_ipcm_subset);
+    encode always produces the subset — lossless, QP ignored — so the
+    foreign route exercises real Annex-B NAL/slice syntax even with no
+    HEVC binary installed."""
+
+    def decode(
+        self,
+        payload: bytes,
+        fallback_width: int = 0,
+        fallback_height: int = 0,
+        fallback_bitdepth: int = 8,
+    ) -> Video:
+        from ..video import hevc_ipcm
+
+        return hevc_ipcm.decode(payload)
+
+    def encode(self, video: Video, qp: int) -> bytes:
+        from ..video import hevc_ipcm
+
+        return hevc_ipcm.encode(video)
+
+
 def _resolve_binary(
     explicit: str, codec_id: CodecId, role: str, default_name: str
 ) -> str | None:
@@ -143,6 +169,13 @@ def resolve(
         codec_id, "ENCODER", enc_name,
     )
     if dec_bin is None or enc_bin is None:
+        # in-tree fallback: a payload inside the HEVC IPCM subset decodes
+        # and re-encodes without any external binary (VERDICT r3 task 6)
+        if payload is not None:
+            from ..video import hevc_ipcm
+
+            if hevc_ipcm.is_ipcm_subset(payload):
+                return IpcmCodec()
         return None
     cfg_attr = {"occupancy": "occupancyMapConfig",
                 "geometry": "geometryConfig",
