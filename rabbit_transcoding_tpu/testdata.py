@@ -162,7 +162,57 @@ def make_scene_frame(
     return PointSet(positions=pos, colors=colors).remove_duplicates()
 
 
-SCENES = {"sphere": make_frame, "blobs": make_scene_frame}
+def make_dense_frame(
+    frame: int = 0,
+    n: int = 500000,
+    seed: int = 13,
+    vox_bits: int = 10,
+) -> PointSet:
+    """Reference-scale content: vox10 density (>=300k points/frame after
+    dedupe — the 8i clouds the reference's CTC runs on are ~800k,
+    /root/reference/cfg/sequence/longdress_vox10.cfg:5-12).  The blobs
+    scene scaled to ~1 point/voxel surface density, plus an ARTICULATED
+    swinging limb (hinge rotation — a motion class the orbiting satellite
+    doesn't cover: every block has a different motion vector)."""
+    base = make_scene_frame(frame, n=int(n * 0.85), seed=seed,
+                            vox_bits=vox_bits)
+    rng = np.random.default_rng(seed + 1)
+    half = int(2 ** (vox_bits - 1))
+    n_limb = n - int(n * 0.85)
+    # cylinder surface swinging about a hinge near the torso top
+    length = 1.6 * float(np.sqrt(n / 8 / (4 * np.pi)))
+    radius = max(4.0, length / 6.0)
+    t = rng.uniform(0, 1, n_limb)            # along the limb
+    a = rng.uniform(0, 2 * np.pi, n_limb)    # around the limb
+    swing = 0.6 * np.sin(0.35 * frame)       # hinge angle over time
+    c, s = np.cos(swing), np.sin(swing)
+    lx = t * length
+    ly = radius * np.cos(a)
+    lz = radius * np.sin(a)
+    limb = np.stack([
+        half + 1.2 * length + (c * lx - s * lz),
+        half + ly,
+        half + 1.0 * length + (s * lx + c * lz),
+    ], 1)
+    maxv = (1 << vox_bits) - 1
+    limb = np.clip(np.round(limb), 0, maxv).astype(np.int32)
+    rings = ((limb[:, 0] // 5 + limb[:, 2] // 5) % 2).astype(np.uint8)
+    limb_col = np.where(
+        rings[:, None] > 0,
+        np.array([[240, 120, 20]], np.uint8),
+        np.array([[20, 40, 90]], np.uint8),
+    )
+    return PointSet(
+        positions=np.concatenate([base.positions, limb]),
+        colors=np.concatenate([base.colors, limb_col]),
+    ).remove_duplicates()
+
+
+SCENES = {
+    "sphere": make_frame,
+    "blobs": make_scene_frame,
+    "dense": make_dense_frame,
+}
 
 
 def main(argv=None) -> int:
