@@ -69,6 +69,10 @@ class GeneratePointCloudParameters:
     # post-smoothing attribute re-transfer selector (attrTransferFilterType;
     # 0 = geometry smoothing excluded from attribute transfer)
     attr_transfer_filter_type: int = 0
+    # multi-chip: a jax.sharding.Mesh shards the per-frame reprojection
+    # across devices (parallel/pipeline.py; bit-identical — frame-local
+    # computation, only the device assignment changes).  None = one device.
+    mesh: object = None
 
 
 def round_up(x: int, m: int) -> int:
@@ -352,11 +356,20 @@ class ReconstructionEngine:
         b2p0 = None
         for m in range(map_count):
             geo = np.asarray(geo_video.planes[0])[m::map_count][:f, :h, :w]
-            pts_m, valid_m, b2p_m = repro_ops.reproject(
-                jnp.asarray(geo.astype(np.int32)),
-                occ_dev, table_dev, counts_dev, block,
-                reverse=not self.params.patch_precedence,
-            )
+            if self.params.mesh is not None:
+                from ..parallel.pipeline import sharded_reproject
+
+                pts_m, valid_m, b2p_m = sharded_reproject(
+                    self.params.mesh, geo.astype(np.int32),
+                    occ_maps, table, counts, block,
+                    reverse=not self.params.patch_precedence,
+                )
+            else:
+                pts_m, valid_m, b2p_m = repro_ops.reproject(
+                    jnp.asarray(geo.astype(np.int32)),
+                    occ_dev, table_dev, counts_dev, block,
+                    reverse=not self.params.patch_precedence,
+                )
             pts_maps.append(np.asarray(pts_m))
             if valid is None:
                 valid = np.asarray(valid_m)

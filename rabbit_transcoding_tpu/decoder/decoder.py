@@ -45,6 +45,10 @@ class DecoderParameters:
     # colour transform applied to the output clouds (0 none | 1 RGB->YCbCr
     # Rec.709; PccAppDecoder.cpp:111-115)
     colorTransform: int = 0
+    # multi-chip: a jax.sharding.Mesh shards the reconstruction's per-frame
+    # reprojection across devices (no reference analog — the TPU-native
+    # scaling axis, parallel/pipeline.py).  None = single device.
+    shardingMesh: object = None
     # HDRConvert for the attribute YUV420->RGB444 inverse conversion
     # (colorSpaceConversionPath + inverseColorSpaceConversionConfig)
     colorSpaceConversionPath: str = ""
@@ -261,6 +265,7 @@ class Decoder:
                 )
 
         gpc = GeneratePointCloudParameters()
+        gpc.mesh = self.params.shardingMesh
         # b2p precedence follows the signalled asps flag (PCCCodec.cpp:2068)
         if atlas.asps_list:
             gpc.patch_precedence = bool(

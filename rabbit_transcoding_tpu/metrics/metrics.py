@@ -270,6 +270,39 @@ def compute_metrics(
     return m
 
 
+def d1_psnr_sharded(
+    source: PointSet,
+    reconstructed: PointSet,
+    mesh,
+    params: MetricsParams | None = None,
+    cell_bits: int = 3,
+    cap: int = 64,
+) -> float:
+    """Multi-chip symmetric D1 PSNR: both NN passes run on the device
+    grid-hash KNN with query points sharded over every mesh device and the
+    (sum, count) partials reduced in one psum (parallel/pipeline.py — the
+    ICI metrics reduction of SURVEY §2.7).
+
+    This is the throughput path for monitoring at scale: plain
+    nearest-neighbour D1 (the pcc_error default), WITHOUT the
+    equidistant-tie / neighborsProc refinements of compute_metrics — use
+    that for CTC-grade numbers.  Single-device vs multi-device results are
+    asserted identical in tests/test_parallel.py."""
+    from ..parallel.pipeline import make_sharded_nn_mse
+
+    params = params or MetricsParams()
+    dd = int(params.drop_duplicates)
+    src = source.remove_duplicates(dd) if dd else source
+    rec = reconstructed.remove_duplicates(dd) if dd else reconstructed
+    grid_dim = max(2, (1 << 10) >> cell_bits)
+    nn_mse = make_sharded_nn_mse(
+        mesh, k_cell_bits=cell_bits, grid_dim=grid_dim, cap=cap
+    )
+    mse_ab = nn_mse(src.positions, rec.positions)
+    mse_ba = nn_mse(rec.positions, src.positions)
+    return _geom_psnr(max(mse_ab, mse_ba), params.resolution)
+
+
 def compute_sequence_metrics(
     sources: list[PointSet],
     reconstructions: list[PointSet],

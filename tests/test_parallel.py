@@ -218,3 +218,143 @@ class TestMultiStreamEdgeCases:
             losslessGeo=True, losslessAttribute=True, attributeVideo444=True,
             enhancedOccupancyMapCode=True,
         ))
+
+
+# ===========================================================================
+# Decoder reconstruction + metrics KNN sharded over the mesh
+# (round-3 verdict task 5: multi-chip beyond the transcoder)
+# ===========================================================================
+from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+from rabbit_transcoding_tpu.core.pointset import PointSet
+from rabbit_transcoding_tpu.decoder.decoder import Decoder, DecoderParameters
+from rabbit_transcoding_tpu.encoder.encoder import Encoder
+from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+from rabbit_transcoding_tpu.metrics.metrics import (
+    MetricsParams,
+    compute_metrics,
+    d1_psnr_sharded,
+)
+from rabbit_transcoding_tpu.parallel.pipeline import (
+    make_sharded_nn_mse,
+    sharded_reproject,
+)
+
+
+def _cloud(seed=0, n=12000, radius=40, center=64):
+    rng = np.random.default_rng(seed)
+    theta = np.arccos(1 - 2 * rng.uniform(0, 1, n))
+    phi = rng.uniform(0, 2 * np.pi, n)
+    pos = np.round(np.stack([
+        center + radius * np.sin(theta) * np.cos(phi),
+        center + radius * np.sin(theta) * np.sin(phi),
+        center + radius * np.cos(theta),
+    ], 1)).astype(np.int32)
+    colors = np.clip(np.stack([
+        128 + 100 * np.sin(pos[:, 0] / 10.0),
+        128 + 100 * np.cos(pos[:, 1] / 10.0),
+        128 + 60 * np.sin(pos[:, 2] / 7.0),
+    ], 1), 0, 255).astype(np.uint8)
+    return PointSet(positions=pos, colors=colors).remove_duplicates()
+
+
+@pytest.fixture(scope="module")
+def encoded_ctx():
+    sources = GroupOfFrames([_cloud(seed=i) for i in range(2)])
+    context, _ = Encoder(EncoderParameters(
+        minimumImageWidth=256, minimumImageHeight=64,
+        geometryQP=12, attributeQP=24, frameCount=2, groupOfFramesSize=2,
+    )).encode(sources)
+    return sources, context
+
+
+class TestShardedDecode:
+    def test_decoder_checksum_identity(self, mesh, encoded_ctx):
+        """The SAME decode with reconstruction sharded over 8 devices
+        (DecoderParameters.shardingMesh) produces checksum-identical
+        clouds — frame-local math, only device placement changes."""
+        _, context = encoded_ctx
+        single = Decoder().decode(context)
+        sharded = Decoder(DecoderParameters(shardingMesh=mesh)).decode(
+            context
+        )
+        assert len(single) == len(sharded)
+        for a, b in zip(single, sharded):
+            assert a.compute_checksum() == b.compute_checksum()
+
+    def test_sharded_reproject_frames_not_divisible(self, mesh):
+        """Frame counts that don't divide the device count pad internally
+        and still match the single-device result bitwise."""
+        from rabbit_transcoding_tpu.core.patch import Patch
+        from rabbit_transcoding_tpu.ops import reproject as repro_ops
+
+        rng = np.random.default_rng(1)
+        f, h, w = 5, 64, 64  # 5 frames on 8 devices
+        patches = []
+        for _ in range(f):
+            p = Patch()
+            p.u0, p.v0 = 0, 0
+            p.size_u0, p.size_v0 = 4, 4
+            p.u1, p.v1, p.d1 = 10, 20, 30
+            p.normal_axis, p.tangent_axis, p.bitangent_axis = 0, 1, 2
+            p.patch_orientation = 0
+            p.projection_mode = 0
+            p.occupancy_resolution = 16
+            patches.append([p])
+        table, counts = repro_ops.build_patch_table(patches, 4)
+        occ = (rng.random((f, h, w)) < 0.5).astype(np.uint8)
+        geo = rng.integers(0, 200, (f, h, w)).astype(np.int32)
+        pts_s, val_s, b2p_s = sharded_reproject(
+            mesh, geo, occ, table, counts, 16
+        )
+        pts_1, val_1, b2p_1 = repro_ops.reproject(
+            jnp.asarray(geo), jnp.asarray(occ), jnp.asarray(table),
+            jnp.asarray(counts), 16,
+        )
+        assert np.array_equal(np.asarray(pts_s), np.asarray(pts_1))
+        assert np.array_equal(np.asarray(val_s), np.asarray(val_1))
+        assert np.array_equal(np.asarray(b2p_s), np.asarray(b2p_1))
+
+
+class TestShardedMetrics:
+    def test_nn_mse_matches_kdtree(self, mesh):
+        """The sharded grid-KNN reduction reproduces the exact NN MSE the
+        host cKDTree computes (same distances, order-tolerant sum)."""
+        from scipy.spatial import cKDTree
+
+        rng = np.random.default_rng(2)
+        refs = rng.integers(200, 800, (40000, 3)).astype(np.int32)
+        queries = np.clip(
+            refs[rng.choice(len(refs), 25000)]
+            + rng.integers(-3, 4, (25000, 3)), 0, 1023,
+        ).astype(np.int32)
+        nn_mse = make_sharded_nn_mse(mesh, k_cell_bits=3, grid_dim=128,
+                                     cap=64)
+        sharded = nn_mse(queries, refs)
+        d, _ = cKDTree(refs).query(queries, k=1)
+        exact = float(np.mean(d ** 2))
+        assert abs(sharded - exact) < 1e-4 * max(1.0, exact)
+
+    def test_d1_psnr_sharded_matches_plain_d1(self, mesh, encoded_ctx):
+        """d1_psnr_sharded on the decoded clouds lands within 0.2 dB of
+        compute_metrics' D1 (same NN core; the gap is the equidistant-tie
+        refinement documented in the docstring)."""
+        sources, context = encoded_ctx
+        clouds = Decoder().decode(context)
+        psnr_sharded = d1_psnr_sharded(
+            sources[0], clouds[0], mesh,
+            MetricsParams(resolution=1023),
+        )
+        m = compute_metrics(sources[0], clouds[0],
+                            MetricsParams(resolution=1023))
+        assert abs(psnr_sharded - m.d1_psnr) < 0.2, (
+            psnr_sharded, m.d1_psnr,
+        )
+
+    def test_unfound_raises(self, mesh):
+        """Two far-apart clusters beyond the grid search radius: the
+        reduction refuses to silently zero the misses."""
+        a = np.zeros((512, 3), np.int32)
+        b = np.full((512, 3), 900, np.int32)
+        nn_mse = make_sharded_nn_mse(mesh, k_cell_bits=2, grid_dim=256)
+        with pytest.raises(ValueError):
+            nn_mse(a, b)
