@@ -74,6 +74,34 @@ def _orient_all(
     return n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
 
 
+def orient_spanning_tree(
+    normals: np.ndarray,
+    points: np.ndarray,
+    nbr_idx: np.ndarray,
+    nbr_ok: np.ndarray | None = None,
+    viewpoint: tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> np.ndarray:
+    """TRUE spanning-tree sign propagation (orientNormals,
+    PCCNormalsGenerator.cpp:178-234): grow a maximum spanning tree over the
+    KNN graph with |n_a.n_b| edge weights, flipping each point to agree
+    with its tree parent; per-component seeding from visited neighbours
+    and a final majority flip toward the viewpoint.
+
+    Inherently sequential, so it runs in native C++
+    (native/normals_tree.cpp); raises RuntimeError when the native library
+    is unavailable — callers fall back to the sweep orientation."""
+    from .. import native
+
+    out = np.ascontiguousarray(normals, np.float32).copy()
+    if nbr_ok is None:
+        nbr_ok = np.ones(nbr_idx.shape, np.uint8)
+    native.orient_normals_tree(
+        out, points.astype(np.float32), nbr_idx, nbr_ok,
+        np.asarray(viewpoint, np.float32),
+    )
+    return out
+
+
 def compute_normals(
     points: np.ndarray,
     k: int = 16,
@@ -81,15 +109,28 @@ def compute_normals(
     nbr_idx: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """-> (normals (N,3) float32 unit, knn indices (N,k)).  The KNN graph is
-    returned for reuse by segmentation refinement."""
+    returned for reuse by segmentation refinement.
+
+    Orientation: spanning-tree propagation (the reference's default — it
+    follows the surface, so thin sheets and multi-body scenes keep outward
+    normals where global-viewpoint sweeps mis-orient; see
+    tests/test_normals_orientation.py for the A/B).  Falls back to the
+    fused viewpoint+consistency-sweep device program when the native
+    library is unavailable."""
     if nbr_idx is None:
         nbr_idx = knn_indices(points, k)
     pts = jnp.asarray(points.astype(np.float32))
     idx = jnp.asarray(nbr_idx)
     n = _pca_normals(pts, idx)
-    # viewpoint disambiguation + consistency sweeps, fused into one program
-    n = _orient_all(n, pts, idx, orient_sweeps)
-    return np.asarray(n), np.asarray(nbr_idx)
+    try:
+        n_np = orient_spanning_tree(np.asarray(n), points, nbr_idx)
+        norm = np.linalg.norm(n_np, axis=1, keepdims=True)
+        return (n_np / np.maximum(norm, 1e-12)).astype(np.float32), \
+            np.asarray(nbr_idx)
+    except RuntimeError:
+        # viewpoint disambiguation + consistency sweeps, one device program
+        n = _orient_all(n, pts, idx, orient_sweeps)
+        return np.asarray(n), np.asarray(nbr_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -285,8 +326,14 @@ def generate_normals(
         else:
             idx_o, dist_o = knn_graph(pts32, params.knn_normal_orientation)
         if strategy == 1:
-            # spanning-tree analog: centroid-outward seed + consistency sweeps
-            n = _orient_all(n, pts, jnp.asarray(idx_o), 2)
+            ok_o = dist_o <= params.radius_normal_orientation
+            ok_o[:, 0] = True
+            try:
+                n = jnp.asarray(orient_spanning_tree(
+                    np.asarray(n), pts32, idx_o, ok_o, params.view_point,
+                ))
+            except RuntimeError:  # no native lib: sweep fallback
+                n = _orient_all(n, pts, jnp.asarray(idx_o), 2)
         elif strategy == 2:
             flip = np.einsum(
                 "nc,nc->n", np.asarray(n),

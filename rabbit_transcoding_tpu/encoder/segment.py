@@ -116,8 +116,9 @@ class SegmenterParams:
     lambda_refine_segmentation: float = 3.0
     # normalOrientation (PCCPatchSegmenter.cpp:88-98): orientation strategy
     # for the segmentation normals — 0 none (estimation-time viewpoint flip
-    # only), 1 spanning tree (the default; here the centroid-outward +
-    # consistency-sweep analog), 2 viewpoint, 3 cubemap projection
+    # only), 1 spanning tree (the default; true max-spanning-tree sign
+    # propagation in native C++, sweep fallback without a compiler),
+    # 2 viewpoint, 3 cubemap projection
     normal_orientation: int = 1
     # gridBasedRefineSegmentation (refineSegmentationGridBased,
     # PCCPatchSegmenter.cpp:1334): smooth the PPI with voxel-level score

@@ -15,7 +15,8 @@ import subprocess
 import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "rans.cpp")
+_SRCS = [os.path.join(_DIR, "rans.cpp"),
+         os.path.join(_DIR, "normals_tree.cpp")]
 _LIB = os.path.join(_DIR, "librbv_native.so")
 
 _lib = None
@@ -24,7 +25,8 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *_SRCS,
+             "-o", _LIB],
             check=True,
             capture_output=True,
             timeout=120,
@@ -40,7 +42,9 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
+        os.path.getmtime(s) for s in _SRCS
+    ):
         if not _build():
             return None
     try:
@@ -70,6 +74,13 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,         # seg_off, seg_len
         ctypes.c_void_p, ctypes.c_int64,          # seg_band, n_segs
         ctypes.c_int32,                           # n_bands
+    ]
+    lib.rbv_orient_normals_tree.restype = ctypes.c_int64
+    lib.rbv_orient_normals_tree.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,         # normals, points
+        ctypes.c_void_p, ctypes.c_void_p,         # nbr_idx, nbr_ok
+        ctypes.c_int64, ctypes.c_int64,           # n, k
+        ctypes.c_void_p,                          # viewpoint
     ]
     _lib = lib
     return lib
@@ -172,3 +183,33 @@ def decompress_i16_bands(blob: bytes, n_elements: int, segments,
     if consumed < 0:
         raise RuntimeError("rbv_decompress_i16_bands failed (corrupt?)")
     return out
+
+
+def orient_normals_tree(normals, points, nbr_idx, nbr_ok, viewpoint) -> int:
+    """Spanning-tree sign orientation IN PLACE on `normals` (float32 C
+    array).  Returns the connected-component count.  Raises when the
+    native library is unavailable — callers fall back to the sweep
+    orientation (encoder/normals.py)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not (normals.flags.c_contiguous and normals.dtype == np.float32):
+        raise ValueError("normals must be C-contiguous float32")
+    pts = np.ascontiguousarray(points, np.float32)
+    idx = np.ascontiguousarray(nbr_idx, np.int32)
+    ok = np.ascontiguousarray(nbr_ok, np.uint8)
+    vp = np.ascontiguousarray(viewpoint, np.float32)
+    n, k = idx.shape
+    rc = lib.rbv_orient_normals_tree(
+        normals.ctypes.data_as(ctypes.c_void_p),
+        pts.ctypes.data_as(ctypes.c_void_p),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        ok.ctypes.data_as(ctypes.c_void_p),
+        n, k,
+        vp.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc < 0:
+        raise RuntimeError("rbv_orient_normals_tree failed (bad indices?)")
+    return int(rc)
