@@ -923,6 +923,7 @@ class Encoder:
                         qp=p.geometryQP + delta,
                         gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
                         motion=p.motionEstimation,
+                        coeff_threshold=p.geometryCoeffThreshold,
                     )
 
                 maxv = (1 << p.geometryNominal2dBitdepth) - 1
@@ -975,7 +976,9 @@ class Encoder:
                     geo_video,
                     VideoEncoderParams(qp=p.geometryQP, gop_size=geo_gop,
                                        motion=p.motionEstimation,
-                                       mc_weight=geo_w),
+                                       mc_weight=geo_w,
+                                       coeff_threshold=
+                                       p.geometryCoeffThreshold),
                 )
             if use_pi:
                 # closed loop continues in dual-map layout: de-interleave

@@ -175,6 +175,12 @@ class EncoderParameters:
     # is free and measured -5.2% geometry / -1.7% attribute bytes at equal
     # D1/color MSE on the bench content)
     usePccRDO: bool = True
+    # RBV coefficient-level RDO for GEOMETRY payloads: zero +/-1 quantised
+    # coefficients at zigzag rank >= this (0 = off).  Depth maps are
+    # piecewise smooth, so isolated high-frequency +/-1s are quantisation
+    # noise that costs entropy bits (A/B: scripts/rbv_rd.py, RESULTS.md);
+    # attributes keep every coefficient (textured content).
+    geometryCoeffThreshold: int = 0
     # apply3dMotionCompensation: exploit 3D-consistent motion in the video
     # layer; with the native RBV codec this turns on its MC P-frame search
     # (the reference writes blockinfo files to steer HM's search instead)

@@ -58,20 +58,24 @@ from .mesh import make_mesh
 # makes the sharded path bit-identical to the sequential one.
 # ===========================================================================
 def _batched_transcode_impl(
-    coeffs, qs_in, qs_out, maxval, block: int, gop_in: int, gop_out: int
+    coeffs, qs_in, qs_out, maxval, block: int, gop_in: int, gop_out: int,
+    deblock: bool = False, thr_k: int = 0,
 ):
     def one(q, qi, qo):
-        pixels = _decode_impl(q, qi, maxval, block, gop_in)
-        return _encode_impl(pixels, qo, maxval, block, gop_out)[0]
+        pixels = _decode_impl(q, qi, maxval, block, gop_in, deblock)
+        return _encode_impl(pixels, qo, maxval, block, gop_out, deblock,
+                            thr_k)[0]
 
     return jax.vmap(one)(coeffs, qs_in, qs_out)
 
 
 def _batched_transcode_mc_impl(coeffs, mv, qs_in, qs_out, maxval, block: int,
-                               gop: int):
+                               gop: int, deblock: bool = False,
+                               thr_k: int = 0):
     def one(q, m, qi, qo):
-        pixels = _decode_impl_mc(q, m, qi, maxval, block, gop)
-        return _reencode_with_mv(pixels, m, qo, maxval, block, gop)
+        pixels = _decode_impl_mc(q, m, qi, maxval, block, gop, deblock)
+        return _reencode_with_mv(pixels, m, qo, maxval, block, gop, deblock,
+                                 thr_k)
 
     return jax.vmap(one)(coeffs, mv, qs_in, qs_out)
 
@@ -107,13 +111,13 @@ def _sharded_kernels(mesh: Mesh, shard_rows: bool):
     # static args must be positional: pjit rejects kwargs with in_shardings
     transcode = jax.jit(
         _batched_transcode_impl,
-        static_argnums=(4, 5, 6),
+        static_argnums=(4, 5, 6, 7, 8),
         in_shardings=(cshard, sshard, sshard, rshard),
         out_shardings=cshard,
     )
     transcode_mc = jax.jit(
         _batched_transcode_mc_impl,
-        static_argnums=(5, 6),
+        static_argnums=(5, 6, 7, 8),
         in_shardings=(cshard, mvshard, sshard, sshard, rshard),
         out_shardings=cshard,
     )
@@ -180,6 +184,7 @@ def transcode_payloads(
     new_gop: int | None = None,
     zlib_level: int = 6,
     mode: str = "reencode",
+    coeff_threshold: int = 0,
 ) -> list[bytes]:
     """Transcode N RBV payloads in one sharded device program per plane.
 
@@ -209,7 +214,8 @@ def transcode_payloads(
                 rbv.requantize(payloads[i], qps[i], zlib_level)
                 if mode == "requant"
                 else rbv.transcode_payload(
-                    payloads[i], qps[i], new_gop, zlib_level
+                    payloads[i], qps[i], new_gop, zlib_level,
+                    coeff_threshold,
                 )
             )
             continue
@@ -221,6 +227,7 @@ def transcode_payloads(
     for sig, idxs in groups.items():
         flags, width, height, bitdepth, chroma, f, block, gop, = sig
         use_mc = bool(flags & 2)
+        use_db = bool(flags & 4)
         gop_out = (
             gop if (use_mc or mode == "requant") else (new_gop or gop)
         )
@@ -308,11 +315,13 @@ def transcode_payloads(
                     NamedSharding(mesh, P("stream", None, row, None)),
                 )
                 q2 = t_mc_step(
-                    qdev, mv_dev, qi_dev, qo_dev, maxval, block, gop
+                    qdev, mv_dev, qi_dev, qo_dev, maxval, block, gop,
+                    use_db, coeff_threshold,
                 )
             else:
                 q2 = t_step(
-                    qdev, qi_dev, qo_dev, maxval, block, gop, gop_out
+                    qdev, qi_dev, qo_dev, maxval, block, gop, gop_out,
+                    use_db, coeff_threshold,
                 )
 
             def host_encode(si: int) -> bytes:

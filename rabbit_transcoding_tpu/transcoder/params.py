@@ -96,6 +96,9 @@ class TranscoderParameters:
     #               never open-loop-requants MC streams.
     mode: str = "reencode"
     autoModeQPThreshold: int = 30     # 'auto': requant also needs QP <= this
+    # RBV coefficient-level RDO on the re-encode path, GEOMETRY only
+    # (mirrors EncoderParameters.geometryCoeffThreshold; 0 = off)
+    geometryCoeffThreshold: int = 0
     transcodeBaseline: bool = False   # full decode->re-encode (same as
                                       # 'reencode' for RBV; kept for CLI parity)
     videoGopSize: int = 2

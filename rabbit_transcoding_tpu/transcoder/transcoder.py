@@ -385,6 +385,8 @@ class Transcoder:
         vep = VideoEncoderParams(
             qp=qp, gop_size=gop,
             motion=use_motion and gop > 1,
+            coeff_threshold=(p.geometryCoeffThreshold
+                             if component == "geo" else 0),
         )
         payload0, rec0_new = VideoEncoder.create(CodecId.RBV).encode(v0, vep)
         delta_new = [
@@ -470,9 +472,13 @@ class Transcoder:
                 and not p.transcodeBaseline):
             return rbv.requantize(vb.data, qp)
         # fused device decode->re-encode: pixels never cross the host link
+        geo_types = {VideoType.GEOMETRY, VideoType.GEOMETRY_D0,
+                     VideoType.GEOMETRY_D1}
         return rbv.transcode_payload(
             vb.data, qp,
             new_gop=1 if p.allIntra else p.videoGopSize,
+            coeff_threshold=(p.geometryCoeffThreshold
+                             if vtype in geo_types else 0),
         )
 
     def _transcode_attr_ext(

@@ -37,6 +37,9 @@ class VideoEncoderParams:
     # occupancy-aware RDO (usePccRDO analog): optional (F, H, W) weights
     # masking the MC distortion so only patch content drives MV choice
     mc_weight: object = None
+    # coefficient-level RDO (RBV): zero +/-1 coefficients at zigzag rank >=
+    # this (0 = off); the V-PCC pipelines set it for geometry payloads
+    coeff_threshold: int = 0
     # reserved for external backends
     config_path: str = ""
     extra_args: str = ""
@@ -240,6 +243,7 @@ class RbvVideoEncoder(VideoEncoder):
             lossless=params.lossless or self.force_lossless,
             motion=params.motion and not params.all_intra,
             mc_weight=params.mc_weight,
+            coeff_threshold=params.coeff_threshold,
         )
         return rbv.encode(video, rp)
 

@@ -69,20 +69,58 @@ def make_atlas_video(frames: int = 8):
     return geo, attr
 
 
-def ladder(video, qps, gop: int, motion: bool):
+def ladder(video, qps, gop: int, motion: bool, deblock: bool = True):
     from rabbit_transcoding_tpu.video import rbv
 
     maxval = (1 << video.bitdepth) - 1
     points = []
     for qp in qps:
         payload, recon = rbv.encode(
-            video, rbv.RbvParams(qp=qp, gop_size=gop, motion=motion)
+            video, rbv.RbvParams(qp=qp, gop_size=gop, motion=motion,
+                                 deblock=deblock)
         )
         p = np.mean([
             psnr(a, b, maxval) for a, b in zip(video.planes, recon.planes)
         ])
         points.append((len(payload), float(p)))
     return points
+
+
+def threshold_ab(contents, qps):
+    """Coefficient-threshold BD-rate A/B (RbvParams.coeff_threshold)."""
+    from rabbit_transcoding_tpu.video import rbv
+
+    print("\n=== coeff_threshold BD-rate (anchor: thr off) ===")
+    for name, video in contents:
+        maxval = (1 << video.bitdepth) - 1
+        for thr in (8, 16, 32):
+            pts = {0: [], thr: []}
+            for t in pts:
+                for qp in qps:
+                    payload, recon = rbv.encode(video, rbv.RbvParams(
+                        qp=qp, gop_size=2, coeff_threshold=t))
+                    p = np.mean([psnr(a, b, maxval) for a, b in
+                                 zip(video.planes, recon.planes)])
+                    pts[t].append((len(payload), float(p)))
+            bd = bd_rate(pts[0], pts[thr])
+            dp = np.mean([a[1] - b[1] for a, b in zip(pts[thr], pts[0])])
+            print(f"{name:14s} thr>={thr:2d} BD-rate {bd:+7.2f}%  "
+                  f"avg dPSNR {dp:+.3f} dB")
+
+
+def deblock_ab(contents, qps):
+    """In-loop deblocking BD-rate A/B (round-3 verdict task 3): same
+    configs with the filter off (anchor) vs on."""
+    print("\n=== in-loop deblocking BD-rate (anchor: deblock OFF) ===")
+    for name, video in contents:
+        for gop, motion in ((1, False), (4, False), (4, True)):
+            off = ladder(video, qps, gop, motion, deblock=False)
+            on = ladder(video, qps, gop, motion, deblock=True)
+            bd = bd_rate(off, on)
+            label = f"gop{gop}{'+mc' if motion else ''}"
+            avg_dpsnr = np.mean([a[1] - b[1] for a, b in zip(on, off)])
+            print(f"{name:14s} {label:8s} BD-rate {bd:+7.2f}%  "
+                  f"avg dPSNR {avg_dpsnr:+.3f} dB")
 
 
 def main() -> int:
@@ -116,10 +154,18 @@ def main() -> int:
         for i in range(f)
     ])])
 
+    contents = (("geometry", geo), ("attribute", attr),
+                ("moving-texture", moving))
+    if os.environ.get("RBV_RD_DEBLOCK_AB", "0") == "1":
+        deblock_ab(contents, qps)
+        return 0
+    if os.environ.get("RBV_RD_THRESHOLD_AB", "0") == "1":
+        threshold_ab(contents, qps)
+        return 0
+
     configs = [(g, m) for g in (1, 2, 4, 8) for m in (False, True)
                if not (g == 1 and m)]
-    for name, video in (("geometry", geo), ("attribute", attr),
-                        ("moving-texture", moving)):
+    for name, video in contents:
         results = {}
         for gop, motion in configs:
             results[(gop, motion)] = ladder(video, qps, gop, motion)

@@ -269,3 +269,113 @@ class TestAdaptiveSlab8:
             assert rbv._LINK_RATE_MBPS == rate
         finally:
             rbv._LINK_RATE_MBPS = old
+
+
+class TestDeblock:
+    """In-loop deblocking (flags bit 2).  Default OFF for V-PCC atlas
+    content (BD-rate A/B in scripts/rbv_rd.py: it loses there and wins
+    only on smooth natural video) — these tests pin the closed loop and
+    flag plumbing, not a quality claim."""
+
+    def _video(self, f=8, mc=False):
+        from scipy.ndimage import gaussian_filter
+
+        rng = np.random.default_rng(0)
+        h = w = 96
+        base = gaussian_filter(rng.normal(size=(h + f * 4, w + f * 4)),
+                               4) * 300 + 500
+        frames = np.stack([
+            np.clip(base[4 * i:4 * i + h, 4 * i:4 * i + w], 0,
+                    1023).astype(np.uint16)
+            for i in range(f)
+        ])
+        return Video(w, h, 10, ColorFormat.YUV400, [frames])
+
+    @pytest.mark.parametrize("mc", [False, True])
+    def test_closed_loop(self, mc):
+        vid = self._video(mc=mc)
+        payload, recon = rbv.encode(
+            vid, rbv.RbvParams(qp=30, gop_size=4, motion=mc, deblock=True)
+        )
+        assert rbv.probe(payload)["deblock"] is True
+        back = rbv.decode(payload)
+        assert np.array_equal(np.asarray(recon.planes[0]),
+                              np.asarray(back.planes[0]))
+
+    def test_flag_survives_transcode_and_requant(self):
+        vid = self._video()
+        payload, _ = rbv.encode(
+            vid, rbv.RbvParams(qp=28, gop_size=4, deblock=True)
+        )
+        assert rbv.probe(rbv.transcode_payload(payload, 34))["deblock"]
+        assert rbv.probe(rbv.requantize(payload, 34))["deblock"]
+        # and decodes consistently after each
+        rbv.decode(rbv.transcode_payload(payload, 34))
+        rbv.decode(rbv.requantize(payload, 34))
+
+    def test_helps_on_smooth_natural_video(self):
+        """The regime the filter exists for: same QP, higher PSNR."""
+        vid = self._video()
+        src = np.asarray(vid.planes[0], np.float64)
+
+        def quality(db):
+            _, rec = rbv.encode(
+                vid, rbv.RbvParams(qp=32, gop_size=4, deblock=db)
+            )
+            mse = np.mean((np.asarray(rec.planes[0], np.float64) - src) ** 2)
+            return 10 * np.log10(1023.0 ** 2 / mse)
+
+        assert quality(True) > quality(False) + 0.3
+
+
+class TestCoeffThreshold:
+    """Coefficient-level RDO (RbvParams.coeff_threshold): encoder-side
+    only, so the payload needs no flag and old decoders read it."""
+
+    def _depth_video(self, f=4):
+        rng = np.random.default_rng(1)
+        h = w = 128
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack([
+            (400 + 100 * np.sin((xx + 2 * t) / 19.0) * np.cos(yy / 23.0)
+             + rng.normal(0, 2, (h, w))).astype(np.uint16)
+            for t in range(f)
+        ])
+        return Video(w, h, 10, ColorFormat.YUV400, [frames])
+
+    def test_saves_bytes_small_quality_cost(self):
+        """At the operating QP where isolated +/-1 coefficients are mostly
+        quantisation noise (qp 28 on piecewise-smooth depth), dropping
+        them buys a real byte saving for near-zero PSNR cost."""
+        vid = self._depth_video()
+        src = np.asarray(vid.planes[0], np.float64)
+        p0, r0 = rbv.encode(vid, rbv.RbvParams(qp=28, gop_size=2))
+        p1, r1 = rbv.encode(
+            vid, rbv.RbvParams(qp=28, gop_size=2, coeff_threshold=16)
+        )
+        assert len(p1) < 0.9 * len(p0), (len(p1), len(p0))
+
+        def psnr(r):
+            mse = np.mean((np.asarray(r.planes[0], np.float64) - src) ** 2)
+            return 10 * np.log10(1023.0 ** 2 / mse)
+
+        assert psnr(r1) > psnr(r0) - 0.1, (psnr(r1), psnr(r0))
+
+    def test_stream_compatible(self):
+        """Thresholded payloads decode with the standard decoder and the
+        closed loop still holds."""
+        vid = self._depth_video()
+        payload, recon = rbv.encode(
+            vid, rbv.RbvParams(qp=22, gop_size=2, coeff_threshold=16)
+        )
+        back = rbv.decode(payload)
+        assert np.array_equal(np.asarray(recon.planes[0]),
+                              np.asarray(back.planes[0]))
+
+    def test_transcode_payload_threshold(self):
+        vid = self._depth_video()
+        payload, _ = rbv.encode(vid, rbv.RbvParams(qp=12, gop_size=2))
+        t0 = rbv.transcode_payload(payload, 22)
+        t1 = rbv.transcode_payload(payload, 22, coeff_threshold=16)
+        assert len(t1) < len(t0)
+        rbv.decode(t1)
