@@ -1,0 +1,83 @@
+#!/usr/bin/env bash
+# 300-frame endurance pass (BASELINE config #4 analog; round-3 verdict
+# task 2).  The reference's HM-baseline loop transcodes 300 frames of 8i
+# content with conformance metrics (/root/reference/test/runme_linux.sh,
+# transcode_HM.sh); this drives the same duration through rabbit-encode ->
+# rabbit-stream (per-GOF checkpoint/hash-SEI) -> rabbit-decode
+# (--computeChecksum verifies every hash SEI) -> sampled D1 metrics.
+#
+#   FRAMES=300 GOF=32 POINTS=40000 bash scripts/endurance.sh [workdir]
+set -e
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+WORK=${1:-/tmp/endurance}
+FRAMES=${FRAMES:-300}
+GOF=${GOF:-32}
+POINTS=${POINTS:-40000}
+LOG="$REPO/results/endurance_${FRAMES}f.log"
+mkdir -p "$WORK" "$REPO/results"
+cd "$WORK"
+exec > >(tee "$LOG") 2>&1
+
+echo "=== endurance: $FRAMES frames, GOF $GOF, $POINTS pts/frame ==="
+date
+t0=$(date +%s)
+
+if [ ! -f "cloud_$(printf %04d $((FRAMES-1))).ply" ]; then
+  python -m rabbit_transcoding_tpu.testdata --frames "$FRAMES" \
+      --points "$POINTS" --out "cloud_%04d.ply"
+fi
+echo "[$(($(date +%s)-t0))s] sources ready"
+
+if [ ! -f src.bin ]; then
+  rabbit-encode \
+      --uncompressedDataPath="cloud_%04d.ply" \
+      --compressedStreamPath=src.bin \
+      --frameCount="$FRAMES" --groupOfFramesSize="$GOF" \
+      --minimumImageWidth=512 --minimumImageHeight=128 \
+      --geometryQP=8 --attributeQP=12 --occupancyPrecision=2
+fi
+echo "[$(($(date +%s)-t0))s] src.bin: $(stat -c%s src.bin) bytes"
+
+# the endurance subject: per-GOF checkpointed live transcode with
+# hash-SEI refresh; resume-capable (sidecar state.json)
+rabbit-stream \
+    --compressedStreamPath=src.bin \
+    --outStreamPath=out.bin \
+    --mode=auto --geometryQP=28 --attributeQP=37 --occupancyPrecision=4 \
+    --resume
+echo "[$(($(date +%s)-t0))s] out.bin: $(stat -c%s out.bin) bytes"
+cat out.bin.state.json
+
+# decode verifies EVERY GOF's hash SEI (computeChecksum) — a failed
+# checksum raises and fails the run
+rabbit-decode \
+    --compressedStreamPath=out.bin \
+    --reconstructedDataPath="dec_%04d.ply" \
+    --computeChecksum
+echo "[$(($(date +%s)-t0))s] decode+checksum OK ($(ls dec_*.ply | wc -l) frames)"
+
+# sampled quality: every 25th frame vs the source (full-sequence D1 at
+# 300 frames costs hours on this 1-core host; sampling bounds it)
+python - <<'EOF'
+import glob, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from rabbit_transcoding_tpu.core.pointset import PointSet
+from rabbit_transcoding_tpu.metrics.metrics import MetricsParams, compute_metrics
+
+n = len(glob.glob("dec_*.ply"))
+d1s = []
+for i in range(0, n, 25):
+    src = PointSet.read_ply(f"cloud_{i:04d}.ply")
+    rec = PointSet.read_ply(f"dec_{i:04d}.ply")
+    m = compute_metrics(src, rec, MetricsParams(resolution=1023))
+    d1s.append(m.d1_psnr)
+    print(f"frame {i:4d}: D1 {m.d1_psnr:.4f} dB, Y {m.color_psnr[0]:.4f} dB")
+print(f"sampled D1 over {len(d1s)} frames: mean {np.mean(d1s):.4f} dB, "
+      f"min {np.min(d1s):.4f}, max {np.max(d1s):.4f}, "
+      f"drift(last-first) {d1s[-1]-d1s[0]:+.4f} dB")
+assert np.max(d1s) - np.min(d1s) < 3.0, "D1 drifted over the sequence"
+EOF
+echo "[$(($(date +%s)-t0))s] endurance PASS"
+date
