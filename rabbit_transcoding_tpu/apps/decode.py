@@ -74,7 +74,7 @@ def main(argv=None) -> int:
         tracer = Tracer(prefix="dec_").enable(*TraceCategory)
     all_clouds = []
     frame0 = params.startFrameNumber
-    for gof in gofs:
+    for gof_index, gof in enumerate(gofs):
         context = reader.decode(gof)
         for atlas in context.atlases:
             ok, sei = verify_hash_sei(
@@ -89,7 +89,8 @@ def main(argv=None) -> int:
                 from ..codec.trace import emit_conformance_traces
 
                 emit_conformance_traces(
-                    tracer, atlas, decode_patch_frames(atlas), clouds
+                    tracer, atlas, decode_patch_frames(atlas), clouds,
+                    gof=gof_index,
                 )
             all_clouds.extend(clouds)
     # colorTransform=1 streams already carry YCbCr in the decoded clouds

@@ -81,6 +81,7 @@ def main(argv=None) -> int:
             emit_conformance_traces(
                 tracer, context.atlas(0),
                 decode_patch_frames(context.atlas(0)), recon,
+                gof=gof_index,
             )
         if params.reconstructedDataPath:
             GroupOfFrames(recon).write(

@@ -51,12 +51,17 @@ class StreamParams(TranscoderParameters):
     # batch all input streams' GOFs through one mesh-sharded device
     # program (requires >1 input; output is byte-identical to unsharded)
     sharded: bool = False
+    # write enc_* conformance trace logs per completed GOF (the same
+    # emission rabbit-transcode --trace does; pair with rabbit-decode
+    # --trace on the output and diff with rabbit-conformance).  Single
+    # input stream only; costs one extra reconstruction per GOF.
+    trace: bool = False
 
 
 def _params_key(params: StreamParams) -> str:
     d = dataclasses.asdict(params)
     for k in ("compressedStreamPath", "outStreamPath", "resume", "sharded",
-              "pipelineDepth"):
+              "pipelineDepth", "trace"):
         d.pop(k, None)
     return hashlib.md5(json.dumps(d, sort_keys=True).encode()).hexdigest()
 
@@ -157,18 +162,20 @@ class _StreamIO:
         }
 
 
-def transcode_stream(path_in: str, path_out: str, params: StreamParams) -> dict:
+def transcode_stream(
+    path_in: str, path_out: str, params: StreamParams, tracer=None
+) -> dict:
     """Transcode one stream GOF-by-GOF with checkpointed progress."""
     transcoder = Transcoder(params)
 
     with _StreamIO(path_in, path_out, params) as sio:
 
-        def process(gi: int) -> bytes:
+        def process(gi: int):
             context = sio.reader.decode(sio.gofs[gi])
             for atlas in list(context.atlases):
                 transcoder.transcode(context, atlas.atlas_id)
             writer = V3CWriter()
-            return write_sample_stream_units(writer.encode(context), 4)
+            return write_sample_stream_units(writer.encode(context), 4), context
 
         depth = max(1, params.pipelineDepth)
         with cf.ThreadPoolExecutor(max_workers=depth) as ex:
@@ -178,9 +185,29 @@ def transcode_stream(path_in: str, path_out: str, params: StreamParams) -> dict:
             }
             for gi in sorted(futures):
                 try:
-                    sio.write_gof(futures[gi].result())
+                    blob, context = futures[gi].result()
+                    sio.write_gof(blob)
                 except Exception as e:  # per-GOF failure containment
                     sio.skip_gof(gi, e)
+                    continue
+                if tracer is not None:
+                    # same per-GOF emission as rabbit-transcode --trace
+                    # (apps/transcode.py): the enc_ side logs come from the
+                    # in-memory transcoded context BEFORE serialization, so
+                    # diffing them against rabbit-decode --trace on the
+                    # written stream catches writer/reader drift.  Emitted
+                    # here (ordered, main thread), not in the pipeline
+                    # workers, so GOF order in the logs is deterministic.
+                    from ..codec.patch_frame import decode_patch_frames
+                    from ..codec.trace import emit_conformance_traces
+                    from ..decoder.decoder import Decoder
+
+                    emit_conformance_traces(
+                        tracer, context.atlas(0),
+                        decode_patch_frames(context.atlas(0)),
+                        Decoder().decode(context),
+                        gof=gi,
+                    )
         return sio.result()
 
 
@@ -289,11 +316,28 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_probe_link, daemon=True).start()
 
+    tracer = None
+    if params.trace:
+        if len(inputs) != 1:
+            print("warning: --trace supports a single input stream; ignored",
+                  file=sys.stderr)
+        elif params.resume and os.path.exists(_state_path(outputs[0])):
+            print("warning: --trace on a resumed run logs only the GOFs "
+                  "processed now", file=sys.stderr)
+        if len(inputs) == 1:
+            from ..utils.tracing import TraceCategory, Tracer
+
+            tracer = Tracer(prefix="enc_").enable(*TraceCategory)
+
     sw = Stopwatch()
     sw.start()
     results = []
     if len(inputs) == 1:
-        results.append(transcode_stream(inputs[0], outputs[0], params))
+        results.append(
+            transcode_stream(inputs[0], outputs[0], params, tracer=tracer)
+        )
+        if tracer is not None:
+            tracer.close()
     elif params.sharded:
         # one batched, mesh-sharded device program per plane per round
         results.extend(transcode_streams_sharded(inputs, outputs, params))

@@ -82,6 +82,7 @@ def main(argv=None) -> int:
                 tracer, context.atlas(0),
                 decode_patch_frames(context.atlas(0)),
                 Decoder().decode(context),
+                gof=gof_idx,
             )
         out_units.extend(writer.encode(context))
         print(f"GOF {gof_idx}: {context.atlas_count} atlas(es) transcoded")

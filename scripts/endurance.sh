@@ -39,22 +39,31 @@ fi
 echo "[$(($(date +%s)-t0))s] src.bin: $(stat -c%s src.bin) bytes"
 
 # the endurance subject: per-GOF checkpointed live transcode with
-# hash-SEI refresh; resume-capable (sidecar state.json)
+# hash-SEI refresh; resume-capable (sidecar state.json).  --trace writes
+# the per-GOF enc_* conformance logs from the in-memory transcoded
+# context, BEFORE serialization.
 rabbit-stream \
     --compressedStreamPath=src.bin \
     --outStreamPath=out.bin \
     --mode=auto --geometryQP=28 --attributeQP=37 --occupancyPrecision=4 \
-    --resume
+    --resume --trace
 echo "[$(($(date +%s)-t0))s] out.bin: $(stat -c%s out.bin) bytes"
 cat out.bin.state.json
 
-# decode verifies EVERY GOF's hash SEI (computeChecksum) — a failed
-# checksum raises and fails the run
+# decode verifies EVERY GOF's hash SEI (computeChecksum) and writes the
+# dec_* conformance logs from the parsed stream — a failed checksum
+# raises and fails the run
 rabbit-decode \
     --compressedStreamPath=out.bin \
     --reconstructedDataPath="dec_%04d.ply" \
-    --computeChecksum
-echo "[$(($(date +%s)-t0))s] decode+checksum OK ($(ls dec_*.ply | wc -l) frames)"
+    --computeChecksum --trace
+echo "[$(($(date +%s)-t0))s] decode+checksum OK ($(ls dec_0*.ply | wc -l) frames)"
+
+# conformance: diff the transcoder-side vs decoder-side logs per GOF
+# (hls/atlas/tile/pcframe categories + level limits) — writer/reader
+# drift anywhere in the 300 frames fails here
+rabbit-conformance --path=.
+echo "[$(($(date +%s)-t0))s] conformance OK"
 
 # sampled quality: every 25th frame vs the source (full-sequence D1 at
 # 300 frames costs hours on this 1-core host; sampling bounds it)

@@ -121,6 +121,43 @@ class TestStreamDriver:
                 StreamParams(geometryQP=24, attributeQP=32, onError="abort"),
             )
 
+    def test_trace_conformance_pair(self, multi_gof_stream, tmp_path,
+                                    monkeypatch):
+        """--trace enc_ logs (in-memory transcoded context) must conform to
+        rabbit-decode --trace dec_ logs (parsed from the written stream),
+        per GOF — the endurance run's conformance leg (scripts/
+        endurance.sh)."""
+        from rabbit_transcoding_tpu.apps import decode as decode_app
+        from rabbit_transcoding_tpu.apps import stream as stream_app
+        from rabbit_transcoding_tpu.conformance.conformance import (
+            ConformanceParams,
+            check,
+        )
+
+        monkeypatch.chdir(tmp_path)
+        assert stream_app.main([
+            f"--compressedStreamPath={multi_gof_stream}",
+            "--outStreamPath=out.bin",
+            "--geometryQP=24", "--attributeQP=32", "--trace",
+        ]) == 0
+        assert decode_app.main([
+            "--compressedStreamPath=out.bin", "--trace",
+        ]) == 0
+        result = check(ConformanceParams(path=str(tmp_path)))
+        assert result.compared_files >= 4 and result.ok, result.report()
+        # per-GOF key namespacing: every GOF has its own comparable entry
+        pcframe = open("enc_pcframe.txt").read()
+        assert all(
+            f"gof_{g}_frame_0_checksum" in pcframe for g in range(3)
+        ), pcframe
+        # the comparator actually bites: flip one decoder-side checksum
+        dec = open("dec_pcframe.txt").read()
+        open("dec_pcframe.txt", "w").write(
+            dec.replace("gof_1_frame_0_checksum = ",
+                        "gof_1_frame_0_checksum = 00", 1)
+        )
+        assert not check(ConformanceParams(path=str(tmp_path))).ok
+
 
 # ===========================================================================
 # --sharded: all streams batched through one mesh-sharded device program,
