@@ -65,28 +65,20 @@ echo "[$(($(date +%s)-t0))s] decode+checksum OK ($(ls dec_0*.ply | wc -l) frames
 rabbit-conformance --path=.
 echo "[$(($(date +%s)-t0))s] conformance OK"
 
-# sampled quality: every 25th frame vs the source (full-sequence D1 at
-# 300 frames costs hours on this 1-core host; sampling bounds it)
-python - <<'EOF'
-import glob, sys
-import numpy as np
-import jax
-jax.config.update("jax_platforms", "cpu")
-from rabbit_transcoding_tpu.core.pointset import PointSet
-from rabbit_transcoding_tpu.metrics.metrics import MetricsParams, compute_metrics
+# hq reference decode: the encoder-loop reconstruction of the INPUT
+# stream — lets the drift check isolate transcode-added error from
+# content/encode variance (frame D1 swings ~8 dB with content phase and
+# in-GOF P depth on this scene; see scripts/endurance_metrics.py)
+if [ ! -f "hqdec_$(printf %04d $((FRAMES-1))).ply" ]; then
+  rabbit-decode \
+      --compressedStreamPath=src.bin \
+      --reconstructedDataPath="hqdec_%04d.ply"
+fi
+echo "[$(($(date +%s)-t0))s] hq reference decode ready"
 
-n = len(glob.glob("dec_*.ply"))
-d1s = []
-for i in range(0, n, 25):
-    src = PointSet.read_ply(f"cloud_{i:04d}.ply")
-    rec = PointSet.read_ply(f"dec_{i:04d}.ply")
-    m = compute_metrics(src, rec, MetricsParams(resolution=1023))
-    d1s.append(m.d1_psnr)
-    print(f"frame {i:4d}: D1 {m.d1_psnr:.4f} dB, Y {m.color_psnr[0]:.4f} dB")
-print(f"sampled D1 over {len(d1s)} frames: mean {np.mean(d1s):.4f} dB, "
-      f"min {np.min(d1s):.4f}, max {np.max(d1s):.4f}, "
-      f"drift(last-first) {d1s[-1]-d1s[0]:+.4f} dB")
-assert np.max(d1s) - np.min(d1s) < 3.0, "D1 drifted over the sequence"
-EOF
+# drift check: same-phase cross-GOF D1 stability + transcode-added D1
+# trend (sampled; full-sequence D1 at 300 frames costs hours on this
+# 1-core host)
+python "$REPO/scripts/endurance_metrics.py" --gof "$GOF"
 echo "[$(($(date +%s)-t0))s] endurance PASS"
 date
