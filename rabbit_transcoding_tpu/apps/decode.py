@@ -90,7 +90,7 @@ def main(argv=None) -> int:
 
                 emit_conformance_traces(
                     tracer, atlas, decode_patch_frames(atlas), clouds,
-                    gof=gof_index,
+                    gof=gof_index, atlas_id=atlas.atlas_id,
                 )
             all_clouds.extend(clouds)
     # colorTransform=1 streams already carry YCbCr in the decoded clouds

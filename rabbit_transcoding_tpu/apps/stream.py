@@ -99,6 +99,10 @@ class _StreamIO:
                     and os.path.getsize(path_out) == state.get("out_bytes", -1)
                 ):
                     self.done = state.get("gofs_done", 0)
+                    # carry prior failures forward: the cumulative record
+                    # stays correct and written = done - len(failures)
+                    # keeps OUTPUT GOF numbering aligned across resumes
+                    self.failures = list(state.get("failures", []))
                     self._mode = "ab"
                 else:
                     print(f"{path_out}: stale state, restarting",
@@ -107,6 +111,12 @@ class _StreamIO:
                 print(f"{spath}: unreadable state, restarting",
                       file=sys.stderr)
         self._f = None
+        # GOFs actually present in the output so far (skips excluded):
+        # the OUTPUT position the next written GOF will occupy — and the
+        # numbering rabbit-decode --trace uses for the same GOF, so enc_*
+        # trace keys must use this, not the input index (a skipped GOF is
+        # absent from the written stream)
+        self.written = self.done - len(self.failures)
 
     def __enter__(self):
         self._f = open(self.path_out, self._mode)
@@ -142,6 +152,7 @@ class _StreamIO:
         self._f.write(blob)
         self._f.flush()
         self.done += 1
+        self.written += 1
         self._write_state()
 
     def skip_gof(self, gi: int, err: Exception) -> None:
@@ -185,9 +196,12 @@ def transcode_stream(
             }
             for gi in sorted(futures):
                 try:
-                    blob, context = futures[gi].result()
-                    sio.write_gof(blob)
+                    # pop: a future holds its result until released — keeping
+                    # the dict entry would retain every GOF's decoded context
+                    # for the whole run instead of O(pipelineDepth)
+                    blob, context = futures.pop(gi).result()
                 except Exception as e:  # per-GOF failure containment
+                    futures.pop(gi, None)
                     sio.skip_gof(gi, e)
                     continue
                 if tracer is not None:
@@ -198,16 +212,24 @@ def transcode_stream(
                     # written stream catches writer/reader drift.  Emitted
                     # here (ordered, main thread), not in the pipeline
                     # workers, so GOF order in the logs is deterministic.
+                    # Keyed by OUTPUT position (sio.written): rabbit-decode
+                    # numbers GOFs by position in the written stream, so a
+                    # skipped input GOF must not shift every later key.
+                    # Emitted BEFORE the write so a crash between the two
+                    # re-emits (harmless duplicate) rather than losing the
+                    # GOF's trace on resume.
                     from ..codec.patch_frame import decode_patch_frames
                     from ..codec.trace import emit_conformance_traces
                     from ..decoder.decoder import Decoder
 
-                    emit_conformance_traces(
-                        tracer, context.atlas(0),
-                        decode_patch_frames(context.atlas(0)),
-                        Decoder().decode(context),
-                        gof=gi,
-                    )
+                    for atlas in context.atlases:
+                        emit_conformance_traces(
+                            tracer, atlas, decode_patch_frames(atlas),
+                            Decoder().decode(context, atlas.atlas_id),
+                            gof=sio.written, atlas_id=atlas.atlas_id,
+                        )
+                del context  # free the GOF's decoded planes immediately
+                sio.write_gof(blob)
         return sio.result()
 
 
@@ -321,13 +343,20 @@ def main(argv=None) -> int:
         if len(inputs) != 1:
             print("warning: --trace supports a single input stream; ignored",
                   file=sys.stderr)
-        elif params.resume and os.path.exists(_state_path(outputs[0])):
-            print("warning: --trace on a resumed run logs only the GOFs "
-                  "processed now", file=sys.stderr)
-        if len(inputs) == 1:
+        else:
             from ..utils.tracing import TraceCategory, Tracer
 
-            tracer = Tracer(prefix="enc_").enable(*TraceCategory)
+            # on a resumed run, APPEND to the prior run's enc_* logs so the
+            # conformance pair still covers every written GOF (truncating
+            # here made the crash-resume scenario spuriously fail its own
+            # conformance leg); duplicate keys are harmless (same values,
+            # last-wins parse)
+            resuming = params.resume and os.path.exists(
+                _state_path(outputs[0])
+            )
+            tracer = Tracer(prefix="enc_", append=resuming).enable(
+                *TraceCategory
+            )
 
     sw = Stopwatch()
     sw.start()

@@ -77,13 +77,15 @@ def main(argv=None) -> int:
             from ..decoder.decoder import Decoder
 
             # reconstruct the transcoded GOF so the pcframe log exists —
-            # the conformance comparator requires every enc_/dec_ pair
-            emit_conformance_traces(
-                tracer, context.atlas(0),
-                decode_patch_frames(context.atlas(0)),
-                Decoder().decode(context),
-                gof=gof_idx,
-            )
+            # the conformance comparator requires every enc_/dec_ pair;
+            # one emission per atlas, namespaced by atlas id (the dec side
+            # emits the same keys per atlas)
+            for atlas in context.atlases:
+                emit_conformance_traces(
+                    tracer, atlas, decode_patch_frames(atlas),
+                    Decoder().decode(context, atlas.atlas_id),
+                    gof=gof_idx, atlas_id=atlas.atlas_id,
+                )
         out_units.extend(writer.encode(context))
         print(f"GOF {gof_idx}: {context.atlas_count} atlas(es) transcoded")
     n = writer.write_file(out_units, params.outStreamPath)

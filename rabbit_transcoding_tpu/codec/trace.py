@@ -21,6 +21,7 @@ def emit_conformance_traces(
     patch_frames: list[list],
     clouds: list[PointSet] | None = None,
     gof: int | None = None,
+    atlas_id: int | None = None,
 ) -> None:
     """Emit the key=value conformance logs for one GOF.
 
@@ -28,11 +29,15 @@ def emit_conformance_traces(
     distinct, comparable entry per GOF — without it, the comparator's
     key=value parse keeps only the LAST GOF's values (dict overwrite) and a
     mid-sequence divergence is invisible.  Both sides of a pair must pass
-    the same numbering (all apps do).
+    the same numbering (all apps do).  ``atlas_id`` extends the namespace
+    (``gof_{g}_atlas_{a}_...``) so multi-atlas streams keep one comparable
+    entry per atlas instead of the last atlas silently winning.
     """
     if not tracer.enabled:
         return
     g = "" if gof is None else f"gof_{gof}_"
+    if atlas_id is not None:
+        g = f"{g}atlas_{atlas_id}_"
     tracer.kv(TraceCategory.HLS, f"{g}hls_md5", high_level_hash(atlas).hex())
     tracer.kv(
         TraceCategory.HLS, f"{g}atlas_md5", atlas_patch_hash(patch_frames).hex()

@@ -32,10 +32,14 @@ class TraceCategory(enum.Enum):
 class Tracer:
     """Routes trace lines to per-category files; disabled categories are no-ops."""
 
-    def __init__(self, prefix: str = "", enabled: set[TraceCategory] | None = None):
+    def __init__(self, prefix: str = "", enabled: set[TraceCategory] | None = None,
+                 append: bool = False):
         self.prefix = prefix
         self.enabled: set[TraceCategory] = set(enabled or ())
         self._files: dict[TraceCategory, IO[str]] = {}
+        # append=True keeps prior runs' lines (resumed rabbit-stream runs
+        # re-open the enc_* logs without truncating the GOFs already traced)
+        self._mode = "a" if append else "w"
 
     def enable(self, *cats: TraceCategory) -> "Tracer":
         self.enabled.update(cats)
@@ -50,14 +54,20 @@ class Tracer:
             d = os.path.dirname(self.prefix)
             if d:
                 os.makedirs(d, exist_ok=True)
-            f = open(f"{self.prefix}{cat.value}.txt", "w", encoding="utf-8")
+            f = open(f"{self.prefix}{cat.value}.txt", self._mode,
+                     encoding="utf-8")
             self._files[cat] = f
         return f
 
     def trace(self, cat: TraceCategory, fmt: str, *args) -> None:
         if cat not in self.enabled:
             return
-        self._file(cat).write((fmt % args if args else fmt) + "\n")
+        f = self._file(cat)
+        f.write((fmt % args if args else fmt) + "\n")
+        # lines are per-GOF/frame granularity (cheap); flushing each keeps
+        # the logs crash-consistent so a resumed run's appended logs cover
+        # every GOF the crashed run completed
+        f.flush()
 
     def kv(self, cat: TraceCategory, key: str, value) -> None:
         """Conformance-comparable 'key = value' line."""

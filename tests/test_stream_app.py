@@ -148,15 +148,103 @@ class TestStreamDriver:
         # per-GOF key namespacing: every GOF has its own comparable entry
         pcframe = open("enc_pcframe.txt").read()
         assert all(
-            f"gof_{g}_frame_0_checksum" in pcframe for g in range(3)
+            f"gof_{g}_atlas_0_frame_0_checksum" in pcframe for g in range(3)
         ), pcframe
         # the comparator actually bites: flip one decoder-side checksum
         dec = open("dec_pcframe.txt").read()
         open("dec_pcframe.txt", "w").write(
-            dec.replace("gof_1_frame_0_checksum = ",
-                        "gof_1_frame_0_checksum = 00", 1)
+            dec.replace("gof_1_atlas_0_frame_0_checksum = ",
+                        "gof_1_atlas_0_frame_0_checksum = 00", 1)
         )
         assert not check(ConformanceParams(path=str(tmp_path))).ok
+
+    def test_trace_survives_crash_resume(self, multi_gof_stream, tmp_path,
+                                         monkeypatch):
+        """Crash mid-run, resume with --trace: the resumed run APPENDS to
+        the prior enc_* logs, so the conformance pair still covers every
+        written GOF (the endurance crash-resume scenario; ADVICE r4)."""
+        from rabbit_transcoding_tpu.apps import decode as decode_app
+        from rabbit_transcoding_tpu.apps import stream as stream_app
+        from rabbit_transcoding_tpu.conformance.conformance import (
+            ConformanceParams,
+            check,
+        )
+
+        monkeypatch.chdir(tmp_path)
+        argv = [
+            f"--compressedStreamPath={multi_gof_stream}",
+            "--outStreamPath=out.bin",
+            "--geometryQP=24", "--attributeQP=32", "--trace", "--resume",
+        ]
+        orig = stream_app._StreamIO.write_gof
+        tripped = {}
+
+        def boom(self, blob):
+            if self.done == 2 and not tripped:
+                tripped["x"] = True
+                raise OSError("simulated crash before GOF 2's write")
+            return orig(self, blob)
+
+        monkeypatch.setattr(stream_app._StreamIO, "write_gof", boom)
+        with pytest.raises(OSError):
+            stream_app.main(argv)
+        # GOFs 0,1 are checkpointed; GOF 2 is not
+        assert json.load(open("out.bin.state.json"))["gofs_done"] == 2
+        assert stream_app.main(argv) == 0  # resume finishes GOF 2
+        assert decode_app.main([
+            "--compressedStreamPath=out.bin", "--trace",
+        ]) == 0
+        result = check(ConformanceParams(path=str(tmp_path)))
+        assert result.ok, result.report()
+        # all 3 GOFs present on the enc side (run 1 logged 0-2 pre-crash,
+        # run 2 appended GOF 2 again — duplicate identical keys are fine)
+        pcframe = open("enc_pcframe.txt").read()
+        assert all(
+            f"gof_{g}_atlas_0_frame_0_checksum" in pcframe for g in range(3)
+        ), pcframe
+
+    def test_trace_keys_realign_after_skip(self, multi_gof_stream, tmp_path,
+                                           monkeypatch):
+        """--onError=skip drops a GOF from the OUTPUT stream; enc trace keys
+        must follow output numbering or every later GOF spuriously
+        mismatches in conformance (ADVICE r4)."""
+        from rabbit_transcoding_tpu.apps import decode as decode_app
+        from rabbit_transcoding_tpu.apps import stream as stream_app
+        from rabbit_transcoding_tpu.conformance.conformance import (
+            ConformanceParams,
+            check,
+        )
+
+        monkeypatch.chdir(tmp_path)
+        poison = V3CReader().read_file(multi_gof_stream)[1]
+        orig_decode = V3CReader.decode
+
+        poison_key = [u.payload for u in poison]
+
+        def boom(self, gof):
+            if [u.payload for u in gof] == poison_key:
+                raise ValueError("poison GOF")
+            return orig_decode(self, gof)
+
+        monkeypatch.setattr(V3CReader, "decode", boom)
+        rc = stream_app.main([
+            f"--compressedStreamPath={multi_gof_stream}",
+            "--outStreamPath=out.bin",
+            "--geometryQP=24", "--attributeQP=32", "--trace",
+            "--onError=skip",
+        ])
+        assert rc == 2  # failures present
+        monkeypatch.setattr(V3CReader, "decode", orig_decode)
+        assert len(V3CReader().read_file("out.bin")) == 2
+        assert decode_app.main([
+            "--compressedStreamPath=out.bin", "--trace",
+        ]) == 0
+        result = check(ConformanceParams(path=str(tmp_path)))
+        assert result.ok, result.report()
+        # input GOF 2 landed at output position 1
+        pcframe = open("enc_pcframe.txt").read()
+        assert "gof_1_atlas_0_frame_0_checksum" in pcframe
+        assert "gof_2_" not in pcframe
 
 
 # ===========================================================================
