@@ -160,6 +160,14 @@ class V3CReader:
         asps = atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
         nri = atlas.num_ref_idx_active(header, asps, afps)
         ctx = atlas.syntax_context(asps, afps, nri, header)
+        if asps.asps_plr_enabled_flag:
+            # PLR on inter/merge patches sizes its block maps from the
+            # previous same-tile ATL's patches (PCCBitstreamReader.cpp
+            # prevFrameIndex_ lookup)
+            for prev in reversed(atlas.atlas_tile_layers):
+                if prev.header.ath_id == header.ath_id:
+                    ctx.ref_patches = prev.data_unit.patches
+                    break
         data_unit = AtlasTileDataUnit.read(br, header.ath_type, ctx)
         return AtlasTileLayerRbsp(header=header, data_unit=data_unit)
 

@@ -452,6 +452,227 @@ class RefListStruct:
 
 
 @dataclasses.dataclass
+class CoordinateSystemParameters:
+    """VUI coordinate system (23090-5 G.2 csp_*,
+    PCCBitstreamReader.cpp coordinateSystemParameters)."""
+
+    csp_forward_axis: int = 0
+    csp_delta_left_axis: int = 0
+    csp_forward_sign: int = 0
+    csp_left_sign: int = 0
+    csp_up_sign: int = 0
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(2, self.csp_forward_axis)
+        bw.u(1, self.csp_delta_left_axis)
+        bw.u(1, self.csp_forward_sign)
+        bw.u(1, self.csp_left_sign)
+        bw.u(1, self.csp_up_sign)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "CoordinateSystemParameters":
+        return cls(
+            csp_forward_axis=br.u(2),
+            csp_delta_left_axis=br.u(1),
+            csp_forward_sign=br.u(1),
+            csp_left_sign=br.u(1),
+            csp_up_sign=br.u(1),
+        )
+
+
+@dataclasses.dataclass
+class HrdSubLayerParameters:
+    """G.2.3 sub-layer HRD parameters: cab_cnt+1 entries each."""
+
+    bit_rate_value_minus1: list[int] = field(default_factory=list)
+    cab_size_value_minus1: list[int] = field(default_factory=list)
+    cbr_flag: list[bool] = field(default_factory=list)
+
+    def write(self, bw: BitWriter) -> None:
+        for br_v, cab_v, cbr in zip(
+            self.bit_rate_value_minus1, self.cab_size_value_minus1,
+            self.cbr_flag,
+        ):
+            bw.ue(br_v)
+            bw.ue(cab_v)
+            bw.u(1, cbr)
+
+    @classmethod
+    def read(cls, br: BitReader, cab_cnt: int) -> "HrdSubLayerParameters":
+        s = cls()
+        for _ in range(cab_cnt + 1):
+            s.bit_rate_value_minus1.append(br.ue())
+            s.cab_size_value_minus1.append(br.ue())
+            s.cbr_flag.append(bool(br.u(1)))
+        return s
+
+
+@dataclasses.dataclass
+class HrdParameters:
+    """G.2.2 HRD parameters — field-faithful to the REFERENCE reader/writer
+    (PCCBitstreamReader.cpp hrdParameters), including its quirks: one
+    sub-layer (maxNumSubLayersMinus1 fixed 0), and elemental_duration /
+    cab_cnt coded as u(1) (the reference reads/writes 1 bit despite the
+    spec's ue(v) comment — the refgate oracle is the implementation)."""
+
+    hrd_nal_parameters_present_flag: bool = False
+    hrd_acl_parameters_present_flag: bool = False
+    hrd_bit_rate_scale: int = 0
+    hrd_cab_size_scale: int = 0
+    hrd_fixed_atlas_rate_general_flag: bool = False
+    hrd_fixed_atlas_rate_within_cas_flag: bool = False
+    hrd_elemental_duration_in_tc_minus1: int = 0
+    hrd_low_delay_flag: bool = False
+    hrd_cab_cnt_minus1: int = 0
+    hrd_sub_layer_nal: HrdSubLayerParameters | None = None
+    hrd_sub_layer_acl: HrdSubLayerParameters | None = None
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.hrd_nal_parameters_present_flag)
+        bw.u(1, self.hrd_acl_parameters_present_flag)
+        if (self.hrd_nal_parameters_present_flag
+                or self.hrd_acl_parameters_present_flag):
+            bw.u(4, self.hrd_bit_rate_scale)
+            bw.u(4, self.hrd_cab_size_scale)
+        bw.u(1, self.hrd_fixed_atlas_rate_general_flag)
+        if not self.hrd_fixed_atlas_rate_general_flag:
+            bw.u(1, self.hrd_fixed_atlas_rate_within_cas_flag)
+        if self.hrd_fixed_atlas_rate_within_cas_flag:
+            bw.u(1, self.hrd_elemental_duration_in_tc_minus1)
+        else:
+            bw.u(1, self.hrd_low_delay_flag)
+        if not self.hrd_low_delay_flag:
+            bw.u(1, self.hrd_cab_cnt_minus1)
+        if self.hrd_nal_parameters_present_flag:
+            self.hrd_sub_layer_nal.write(bw)
+        if self.hrd_acl_parameters_present_flag:
+            self.hrd_sub_layer_acl.write(bw)
+
+    @classmethod
+    def read(cls, br: BitReader) -> "HrdParameters":
+        s = cls()
+        s.hrd_nal_parameters_present_flag = bool(br.u(1))
+        s.hrd_acl_parameters_present_flag = bool(br.u(1))
+        if (s.hrd_nal_parameters_present_flag
+                or s.hrd_acl_parameters_present_flag):
+            s.hrd_bit_rate_scale = br.u(4)
+            s.hrd_cab_size_scale = br.u(4)
+        s.hrd_fixed_atlas_rate_general_flag = bool(br.u(1))
+        if not s.hrd_fixed_atlas_rate_general_flag:
+            s.hrd_fixed_atlas_rate_within_cas_flag = bool(br.u(1))
+        if s.hrd_fixed_atlas_rate_within_cas_flag:
+            s.hrd_elemental_duration_in_tc_minus1 = br.u(1)
+        else:
+            s.hrd_low_delay_flag = bool(br.u(1))
+        if not s.hrd_low_delay_flag:
+            s.hrd_cab_cnt_minus1 = br.u(1)
+        if s.hrd_nal_parameters_present_flag:
+            s.hrd_sub_layer_nal = HrdSubLayerParameters.read(
+                br, s.hrd_cab_cnt_minus1
+            )
+        if s.hrd_acl_parameters_present_flag:
+            s.hrd_sub_layer_acl = HrdSubLayerParameters.read(
+                br, s.hrd_cab_cnt_minus1
+            )
+        return s
+
+
+@dataclasses.dataclass
+class VUIParameters:
+    """ASPS VUI (23090-5 G.2 vui_*; PCCBitstreamReader.cpp vuiParameters).
+    Parse/serialize round trip so VUI-carrying streams survive transit."""
+
+    vui_timing_info_present_flag: bool = False
+    vui_num_units_in_tick: int = 1001
+    vui_time_scale: int = 60000
+    vui_poc_proportional_to_timing_flag: bool = False
+    vui_num_ticks_poc_diff_one_minus1: int = 0
+    vui_hrd_parameters_present_flag: bool = False
+    hrd_parameters: HrdParameters | None = None
+    vui_tile_restrictions_present_flag: bool = False
+    vui_fixed_atlas_tile_structure_flag: bool = False
+    vui_fixed_video_tile_structure_flag: bool = False
+    vui_constrained_tiles_across_v3c_components_idc: int = 0
+    vui_max_num_tiles_per_atlas_minus1: int = 0
+    vui_coordinate_system_parameters_present_flag: bool = False
+    coordinate_system_parameters: CoordinateSystemParameters | None = None
+    vui_unit_in_metres_flag: bool = False
+    vui_display_box_info_present_flag: bool = False
+    vui_display_box_origin: list[int] = field(default_factory=lambda: [0, 0, 0])
+    vui_display_box_size: list[int] = field(default_factory=lambda: [0, 0, 0])
+    vui_anchor_point_present_flag: bool = False
+    vui_anchor_point: list[int] = field(default_factory=lambda: [0, 0, 0])
+
+    def write(self, bw: BitWriter) -> None:
+        bw.u(1, self.vui_timing_info_present_flag)
+        if self.vui_timing_info_present_flag:
+            bw.u(32, self.vui_num_units_in_tick)
+            bw.u(32, self.vui_time_scale)
+            bw.u(1, self.vui_poc_proportional_to_timing_flag)
+            if self.vui_poc_proportional_to_timing_flag:
+                bw.ue(self.vui_num_ticks_poc_diff_one_minus1)
+            bw.u(1, self.vui_hrd_parameters_present_flag)
+            if self.vui_hrd_parameters_present_flag:
+                self.hrd_parameters.write(bw)
+        bw.u(1, self.vui_tile_restrictions_present_flag)
+        if self.vui_tile_restrictions_present_flag:
+            bw.u(1, self.vui_fixed_atlas_tile_structure_flag)
+            bw.u(1, self.vui_fixed_video_tile_structure_flag)
+            bw.ue(self.vui_constrained_tiles_across_v3c_components_idc)
+            bw.ue(self.vui_max_num_tiles_per_atlas_minus1)
+        bw.u(1, self.vui_coordinate_system_parameters_present_flag)
+        if self.vui_coordinate_system_parameters_present_flag:
+            self.coordinate_system_parameters.write(bw)
+        bw.u(1, self.vui_unit_in_metres_flag)
+        bw.u(1, self.vui_display_box_info_present_flag)
+        if self.vui_display_box_info_present_flag:
+            for d in range(3):
+                bw.ue(self.vui_display_box_origin[d])
+                bw.ue(self.vui_display_box_size[d])
+            bw.u(1, self.vui_anchor_point_present_flag)
+            if self.vui_anchor_point_present_flag:
+                for d in range(3):
+                    bw.ue(self.vui_anchor_point[d])
+
+    @classmethod
+    def read(cls, br: BitReader) -> "VUIParameters":
+        s = cls()
+        s.vui_timing_info_present_flag = bool(br.u(1))
+        if s.vui_timing_info_present_flag:
+            s.vui_num_units_in_tick = br.u(32)
+            s.vui_time_scale = br.u(32)
+            s.vui_poc_proportional_to_timing_flag = bool(br.u(1))
+            if s.vui_poc_proportional_to_timing_flag:
+                s.vui_num_ticks_poc_diff_one_minus1 = br.ue()
+            s.vui_hrd_parameters_present_flag = bool(br.u(1))
+            if s.vui_hrd_parameters_present_flag:
+                s.hrd_parameters = HrdParameters.read(br)
+        s.vui_tile_restrictions_present_flag = bool(br.u(1))
+        if s.vui_tile_restrictions_present_flag:
+            s.vui_fixed_atlas_tile_structure_flag = bool(br.u(1))
+            s.vui_fixed_video_tile_structure_flag = bool(br.u(1))
+            s.vui_constrained_tiles_across_v3c_components_idc = br.ue()
+            s.vui_max_num_tiles_per_atlas_minus1 = br.ue()
+        s.vui_coordinate_system_parameters_present_flag = bool(br.u(1))
+        if s.vui_coordinate_system_parameters_present_flag:
+            s.coordinate_system_parameters = CoordinateSystemParameters.read(
+                br
+            )
+        s.vui_unit_in_metres_flag = bool(br.u(1))
+        s.vui_display_box_info_present_flag = bool(br.u(1))
+        if s.vui_display_box_info_present_flag:
+            s.vui_display_box_origin = []
+            s.vui_display_box_size = []
+            for _ in range(3):
+                s.vui_display_box_origin.append(br.ue())
+                s.vui_display_box_size.append(br.ue())
+            s.vui_anchor_point_present_flag = bool(br.u(1))
+            if s.vui_anchor_point_present_flag:
+                s.vui_anchor_point = [br.ue() for _ in range(3)]
+        return s
+
+
+@dataclasses.dataclass
 class AtlasSequenceParameterSetRbsp:
     asps_atlas_sequence_parameter_set_id: int = 0
     asps_frame_width: int = 1024
@@ -499,6 +720,7 @@ class AtlasSequenceParameterSetRbsp:
         default_factory=lambda: [0])
     plri_block_threshold_per_patch_minus1: int = 8
     asps_vui_parameters_present_flag: bool = False
+    vui_parameters: VUIParameters | None = None
     # extension signalling (23090-5: asps_extension_present_flag ->
     # asps_vpcc_extension_present_flag u(1) + asps_extension_7bits u(7),
     # PCCBitstreamReader.cpp:512-524)
@@ -556,6 +778,8 @@ class AtlasSequenceParameterSetRbsp:
                         bw.u(2, self.plri_neighbour_minus1[i])
                     bw.u(6, self.plri_block_threshold_per_patch_minus1)
         bw.u(1, self.asps_vui_parameters_present_flag)
+        if self.asps_vui_parameters_present_flag:
+            self.vui_parameters.write(bw)
         ext_present = (
             self.asps_vpcc_extension_present_flag
             or self.asps_extension_7bits != 0
@@ -638,7 +862,7 @@ class AtlasSequenceParameterSetRbsp:
                 s.plri_block_threshold_per_patch_minus1 = br.u(6)
         s.asps_vui_parameters_present_flag = bool(br.u(1))
         if s.asps_vui_parameters_present_flag:
-            raise NotImplementedError("ASPS VUI parameters not supported")
+            s.vui_parameters = VUIParameters.read(br)
         s.asps_vpcc_extension_present_flag = False
         if br.u(1):  # asps_extension_present_flag
             s.asps_vpcc_extension_present_flag = bool(br.u(1))
@@ -879,13 +1103,18 @@ class AtlasFrameParameterSetRbsp:
 # ===========================================================================
 # Patch data units
 # ===========================================================================
-def _plrd_blocks(ctx, size_x_minus1: int, size_y_minus1: int) -> int:
-    """Packing-block count of a patch, derived from the coded 2D sizes
-    exactly as patch_frame derives size_u0/size_v0."""
+def _plrd_dims(ctx, size_x_minus1: int, size_y_minus1: int) -> tuple[int, int]:
+    """Packing-block grid (bu, bv) of a patch, derived from the coded 2D
+    sizes exactly as patch_frame derives size_u0/size_v0."""
     ppbs = ctx.packing_block_size
     bu = ((size_x_minus1 + 1) * ctx.patch_size_x_quantizer + ppbs - 1) // ppbs
     bv = ((size_y_minus1 + 1) * ctx.patch_size_y_quantizer + ppbs - 1) // ppbs
-    return max(1, bu) * max(1, bv)
+    return max(1, bu), max(1, bv)
+
+
+def _plrd_blocks(ctx, size_x_minus1: int, size_y_minus1: int) -> int:
+    bu, bv = _plrd_dims(ctx, size_x_minus1, size_y_minus1)
+    return bu * bv
 
 
 def _write_plrd(bw, ctx, mode: int, block_modes,
@@ -898,7 +1127,14 @@ def _write_plrd(bw, ctx, mode: int, block_modes,
     plri_block_threshold_per_patch_minus1+1, else inferred patch-level
     (PCCBitstreamReader.cpp:1287-1343).  Mode values code in
     ceilLog2(plri_number_of_modes_minus1) bits."""
-    block_count = _plrd_blocks(ctx, size_x_minus1, size_y_minus1)
+    _write_plrd_count(
+        bw, ctx, mode, block_modes,
+        _plrd_blocks(ctx, size_x_minus1, size_y_minus1),
+    )
+
+
+def _write_plrd_count(bw, ctx, mode: int, block_modes,
+                      block_count: int) -> None:
     threshold_gated = block_count > ctx.plr_block_threshold_plus1
     if block_modes is not None:
         assert threshold_gated, (
@@ -921,7 +1157,12 @@ def _write_plrd(bw, ctx, mode: int, block_modes,
 
 def _read_plrd(br, ctx, size_x_minus1: int, size_y_minus1: int):
     """-> (patch_mode, block_modes|None)."""
-    block_count = _plrd_blocks(ctx, size_x_minus1, size_y_minus1)
+    return _read_plrd_count(
+        br, ctx, _plrd_blocks(ctx, size_x_minus1, size_y_minus1)
+    )
+
+
+def _read_plrd_count(br, ctx, block_count: int):
     if block_count > ctx.plr_block_threshold_plus1:
         level = br.u(1)
     else:
@@ -959,6 +1200,11 @@ class PatchDataUnit:
     # patch, patch-local raster order (v-major), length = size_u0 * size_v0;
     # 0 = off.  None -> patch-level signalling.
     plrd_block_modes: list[int] | None = None
+    # derived plrd block-map dims (set when the ASPS enables PLR): inter
+    # patches referencing this patch size their own PLR maps from these
+    # (PCCBitstreamReader.cpp:1182-1210)
+    plrd_bu: int = 0
+    plrd_bv: int = 0
 
     def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
         bw.ue(self.pdu_2d_pos_x)
@@ -980,8 +1226,11 @@ class PatchDataUnit:
                 bw.ue(self.pdu_lod_scale_x_minus1)
                 bw.ue(self.pdu_lod_scale_y_idc)
         if ctx.plr_enabled:
-            _write_plrd(bw, ctx, self.plrd_mode, self.plrd_block_modes,
-                        self.pdu_2d_size_x_minus1, self.pdu_2d_size_y_minus1)
+            self.plrd_bu, self.plrd_bv = _plrd_dims(
+                ctx, self.pdu_2d_size_x_minus1, self.pdu_2d_size_y_minus1
+            )
+            _write_plrd_count(bw, ctx, self.plrd_mode, self.plrd_block_modes,
+                              self.plrd_bu * self.plrd_bv)
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "PatchDataUnit":
@@ -1003,9 +1252,11 @@ class PatchDataUnit:
                 s.pdu_lod_scale_x_minus1 = br.ue()
                 s.pdu_lod_scale_y_idc = br.ue()
         if ctx.plr_enabled:
-            s.plrd_mode, s.plrd_block_modes = _read_plrd(
-                br, ctx,
-                s.pdu_2d_size_x_minus1, s.pdu_2d_size_y_minus1,
+            s.plrd_bu, s.plrd_bv = _plrd_dims(
+                ctx, s.pdu_2d_size_x_minus1, s.pdu_2d_size_y_minus1
+            )
+            s.plrd_mode, s.plrd_block_modes = _read_plrd_count(
+                br, ctx, s.plrd_bu * s.plrd_bv
             )
         return s
 
@@ -1022,6 +1273,34 @@ class InterPatchDataUnit:
     ipdu_3d_offset_v: int = 0
     ipdu_3d_offset_d: int = 0
     ipdu_3d_range_d: int = 0
+    # PLR data (carried when the ASPS enables PLR; the block map is sized
+    # from the REFERENCE patch's map plus this unit's 2D size deltas,
+    # PCCBitstreamReader.cpp:1182-1218)
+    plrd_mode: int = 0
+    plrd_block_modes: list[int] | None = None
+    plrd_bu: int = 0
+    plrd_bv: int = 0
+
+    def _plr_dims(self, ctx: "SyntaxContext") -> tuple[int, int]:
+        """Block-map dims = ref patch's plrd map + coded size deltas; the
+        ref patch lives in the previous same-tile ATL at index
+        (ipdu_patch_index + predPatchIndex)."""
+        ref_idx = self.ipdu_patch_index + ctx.pred_patch_index
+        if ctx.ref_patches is None or not (
+            0 <= ref_idx < len(ctx.ref_patches)
+        ):
+            raise ValueError(
+                f"inter patch PLR references patch {ref_idx} of the "
+                "previous tile, which does not exist"
+            )
+        ref = ctx.ref_patches[ref_idx].data
+        bu = self.ipdu_2d_delta_size_x + getattr(ref, "plrd_bu", 0)
+        bv = self.ipdu_2d_delta_size_y + getattr(ref, "plrd_bv", 0)
+        if bu <= 0 or bv <= 0:
+            raise ValueError(
+                f"inter patch PLR block map degenerate ({bu}x{bv})"
+            )
+        return bu, bv
 
     def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
         if ctx.num_ref_idx_active > 1:
@@ -1037,10 +1316,12 @@ class InterPatchDataUnit:
         if ctx.normal_axis_max_delta:
             bw.se(self.ipdu_3d_range_d)
         if ctx.plr_enabled:
-            raise NotImplementedError(
-                "PLR data on inter patches is not supported (the encoder "
-                "codes PLR streams all-intra)"
-            )
+            self.plrd_bu, self.plrd_bv = self._plr_dims(ctx)
+            _write_plrd_count(bw, ctx, self.plrd_mode, self.plrd_block_modes,
+                              self.plrd_bu * self.plrd_bv)
+            ctx.prev_patch_size_u = self.plrd_bu
+            ctx.prev_patch_size_v = self.plrd_bv
+            ctx.pred_patch_index += self.ipdu_patch_index + 1
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "InterPatchDataUnit":
@@ -1058,9 +1339,13 @@ class InterPatchDataUnit:
         if ctx.normal_axis_max_delta:
             s.ipdu_3d_range_d = br.se()
         if ctx.plr_enabled:
-            raise NotImplementedError(
-                "PLR data on inter patches is not supported"
+            s.plrd_bu, s.plrd_bv = s._plr_dims(ctx)
+            s.plrd_mode, s.plrd_block_modes = _read_plrd_count(
+                br, ctx, s.plrd_bu * s.plrd_bv
             )
+            ctx.prev_patch_size_u = s.plrd_bu
+            ctx.prev_patch_size_v = s.plrd_bv
+            ctx.pred_patch_index += s.ipdu_patch_index + 1
         return s
 
 
@@ -1077,12 +1362,18 @@ class MergePatchDataUnit:
     mpdu_3d_offset_v: int = 0
     mpdu_3d_offset_d: int = 0
     mpdu_3d_range_d: int = 0
+    # PLR data: carried when overriding 2D params (implicit) or when
+    # overriding 3D params with mpdu_override_plr_flag set; the block map
+    # is sized from the tile's running prev patch size plus the deltas
+    # (PCCBitstreamReader.cpp:1093-1135)
+    mpdu_override_plr_flag: bool = False
+    plrd_mode: int = 0
+    plrd_block_modes: list[int] | None = None
+    plrd_bu: int = 0
+    plrd_bv: int = 0
 
     def write(self, bw: BitWriter, ctx: "SyntaxContext") -> None:
-        if ctx.plr_enabled:
-            raise NotImplementedError(
-                "PLR data on merge patches is not supported"
-            )
+        override_plr = False
         if ctx.num_ref_idx_active > 1:
             bw.ue(self.mpdu_ref_index)
         bw.u(1, self.mpdu_override_2d_params_flag)
@@ -1091,6 +1382,8 @@ class MergePatchDataUnit:
             bw.se(self.mpdu_2d_pos_y)
             bw.se(self.mpdu_2d_delta_size_x)
             bw.se(self.mpdu_2d_delta_size_y)
+            if ctx.plr_enabled:
+                override_plr = True
         else:
             bw.u(1, self.mpdu_override_3d_params_flag)
             if self.mpdu_override_3d_params_flag:
@@ -1099,14 +1392,27 @@ class MergePatchDataUnit:
                 bw.se(self.mpdu_3d_offset_d)
                 if ctx.normal_axis_max_delta:
                     bw.se(self.mpdu_3d_range_d)
+                if ctx.plr_enabled:
+                    override_plr = self.mpdu_override_plr_flag
+                    bw.u(1, override_plr)
+        if override_plr and ctx.plr_enabled:
+            dx, dy = self.mpdu_2d_delta_size_x, self.mpdu_2d_delta_size_y
+            self.plrd_bu = ctx.prev_patch_size_u + dx
+            self.plrd_bv = ctx.prev_patch_size_v + dy
+            if self.plrd_bu <= 0 or self.plrd_bv <= 0:
+                raise ValueError(
+                    "merge patch PLR block map degenerate "
+                    f"({self.plrd_bu}x{self.plrd_bv})"
+                )
+            _write_plrd_count(bw, ctx, self.plrd_mode, self.plrd_block_modes,
+                              self.plrd_bu * self.plrd_bv)
+            ctx.prev_patch_size_u += dx
+            ctx.prev_patch_size_v += dy
 
     @classmethod
     def read(cls, br: BitReader, ctx: "SyntaxContext") -> "MergePatchDataUnit":
         s = cls()
-        if ctx.plr_enabled:
-            raise NotImplementedError(
-                "PLR data on merge patches is not supported"
-            )
+        override_plr = False
         if ctx.num_ref_idx_active > 1:
             s.mpdu_ref_index = br.ue()
         s.mpdu_override_2d_params_flag = bool(br.u(1))
@@ -1115,6 +1421,8 @@ class MergePatchDataUnit:
             s.mpdu_2d_pos_y = br.se()
             s.mpdu_2d_delta_size_x = br.se()
             s.mpdu_2d_delta_size_y = br.se()
+            if ctx.plr_enabled:
+                override_plr = True
         else:
             s.mpdu_override_3d_params_flag = bool(br.u(1))
             if s.mpdu_override_3d_params_flag:
@@ -1123,6 +1431,23 @@ class MergePatchDataUnit:
                 s.mpdu_3d_offset_d = br.se()
                 if ctx.normal_axis_max_delta:
                     s.mpdu_3d_range_d = br.se()
+                if ctx.plr_enabled:
+                    override_plr = bool(br.u(1))
+                    s.mpdu_override_plr_flag = override_plr
+        if override_plr and ctx.plr_enabled:
+            dx, dy = s.mpdu_2d_delta_size_x, s.mpdu_2d_delta_size_y
+            s.plrd_bu = ctx.prev_patch_size_u + dx
+            s.plrd_bv = ctx.prev_patch_size_v + dy
+            if s.plrd_bu <= 0 or s.plrd_bv <= 0:
+                raise ValueError(
+                    "merge patch PLR block map degenerate "
+                    f"({s.plrd_bu}x{s.plrd_bv})"
+                )
+            s.plrd_mode, s.plrd_block_modes = _read_plrd_count(
+                br, ctx, s.plrd_bu * s.plrd_bv
+            )
+            ctx.prev_patch_size_u += dx
+            ctx.prev_patch_size_v += dy
         return s
 
 
@@ -1245,6 +1570,22 @@ class SyntaxContext:
     packing_block_size: int = 16
     patch_size_x_quantizer: int = 16  # pixels per coded size unit (qx)
     patch_size_y_quantizer: int = 16
+    # ---- per-tile decode state for PLR on inter/merge patches ----
+    # The reference tracks a running (prevPatchSizeU_, prevPatchSizeV_,
+    # predPatchIndex_) reset at each tile data unit and consults the
+    # PREVIOUS same-tile ATL's patch list to size an inter patch's PLR
+    # block map (PCCBitstreamReader.cpp:925-932 reset, :1122-1135 merge,
+    # :1182-1218 inter).  ref_patches is that previous ATL's
+    # PatchInformationData list (None for the first frame / I-only use).
+    ref_patches: list | None = None
+    prev_patch_size_u: int = 0
+    prev_patch_size_v: int = 0
+    pred_patch_index: int = 0
+
+    def reset_tile_state(self) -> None:
+        self.prev_patch_size_u = 0
+        self.prev_patch_size_v = 0
+        self.pred_patch_index = 0
 
 
 # ===========================================================================
@@ -1430,6 +1771,7 @@ class AtlasTileDataUnit:
             # (PCCBitstreamReader.cpp:917-922)
             bw.byte_align()
             return
+        ctx.reset_tile_state()  # PCCBitstreamReader.cpp:930-932 analog
         for pid in self.patches:
             bw.ue(pid.patch_mode)
             pid.data.write(bw, ctx)
@@ -1449,6 +1791,7 @@ class AtlasTileDataUnit:
         if tile_type == AtlasTileType.SKIP_TILE:
             br.rbsp_trailing()
             return s
+        ctx.reset_tile_state()  # PCCBitstreamReader.cpp:930-932 analog
         units = cls._I_UNITS if tile_type == AtlasTileType.I_TILE else cls._P_UNITS
         end_val = int(
             PatchModeITile.I_END

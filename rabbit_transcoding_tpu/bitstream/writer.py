@@ -86,7 +86,10 @@ class V3CWriter:
                 NalUnitType.NAL_IDR_N_LP if atl.afoc == 0 else NalUnitType.NAL_TRAIL_R
             )
             nals.append(
-                NalUnit(nal_type, payload=self._atl_payload(atlas, atl, nal_type))
+                NalUnit(nal_type, payload=self._atl_payload(
+                    atlas, atl, nal_type,
+                    prev_atls=atlas.atlas_tile_layers[:i],
+                ))
             )
         for sei in atlas.seis_suffix:
             bw = BitWriter()
@@ -101,7 +104,8 @@ class V3CWriter:
         return V3CUnit(header, payload)
 
     def _atl_payload(
-        self, atlas: AtlasHLS, atl: AtlasTileLayerRbsp, nal_type: NalUnitType
+        self, atlas: AtlasHLS, atl: AtlasTileLayerRbsp,
+        nal_type: NalUnitType, prev_atls: list[AtlasTileLayerRbsp] = (),
     ) -> bytes:
         afps = atlas.afps(atl.header.ath_atlas_frame_parameter_set_id)
         asps = atlas.asps(afps.afps_atlas_sequence_parameter_set_id)
@@ -114,6 +118,14 @@ class V3CWriter:
         atl.header.write(bw, asps, afps, is_irap)
         nri = atlas.num_ref_idx_active(atl.header, asps, afps)
         ctx = atlas.syntax_context(asps, afps, nri, atl.header)
+        if asps.asps_plr_enabled_flag:
+            # mirror of reader.py's previous same-tile ATL lookup, so a
+            # parsed PLR+inter stream re-serializes with identical block
+            # map sizing
+            for prev in reversed(prev_atls):
+                if prev.header.ath_id == atl.header.ath_id:
+                    ctx.ref_patches = prev.data_unit.patches
+                    break
         atl.data_unit.write(bw, atl.header.ath_type, ctx)
         return bw.data()
 

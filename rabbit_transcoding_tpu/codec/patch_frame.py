@@ -171,6 +171,7 @@ def decode_tile_patches(
             p.size_d = max(
                 0, ref.size_d + (du.ipdu_3d_range_d << range_d_shift)
             )
+            _apply_unit_plr(p, du)
             patches.append(p)
         elif isinstance(du, MergePatchDataUnit):
             ref_idx = pred_idx
@@ -194,6 +195,7 @@ def decode_tile_patches(
                     0,
                     ref.size_d + (du.mpdu_3d_range_d << range_d_shift),
                 )
+            _apply_unit_plr(p, du)
             patches.append(p)
         elif isinstance(du, SkipPatchDataUnit):
             ref_idx = pred_idx
@@ -255,6 +257,25 @@ def _intra_patch(
         plr_block_modes=blk,
         rotation_axis=rot,
         rot_offset=rot_offset,
+    )
+
+
+def _apply_unit_plr(p: Patch, du) -> None:
+    """Inter/merge units that carry their own plrData (plrd_bu > 0)
+    override the ref-copied PLR state with this frame's modes — matching
+    the reference decoder, which takes each patch's PLR from its own unit
+    (PCCDecoder.cpp setPointLocalReconstruction analog).  Units without
+    plrData (PLR off, or merge without override) keep the copied ref
+    modes."""
+    if getattr(du, "plrd_bu", 0) <= 0:
+        return
+    p.plr_mode = du.plrd_mode
+    p.plr_block_modes = (
+        np.asarray(du.plrd_block_modes, np.uint8).reshape(
+            du.plrd_bv, du.plrd_bu
+        )
+        if du.plrd_block_modes is not None
+        else None
     )
 
 

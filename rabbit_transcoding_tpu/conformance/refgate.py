@@ -39,7 +39,12 @@ def build_refgate() -> Path:
     """Compile refparse/refwrite against the reference libs (cached)."""
     binary = BUILD_DIR / "refparse"
     script = _TOOLS / "build.sh"
-    sources = [script, _TOOLS / "refparse.cpp", _TOOLS / "hevcparse.cpp"]
+    sources = [
+        script,
+        _TOOLS / "refparse.cpp",
+        _TOOLS / "refwrite.cpp",
+        _TOOLS / "hevcparse.cpp",
+    ]
     if binary.exists() and binary.stat().st_mtime >= max(
         s.stat().st_mtime for s in sources if s.exists()
     ):
@@ -225,6 +230,8 @@ def _flatten_one(fields: dict[str, int], g: str, ctx) -> None:
                     P(f"{mp}.minimum_depth", asps.plri_minimum_depth[k])
                     P(f"{mp}.neighbour_minus1", asps.plri_neighbour_minus1[k])
         P(f"{pre}.vui_present", int(asps.asps_vui_parameters_present_flag))
+        if asps.asps_vui_parameters_present_flag:
+            _flatten_vui(fields, f"{pre}.vui", asps.vui_parameters)
         ext = bool(
             asps.asps_vpcc_extension_present_flag or asps.asps_extension_7bits
         )
@@ -359,6 +366,8 @@ def _flatten_atl(fields: dict[str, int], pre: str, atlas, atl) -> None:
             P(f"{pp}.offset_d", u.ipdu_3d_offset_d)
             P(f"{pp}.range_d", u.ipdu_3d_range_d
               if asps.asps_normal_axis_max_delta_value_enabled_flag else 0)
+            if asps.asps_plr_enabled_flag:
+                _flatten_plrd(fields, f"{pp}.plrd", atlas, asps, afps, ath, u)
         elif isinstance(u, RawPatchDataUnit):
             aux = asps.asps_auxiliary_video_enabled_flag
             P(f"{pp}.in_aux_video",
@@ -387,25 +396,37 @@ def _flatten_atl(fields: dict[str, int], pre: str, atlas, atl) -> None:
             P(f"{pp}.ref_index", u.mpdu_ref_index)
             P(f"{pp}.override_2d", int(u.mpdu_override_2d_params_flag))
             P(f"{pp}.override_3d", int(u.mpdu_override_3d_params_flag))
+            if u.mpdu_override_2d_params_flag:
+                P(f"{pp}.pos_x", u.mpdu_2d_pos_x)
+                P(f"{pp}.pos_y", u.mpdu_2d_pos_y)
+                P(f"{pp}.delta_size_x", u.mpdu_2d_delta_size_x)
+                P(f"{pp}.delta_size_y", u.mpdu_2d_delta_size_y)
+            elif u.mpdu_override_3d_params_flag:
+                P(f"{pp}.offset_u", u.mpdu_3d_offset_u)
+                P(f"{pp}.offset_v", u.mpdu_3d_offset_v)
+                P(f"{pp}.offset_d", u.mpdu_3d_offset_d)
+                P(f"{pp}.override_plr", int(u.mpdu_override_plr_flag))
+            if asps.asps_plr_enabled_flag and u.plrd_bu > 0:
+                _flatten_plrd(fields, f"{pp}.plrd", atlas, asps, afps, ath, u)
     del is_p
 
 
 def _flatten_plrd(fields, pp, atlas, asps, afps, ath, u) -> None:
-    from ..bitstream.syntax import _plrd_blocks
+    from ..bitstream.syntax import PatchDataUnit, _plrd_dims
 
     P = fields.__setitem__
-    ctx = atlas.syntax_context(asps, afps, 1, ath)
-    ppbs = ctx.packing_block_size
-    bu = max(1, (
-        (u.pdu_2d_size_x_minus1 + 1) * ctx.patch_size_x_quantizer + ppbs - 1
-    ) // ppbs)
-    bv = max(1, (
-        (u.pdu_2d_size_y_minus1 + 1) * ctx.patch_size_y_quantizer + ppbs - 1
-    ) // ppbs)
+    if u.plrd_bu > 0:
+        # parsed units carry the derived block-map dims (intra from coded
+        # sizes, inter/merge from the ref patch / running prev size —
+        # PCCBitstreamReader.cpp:1067-1218)
+        bu, bv = u.plrd_bu, u.plrd_bv
+    else:
+        assert isinstance(u, PatchDataUnit)
+        ctx = atlas.syntax_context(asps, afps, 1, ath)
+        bu, bv = _plrd_dims(ctx, u.pdu_2d_size_x_minus1,
+                            u.pdu_2d_size_y_minus1)
     P(f"{pp}.map_width", bu)
     P(f"{pp}.map_height", bv)
-    block_count = _plrd_blocks(ctx, u.pdu_2d_size_x_minus1,
-                               u.pdu_2d_size_y_minus1)
     if u.plrd_block_modes is not None:
         P(f"{pp}.level", 0)
         for b, m in enumerate(u.plrd_block_modes):
@@ -417,7 +438,62 @@ def _flatten_plrd(fields, pp, atlas, asps, afps, ath, u) -> None:
         P(f"{pp}.present", int(u.plrd_mode > 0))
         if u.plrd_mode > 0:
             P(f"{pp}.mode_minus1", u.plrd_mode - 1)
-    del block_count
+
+
+def _flatten_vui(fields, pp, vui) -> None:
+    """Mirror of refparse.cpp's VUI dump key space."""
+    P = fields.__setitem__
+    P(f"{pp}.timing_info", int(vui.vui_timing_info_present_flag))
+    if vui.vui_timing_info_present_flag:
+        P(f"{pp}.num_units_in_tick", vui.vui_num_units_in_tick)
+        P(f"{pp}.time_scale", vui.vui_time_scale)
+        P(f"{pp}.poc_proportional",
+          int(vui.vui_poc_proportional_to_timing_flag))
+        if vui.vui_poc_proportional_to_timing_flag:
+            P(f"{pp}.num_ticks_poc_diff_one_minus1",
+              vui.vui_num_ticks_poc_diff_one_minus1)
+        P(f"{pp}.hrd_present", int(vui.vui_hrd_parameters_present_flag))
+        if vui.vui_hrd_parameters_present_flag:
+            hp = vui.hrd_parameters
+            P(f"{pp}.hrd.nal_present",
+              int(hp.hrd_nal_parameters_present_flag))
+            P(f"{pp}.hrd.acl_present",
+              int(hp.hrd_acl_parameters_present_flag))
+            if (hp.hrd_nal_parameters_present_flag
+                    or hp.hrd_acl_parameters_present_flag):
+                P(f"{pp}.hrd.bit_rate_scale", hp.hrd_bit_rate_scale)
+                P(f"{pp}.hrd.cab_size_scale", hp.hrd_cab_size_scale)
+    P(f"{pp}.tile_restrictions",
+      int(vui.vui_tile_restrictions_present_flag))
+    if vui.vui_tile_restrictions_present_flag:
+        P(f"{pp}.fixed_atlas_tile",
+          int(vui.vui_fixed_atlas_tile_structure_flag))
+        P(f"{pp}.fixed_video_tile",
+          int(vui.vui_fixed_video_tile_structure_flag))
+        P(f"{pp}.constrained_tiles_idc",
+          vui.vui_constrained_tiles_across_v3c_components_idc)
+        P(f"{pp}.max_num_tiles_minus1",
+          vui.vui_max_num_tiles_per_atlas_minus1)
+    P(f"{pp}.csp_present",
+      int(vui.vui_coordinate_system_parameters_present_flag))
+    if vui.vui_coordinate_system_parameters_present_flag:
+        csp = vui.coordinate_system_parameters
+        P(f"{pp}.csp.forward_axis", csp.csp_forward_axis)
+        P(f"{pp}.csp.delta_left_axis", csp.csp_delta_left_axis)
+        P(f"{pp}.csp.forward_sign", csp.csp_forward_sign)
+        P(f"{pp}.csp.left_sign", csp.csp_left_sign)
+        P(f"{pp}.csp.up_sign", csp.csp_up_sign)
+    P(f"{pp}.unit_in_metres", int(vui.vui_unit_in_metres_flag))
+    P(f"{pp}.display_box_present",
+      int(vui.vui_display_box_info_present_flag))
+    if vui.vui_display_box_info_present_flag:
+        for d in range(3):
+            P(f"{pp}.display_box_origin{d}", vui.vui_display_box_origin[d])
+            P(f"{pp}.display_box_size{d}", vui.vui_display_box_size[d])
+        P(f"{pp}.anchor_present", int(vui.vui_anchor_point_present_flag))
+        if vui.vui_anchor_point_present_flag:
+            for d in range(3):
+                P(f"{pp}.anchor_point{d}", vui.vui_anchor_point[d])
 
 
 def compare(ref: dict[str, int], ours: dict[str, int],

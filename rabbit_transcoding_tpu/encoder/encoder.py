@@ -47,7 +47,11 @@ from ..utils.enums import (
     VideoType,
 )
 from ..utils.timing import StageTimer
-from .matching import align_matched_patch, match_patches
+from .matching import (
+    align_matched_patch,
+    match_patches,
+    pad_seg_to_quantizer,
+)
 from .packing import (
     pack_gof_adaptive,
     pack_gof_global,
@@ -86,32 +90,7 @@ def _patch_id_map(
     )[:, :height, :width]
 
 
-def _pad_seg_to_quantizer(seg, qx: int, qy: int) -> None:
-    """Pad a SegmentedPatch's arrays up to (qx, qy) multiples so the coded
-    pdu_2d_size_{x,y} (in ath_patch_size_*_info_quantizer units) equal the
-    exact patch dims — the placement-orientation inverses require exact
-    coded sizes (see PARITY invariants)."""
-    su, sv = seg.occupancy.shape
-    nu = -(-su // qx) * qx
-    nv = -(-sv // qy) * qy
-    if (nu, nv) == (su, sv):
-        return
-
-    def pad2(a, fill):
-        out = np.full((nu, nv), fill, a.dtype)
-        out[:su, :sv] = a
-        return out
-
-    seg.occupancy = pad2(seg.occupancy, False)
-    seg.depth0 = pad2(seg.depth0, -1)
-    seg.depth1 = pad2(seg.depth1, -1)
-    if seg.eom is not None:
-        seg.eom = pad2(seg.eom, 0)
-    p = seg.patch
-    res = p.occupancy_resolution
-    p.size_u, p.size_v = nu, nv
-    p.size_u0 = (nu + res - 1) // res
-    p.size_v0 = (nv + res - 1) // res
+_pad_seg_to_quantizer = pad_seg_to_quantizer
 
 
 def _max_size_d(geom2d: int, geom3d: int, d_shift: int) -> int:
@@ -224,6 +203,8 @@ class Encoder:
                             p.geometryNominal2dBitdepth,
                             p.geometry3dCoordinatesBitdepth, d_shift,
                         ),
+                        qx=1 << max(0, p.log2QuantizerSizeX),
+                        qy=1 << max(0, p.log2QuantizerSizeY),
                     )
         try:
             h_gpa = pack_gof_adaptive(
@@ -499,6 +480,7 @@ class Encoder:
                                     p.geometryNominal2dBitdepth,
                                     p.geometry3dCoordinatesBitdepth, d_shift,
                                 ),
+                                qx=qpx, qy=qpy,
                             )
                 height = pack_gof_adaptive(
                     frame_segs, width, max(p.minimumImageHeight, 64),
@@ -566,6 +548,7 @@ class Encoder:
                                         p.geometryNominal2dBitdepth,
                                         p.geometry3dCoordinatesBitdepth, d_shift,
                                     ),
+                                    qx=qpx, qy=qpy,
                                 )
                         h = pack_patches_consistent(
                             segs, prev, width, max(height, 64),
@@ -2118,8 +2101,14 @@ class Encoder:
             (tile_band or height) // p.occupancyResolution if n_tiles > 1 else 0
         )
         use_inter = p.constrainedPack and n_tiles <= 1 and len(frame_segs) > 1
+        use_plr = p.pointLocalReconstruction and p.mapCountMinus1 == 0
         from ..bitstream.syntax import InterPatchDataUnit
         from ..utils.enums import PatchModePTile
+
+        def _np_eq(a, b):
+            return (a is None) == (b is None) and (
+                a is None or np.array_equal(a, b)
+            )
 
         for fi, segs in enumerate(frame_segs):
           inter_frame = use_inter and fi > 0
@@ -2166,6 +2155,15 @@ class Encoder:
                         and patch.size_v == ref.size_v
                         and patch.u1 == ref.u1 and patch.v1 == ref.v1
                         and patch.d1 == ref.d1 and patch.size_d == ref.size_d
+                        # a SKIP patch carries no plrData, so the decoder
+                        # would inherit the REFERENCE frame's PLR modes;
+                        # with PLR active, code INTER (which carries this
+                        # frame's searched modes) unless they too match
+                        and (not use_plr or (
+                            patch.plr_mode == ref.plr_mode
+                            and _np_eq(patch.plr_block_modes,
+                                       ref.plr_block_modes)
+                        ))
                     ):
                         # identical to the running reference -> SKIP (0 bits
                         # of payload, the cheapest patch mode)
@@ -2199,6 +2197,20 @@ class Encoder:
                                 ),
                                 ipdu_3d_range_d=(
                                     (patch.size_d - ref.size_d) >> d_shift
+                                ),
+                                # inter patches carry their own plrData
+                                # sized from the ref patch's block map +
+                                # the 2D deltas (PCCBitstreamReader.cpp
+                                # :1182-1218); block modes flatten v-major
+                                # like the intra path below
+                                plrd_mode=(
+                                    patch.plr_mode if use_plr else 0
+                                ),
+                                plrd_block_modes=(
+                                    patch.plr_block_modes.flatten().tolist()
+                                    if use_plr
+                                    and patch.plr_block_modes is not None
+                                    else None
                                 ),
                             ),
                         )

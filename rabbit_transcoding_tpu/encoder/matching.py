@@ -44,12 +44,42 @@ def _iou(a: SegmentedPatch, b: SegmentedPatch) -> float:
     return float(inter) / float(vol_a + vol_b - inter)
 
 
+def pad_seg_to_quantizer(seg: SegmentedPatch, qx: int, qy: int) -> None:
+    """Pad a SegmentedPatch's arrays up to (qx, qy) multiples so the coded
+    pdu_2d_size_{x,y} (in ath_patch_size_*_info_quantizer units) equal the
+    exact patch dims — the placement-orientation inverses and the PLR block
+    maps require exact coded sizes (see PARITY invariants)."""
+    su, sv = seg.occupancy.shape
+    nu = -(-su // qx) * qx
+    nv = -(-sv // qy) * qy
+    if (nu, nv) == (su, sv):
+        return
+
+    def pad2(a, fill):
+        out = np.full((nu, nv), fill, a.dtype)
+        out[:su, :sv] = a
+        return out
+
+    seg.occupancy = pad2(seg.occupancy, False)
+    seg.depth0 = pad2(seg.depth0, -1)
+    seg.depth1 = pad2(seg.depth1, -1)
+    if seg.eom is not None:
+        seg.eom = pad2(seg.eom, 0)
+    p = seg.patch
+    res = p.occupancy_resolution
+    p.size_u, p.size_v = nu, nv
+    p.size_u0 = (nu + res - 1) // res
+    p.size_v0 = (nv + res - 1) // res
+
+
 def align_matched_patch(
     seg: SegmentedPatch,
     ref: SegmentedPatch,
     max_grow: int = 48,
     max_depth: int = 1023,
     max_size_d: int = 255,
+    qx: int = 1,
+    qy: int = 1,
 ) -> None:
     """Rebase a matched patch's 3D offsets (u1/v1/d1) onto the reference's
     so identical surface voxels land on identical canvas pixels with
@@ -95,6 +125,11 @@ def align_matched_patch(
             p.size_d = min(p.size_d + dd, max_size_d)
     p.size_u0 = -(-p.size_u // p.occupancy_resolution)
     p.size_v0 = -(-p.size_v // p.occupancy_resolution)
+    if qx > 1 or qy > 1:
+        # u1/v1 alignment grows sizes by arbitrary deltas; re-pad so the
+        # coded (quantized) sizes stay exact — PLR block maps and the
+        # orientation inverses both derive from the coded sizes
+        pad_seg_to_quantizer(seg, qx, qy)
 
 
 def match_patches(

@@ -27,6 +27,7 @@ from rabbit_transcoding_tpu.bitstream.syntax import (
     AtlasTileLayerRbsp,
     AttributeInformation,
     InterPatchDataUnit,
+    MergePatchDataUnit,
     PatchDataUnit,
     PatchInformationData,
     RefListStruct,
@@ -586,3 +587,169 @@ class TestProfileToolsetConstraints:
         asps = AtlasSequenceParameterSetRbsp(asps_eom_patch_enabled_flag=True)
         ctx.atlas(0).asps_list.append(asps)
         assert ctx.check_profile() == 0
+
+
+class TestVuiAndPlrInterMerge:
+    """Round-4 verdict task 3: ASPS VUI and plrData on inter/merge patch
+    units.  Cross-implementation fidelity is gated in test_refgate*.py;
+    these cover the combinations the TMC2 oracle cannot carry (HRD-bearing
+    VUI segfaults its reader, merge override-3d+plr desyncs its writer)."""
+
+    def _vui(self):
+        from rabbit_transcoding_tpu.bitstream.syntax import (
+            CoordinateSystemParameters,
+            HrdParameters,
+            HrdSubLayerParameters,
+            VUIParameters,
+        )
+
+        return VUIParameters(
+            vui_timing_info_present_flag=True,
+            vui_num_units_in_tick=1001,
+            vui_time_scale=60000,
+            vui_poc_proportional_to_timing_flag=True,
+            vui_num_ticks_poc_diff_one_minus1=3,
+            vui_hrd_parameters_present_flag=True,
+            hrd_parameters=HrdParameters(
+                hrd_nal_parameters_present_flag=True,
+                hrd_acl_parameters_present_flag=True,
+                hrd_bit_rate_scale=4,
+                hrd_cab_size_scale=2,
+                hrd_cab_cnt_minus1=1,
+                hrd_sub_layer_nal=HrdSubLayerParameters(
+                    [9, 5], [99, 55], [True, False]
+                ),
+                hrd_sub_layer_acl=HrdSubLayerParameters(
+                    [1, 2], [3, 4], [False, True]
+                ),
+            ),
+            vui_tile_restrictions_present_flag=True,
+            vui_fixed_atlas_tile_structure_flag=True,
+            vui_constrained_tiles_across_v3c_components_idc=2,
+            vui_max_num_tiles_per_atlas_minus1=5,
+            vui_coordinate_system_parameters_present_flag=True,
+            coordinate_system_parameters=CoordinateSystemParameters(
+                2, 1, 1, 0, 1
+            ),
+            vui_unit_in_metres_flag=True,
+            vui_display_box_info_present_flag=True,
+            vui_display_box_origin=[1, 2, 3],
+            vui_display_box_size=[10, 20, 30],
+            vui_anchor_point_present_flag=True,
+            vui_anchor_point=[4, 5, 6],
+        )
+
+    def test_vui_hrd_roundtrip(self):
+        from rabbit_transcoding_tpu.bitstream.syntax import VUIParameters
+
+        vui = self._vui()
+        bw = BitWriter()
+        vui.write(bw)
+        bw.zero_align()
+        assert VUIParameters.read(BitReader(bw.data())) == vui
+
+    def test_vui_in_asps_roundtrip(self):
+        asps = AtlasSequenceParameterSetRbsp(
+            asps_frame_width=256, asps_frame_height=128,
+            asps_vui_parameters_present_flag=True,
+        )
+        asps.vui_parameters = self._vui()
+        bw = BitWriter()
+        asps.write(bw)
+        a2 = AtlasSequenceParameterSetRbsp.read(BitReader(bw.data()))
+        assert a2.vui_parameters == asps.vui_parameters
+
+    def _plr_ctx(self):
+        return SyntaxContext(
+            plr_enabled=True, plr_mode_bits=1, plr_block_threshold_plus1=3,
+        )
+
+    def test_inter_patch_plr_roundtrip(self):
+        """Inter plrData sized from the ref patch's map + 2D deltas
+        (PCCBitstreamReader.cpp:1182-1218)."""
+        ref_pdu = PatchDataUnit(pdu_2d_size_x_minus1=2, pdu_2d_size_y_minus1=1)
+        ref_pdu.plrd_bu, ref_pdu.plrd_bv = 3, 2
+        ref = [PatchInformationData(patch_mode=0, data=ref_pdu)]
+        ipdu = InterPatchDataUnit(
+            ipdu_patch_index=0, ipdu_2d_delta_size_x=1,
+            ipdu_2d_delta_size_y=0, plrd_mode=1,
+            plrd_block_modes=[1, 0, 0, 2, 0, 0, 1, 0],
+        )
+        ctx = self._plr_ctx()
+        ctx.ref_patches = ref
+        bw = BitWriter()
+        ipdu.write(bw, ctx)
+        bw.zero_align()
+        assert (ipdu.plrd_bu, ipdu.plrd_bv) == (4, 2)
+        assert (ctx.prev_patch_size_u, ctx.prev_patch_size_v) == (4, 2)
+        assert ctx.pred_patch_index == 1
+        ctx2 = self._plr_ctx()
+        ctx2.ref_patches = ref
+        i2 = InterPatchDataUnit.read(BitReader(bw.data()), ctx2)
+        assert i2.plrd_block_modes == ipdu.plrd_block_modes
+        assert (i2.plrd_bu, i2.plrd_bv) == (4, 2)
+
+    def test_inter_patch_plr_missing_ref_raises(self):
+        ipdu = InterPatchDataUnit(ipdu_patch_index=5)
+        ctx = self._plr_ctx()
+        ctx.ref_patches = []
+        with pytest.raises(ValueError, match="does not exist"):
+            ipdu.write(BitWriter(), ctx)
+
+    def test_merge_override2d_plr_roundtrip(self):
+        """Merge with override-2d carries plrData implicitly, sized from
+        the running prev patch size + deltas (PCCBitstreamReader.cpp
+        :1093-1135)."""
+        m = MergePatchDataUnit(
+            mpdu_override_2d_params_flag=True, mpdu_2d_pos_x=2,
+            mpdu_2d_pos_y=-2, mpdu_2d_delta_size_x=-1,
+            mpdu_2d_delta_size_y=0, plrd_mode=1,
+            plrd_block_modes=None,
+        )
+        ctx = self._plr_ctx()
+        ctx.prev_patch_size_u, ctx.prev_patch_size_v = 2, 1
+        bw = BitWriter()
+        m.write(bw, ctx)
+        bw.zero_align()
+        # (2,1) + (-1,0) -> 1x1 <= threshold -> patch-level signalling
+        assert (m.plrd_bu, m.plrd_bv) == (1, 1)
+        assert (ctx.prev_patch_size_u, ctx.prev_patch_size_v) == (1, 1)
+        ctx2 = self._plr_ctx()
+        ctx2.prev_patch_size_u, ctx2.prev_patch_size_v = 2, 1
+        m2 = MergePatchDataUnit.read(BitReader(bw.data()), ctx2)
+        assert m2.plrd_mode == 1
+        assert (m2.plrd_bu, m2.plrd_bv) == (1, 1)
+
+    def test_merge_override3d_plr_roundtrip(self):
+        """Merge with override-3d + mpdu_override_plr_flag=1 — the branch
+        TMC2's own writer cannot serialize (its local overridePlrFlag is
+        only set in the override-2d branch, PCCBitstreamWriter.cpp
+        :1277-1291); we follow the reader (= final 23090-5 semantics)."""
+        m = MergePatchDataUnit(
+            mpdu_override_2d_params_flag=False,
+            mpdu_override_3d_params_flag=True,
+            mpdu_3d_offset_u=6, mpdu_3d_offset_v=-6, mpdu_3d_offset_d=7,
+            mpdu_override_plr_flag=True, plrd_mode=0,
+            plrd_block_modes=[0, 1, 0, 2, 1, 0],
+        )
+        ctx = self._plr_ctx()
+        ctx.prev_patch_size_u, ctx.prev_patch_size_v = 3, 2
+        bw = BitWriter()
+        m.write(bw, ctx)
+        bw.zero_align()
+        ctx2 = self._plr_ctx()
+        ctx2.prev_patch_size_u, ctx2.prev_patch_size_v = 3, 2
+        m2 = MergePatchDataUnit.read(BitReader(bw.data()), ctx2)
+        assert m2.mpdu_override_plr_flag
+        assert m2.plrd_block_modes == [0, 1, 0, 2, 1, 0]
+        assert (m2.plrd_bu, m2.plrd_bv) == (3, 2)
+
+    def test_merge_degenerate_map_raises(self):
+        m = MergePatchDataUnit(
+            mpdu_override_2d_params_flag=True,
+            mpdu_2d_delta_size_x=-5, mpdu_2d_delta_size_y=0,
+        )
+        ctx = self._plr_ctx()
+        ctx.prev_patch_size_u, ctx.prev_patch_size_v = 3, 2
+        with pytest.raises(ValueError, match="degenerate"):
+            m.write(BitWriter(), ctx)

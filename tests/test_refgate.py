@@ -103,3 +103,109 @@ class TestRefGate:
     @pytest.mark.slow
     def test_multiple_streams_absolute_d1(self, tmp_path):
         gate(tmp_path, multipleStreams=True, absoluteD1=True, n_frames=2)
+
+    @pytest.mark.slow
+    def test_plr_inter_patches(self, tmp_path):
+        """PLR carried on inter patches (P-tiles): our writer's plrData on
+        InterPatchDataUnit must parse field-identical through the TMC2
+        reader (PCCBitstreamReader.cpp:1182-1218)."""
+        rng = np.random.default_rng(3)
+        g = np.mgrid[8:40, 8:40].reshape(2, -1).T
+
+        def cloud(seed, stair):
+            r2 = np.random.default_rng(seed)
+            z = 30 + ((g[:, 0] // (2 * stair)) % 3) + (
+                r2.random(len(g)) * 2
+            ).astype(np.int32)
+            layers = [
+                np.column_stack([g[:, 0], g[:, 1], z + dz]) for dz in range(3)
+            ]
+            pos = np.concatenate(layers).astype(np.int32)
+            colors = np.clip(
+                np.stack([pos[:, 2] * 40 % 255, pos[:, 0] * 3, pos[:, 1] * 3], 1),
+                0, 255,
+            ).astype(np.uint8)
+            return PointSet(positions=pos, colors=colors).remove_duplicates()
+
+        params = dict(BASE)
+        params.update(
+            mapCountMinus1=0, pointLocalReconstruction=True,
+            plrLevel=0, patchSize=4, nbPlrmMode=4,
+            maxAllowedDist2RawPointsSelection=0.0,
+            maxAllowedDist2RawPointsDetection=0.0,
+            maxNNCountPatchSegmentation=0,
+        )
+        enc = Encoder(EncoderParameters(**params))
+        ctx, _ = enc.encode(GroupOfFrames([cloud(1, 1), cloud(7, 4)]))
+        from rabbit_transcoding_tpu.bitstream.syntax import InterPatchDataUnit
+        from rabbit_transcoding_tpu.utils.enums import AtlasTileType
+        atl1 = ctx.atlases[0].atlas_tile_layers[1]
+        assert atl1.header.ath_type == AtlasTileType.P_TILE
+        assert any(
+            isinstance(p.data, InterPatchDataUnit)
+            for p in atl1.data_unit.patches
+        ), "operating point must exercise inter patches with PLR"
+        w = V3CWriter()
+        data = w.write(w.encode(ctx))
+        path = tmp_path / "gate.bin"
+        path.write_bytes(data)
+        ref = refgate.run_refparse(path)
+        ours = refgate.flatten_contexts(
+            [V3CReader().decode(g2) for g2 in V3CReader().read(data)]
+        )
+        problems = refgate.compare(ref, ours)
+        assert not problems, "\n".join(problems[:50])
+        del rng
+
+    def test_asps_vui(self, tmp_path):
+        """ASPS VUI parameters: our writer emits a fully-featured VUI and
+        the TMC2 reader (PCCBitstreamReader.cpp:2262 vuiParameters) parses
+        it field-identical.  Forward-only: TMC2's own writer emits a
+        vui_max_coded_video_resolution flag its reader never parses, so
+        the reverse direction cannot carry VUI (see refwrite.cpp).  HRD
+        stays OFF through this gate: TMC2's HrdParameters allocates its
+        per-sublayer vectors to maxNumSubLayersMinus1_=0 elements and then
+        indexes [0] (PCCVUIParameters.h:80-86) — undefined behaviour /
+        segfault on any HRD-carrying stream; the HRD syntax is covered by
+        our own round-trip tests (test_bitstream.py)."""
+        from rabbit_transcoding_tpu.bitstream.syntax import (
+            CoordinateSystemParameters,
+            VUIParameters,
+        )
+
+        params = dict(BASE)
+        enc = Encoder(EncoderParameters(**params))
+        ctx, _ = enc.encode(GroupOfFrames([slab_cloud()]))
+        asps = ctx.atlases[0].asps_list[0]
+        asps.asps_vui_parameters_present_flag = True
+        asps.vui_parameters = VUIParameters(
+            vui_timing_info_present_flag=True,
+            vui_num_units_in_tick=1001,
+            vui_time_scale=60000,
+            vui_poc_proportional_to_timing_flag=True,
+            vui_num_ticks_poc_diff_one_minus1=3,
+            vui_tile_restrictions_present_flag=True,
+            vui_fixed_atlas_tile_structure_flag=True,
+            vui_max_num_tiles_per_atlas_minus1=3,
+            vui_coordinate_system_parameters_present_flag=True,
+            coordinate_system_parameters=CoordinateSystemParameters(
+                csp_forward_axis=2, csp_delta_left_axis=1,
+                csp_forward_sign=1, csp_up_sign=1,
+            ),
+            vui_unit_in_metres_flag=True,
+            vui_display_box_info_present_flag=True,
+            vui_display_box_origin=[1, 2, 3],
+            vui_display_box_size=[512, 512, 256],
+            vui_anchor_point_present_flag=True,
+            vui_anchor_point=[7, 8, 9],
+        )
+        w = V3CWriter()
+        data = w.write(w.encode(ctx))
+        path = tmp_path / "gate.bin"
+        path.write_bytes(data)
+        ref = refgate.run_refparse(path)
+        ours = refgate.flatten_contexts(
+            [V3CReader().decode(g) for g in V3CReader().read(data)]
+        )
+        problems = refgate.compare(ref, ours)
+        assert not problems, "\n".join(problems[:50])

@@ -44,6 +44,20 @@ def ref_stream(tmp_path_factory):
     return path.read_bytes()
 
 
+@pytest.fixture(scope="module")
+def ref_stream_plr(tmp_path_factory):
+    """refwrite's 'plr' mode: single-map stream with PLR enabled and
+    plrData planted on intra (block- and patch-level), inter, and merge
+    patch data units — the syntax families the round-4 review flagged."""
+    refgate.build_refgate()
+    path = tmp_path_factory.mktemp("refgate") / "ref_stream_plr.bin"
+    subprocess.run(
+        [str(refgate.BUILD_DIR / "refwrite"), str(path), "plr"],
+        check=True, capture_output=True,
+    )
+    return path.read_bytes()
+
+
 class TestReferenceWriterToOurReader:
     def test_vps(self, ref_stream):
         r = V3CReader()
@@ -144,3 +158,91 @@ class TestReferenceWriterToOurReader:
         assert vids[VideoType.ATTRIBUTE] == 13
         assert atlas.video_bitstreams[VideoType.OCCUPANCY].data \
             == b"OCCUPANCYDATA"
+
+
+class TestReferencePLRStream:
+    """TMC2-written PLR stream -> our reader (round-4 verdict task 3).
+
+    Field values mirror the plr-mode plantings in tools/refgate/refwrite.cpp;
+    block-map sizing follows PCCBitstreamReader.cpp:1067-1218 (intra from
+    coded sizes, inter from the ref patch's map + deltas, merge from the
+    running prev size + deltas).
+    """
+
+    def test_asps_plri(self, ref_stream_plr):
+        r = V3CReader()
+        atlas = r.decode(r.read(ref_stream_plr)[0]).atlases[0]
+        asps = atlas.asps(0)
+        assert asps.asps_plr_enabled_flag
+        assert asps.asps_map_count_minus1 == 0
+        assert asps.asps_plr_number_of_modes_minus1 == 2
+        assert asps.plri_block_threshold_per_patch_minus1 == 2
+        assert asps.plri_interpolate_flag == [True, False]
+        assert asps.plri_filling_flag == [False, True]
+        assert asps.plri_minimum_depth == [1, 2]
+        assert asps.plri_neighbour_minus1 == [1, 0]
+
+    def test_intra_plr(self, ref_stream_plr):
+        r = V3CReader()
+        atlas = r.decode(r.read(ref_stream_plr)[0]).atlases[0]
+        atl0 = atlas.atlas_tile_layers[0]
+        assert atl0.header.ath_type == AtlasTileType.I_TILE
+        p0 = atl0.data_unit.patches[0].data
+        assert isinstance(p0, PatchDataUnit)
+        # 3x2 blocks > threshold+1(3) -> block-level signalling
+        assert (p0.plrd_bu, p0.plrd_bv) == (3, 2)
+        assert p0.plrd_block_modes == [0, 1, 0, 2, 1, 0]
+        p1 = atl0.data_unit.patches[1].data
+        # 1 block <= threshold -> patch-level, mode_minus1=1 -> mode 2
+        assert (p1.plrd_bu, p1.plrd_bv) == (1, 1)
+        assert p1.plrd_block_modes is None
+        assert p1.plrd_mode == 2
+
+    def test_inter_merge_plr(self, ref_stream_plr):
+        r = V3CReader()
+        atlas = r.decode(r.read(ref_stream_plr)[0]).atlases[0]
+        atl1 = atlas.atlas_tile_layers[1]
+        assert atl1.header.ath_type == AtlasTileType.P_TILE
+        pats = atl1.data_unit.patches
+        assert [p.patch_mode for p in pats] == [
+            int(PatchModePTile.P_INTER),
+            int(PatchModePTile.P_MERGE),
+            int(PatchModePTile.P_MERGE),
+        ]
+        ip = pats[0].data
+        assert isinstance(ip, InterPatchDataUnit)
+        # ref = ATL0 patch0 (3x2 map), delta (+1, 0) -> 4x2
+        assert (ip.plrd_bu, ip.plrd_bv) == (4, 2)
+        assert ip.plrd_block_modes == [1, 0, 0, 2, 0, 0, 1, 0]
+        m1 = pats[1].data
+        # merge overriding 2D: prev (4,2) + delta (-1,0) -> 3x2
+        assert m1.mpdu_override_2d_params_flag
+        assert (m1.plrd_bu, m1.plrd_bv) == (3, 2)
+        assert m1.plrd_block_modes == [0, 2, 0, 2, 0, 2]
+        m2 = pats[2].data
+        # merge overriding 3D with override_plr=0 (TMC2's writer cannot
+        # emit plrData in this branch -- see refwrite.cpp); no PLR carried
+        assert m2.mpdu_override_3d_params_flag
+        assert not m2.mpdu_override_plr_flag
+        assert (m2.plrd_bu, m2.plrd_bv) == (0, 0)
+
+    def test_plr_stream_reserializes_field_identical(self, ref_stream_plr):
+        """Parse the TMC2 PLR stream, re-serialize with OUR writer, and
+        field-diff the result through the reference parser — proving the
+        writer side of the new syntax against the same oracle."""
+        import numpy as np
+
+        from rabbit_transcoding_tpu.bitstream import V3CWriter
+
+        r = V3CReader()
+        ctx = r.decode(r.read(ref_stream_plr)[0])
+        data = V3CWriter().write(V3CWriter().encode(ctx))
+        path = refgate.BUILD_DIR / "rewrite_plr.bin"
+        path.write_bytes(data)
+        ref_fields = refgate.run_refparse(path)
+        ours = refgate.flatten_contexts(
+            [V3CReader().decode(g) for g in V3CReader().read(data)]
+        )
+        problems = refgate.compare(ref_fields, ours)
+        assert not problems, "\n".join(problems[:50])
+        del np

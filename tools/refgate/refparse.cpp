@@ -162,6 +162,75 @@ static void dumpAsps( AtlasSequenceParameterSetRbsp& asps, size_t i ) {
     }
   }
   P( "asps%zu.vui_present=%d", i, (int)asps.getVuiParametersPresentFlag() );
+  if ( asps.getVuiParametersPresentFlag() ) {
+    auto& vp = asps.getVuiParameters();
+    P( "asps%zu.vui.timing_info=%d", i, (int)vp.getTimingInfoPresentFlag() );
+    if ( vp.getTimingInfoPresentFlag() ) {
+      P( "asps%zu.vui.num_units_in_tick=%u", i, vp.getNumUnitsInTick() );
+      P( "asps%zu.vui.time_scale=%u", i, vp.getTimeScale() );
+      P( "asps%zu.vui.poc_proportional=%d", i,
+         (int)vp.getPocProportionalToTimingFlag() );
+      if ( vp.getPocProportionalToTimingFlag() )
+        P( "asps%zu.vui.num_ticks_poc_diff_one_minus1=%u", i,
+           vp.getNumTicksPocDiffOneMinus1() );
+      P( "asps%zu.vui.hrd_present=%d", i,
+         (int)vp.getHrdParametersPresentFlag() );
+      if ( vp.getHrdParametersPresentFlag() ) {
+        auto& hp = vp.getHrdParameters();
+        P( "asps%zu.vui.hrd.nal_present=%d", i,
+           (int)hp.getNalParametersPresentFlag() );
+        P( "asps%zu.vui.hrd.acl_present=%d", i,
+           (int)hp.getAclParametersPresentFlag() );
+        if ( hp.getNalParametersPresentFlag() ||
+             hp.getAclParametersPresentFlag() ) {
+          P( "asps%zu.vui.hrd.bit_rate_scale=%d", i,
+             (int)hp.getBitRateScale() );
+          P( "asps%zu.vui.hrd.cab_size_scale=%d", i,
+             (int)hp.getCabSizeScale() );
+        }
+      }
+    }
+    P( "asps%zu.vui.tile_restrictions=%d", i,
+       (int)vp.getTileRestrictionsPresentFlag() );
+    if ( vp.getTileRestrictionsPresentFlag() ) {
+      P( "asps%zu.vui.fixed_atlas_tile=%d", i,
+         (int)vp.getFixedAtlasTileStructureFlag() );
+      P( "asps%zu.vui.fixed_video_tile=%d", i,
+         (int)vp.getFixedVideoTileStructureFlag() );
+      P( "asps%zu.vui.constrained_tiles_idc=%u", i,
+         vp.getConstrainedTilesAcrossV3cComponentsIdc() );
+      P( "asps%zu.vui.max_num_tiles_minus1=%u", i,
+         vp.getMaxNumTilesPerAtlasMinus1() );
+    }
+    P( "asps%zu.vui.csp_present=%d", i,
+       (int)vp.getCoordinateSystemParametersPresentFlag() );
+    if ( vp.getCoordinateSystemParametersPresentFlag() ) {
+      auto& csp = vp.getCoordinateSystemParameters();
+      P( "asps%zu.vui.csp.forward_axis=%d", i, (int)csp.getForwardAxis() );
+      P( "asps%zu.vui.csp.delta_left_axis=%d", i,
+         (int)csp.getDeltaLeftAxis() );
+      P( "asps%zu.vui.csp.forward_sign=%d", i, (int)csp.getForwardSign() );
+      P( "asps%zu.vui.csp.left_sign=%d", i, (int)csp.getLeftSign() );
+      P( "asps%zu.vui.csp.up_sign=%d", i, (int)csp.getUpSign() );
+    }
+    P( "asps%zu.vui.unit_in_metres=%d", i, (int)vp.getUnitInMetresFlag() );
+    P( "asps%zu.vui.display_box_present=%d", i,
+       (int)vp.getDisplayBoxInfoPresentFlag() );
+    if ( vp.getDisplayBoxInfoPresentFlag() ) {
+      for ( size_t d = 0; d < 3; d++ ) {
+        P( "asps%zu.vui.display_box_origin%zu=%u", i, d,
+           vp.getDisplayBoxOrigin( d ) );
+        P( "asps%zu.vui.display_box_size%zu=%u", i, d,
+           vp.getDisplayBoxSize( d ) );
+      }
+      P( "asps%zu.vui.anchor_present=%d", i,
+         (int)vp.getAnchorPointPresentFlag() );
+      if ( vp.getAnchorPointPresentFlag() )
+        for ( size_t d = 0; d < 3; d++ )
+          P( "asps%zu.vui.anchor_point%zu=%d", i, d,
+             (int)vp.getAnchorPoint( d ) );
+    }
+  }
   P( "asps%zu.extension_flag=%d", i, (int)asps.getExtensionFlag() );
   if ( asps.getExtensionFlag() ) {
     P( "asps%zu.vpcc_extension_flag=%d", i, (int)asps.getVpccExtensionFlag() );
@@ -342,6 +411,22 @@ static void dumpAtl( AtlasTileLayerRbsp& atl, size_t t, bool plrEnabled ) {
          (int)u.getOverride2dParamsFlag() );
       P( "atl%zu.patch%zu.override_3d=%d", t, p,
          (int)u.getOverride3dParamsFlag() );
+      if ( u.getOverride2dParamsFlag() ) {
+        P( "atl%zu.patch%zu.pos_x=%d", t, p, (int)u.get2dPosX() );
+        P( "atl%zu.patch%zu.pos_y=%d", t, p, (int)u.get2dPosY() );
+        P( "atl%zu.patch%zu.delta_size_x=%d", t, p, (int)u.get2dDeltaSizeX() );
+        P( "atl%zu.patch%zu.delta_size_y=%d", t, p, (int)u.get2dDeltaSizeY() );
+      } else if ( u.getOverride3dParamsFlag() ) {
+        P( "atl%zu.patch%zu.offset_u=%d", t, p, (int)u.get3dOffsetU() );
+        P( "atl%zu.patch%zu.offset_v=%d", t, p, (int)u.get3dOffsetV() );
+        P( "atl%zu.patch%zu.offset_d=%d", t, p, (int)u.get3dOffsetD() );
+        P( "atl%zu.patch%zu.override_plr=%d", t, p,
+           (int)u.getOverridePlrFlag() );
+      }
+      if ( plrEnabled && u.getPLRData().getBlockToPatchMapWidth() > 0 ) {
+        snprintf( key, sizeof key, "atl%zu.patch%zu.plrd", t, p );
+        dumpPlrd( u.getPLRData(), key );
+      }
     }
   }
   // SEI payload types attached to this ATL (prefix + suffix)

@@ -22,10 +22,14 @@
 using namespace pcc;
 
 int main( int argc, char* argv[] ) {
-  if ( argc != 2 ) {
-    fprintf( stderr, "usage: refwrite <out.bin>\n" );
+  if ( argc < 2 ) {
+    fprintf( stderr, "usage: refwrite <out.bin> [plr]\n" );
     return 2;
   }
+  // "plr" mode: single-map stream with PLR enabled (intra + inter + merge
+  // patches all carrying plrData) and a full ASPS VUI — the two syntax
+  // families the round-4 review flagged as reader gaps.
+  const bool plrMode = argc > 2 && std::string( argv[2] ) == "plr";
   PCCHighLevelSyntax syntax;
   PCCBitstreamStat   stat;
   syntax.setBitstreamStat( stat );
@@ -47,11 +51,11 @@ int main( int argc, char* argv[] ) {
   vps.setAtlasId( 0, 0 );
   vps.setFrameWidth( 0, 256 );
   vps.setFrameHeight( 0, 128 );
-  vps.setMapCountMinus1( 0, 1 );
+  vps.setMapCountMinus1( 0, plrMode ? 0 : 1 );
   vps.allocateMap( 0 );
   vps.setMultipleMapStreamsPresentFlag( 0, false );
   vps.setMapAbsoluteCodingEnableFlag( 0, 0, true );
-  vps.setMapAbsoluteCodingEnableFlag( 0, 1, true );
+  if ( !plrMode ) { vps.setMapAbsoluteCodingEnableFlag( 0, 1, true ); }
   vps.setAuxiliaryVideoPresentFlag( 0, false );
   vps.setOccupancyVideoPresentFlag( 0, true );
   vps.setGeometryVideoPresentFlag( 0, true );
@@ -102,12 +106,36 @@ int main( int argc, char* argv[] ) {
   asps.setPatchPrecedenceOrderFlag( false );
   asps.setLog2PatchPackingBlockSize( 4 );
   asps.setPatchSizeQuantizerPresentFlag( false );
-  asps.setMapCountMinus1( 1 );
+  asps.setMapCountMinus1( plrMode ? 0 : 1 );
   asps.setPixelDeinterleavingFlag( false );
   asps.setRawPatchEnabledFlag( false );
   asps.setEomPatchEnabledFlag( false );
   asps.setAuxiliaryVideoEnabledFlag( false );
-  asps.setPLREnabledFlag( false );
+  asps.setPLREnabledFlag( plrMode );
+  if ( plrMode ) {
+    asps.allocatePLRInformation();
+    auto& plri = asps.getPLRInformation( 0 );
+    plri.setMapEnabledFlag( true );
+    plri.setNumberOfModesMinus1( 2 );  // coded modes 1..2
+    plri.allocate();
+    plri.setInterpolateFlag( 0, true );
+    plri.setFillingFlag( 0, false );
+    plri.setMinimumDepth( 0, 1 );
+    plri.setNeighbourMinus1( 0, 1 );
+    plri.setInterpolateFlag( 1, false );
+    plri.setFillingFlag( 1, true );
+    plri.setMinimumDepth( 1, 2 );
+    plri.setNeighbourMinus1( 1, 0 );
+    plri.setBlockThresholdPerPatchMinus1( 2 );  // level flag coded when >3
+  }
+  // NOTE: VUI stays OFF even in plr mode.  The reference's own writer and
+  // reader disagree on the VUI syntax: PCCBitstreamWriter::vuiParameters
+  // emits a vui_max_coded_video_resolution present flag that
+  // PCCBitstreamReader::vuiParameters never parses (dormant in TMC2 —
+  // no config enables VUI), so a TMC2-written VUI cannot round-trip
+  // through TMC2 itself.  We follow the READER (= final 23090-5 syntax);
+  // VUI is gated in the forward direction (our writer -> reference
+  // reader, tests/test_refgate.py).
   asps.setVuiParametersPresentFlag( false );
   asps.setExtensionFlag( true );
   asps.setVpccExtensionFlag( true );
@@ -148,28 +176,47 @@ int main( int argc, char* argv[] ) {
     auto& pdu = pid.getPatchDataUnit();
     pdu.set2dPosX( 3 );
     pdu.set2dPosY( 1 );
-    pdu.set2dSizeXMinus1( 15 );
-    pdu.set2dSizeYMinus1( 7 );
+    pdu.set2dSizeXMinus1( plrMode ? 2 : 15 );
+    pdu.set2dSizeYMinus1( plrMode ? 1 : 7 );
     pdu.set3dOffsetU( 11 );
     pdu.set3dOffsetV( 22 );
     pdu.set3dOffsetD( 33 );
     pdu.setProjectionId( 2 );
     pdu.setOrientationIndex( 5 );
     pdu.setLodEnableFlag( false );
+    if ( plrMode ) {
+      // 3x2 blocks > threshold+1(3) -> block-level signalling
+      auto& plrd = pdu.getPLRData();
+      plrd.allocate( 3, 2 );
+      plrd.setLevelFlag( false );
+      const int modes[6] = { 0, 1, 0, 2, 1, 0 };  // 0 = off, m>0 -> m-1
+      for ( size_t b = 0; b < 6; b++ ) {
+        plrd.setBlockPresentFlag( b, modes[b] > 0 );
+        if ( modes[b] > 0 ) plrd.setBlockModeMinus1( b, modes[b] - 1 );
+      }
+    }
   }
   {
     auto& pid = atdu0.addPatchInformationData( uint8_t( I_INTRA ) );
     auto& pdu = pid.getPatchDataUnit();
     pdu.set2dPosX( 4 );
     pdu.set2dPosY( 2 );
-    pdu.set2dSizeXMinus1( 31 );
-    pdu.set2dSizeYMinus1( 15 );
+    pdu.set2dSizeXMinus1( plrMode ? 0 : 31 );
+    pdu.set2dSizeYMinus1( plrMode ? 0 : 15 );
     pdu.set3dOffsetU( 44 );
     pdu.set3dOffsetV( 55 );
     pdu.set3dOffsetD( 66 );
     pdu.setProjectionId( 4 );
     pdu.setOrientationIndex( 1 );
     pdu.setLodEnableFlag( false );
+    if ( plrMode ) {
+      // 1 block <= threshold+1 -> level flag inferred patch-level
+      auto& plrd = pdu.getPLRData();
+      plrd.allocate( 1, 1 );
+      plrd.setLevelFlag( true );
+      plrd.setPresentFlag( true );
+      plrd.setModeMinus1( 1 );
+    }
   }
   atdu0.addPatchInformationData( uint8_t( I_END ) );
   // a prefix SEI on ATL0: grid geometry smoothing
@@ -200,33 +247,97 @@ int main( int argc, char* argv[] ) {
   ath1.setPosDeltaMaxDQuantizer( 0 );
   ath1.setRaw3dOffsetAxisBitCountMinus1( 255 );
   auto& atdu1 = atl1.getDataUnit();
-  atdu1.addPatchInformationData( uint8_t( P_SKIP ) );
-  {
-    auto& pid  = atdu1.addPatchInformationData( uint8_t( P_INTER ) );
-    auto& ipdu = pid.getInterPatchDataUnit();
-    ipdu.setRefIndex( 0 );
-    ipdu.setRefPatchIndex( 0 );
-    ipdu.set2dPosX( 1 );
-    ipdu.set2dPosY( -1 );
-    ipdu.set2dDeltaSizeX( 2 );
-    ipdu.set2dDeltaSizeY( -2 );
-    ipdu.set3dOffsetU( 3 );
-    ipdu.set3dOffsetV( -3 );
-    ipdu.set3dOffsetD( 4 );
-  }
-  {
-    auto& pid = atdu1.addPatchInformationData( uint8_t( P_INTRA ) );
-    auto& pdu = pid.getPatchDataUnit();
-    pdu.set2dPosX( 7 );
-    pdu.set2dPosY( 3 );
-    pdu.set2dSizeXMinus1( 9 );
-    pdu.set2dSizeYMinus1( 4 );
-    pdu.set3dOffsetU( 77 );
-    pdu.set3dOffsetV( 88 );
-    pdu.set3dOffsetD( 99 );
-    pdu.setProjectionId( 1 );
-    pdu.setOrientationIndex( 3 );
-    pdu.setLodEnableFlag( false );
+  if ( plrMode ) {
+    {
+      // inter patch ref=ATL0 patch0 (3x2), delta (+1,0) -> 4x2 map,
+      // 8 blocks > 3 -> block-level
+      auto& pid  = atdu1.addPatchInformationData( uint8_t( P_INTER ) );
+      auto& ipdu = pid.getInterPatchDataUnit();
+      ipdu.setRefIndex( 0 );
+      ipdu.setRefPatchIndex( 0 );
+      ipdu.set2dPosX( 1 );
+      ipdu.set2dPosY( -1 );
+      ipdu.set2dDeltaSizeX( 1 );
+      ipdu.set2dDeltaSizeY( 0 );
+      ipdu.set3dOffsetU( 3 );
+      ipdu.set3dOffsetV( -3 );
+      ipdu.set3dOffsetD( 4 );
+      auto& plrd = ipdu.getPLRData();
+      plrd.allocate( 4, 2 );
+      plrd.setLevelFlag( false );
+      for ( size_t b = 0; b < 8; b++ ) {
+        plrd.setBlockPresentFlag( b, ( b % 3 ) == 0 );
+        if ( ( b % 3 ) == 0 ) plrd.setBlockModeMinus1( b, b % 2 );
+      }
+    }
+    {
+      // merge patch overriding 2D params: prev (4,2) + delta (-1,0)
+      // -> 3x2 map, block-level
+      auto& pid  = atdu1.addPatchInformationData( uint8_t( P_MERGE ) );
+      auto& mpdu = pid.getMergePatchDataUnit();
+      mpdu.setRefIndex( 0 );
+      mpdu.setOverride2dParamsFlag( true );
+      mpdu.set2dPosX( 2 );
+      mpdu.set2dPosY( -2 );
+      mpdu.set2dDeltaSizeX( -1 );
+      mpdu.set2dDeltaSizeY( 0 );
+      auto& plrd = mpdu.getPLRData();
+      plrd.allocate( 3, 2 );
+      plrd.setLevelFlag( false );
+      for ( size_t b = 0; b < 6; b++ ) {
+        plrd.setBlockPresentFlag( b, b % 2 == 1 );
+        if ( b % 2 == 1 ) plrd.setBlockModeMinus1( b, 1 );
+      }
+    }
+    {
+      // merge patch overriding 3D params.  override_plr stays 0: TMC2's
+      // writer has a dormant bug in this branch — it codes the
+      // mpdu_override_plr_flag bit (PCCBitstreamWriter.cpp:1285-1287) but
+      // its local overridePlrFlag is only set in the override-2d branch,
+      // so plrData is never serialized even when the flag is 1, while
+      // the reader (PCCBitstreamReader.cpp:1122-1135) DOES read plrData
+      // when the flag is set -> TMC2 cannot round-trip its own stream.
+      // Our writer+reader follow the reader (= final 23090-5 semantics);
+      // the flag=1 read path is covered by our own round-trip tests.
+      auto& pid  = atdu1.addPatchInformationData( uint8_t( P_MERGE ) );
+      auto& mpdu = pid.getMergePatchDataUnit();
+      mpdu.setRefIndex( 0 );
+      mpdu.setOverride2dParamsFlag( false );
+      mpdu.setOverride3dParamsFlag( true );
+      mpdu.set3dOffsetU( 6 );
+      mpdu.set3dOffsetV( -6 );
+      mpdu.set3dOffsetD( 7 );
+      mpdu.setOverridePlrFlag( 0 );
+    }
+  } else {
+    atdu1.addPatchInformationData( uint8_t( P_SKIP ) );
+    {
+      auto& pid  = atdu1.addPatchInformationData( uint8_t( P_INTER ) );
+      auto& ipdu = pid.getInterPatchDataUnit();
+      ipdu.setRefIndex( 0 );
+      ipdu.setRefPatchIndex( 0 );
+      ipdu.set2dPosX( 1 );
+      ipdu.set2dPosY( -1 );
+      ipdu.set2dDeltaSizeX( 2 );
+      ipdu.set2dDeltaSizeY( -2 );
+      ipdu.set3dOffsetU( 3 );
+      ipdu.set3dOffsetV( -3 );
+      ipdu.set3dOffsetD( 4 );
+    }
+    {
+      auto& pid = atdu1.addPatchInformationData( uint8_t( P_INTRA ) );
+      auto& pdu = pid.getPatchDataUnit();
+      pdu.set2dPosX( 7 );
+      pdu.set2dPosY( 3 );
+      pdu.set2dSizeXMinus1( 9 );
+      pdu.set2dSizeYMinus1( 4 );
+      pdu.set3dOffsetU( 77 );
+      pdu.set3dOffsetV( 88 );
+      pdu.set3dOffsetD( 99 );
+      pdu.setProjectionId( 1 );
+      pdu.setOrientationIndex( 3 );
+      pdu.setLodEnableFlag( false );
+    }
   }
   atdu1.addPatchInformationData( uint8_t( P_END ) );
 
