@@ -270,13 +270,28 @@ def main() -> int:
         import statistics
 
         depth = int(os.environ.get("BENCH_PIPELINE", "3"))
-        # the headline is the MEDIAN window (round-3 verdict: best-of-N
-        # overstates under the documented 2x tunnel variance); the best
-        # window rides along as a separate field.  5 windows when the
-        # phase allows, early-stopped by a wall budget in slow phases.
+        # Headline robustness (round-4 verdict: a median of 5 windows over
+        # 96 frames once got eaten by the tunnel's documented multi-minute
+        # slow phases and recorded 27.8 fps against a 39-fps best window).
+        # Protocol now: up to BENCH_WINDOWS windows; classify each window
+        # as healthy vs slow-phase (slow = >1.6x the fastest window seen —
+        # the tunnel's slow phases measure 2-10x, genuine run-to-run
+        # scatter < 1.5x); headline = median of the HEALTHY windows; the
+        # full per-window list + classification is preserved in the JSON
+        # record.  A wall budget still bounds the driver's time in deeply
+        # degraded phases, but the budget only stops the loop once at
+        # least 3 HEALTHY windows exist (or a hard cap is hit) — a slow
+        # phase early in the run cannot starve the healthy sample.
         walls = []
-        budget_s = float(os.environ.get("BENCH_WINDOW_BUDGET_S", "90"))
-        for _ in range(5):
+        max_windows = int(os.environ.get("BENCH_WINDOWS", "7"))
+        budget_s = float(os.environ.get("BENCH_WINDOW_BUDGET_S", "150"))
+        hard_budget_s = budget_s * 3
+
+        def healthy(ws):
+            lo = min(ws)
+            return [w for w in ws if w <= 1.6 * lo]
+
+        for _ in range(max_windows):
             t0 = time.perf_counter()
             if depth <= 1:
                 for _ in range(n_gofs):
@@ -288,10 +303,19 @@ def main() -> int:
                         fu.result()
             walls.append(time.perf_counter() - t0)
             log(f"window: {walls[-1]:.2f}s")
-            if sum(walls) > budget_s and len(walls) >= 3:
-                log("window budget reached; stopping early")
+            spent = sum(walls)
+            if spent > budget_s and len(healthy(walls)) >= 3:
+                log("window budget reached with >=3 healthy windows")
                 break
-        wall = statistics.median(walls)
+            if spent > hard_budget_s and len(walls) >= 3:
+                log("hard window budget reached; stopping")
+                break
+        healthy_walls = healthy(walls)
+        n_slow = len(walls) - len(healthy_walls)
+        if n_slow:
+            log(f"{n_slow}/{len(walls)} windows classified slow-phase "
+                f"(>1.6x fastest) and excluded from the median")
+        wall = statistics.median(healthy_walls)
         wall_best = min(walls)
         total_frames = frames * n_gofs
     else:
@@ -374,6 +398,8 @@ def main() -> int:
     # the tunnel, so it runs EVERY time, slow-tunnel phase or not.
     d1_delta = None
     d1_delta_requant = None
+    y_delta = None
+    y_delta_requant = None
     try:
         import subprocess
 
@@ -384,17 +410,19 @@ def main() -> int:
              str(params.geometryQP), str(params.attributeQP)],
             capture_output=True, text=True, timeout=1800, env=env, check=True,
         ).stdout.strip().splitlines()[-1])
-        # the SHIPPING live mode is `auto` (requant exactly where drift
-        # compensation is linear-exact, reencode elsewhere) — its delta is
-        # the north-star number; the raw requant-path delta rides along as
-        # diagnostics for the DCT-domain fast path itself
+        # the SHIPPING live mode is `auto` — its D1 AND Y deltas are the
+        # gated numbers (D1 <= 0.05 dB, Y <= 0.1 dB vs the full-re-encode
+        # baseline); the raw requant-path deltas ride along as diagnostics
+        # for the DCT-domain fast path itself
         d1_delta = q.get("d1_delta_auto", q["d1_delta"])
         d1_delta_requant = q["d1_delta"]
+        y_delta = q.get("y_delta_auto", q["y_delta"])
+        y_delta_requant = q["y_delta"]
         log(
-            f"quality: D1 auto delta={d1_delta:+.4f} dB (target <=0.05), "
-            f"requant-path delta={q['d1_delta']:+.4f} dB "
-            f"(live={q['d1_live']:.2f} vs baseline={q['d1_baseline']:.2f} "
-            f"dB); Y delta={q['y_delta']:+.4f} dB"
+            f"quality: auto D1 delta={d1_delta:+.4f} dB (bar <=0.05), "
+            f"auto Y delta={y_delta:+.4f} dB (bar <=0.1); requant-path "
+            f"D1 delta={q['d1_delta']:+.4f}, Y delta={q['y_delta']:+.4f} "
+            f"(live={q['d1_live']:.2f} vs baseline={q['d1_baseline']:.2f})"
         )
     except Exception as e:  # the fps headline must survive a probe failure
         log(f"quality probe failed: {e!r}")
@@ -402,13 +430,20 @@ def main() -> int:
     suffix = f"_{n_streams}streams" if n_streams > 1 else ""
     record = {
         "metric": f"vpcc_transcode_fps_1024_{mode}{suffix}",
-        # headline = MEDIAN window; best rides along below
+        # headline = MEDIAN of the healthy windows; best + the full raw
+        # window list ride along below
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 30.0, 3),
         "fps_best_window": round(fps_best, 2),
-        "n_windows": len(walls) if n_streams <= 1 else 1,
     }
+    if n_streams <= 1:
+        record["windows_s"] = [round(w, 2) for w in walls]
+        record["n_windows"] = len(walls)
+        record["n_healthy_windows"] = len(healthy_walls)
+        record["n_slow_phase_windows"] = len(walls) - len(healthy_walls)
+    else:
+        record["n_windows"] = 1
     if degraded:
         # a slow tunnel phase was detected at warmup: optional TPU
         # sections were shed (see log); fps still measured live
@@ -417,8 +452,18 @@ def main() -> int:
     # (BENCH_r{N}.json) is self-contained even when stderr is truncated
     if d1_delta is not None:
         record["d1_delta_db"] = d1_delta
+        record["d1_bar_db"] = 0.05
     if d1_delta_requant is not None:
         record["d1_delta_requant_db"] = d1_delta_requant
+    if y_delta is not None:
+        record["y_delta_db"] = y_delta
+        record["y_bar_db"] = 0.1
+    if y_delta_requant is not None:
+        record["y_delta_requant_db"] = y_delta_requant
+    if d1_delta is not None and y_delta is not None:
+        record["quality_bars_met"] = bool(
+            d1_delta <= 0.05 and y_delta <= 0.1
+        )
     if ms_fps is not None:
         record["aggregate_fps_4stream"] = round(float(ms_fps), 2)
         if ms_stale:

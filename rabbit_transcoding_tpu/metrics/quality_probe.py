@@ -110,6 +110,13 @@ def measure(
         "y_baseline": round(m_base.color_psnr[0], 4),
         "y_live": round(m_fast.color_psnr[0], 4),
         "y_delta": round(m_base.color_psnr[0] - m_fast.color_psnr[0], 4),
+        # color bar for the SHIPPING mode (round-4 verdict: the D1-only
+        # bar let requant trade Y for bytes unbounded; auto must also hold
+        # Y within 0.1 dB of the full-re-encode baseline)
+        "y_auto": round(m_auto.color_psnr[0], 4),
+        "y_delta_auto": round(
+            m_base.color_psnr[0] - m_auto.color_psnr[0], 4
+        ),
         "in_bytes": len(hq),
         "baseline_bytes": base_bytes,
         "live_bytes": fast_bytes,

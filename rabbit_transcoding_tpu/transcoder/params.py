@@ -84,18 +84,29 @@ class TranscoderParameters:
     #  'reencode' — drift-free fused decode->re-encode on device (the
     #               reference's only option);
     #  'requant'  — DCT-domain requantisation (the live fast path);
-    #  'auto'     — per-stream: requant exactly where it is provably safe
-    #               (zero-MV P chains, whose requantisation error folds
-    #               into the next residual EXACTLY in the linear DCT
-    #               domain — rbv._requant_compensated_device), reencode
-    #               everywhere else.  Motion-compensated streams requant
-    #               open-loop, and the measured ladders (RESULTS.md) show
-    #               that drift crossing the ±0.05 dB D1 bar at SOME rate
-    #               point on every protocol tried (r1 +0.07 on the 8-frame
-    #               round-2 run, r5 +0.07 on the round-3 rerun) — so auto
-    #               never open-loop-requants MC streams.
+    #  'auto'     — the shipping live mode: reencode for every lossy
+    #               video stream.  History: auto used to requant non-MC
+    #               streams at QP <= autoModeQPThreshold (the
+    #               drift-COMPENSATED path is linear-exact, so no
+    #               accumulation) — but round-5 measurement showed the
+    #               remaining double-quantisation noise alone breaks the
+    #               0.05 dB D1 bar at mid-QP cells: requantising the
+    #               pre-pixel-rounding coefficients instead of the decoded
+    #               pixels' DCT costs up to +4% geometry plane MSE
+    #               (= +0.25 dB D1 at in 8/12 -> out 20/27, reproduced
+    #               across two input QPs), while other cells measure
+    #               in-bar with no static rule separating them.  Reencode
+    #               quantises exactly the signal the metric compares
+    #               against, so auto==reencode meets the D1 and Y bars by
+    #               construction; all prior shipping evidence (dense
+    #               ladder, bench) already took this path because real
+    #               encodes are motion-compensated.  MC open-loop requant
+    #               was already excluded (r1/r5 +0.07 dB drift, RESULTS.md).
     mode: str = "reencode"
-    autoModeQPThreshold: int = 30     # 'auto': requant also needs QP <= this
+    # retained for CLI/cfg parity with earlier rounds; since round 5 the
+    # auto mode never requants lossy video (see mode comment), so this
+    # threshold is dormant
+    autoModeQPThreshold: int = 30
     # RBV coefficient-level RDO on the re-encode path, GEOMETRY only
     # (mirrors EncoderParameters.geometryCoeffThreshold; 0 = off)
     geometryCoeffThreshold: int = 0
@@ -134,15 +145,11 @@ class TranscoderParameters:
         return self.qualityValAtt if self.qualityValAtt >= 0 else self.attributeQP
 
     def effective_mode(self, qp: int, motion: bool = False) -> str:
-        """Resolve 'auto' per stream: requant only for non-MC streams (the
-        drift-compensated path is linear-exact there) at reasonable QPs;
-        reencode for motion-compensated streams (open-loop requant drift
-        breaks the ±0.05 dB bar at some rate point on every protocol
-        measured — see the mode comment above)."""
+        """Resolve 'auto' per stream: reencode for every lossy video
+        stream — requant cannot hold the 0.05 dB D1 / 0.1 dB Y bars
+        (open-loop drift on MC streams; double-quantisation noise on
+        non-MC ones — see the mode comment above for the measurements)."""
+        del qp, motion
         if self.mode != "auto":
             return self.mode
-        return (
-            "requant"
-            if not motion and qp <= self.autoModeQPThreshold
-            else "reencode"
-        )
+        return "reencode"

@@ -76,6 +76,7 @@ def main() -> int:
 
     print("scene;rate;mode;stream_bytes;d1_psnr;d2_psnr;y_psnr")
     d1 = {}
+    ypsnr = {}
     for rate, (gqp, aqp, occ) in RATES.items():
         for mode in MODES:
             t1 = time.time()
@@ -91,14 +92,23 @@ def main() -> int:
             print(f"{scene};{rate};{mode};{len(out)};{m.d1_psnr:.4f};"
                   f"{m.d2_psnr:.4f};{m.color_psnr[0]:.4f}", flush=True)
             d1[(rate, mode)] = m.d1_psnr
+            ypsnr[(rate, mode)] = m.color_psnr[0]
             log(f"  {rate}/{mode}: {time.time() - t1:.0f}s")
 
-    print("scene;rate;d1_reencode;d1_requant;d1_delta;d1_auto;d1_delta_auto")
+    # within-bar table: auto must hold D1 delta <= 0.05 dB AND Y delta
+    # <= 0.1 dB vs the full-re-encode baseline (round-4 verdict task 6)
+    print("scene;rate;d1_reencode;d1_requant;d1_delta;d1_auto;d1_delta_auto"
+          ";y_reencode;y_requant;y_delta;y_auto;y_delta_auto")
     for rate in RATES:
         base = d1[(rate, "reencode")]
+        ybase = ypsnr[(rate, "reencode")]
         print(f"{scene};{rate};{base:.4f};{d1[(rate, 'requant')]:.4f};"
               f"{base - d1[(rate, 'requant')]:+.4f};"
-              f"{d1[(rate, 'auto')]:.4f};{base - d1[(rate, 'auto')]:+.4f}",
+              f"{d1[(rate, 'auto')]:.4f};{base - d1[(rate, 'auto')]:+.4f};"
+              f"{ybase:.4f};{ypsnr[(rate, 'requant')]:.4f};"
+              f"{ybase - ypsnr[(rate, 'requant')]:+.4f};"
+              f"{ypsnr[(rate, 'auto')]:.4f};"
+              f"{ybase - ypsnr[(rate, 'auto')]:+.4f}",
               flush=True)
     log(f"total {time.time() - t0:.0f}s")
     return 0

@@ -137,24 +137,37 @@ def main() -> int:
             log(f"  {rate}/{mode}: D1 {m.d1_psnr:.3f} dB, "
                 f"{len(out)} B, {cell_s:.0f}s")
 
-    # delta summary (reencode is the in-family anchor)
+    # delta summary (reencode is the in-family anchor); bars: auto D1
+    # delta <= 0.05 dB AND Y delta <= 0.1 dB (round-4 verdict task 6)
     rows = {}
+    yrows = {}
     for line in open(args.out):
         parts = line.strip().split(";")
-        if len(parts) >= 6 and parts[1] in RATES:
+        if len(parts) >= 8 and parts[1] in RATES:
             rows[(parts[1], parts[2])] = float(parts[5])
-    print("scene;rate;d1_reencode;d1_requant;d1_delta;d1_auto;d1_delta_auto")
+            yrows[(parts[1], parts[2])] = float(parts[7])
+    print("scene;rate;d1_reencode;d1_requant;d1_delta;d1_auto;d1_delta_auto"
+          ";y_reencode;y_requant;y_delta;y_auto;y_delta_auto")
+    nan = float("nan")
     for rate in RATES:
         base = rows.get((rate, "reencode"))
         rq = rows.get((rate, "requant"))
         au = rows.get((rate, "auto"))
         if base is None:
             continue
+        ybase = yrows[(rate, "reencode")]
+        yrq = yrows.get((rate, "requant"))
+        yau = yrows.get((rate, "auto"))
         print(f"{args.scene};{rate};{base:.4f};"
-              f"{rq if rq is not None else float('nan'):.4f};"
-              f"{(base - rq) if rq is not None else float('nan'):+.4f};"
-              f"{au if au is not None else float('nan'):.4f};"
-              f"{(base - au) if au is not None else float('nan'):+.4f}",
+              f"{rq if rq is not None else nan:.4f};"
+              f"{(base - rq) if rq is not None else nan:+.4f};"
+              f"{au if au is not None else nan:.4f};"
+              f"{(base - au) if au is not None else nan:+.4f};"
+              f"{ybase:.4f};"
+              f"{yrq if yrq is not None else nan:.4f};"
+              f"{(ybase - yrq) if yrq is not None else nan:+.4f};"
+              f"{yau if yau is not None else nan:.4f};"
+              f"{(ybase - yau) if yau is not None else nan:+.4f}",
               flush=True)
     log(f"total {time.time() - t0:.0f}s")
     return 0

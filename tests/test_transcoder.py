@@ -100,16 +100,17 @@ class TestTranscoder:
         clouds = Decoder().decode(context)
         assert clouds[0].point_count > 0
 
-    def test_auto_mode_selects_by_motion_and_qp(self, stream):
-        """mode='auto' (the shipping live mode): DCT-domain requant exactly
-        where drift compensation is linear-exact (zero-MV P chains, sane
-        QP); drift-free reencode for MC streams — open-loop MC requant
-        measured past the ±0.05 dB bar at some rate point on every
-        protocol (RESULTS.md)."""
+    def test_auto_mode_resolves_to_reencode(self, stream):
+        """mode='auto' (the shipping live mode) resolves to the drift-free
+        reencode for every lossy stream: MC open-loop requant drifts past
+        the 0.05 dB D1 bar (RESULTS.md), and even the drift-COMPENSATED
+        non-MC requant measured +0.25 dB D1 / +0.21 dB Y at in 8/12 ->
+        out 20/27 from double-quantisation noise alone (round-5
+        measurement, see TranscoderParameters.mode)."""
         p = TranscoderParameters(mode="auto")
-        assert p.effective_mode(24, motion=False) == "requant"
+        assert p.effective_mode(24, motion=False) == "reencode"
         assert p.effective_mode(24, motion=True) == "reencode"
-        assert p.effective_mode(32, motion=False) == "reencode"  # > threshold
+        assert p.effective_mode(32, motion=False) == "reencode"
         assert TranscoderParameters(mode="requant").effective_mode(
             48, motion=True
         ) == "requant"
@@ -117,8 +118,6 @@ class TestTranscoder:
         sources, path = stream
         reader = V3CReader()
         context = reader.decode(reader.read_file(path)[0])
-        geo_in = context.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data
-        info_in = rbv.probe(geo_in)
         Transcoder(TranscoderParameters(
             geometryQP=24, attributeQP=24, mode="auto",
             computeHashSei=False,
@@ -127,13 +126,8 @@ class TestTranscoder:
             context.atlas(0).get_video_bitstream(VideoType.GEOMETRY).data
         )
         assert info["qp"] == 24
-        if info_in["motion"]:
-            # MC input: auto takes the drift-free reencode (MVs re-searched
-            # or dropped per the reencode path; stream stays valid)
-            assert info["lossless"] is False
-        else:
-            # zero-MV input: requant preserves the input gop structure
-            assert info["gop_size"] == info_in["gop_size"]
+        # reencode path: stream stays valid and lossy
+        assert info["lossless"] is False
 
     def test_geometry_only_all_intra_transcode(self):
         """BASELINE config #2 analog: an all-intra geometry+occupancy-only
