@@ -7,13 +7,18 @@
 # (--computeChecksum verifies every hash SEI) -> sampled D1 metrics.
 #
 #   FRAMES=300 GOF=32 POINTS=40000 bash scripts/endurance.sh [workdir]
+#   SCENE=dense POINTS=500000 ... for the reference-density (~310k pts
+#   after dedupe) duty cycle analog.
 set -e
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 WORK=${1:-/tmp/endurance}
 FRAMES=${FRAMES:-300}
 GOF=${GOF:-32}
 POINTS=${POINTS:-40000}
-LOG="$REPO/results/endurance_${FRAMES}f.log"
+SCENE=${SCENE:-sphere}
+SUFFIX=""
+[ "$SCENE" != sphere ] && SUFFIX="_$SCENE"
+LOG="$REPO/results/endurance_${FRAMES}f${SUFFIX}.log"
 mkdir -p "$WORK" "$REPO/results"
 cd "$WORK"
 exec > >(tee "$LOG") 2>&1
@@ -24,7 +29,7 @@ t0=$(date +%s)
 
 if [ ! -f "cloud_$(printf %04d $((FRAMES-1))).ply" ]; then
   python -m rabbit_transcoding_tpu.testdata --frames "$FRAMES" \
-      --points "$POINTS" --out "cloud_%04d.ply"
+      --points "$POINTS" --scene "$SCENE" --out "cloud_%04d.ply"
 fi
 echo "[$(($(date +%s)-t0))s] sources ready"
 
