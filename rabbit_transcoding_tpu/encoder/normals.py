@@ -20,8 +20,28 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 
+def _grid_knn(points: np.ndarray, k: int):
+    """Native voxel-grid exact KNN when points are integral (V-PCC clouds
+    always are); None -> caller falls back to cKDTree."""
+    from .. import native
+
+    if len(points) == 0:
+        return None
+    if not np.issubdtype(points.dtype, np.integer):
+        if np.abs(points).max() >= 2**30 or (points != np.round(points)).any():
+            return None
+    try:
+        return native.knn_grid(points, points, k)
+    except (RuntimeError, ValueError, OverflowError):
+        return None
+
+
 def knn_indices(points: np.ndarray, k: int) -> np.ndarray:
     """(N, 3) -> (N, k) neighbor indices (self included as first column)."""
+    got = _grid_knn(points, k)
+    if got is not None:
+        idx = got[0]
+        return np.where(idx < 0, idx[:, :1], idx)  # tiny clouds: self pad
     tree = cKDTree(points)
     _, idx = tree.query(points, k=min(k, len(points)), workers=-1)
     if idx.ndim == 1:
@@ -167,6 +187,11 @@ class NormalsGenParams:
 
 def knn_graph(points: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(N,3) -> ((N,k) indices incl. self, (N,k) distances)."""
+    got = _grid_knn(points, k)
+    if got is not None:
+        idx, d2 = got
+        return (np.where(idx < 0, idx[:, :1], idx),
+                np.sqrt(d2))  # -1 pads carry inf distance already
     tree = cKDTree(points)
     dist, idx = tree.query(points, k=min(k, len(points)), workers=-1)
     if idx.ndim == 1:

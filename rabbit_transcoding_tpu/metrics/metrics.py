@@ -107,7 +107,37 @@ def _rgb_to_yuv709(rgb: np.ndarray) -> np.ndarray:
     return np.stack([y, u, v], axis=-1)
 
 
-def _query_equidistant(a_pos: np.ndarray, tree: cKDTree, cap: int):
+class _NNBackend:
+    """KNN provider for the metric queries: native voxel-grid exact KNN
+    for integral clouds (decoded V-PCC clouds always are), cKDTree
+    otherwise.  Same (dist, idx) contract as cKDTree.query."""
+
+    def __init__(self, pts: np.ndarray):
+        self.pts = np.asarray(pts)
+        self.n = len(self.pts)
+        self._tree = None
+        self._integral = (
+            self.n > 0
+            and float(np.abs(self.pts).max()) < 2**30
+            and not (self.pts != np.round(self.pts)).any()
+        )
+
+    def query(self, a: np.ndarray, k: int, workers: int = -1):
+        if self._integral and not (a != np.round(a)).any():
+            from .. import native
+
+            try:
+                idx, d2 = native.knn_grid(a, self.pts, k)
+                return (np.sqrt(d2.astype(np.float64)),
+                        idx.astype(np.int64))
+            except (RuntimeError, ValueError, OverflowError):
+                pass
+        if self._tree is None:
+            self._tree = cKDTree(self.pts)
+        return self._tree.query(a, k=k, workers=workers)
+
+
+def _query_equidistant(a_pos: np.ndarray, tree: "_NNBackend", cap: int):
     """-> (idx (N, k), ties (N, k) bool, d1 (N,) squared first-NN dists).
 
     Vectorised version of the reference's adaptive search (PCCMetrics.cpp:
@@ -202,8 +232,8 @@ def compute_metrics(
     source_normals = np.asarray(source_normals, np.float64)
 
     cap = max(1, int(params.neighbors_d2))
-    tree_rec = cKDTree(rec.positions)
-    tree_src = cKDTree(src.positions)
+    tree_rec = _NNBackend(rec.positions)
+    tree_src = _NNBackend(src.positions)
     idx_ab, ties_ab, d1_ab = _query_equidistant(src.positions, tree_rec, cap)
     idx_ba, ties_ba, d1_ba = _query_equidistant(rec.positions, tree_src, cap)
 

@@ -16,7 +16,8 @@ import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "rans.cpp"),
-         os.path.join(_DIR, "normals_tree.cpp")]
+         os.path.join(_DIR, "normals_tree.cpp"),
+         os.path.join(_DIR, "knn_grid.cpp")]
 _LIB = os.path.join(_DIR, "librbv_native.so")
 
 _lib = None
@@ -74,6 +75,13 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,         # seg_off, seg_len
         ctypes.c_void_p, ctypes.c_int64,          # seg_band, n_segs
         ctypes.c_int32,                           # n_bands
+    ]
+    lib.rbv_knn_grid.restype = ctypes.c_int64
+    lib.rbv_knn_grid.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,          # query, nq
+        ctypes.c_void_p, ctypes.c_int64,          # data, nd
+        ctypes.c_int64, ctypes.c_int32,           # k, cell_shift
+        ctypes.c_void_p, ctypes.c_void_p,         # out_idx, out_d2
     ]
     lib.rbv_orient_normals_tree.restype = ctypes.c_int64
     lib.rbv_orient_normals_tree.argtypes = [
@@ -183,6 +191,35 @@ def decompress_i16_bands(blob: bytes, n_elements: int, segments,
     if consumed < 0:
         raise RuntimeError("rbv_decompress_i16_bands failed (corrupt?)")
     return out
+
+
+def knn_grid(query, data, k: int, cell_shift: int = -1):
+    """Exact KNN over integer voxel clouds (native/knn_grid.cpp) ->
+    (idx (nq,k) int32 with -1 padding, d2 (nq,k) float32 with inf
+    padding), distance-sorted, ties toward the smaller index.  Raises
+    RuntimeError when the native library is unavailable — callers fall
+    back to scipy's cKDTree."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    q = np.ascontiguousarray(query, np.int32)
+    d = np.ascontiguousarray(data, np.int32)
+    if q.ndim != 2 or q.shape[1] != 3 or d.ndim != 2 or d.shape[1] != 3:
+        raise ValueError("query/data must be (N, 3)")
+    idx = np.empty((len(q), k), np.int32)
+    d2 = np.empty((len(q), k), np.float32)
+    rc = lib.rbv_knn_grid(
+        q.ctypes.data_as(ctypes.c_void_p), len(q),
+        d.ctypes.data_as(ctypes.c_void_p), len(d),
+        k, cell_shift,
+        idx.ctypes.data_as(ctypes.c_void_p),
+        d2.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc < 0:
+        raise RuntimeError("rbv_knn_grid failed (bad arguments?)")
+    return idx, d2
 
 
 def orient_normals_tree(normals, points, nbr_idx, nbr_ok, viewpoint) -> int:

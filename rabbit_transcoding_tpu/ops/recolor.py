@@ -66,6 +66,26 @@ class RecolorParams:
     thresholdColorOutlierDist: float = 10.0
 
 
+def _knn_query(query: np.ndarray, data: np.ndarray, k: int):
+    """(d2 (N,k) float64, idx (N,k)) nearest `data` points per query, k <=
+    len(data).  Native voxel-grid KNN when coordinates are integral (V-PCC
+    clouds always are), cKDTree otherwise."""
+    if (np.abs(data).max(initial=0.0) < 2**30
+            and not (data != np.round(data)).any()
+            and not (query != np.round(query)).any()):
+        from .. import native
+
+        try:
+            idx, d2 = native.knn_grid(query, data, k)
+            return d2.astype(np.float64), idx.astype(np.int64)
+        except (RuntimeError, ValueError, OverflowError):
+            pass
+    d, idx = cKDTree(data).query(query, k=k, workers=-1)
+    if k == 1:
+        d, idx = d[:, None], idx[:, None]
+    return d * d, idx
+
+
 def _prefix_ok_count(colors: np.ndarray, limit: np.ndarray,
                      max_color_dist2: float) -> np.ndarray:
     """Longest prefix length n<=limit whose pairwise color dist2 stays
@@ -157,14 +177,10 @@ def transfer_colors_fwd_bwd(
     dst_pts = np.asarray(dst_points, np.float64)
     scol = np.asarray(src_colors, np.float64)
     n_src = len(src_pts)
-    tree_src = cKDTree(src_pts)
 
     # -- forward ----------------------------------------------------------
     kf = min(max(p.numNeighborsFwd, 1), n_src)
-    d, idx = tree_src.query(dst_pts, k=kf, workers=-1)
-    if kf == 1:
-        d, idx = d[:, None], idx[:, None]
-    d2 = d * d
+    d2, idx = _knn_query(dst_pts, src_pts, kf)
     fcol = scol[idx]                                        # (T,kf,3)
     n_geo = np.maximum((d2 <= geo2_f).sum(axis=1), 1)
     nstar = _prefix_ok_count(fcol, n_geo, col2_f)
@@ -178,12 +194,8 @@ def transfer_colors_fwd_bwd(
         refined1 = np.where(ident[:, None], fcol[:, 0], refined1)
 
     # -- backward ---------------------------------------------------------
-    tree_dst = cKDTree(dst_pts)
     kb = min(max(p.numNeighborsBwd, 1), n_dst)
-    db, ib = tree_dst.query(src_pts, k=kb, workers=-1)
-    if kb == 1:
-        db, ib = db[:, None], ib[:, None]
-    d2b = db * db
+    d2b, ib = _knn_query(src_pts, dst_pts, kb)
     validb = d2b <= geo2_b
     tgt = ib[validb]
     dd = d2b[validb]
