@@ -902,11 +902,16 @@ class Encoder:
                 def _geo_vep(delta: int) -> VideoEncoderParams:
                     if p.losslessGeo:
                         return VideoEncoderParams(lossless=True, qp=0)
+                    gop_v = max(1, 1 if p.allIntra else p.videoGopSize)
                     return VideoEncoderParams(
                         qp=p.geometryQP + delta,
-                        gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
+                        gop_size=gop_v,
                         motion=p.motionEstimation,
                         coeff_threshold=p.geometryCoeffThreshold,
+                        # long P chains predicting from the planar-smoothed
+                        # I recon give back the gain (A/B gop8 +6.1%) —
+                        # intra ships for gop <= 4 (geometry -2..-15%)
+                        intra=p.geometryIntraPrediction and gop_v <= 4,
                     )
 
                 maxv = (1 << p.geometryNominal2dBitdepth) - 1
@@ -961,7 +966,9 @@ class Encoder:
                                        motion=p.motionEstimation,
                                        mc_weight=geo_w,
                                        coeff_threshold=
-                                       p.geometryCoeffThreshold),
+                                       p.geometryCoeffThreshold,
+                                       intra=p.geometryIntraPrediction
+                                       and geo_gop <= 4),
                 )
             if use_pi:
                 # closed loop continues in dual-map layout: de-interleave
@@ -1318,10 +1325,12 @@ class Encoder:
                 def _attr_vep(delta: int) -> VideoEncoderParams:
                     if p.losslessAttribute:
                         return VideoEncoderParams(lossless=True, qp=0)
+                    gop_v = max(1, 1 if p.allIntra else p.videoGopSize)
                     return VideoEncoderParams(
                         qp=p.attributeQP + delta,
-                        gop_size=max(1, 1 if p.allIntra else p.videoGopSize),
+                        gop_size=gop_v,
                         motion=p.motionEstimation,
+                        intra=p.attributeIntraPrediction and gop_v <= 4,
                     )
 
                 t0_planes = [pl[0::2].copy() for pl in attr_video.planes]
@@ -1384,6 +1393,7 @@ class Encoder:
                     else VideoEncoderParams(
                         qp=p.attributeQP, gop_size=attr_gop,
                         motion=p.motionEstimation,
+                        intra=p.attributeIntraPrediction and attr_gop <= 4,
                     )
                 )
                 part_payloads = []
@@ -1421,7 +1431,9 @@ class Encoder:
                     attr_video,
                     VideoEncoderParams(qp=p.attributeQP, gop_size=attr_gop,
                                        motion=p.motionEstimation,
-                                       mc_weight=attr_w),
+                                       mc_weight=attr_w,
+                                       intra=p.attributeIntraPrediction
+                                       and attr_gop <= 4),
                 )
             if use_pi:
                 from ..ops.interleave import deinterleave_maps

@@ -181,6 +181,15 @@ class EncoderParameters:
     # noise that costs entropy bits (A/B: scripts/rbv_rd.py, RESULTS.md);
     # attributes keep every coefficient (textured content).
     geometryCoeffThreshold: int = 0
+    # RBV intra prediction (mosaic DC/planar) on GEOMETRY I-frames: the
+    # HEVC intra role in block-parallel form.  BD-rate A/B
+    # (RBV_RD_INTRA_AB=1 scripts/rbv_rd.py): geometry -21.6% all-intra /
+    # -3.2% gop2 — ships ON for geometry; attribute measured +-1% (side
+    # info cancels the gain on textured content) so it stays OFF there
+    geometryIntraPrediction: bool = True
+    # same tool on attribute payloads (A/B: -1.8% gop2, ~0 gop4;
+    # +1.7% at gop8 — gated to gop <= 4 like geometry)
+    attributeIntraPrediction: bool = True
     # apply3dMotionCompensation: exploit 3D-consistent motion in the video
     # layer; with the native RBV codec this turns on its MC P-frame search
     # (the reference writes blockinfo files to steer HM's search instead)

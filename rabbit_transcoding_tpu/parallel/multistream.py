@@ -41,11 +41,13 @@ from ..video.rbv import (
     _decode_impl_mc,
     _encode_coeff_blob,
     _encode_impl,
+    _encode_intra_section,
     _encode_mv_section,
     _iter_blobs,
     _parse_header,
     _plane_dims,
     _reencode_with_mv,
+    _split_intra_section,
     _split_mv_section,
     qstep_of,
 )
@@ -78,6 +80,31 @@ def _batched_transcode_mc_impl(coeffs, mv, qs_in, qs_out, maxval, block: int,
                                  thr_k)
 
     return jax.vmap(one)(coeffs, mv, qs_in, qs_out)
+
+
+def _batched_transcode_intra_impl(
+    coeffs, imode, qs_in, qs_out, maxval, block: int, gop_in: int,
+    gop_out: int, deblock: bool = False, thr_k: int = 0,
+):
+    def one(q, i, qi, qo):
+        pixels = _decode_impl(q, qi, maxval, block, gop_in, deblock, i)
+        q2, mode2, _ = _encode_impl(pixels, qo, maxval, block, gop_out,
+                                    deblock, thr_k, intra=True)
+        return q2, mode2
+
+    return jax.vmap(one)(coeffs, imode, qs_in, qs_out)
+
+
+def _batched_transcode_mc_intra_impl(
+    coeffs, mv, imode, qs_in, qs_out, maxval, block: int, gop: int,
+    deblock: bool = False, thr_k: int = 0,
+):
+    def one(q, m, i, qi, qo):
+        pixels = _decode_impl_mc(q, m, qi, maxval, block, gop, deblock, i)
+        return _reencode_with_mv(pixels, m, qo, maxval, block, gop, deblock,
+                                 thr_k, intra=True)
+
+    return jax.vmap(one)(coeffs, mv, imode, qs_in, qs_out)
 
 
 def _batched_requant_impl(q, qs_old, qs_new):
@@ -127,6 +154,30 @@ def _sharded_kernels(mesh: Mesh, shard_rows: bool):
         out_shardings=cshard,
     )
     return transcode, transcode_mc, requant
+
+
+@lru_cache(maxsize=None)
+def _sharded_intra_kernels(mesh: Mesh, shard_rows: bool):
+    """Batched transcode kernels for intra-flagged streams (mosaic side
+    info rides as (S, n_I, nby, nbx) tensors next to the coefficients)."""
+    row = "space" if shard_rows else None
+    cshard = NamedSharding(mesh, P("stream", None, row, None, None, None))
+    mshard = NamedSharding(mesh, P("stream", None, row, None))
+    sshard = NamedSharding(mesh, P("stream"))
+    rshard = NamedSharding(mesh, P())
+    transcode_intra = jax.jit(
+        _batched_transcode_intra_impl,
+        static_argnums=(5, 6, 7, 8, 9),
+        in_shardings=(cshard, mshard, sshard, sshard, rshard),
+        out_shardings=(cshard, mshard),
+    )
+    transcode_mc_intra = jax.jit(
+        _batched_transcode_mc_intra_impl,
+        static_argnums=(6, 7, 8, 9),
+        in_shardings=(cshard, mshard, mshard, sshard, sshard, rshard),
+        out_shardings=(cshard, mshard),
+    )
+    return transcode_intra, transcode_mc_intra
 
 
 @lru_cache(maxsize=None)
@@ -256,14 +307,23 @@ def transcode_payloads(
             # dense (S, F, nby, nbx, B, B) tensor NEVER crosses the host link
             # (measured: a dense round trip through the 15-45 MB/s tunnel is
             # 100x slower than the whole transcode)
+            use_intra = bool(flags & 8)
+            n_i_in = (f + ((-f) % gop)) // gop
+
             def host_decode(si: int):
                 blob = blob_lists[si][pi]
                 mv = None
                 cblob = blob
                 if use_mc:
                     mv, cblob = _split_mv_section(blob, f, nby, nbx)
+                imode = None
+                raw_i = b""
+                if use_intra:
+                    imode, cblob, raw_i = _split_intra_section(
+                        cblob, n_i_in, nby, nbx
+                    )
                 q = _decode_coeff_blob(cblob, f, nby, nbx, block)
-                return q, mv
+                return q, mv, imode, raw_i
 
             with cf.ThreadPoolExecutor(max_workers=min(8, len(idxs))) as ex:
                 decoded = list(ex.map(host_decode, range(len(idxs))))
@@ -298,6 +358,18 @@ def transcode_payloads(
             qi_dev = jax.device_put(qs_in_p, sshard)
             qo_dev = jax.device_put(qs_out_p, sshard)
 
+            mode2 = None
+            n_i_out = (f + ((-f) % gop_out)) // gop_out
+            imode_dev = None
+            if use_intra and mode != "requant":
+                # mode maps: frame-pad (repeat tail map for the GOPs the
+                # coefficient padding created) + stream-pad
+                im_b = np.stack([d[2] for d in decoded]).astype(np.uint8)
+                im_b = _pad_frames(im_b, fp // gop)
+                mshard = NamedSharding(mesh, P("stream", None, row, None))
+                imode_dev = jax.device_put(_pad_streams(im_b, s_mult),
+                                           mshard)
+
             if mode == "requant":
                 if not use_mc and gop > 1:
                     # matches rbv.requantize's drift-compensated zero-MV path
@@ -314,9 +386,22 @@ def transcode_payloads(
                     _pad_streams(mv_batch, s_mult),
                     NamedSharding(mesh, P("stream", None, row, None)),
                 )
-                q2 = t_mc_step(
-                    qdev, mv_dev, qi_dev, qo_dev, maxval, block, gop,
-                    use_db, coeff_threshold,
+                if use_intra:
+                    _, t_mc_intra = _sharded_intra_kernels(mesh, shard_rows)
+                    q2, mode2 = t_mc_intra(
+                        qdev, mv_dev, imode_dev, qi_dev, qo_dev,
+                        maxval, block, gop, use_db, coeff_threshold,
+                    )
+                else:
+                    q2 = t_mc_step(
+                        qdev, mv_dev, qi_dev, qo_dev, maxval, block, gop,
+                        use_db, coeff_threshold,
+                    )
+            elif use_intra:
+                t_intra, _ = _sharded_intra_kernels(mesh, shard_rows)
+                q2, mode2 = t_intra(
+                    qdev, imode_dev, qi_dev, qo_dev, maxval,
+                    block, gop, gop_out, use_db, coeff_threshold,
                 )
             else:
                 q2 = t_step(
@@ -333,6 +418,13 @@ def transcode_payloads(
                     if use_mc and mv is not None
                     else b""
                 )
+                if use_intra:
+                    if mode == "requant":
+                        head += decoded[si][3]  # I section passes through
+                    else:
+                        head += _encode_intra_section(
+                            np.asarray(mode2[si, :n_i_out]), zlib_level
+                        )
                 return head + _encode_coeff_blob(q2[si, :f], zlib_level)
 
             with cf.ThreadPoolExecutor(max_workers=min(8, len(idxs))) as ex:

@@ -110,6 +110,11 @@ class TranscoderParameters:
     # RBV coefficient-level RDO on the re-encode path, GEOMETRY only
     # (mirrors EncoderParameters.geometryCoeffThreshold; 0 = off)
     geometryCoeffThreshold: int = 0
+    # RBV intra prediction on re-derived map pairs (mirrors
+    # EncoderParameters.*IntraPrediction; the main transcode path follows
+    # the input stream's intra flag automatically)
+    geometryIntraPrediction: bool = True
+    attributeIntraPrediction: bool = True
     transcodeBaseline: bool = False   # full decode->re-encode (same as
                                       # 'reencode' for RBV; kept for CLI parity)
     videoGopSize: int = 2

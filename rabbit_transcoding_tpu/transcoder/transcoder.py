@@ -387,6 +387,8 @@ class Transcoder:
             motion=use_motion and gop > 1,
             coeff_threshold=(p.geometryCoeffThreshold
                              if component == "geo" else 0),
+            intra=(p.geometryIntraPrediction if component == "geo"
+                   else p.attributeIntraPrediction) and gop <= 4,
         )
         payload0, rec0_new = VideoEncoder.create(CodecId.RBV).encode(v0, vep)
         delta_new = [

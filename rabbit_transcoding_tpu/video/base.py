@@ -40,6 +40,9 @@ class VideoEncoderParams:
     # coefficient-level RDO (RBV): zero +/-1 coefficients at zigzag rank >=
     # this (0 = off); the V-PCC pipelines set it for geometry payloads
     coeff_threshold: int = 0
+    # RBV intra prediction (mosaic DC/planar) on I-frames; the V-PCC
+    # pipelines set it for geometry payloads (BD-rate A/B in rbv_rd.py)
+    intra: bool = False
     # reserved for external backends
     config_path: str = ""
     extra_args: str = ""
@@ -244,6 +247,7 @@ class RbvVideoEncoder(VideoEncoder):
             motion=params.motion and not params.all_intra,
             mc_weight=params.mc_weight,
             coeff_threshold=params.coeff_threshold,
+            intra=params.intra,
         )
         return rbv.encode(video, rp)
 

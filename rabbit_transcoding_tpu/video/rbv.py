@@ -222,10 +222,116 @@ def _threshold_coeffs(q, block: int, thr_k: int):
     return jnp.where(drop, 0.0, q)
 
 
+# --- intra prediction (flags bit 3) -----------------------------------------
+# I-frames keep their DC coefficients exactly where the baseline puts them
+# (the [0,0] slot of each block — same values, same DC-DPCM + banded-rANS
+# entropy cost), and the BLOCK-MEAN MOSAIC those DCs imply drives two fully
+# block-parallel predictors for the AC residual: DC (broadcast own mean)
+# and PLANAR (bilinear interpolation of the mosaic at block centers).  The
+# residual's true DC is never coded — the decoder reconstructs it exactly
+# from the mosaic (correction = mu_hat - mean(pred block), computable on
+# both sides).  The only side information is a 1-bit-per-block mode map.
+# This is the HEVC intra role (PCCHMLibVideoEncoderImpl.cpp:92-193
+# configures HM's DC/planar/angular modes) without HEVC's sequential
+# left/top sample dependency, which would serialise block decoding on a
+# TPU.  A rejected design kept honest: carrying the mosaic as a separate
+# side channel cost 4-7 KB/plane (generic rANS loses to the slab's
+# dedicated DC band context) and flipped the gop4 BD-rate to +3%.
+
+
+def _block_means(frame, block: int):
+    """(..., H, W) -> (..., nby, nbx) per-block means."""
+    return blockify(frame, block).mean(axis=(-1, -2))
+
+
+def _mosaic_planar(mu, h: int, w: int):
+    """(..., nby, nbx) mosaic -> (..., H, W) bilinear at block centers."""
+    return jax.image.resize(mu, mu.shape[:-2] + (h, w), method="linear")
+
+
+def _mosaic_dc(mu, block: int):
+    """(..., nby, nbx) -> (..., H, W) per-block constant prediction."""
+    return jnp.repeat(jnp.repeat(mu, block, axis=-2), block, axis=-1)
+
+
+def _rate_proxy(q):
+    """Per-block exp-Golomb-ish bit estimate of a quantised block tensor
+    (..., nby, nbx, B, B) -> (..., nby, nbx)."""
+    a = jnp.abs(q)
+    bits = jnp.where(a > 0, 2.0 * jnp.floor(jnp.log2(jnp.maximum(a, 1.0)))
+                     + 3.0, 0.0)
+    return bits.sum(axis=(-1, -2))
+
+
+def _intra_code_frame(frame, qstep, maxval, block: int,
+                      deblock: bool = False, thr_k: int = 0):
+    """Intra-code one frame (batched over leading dims) ->
+    (q int16 (...,nby,nbx,B,B) with the baseline DC in slot [0,0],
+     mode uint8 (...,nby,nbx), rec f32 (...,H,W))."""
+    h, w = frame.shape[-2:]
+    mu = _block_means(frame, block)
+    # the DC slot carries exactly what the baseline would (orthonormal 2D
+    # DCT DC = B * mean, quantised at qstep) — identical values, identical
+    # entropy cost through the slab's DC band
+    dc_q = _quantize(mu * block, qstep, _DZ_INTRA)
+    mu_hat = dc_q * (qstep / block)
+
+    def code(pred):
+        q = _quantize(dct2d(blockify(frame - pred, block)), qstep,
+                      _DZ_INTRA)
+        if thr_k:
+            q = _threshold_coeffs(q, block, thr_k)
+        # the residual DC is reconstructed from the mosaic, never coded
+        return q.at[..., 0, 0].set(0.0)
+
+    pred_dc = _mosaic_dc(mu_hat, block)
+    pred_pl = _mosaic_planar(mu_hat, h, w)
+    q_dc = code(pred_dc)
+    q_pl = code(pred_pl)
+    use_pl = _rate_proxy(q_pl) < _rate_proxy(q_dc)
+    q = jnp.where(use_pl[..., None, None], q_pl, q_dc)
+    up = jnp.repeat(jnp.repeat(use_pl, block, axis=-2), block, axis=-1)
+    pred = jnp.where(up, pred_pl, pred_dc)
+    # exact residual-DC rebuild: block mean of rec must equal mu_hat
+    corr = _mosaic_dc(mu_hat - _block_means(pred, block), block)
+    rec = jnp.clip(
+        jnp.round(pred + corr + deblockify(idct2d(q * qstep))), 0.0, maxval
+    )
+    if deblock:
+        rec = _deblock(rec, qstep, maxval, block)
+    q = q.at[..., 0, 0].set(dc_q)
+    return q.astype(jnp.int16), use_pl.astype(jnp.uint8), rec
+
+
+def _intra_rebuild(q, mode, qstep, maxval, block: int,
+                   deblock: bool = False):
+    """Decode intra frames (batched over leading dims): q (...,nby,nbx,B,B)
+    with the block DC in slot [0,0], mode (...,nby,nbx) -> rec f32."""
+    nby, nbx = q.shape[-4], q.shape[-3]
+    h, w = nby * block, nbx * block
+    qf = q.astype(jnp.float32)
+    mu_hat = qf[..., 0, 0] * (qstep / block)
+    pred_dc = _mosaic_dc(mu_hat, block)
+    pred_pl = _mosaic_planar(mu_hat, h, w)
+    up = jnp.repeat(jnp.repeat(mode.astype(bool), block, axis=-2),
+                    block, axis=-1)
+    pred = jnp.where(up, pred_pl, pred_dc)
+    corr = _mosaic_dc(mu_hat - _block_means(pred, block), block)
+    deq = (qf * qstep).at[..., 0, 0].set(0.0)
+    rec = jnp.clip(
+        jnp.round(pred + corr + deblockify(idct2d(deq))), 0.0, maxval
+    )
+    if deblock:
+        rec = _deblock(rec, qstep, maxval, block)
+    return rec
+
+
 def _encode_impl(frames, qstep, maxval, block: int, gop: int,
-                 deblock: bool = False, thr_k: int = 0):
+                 deblock: bool = False, thr_k: int = 0,
+                 intra: bool = False):
     """frames (F, H, W) any-int/float -> (coeffs int16 (F,nby,nbx,B,B),
-    recon uint16 (F,H,W)).  Composable (not jitted)."""
+    recon uint16 (F,H,W)); with intra also the I-frame mode maps
+    ((n_gops, nby, nbx) uint8).  Composable (not jitted)."""
     frames = frames.astype(jnp.float32)
     f, h, w = frames.shape
     n_gops = f // gop
@@ -243,33 +349,51 @@ def _encode_impl(frames, qstep, maxval, block: int, gop: int,
             rec = _deblock(rec, qstep, maxval, block)
         return q.astype(jnp.int16), rec
 
+    mode = None
     if gop == 1:
-        q, rec = encode_frame(gframes, jnp.zeros_like(gframes))
+        if intra:
+            q, mode, rec = _intra_code_frame(
+                frames, qstep, maxval, block, deblock, thr_k)
+        else:
+            q, rec = encode_frame(gframes, jnp.zeros_like(gframes))
         q = q.reshape(f, h // block, w // block, block, block)
         rec = rec.reshape(f, h, w)
     else:
         def one_gop(g):
-            q0, rec0 = encode_frame(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
+            if intra:
+                q0, mode0, rec0 = _intra_code_frame(
+                    g[0], qstep, maxval, block, deblock, thr_k)
+            else:
+                q0, rec0 = encode_frame(g[0], jnp.zeros_like(g[0]),
+                                        _DZ_INTRA)
 
             def step(prev_rec, frame):
                 q, rec = encode_frame(frame, prev_rec, _DZ_INTER)
                 return rec, (q, rec)
 
             _, (qs, recs) = jax.lax.scan(step, rec0, g[1:])
-            return (
+            out = (
                 jnp.concatenate([q0[None], qs], axis=0),
                 jnp.concatenate([rec0[None], recs], axis=0),
             )
+            return out + ((mode0,) if intra else ())
 
-        q, rec = jax.vmap(one_gop)(gframes)
+        got = jax.vmap(one_gop)(gframes)
+        q, rec = got[0], got[1]
+        if intra:
+            mode = got[2]
         q = q.reshape(f, h // block, w // block, block, block)
         rec = rec.reshape(f, h, w)
+    if intra:
+        return q, mode, rec.astype(jnp.uint16)
     return q, rec.astype(jnp.uint16)
 
 
 def _decode_impl(coeffs, qstep, maxval, block: int, gop: int,
-                 deblock: bool = False):
-    """coeffs (F, nby, nbx, B, B) int -> pixels float32 (F, H, W)."""
+                 deblock: bool = False, imode=None):
+    """coeffs (F, nby, nbx, B, B) int -> pixels float32 (F, H, W).  With
+    imode ((n_gops, nby, nbx)) the I-frames rebuild via intra
+    prediction."""
     f, nby, nbx, b, _ = coeffs.shape
     h, w = nby * b, nbx * b
     n_gops = f // gop
@@ -283,11 +407,23 @@ def _decode_impl(coeffs, qstep, maxval, block: int, gop: int,
         return rec
 
     if gop == 1:
-        rec = decode_frame(g, jnp.zeros((n_gops, gop, h, w), jnp.float32))
+        if imode is not None:
+            rec = _intra_rebuild(
+                coeffs.astype(jnp.float32), imode, qstep, maxval,
+                block, deblock,
+            )
+        else:
+            rec = decode_frame(
+                g, jnp.zeros((n_gops, gop, h, w), jnp.float32)
+            )
         return rec.reshape(f, h, w)
 
-    def one_gop(gq):
-        rec0 = decode_frame(gq[0], jnp.zeros((h, w), jnp.float32))
+    def one_gop(gq, gmode=None):
+        if gmode is not None:
+            rec0 = _intra_rebuild(gq[0], gmode, qstep, maxval, block,
+                                  deblock)
+        else:
+            rec0 = decode_frame(gq[0], jnp.zeros((h, w), jnp.float32))
 
         def step(prev_rec, q):
             rec = decode_frame(q, prev_rec)
@@ -296,19 +432,23 @@ def _decode_impl(coeffs, qstep, maxval, block: int, gop: int,
         _, recs = jax.lax.scan(step, rec0, gq[1:])
         return jnp.concatenate([rec0[None], recs], axis=0)
 
-    rec = jax.vmap(one_gop)(g)
+    if imode is not None:
+        rec = jax.vmap(one_gop)(g, imode)
+    else:
+        rec = jax.vmap(one_gop)(g)
     return rec.reshape(f, h, w)
 
 
 def _encode_impl_mc_core(
     frames, weights, qstep, maxval, block: int, gop: int, weighted: bool,
-    deblock: bool = False, thr_k: int = 0,
+    deblock: bool = False, thr_k: int = 0, intra: bool = False,
 ):
     """Motion-compensated encode: P frames search the previous recon.
-    -> (coeffs, mv (F, nby, nbx) int32, recon).  With weighted=True the
-    search SAD is masked per pixel (occupancy-aware RDO, usePccRDO analog);
-    the unweighted specialization traces `weights` away (callers pass the
-    frames array itself so no extra bytes cross the link)."""
+    -> (coeffs, mv (F, nby, nbx) int32, recon) (+ mode maps with intra).
+    With weighted=True the search SAD is masked per pixel (occupancy-aware
+    RDO, usePccRDO analog); the unweighted specialization traces `weights`
+    away (callers pass the frames array itself so no extra bytes cross the
+    link)."""
     frames = frames.astype(jnp.float32)
     f, h, w = frames.shape
     nby, nbx = h // block, w // block
@@ -334,7 +474,11 @@ def _encode_impl_mc_core(
     lam = qstep * _MC_LAMBDA_SCALE
 
     def one_gop(g, wg):
-        q0, rec0 = code(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
+        if intra:
+            q0, mode0, rec0 = _intra_code_frame(
+                g[0], qstep, maxval, block, deblock, thr_k)
+        else:
+            q0, rec0 = code(g[0], jnp.zeros_like(g[0]), _DZ_INTRA)
         mv0 = jnp.zeros((nby, nbx), jnp.int32)
 
         def step(prev_rec, fw):
@@ -346,30 +490,36 @@ def _encode_impl_mc_core(
             return rec, (q, mv, rec)
 
         _, (qs, mvs, recs) = jax.lax.scan(step, rec0, (g[1:], wg[1:]))
-        return (
+        out = (
             jnp.concatenate([q0[None], qs], axis=0),
             jnp.concatenate([mv0[None], mvs], axis=0),
             jnp.concatenate([rec0[None], recs], axis=0),
         )
+        return out + ((mode0,) if intra else ())
 
-    q, mv, rec = jax.vmap(one_gop)(gframes, gweights)
-    return (
+    got = jax.vmap(one_gop)(gframes, gweights)
+    q, mv, rec = got[0], got[1], got[2]
+    out = (
         q.reshape(f, nby, nbx, block, block),
         mv.reshape(f, nby, nbx),
         rec.reshape(f, h, w).astype(jnp.uint16),
     )
+    if intra:
+        return out + (got[3],)
+    return out
 
 
 def _encode_impl_mc(frames, qstep, maxval, block: int, gop: int,
-                    deblock: bool = False, thr_k: int = 0):
+                    deblock: bool = False, thr_k: int = 0,
+                    intra: bool = False):
     return _encode_impl_mc_core(
         frames, frames, qstep, maxval, block, gop, weighted=False,
-        deblock=deblock, thr_k=thr_k,
+        deblock=deblock, thr_k=thr_k, intra=intra,
     )
 
 
 def _decode_impl_mc(coeffs, mv, qstep, maxval, block: int, gop: int,
-                    deblock: bool = False):
+                    deblock: bool = False, imode=None):
     f, nby, nbx, b, _ = coeffs.shape
     h, w = nby * b, nbx * b
     n_gops = f // gop
@@ -383,8 +533,12 @@ def _decode_impl_mc(coeffs, mv, qstep, maxval, block: int, gop: int,
             rec = _deblock(rec, qstep, maxval, block)
         return rec
 
-    def one_gop(gq, gm):
-        rec0 = decode_frame(gq[0], jnp.zeros((h, w), jnp.float32))
+    def one_gop(gq, gm, gmode=None):
+        if gmode is not None:
+            rec0 = _intra_rebuild(gq[0], gmode, qstep, maxval, block,
+                                  deblock)
+        else:
+            rec0 = decode_frame(gq[0], jnp.zeros((h, w), jnp.float32))
 
         def step(prev_rec, x):
             q, m = x
@@ -394,14 +548,19 @@ def _decode_impl_mc(coeffs, mv, qstep, maxval, block: int, gop: int,
         _, recs = jax.lax.scan(step, rec0, (gq[1:], gm[1:]))
         return jnp.concatenate([rec0[None], recs], axis=0)
 
-    rec = jax.vmap(one_gop)(g, gmv)
+    if imode is not None:
+        rec = jax.vmap(one_gop)(g, gmv, imode)
+    else:
+        rec = jax.vmap(one_gop)(g, gmv)
     return rec.reshape(f, h, w)
 
 
 def _reencode_with_mv(pixels, mv, qstep, maxval, block: int, gop: int,
-                      deblock: bool = False, thr_k: int = 0):
+                      deblock: bool = False, thr_k: int = 0,
+                      intra: bool = False):
     """Re-encode a pixel chain reusing existing motion vectors (the standard
-    transcoding shortcut: no second motion search)."""
+    transcoding shortcut: no second motion search).  With intra, I-frames
+    re-code through the mosaic predictors -> also returns the mode maps."""
     f, h, w = pixels.shape
     nby, nbx = h // block, w // block
     n_gops = f // gop
@@ -421,7 +580,12 @@ def _reencode_with_mv(pixels, mv, qstep, maxval, block: int, gop: int,
         return q.astype(jnp.int16), rec
 
     def one_gop(gp, gm):
-        q0, rec0 = code(gp[0], jnp.zeros((h, w), jnp.float32), _DZ_INTRA)
+        if intra:
+            q0, mode0, rec0 = _intra_code_frame(
+                gp[0], qstep, maxval, block, deblock, thr_k)
+        else:
+            q0, rec0 = code(gp[0], jnp.zeros((h, w), jnp.float32),
+                            _DZ_INTRA)
 
         def step(prev_rec, x):
             frame, m = x
@@ -429,10 +593,14 @@ def _reencode_with_mv(pixels, mv, qstep, maxval, block: int, gop: int,
             return rec, q
 
         _, qs = jax.lax.scan(step, rec0, (gp[1:], gm[1:]))
-        return jnp.concatenate([q0[None], qs], axis=0)
+        out = (jnp.concatenate([q0[None], qs], axis=0),)
+        return out + ((mode0,) if intra else ())
 
-    q = jax.vmap(one_gop)(g, gmv)
-    return q.reshape(f, nby, nbx, block, block)
+    got = jax.vmap(one_gop)(g, gmv)
+    q = got[0].reshape(f, nby, nbx, block, block)
+    if intra:
+        return q, got[1]
+    return q
 
 
 # aot_jit == jax.jit off-TPU; on TPU it also persists compiled executables
@@ -441,21 +609,25 @@ def _reencode_with_mv(pixels, mv, qstep, maxval, block: int, gop: int,
 from ..utils.aot import aot_jit
 
 _encode_device = aot_jit(
-    _encode_impl, static_argnames=("block", "gop", "deblock", "thr_k")
+    _encode_impl,
+    static_argnames=("block", "gop", "deblock", "thr_k", "intra"),
 )
 def _encode_impl_mc_w(frames, weights, qstep, maxval, block: int, gop: int,
-                      deblock: bool = False, thr_k: int = 0):
+                      deblock: bool = False, thr_k: int = 0,
+                      intra: bool = False):
     return _encode_impl_mc_core(
         frames, weights, qstep, maxval, block, gop, weighted=True,
-        deblock=deblock, thr_k=thr_k,
+        deblock=deblock, thr_k=thr_k, intra=intra,
     )
 
 
 _encode_device_mc = aot_jit(
-    _encode_impl_mc, static_argnames=("block", "gop", "deblock", "thr_k")
+    _encode_impl_mc,
+    static_argnames=("block", "gop", "deblock", "thr_k", "intra"),
 )
 _encode_device_mc_w = aot_jit(
-    _encode_impl_mc_w, static_argnames=("block", "gop", "deblock", "thr_k")
+    _encode_impl_mc_w,
+    static_argnames=("block", "gop", "deblock", "thr_k", "intra"),
 )
 
 
@@ -469,6 +641,19 @@ def _decode_mc_u16(coeffs, mv, qstep, maxval, block: int, gop: int,
 _decode_device_mc = aot_jit(
     _decode_mc_u16, static_argnames=("block", "gop", "deblock"),
     name="_decode_device_mc",
+)
+
+
+def _decode_mc_u16_intra(coeffs, mv, imode, qstep, maxval, block: int,
+                         gop: int, deblock: bool = False):
+    return _decode_impl_mc(
+        coeffs, mv, qstep, maxval, block, gop, deblock, imode
+    ).astype(jnp.uint16)
+
+
+_decode_device_mc_intra = aot_jit(
+    _decode_mc_u16_intra, static_argnames=("block", "gop", "deblock"),
+    name="_decode_device_mc_intra",
 )
 
 
@@ -487,6 +672,23 @@ _transcode_device_mc = aot_jit(
 )
 
 
+def _transcode_mc_intra_impl(coeffs, mv, imode, qs_in, qs_out, maxval,
+                             block, gop, deblock: bool = False,
+                             thr_k: int = 0):
+    """Fused MC+intra decode -> MV-reuse re-encode with intra I-frames."""
+    pixels = _decode_impl_mc(coeffs, mv, qs_in, maxval, block, gop, deblock,
+                             imode)
+    return _reencode_with_mv(pixels, mv, qs_out, maxval, block, gop, deblock,
+                             thr_k, intra=True)
+
+
+_transcode_device_mc_intra = aot_jit(
+    _transcode_mc_intra_impl,
+    static_argnames=("block", "gop", "deblock", "thr_k"),
+    name="_transcode_device_mc_intra",
+)
+
+
 def _decode_u16(coeffs, qstep, maxval, block: int, gop: int,
                 deblock: bool = False):
     return _decode_impl(coeffs, qstep, maxval, block, gop, deblock).astype(
@@ -497,6 +699,19 @@ def _decode_u16(coeffs, qstep, maxval, block: int, gop: int,
 _decode_device = aot_jit(
     _decode_u16, static_argnames=("block", "gop", "deblock"),
     name="_decode_device",
+)
+
+
+def _decode_u16_intra(coeffs, imode, qstep, maxval, block: int,
+                      gop: int, deblock: bool = False):
+    return _decode_impl(
+        coeffs, qstep, maxval, block, gop, deblock, imode
+    ).astype(jnp.uint16)
+
+
+_decode_device_intra = aot_jit(
+    _decode_u16_intra, static_argnames=("block", "gop", "deblock"),
+    name="_decode_device_intra",
 )
 
 
@@ -514,6 +729,25 @@ _transcode_device = aot_jit(
     _transcode_impl_fused,
     static_argnames=("block", "gop_in", "gop_out", "deblock", "thr_k"),
     name="_transcode_device",
+)
+
+
+def _transcode_intra_impl(
+    coeffs, imode, qs_in, qs_out, maxval, block, gop_in, gop_out,
+    deblock: bool = False, thr_k: int = 0,
+):
+    """Fused intra decode -> intra re-encode -> (q, mode)."""
+    pixels = _decode_impl(coeffs, qs_in, maxval, block, gop_in, deblock,
+                          imode)
+    q, mode2, _ = _encode_impl(pixels, qs_out, maxval, block, gop_out,
+                               deblock, thr_k, intra=True)
+    return q, mode2
+
+
+_transcode_device_intra = aot_jit(
+    _transcode_intra_impl,
+    static_argnames=("block", "gop_in", "gop_out", "deblock", "thr_k"),
+    name="_transcode_device_intra",
 )
 
 
@@ -779,6 +1013,30 @@ def _split_mv_section(blob: bytes, f: int, nby: int, nbx: int):
     return mv, blob[5 + zlen :]
 
 
+def _encode_intra_section(mode: np.ndarray, level: int) -> bytes:
+    """Intra side info -> 'I' section: the 1-bit-per-block DC-vs-planar
+    mode map (packbits + zlib).  The mosaic itself rides in the coefficient
+    tensor's DC slots — no side channel for it."""
+    mz = zlib.compress(np.packbits(mode.reshape(-1)).tobytes(), level)
+    return b"I" + struct.pack("<I", len(mz)) + mz
+
+
+def _split_intra_section(blob: bytes, n_i: int, nby: int, nbx: int):
+    """-> (mode (n_i,nby,nbx) uint8, rest, raw section bytes) or
+    (None, blob, b'')."""
+    if blob[:1] != b"I":
+        return None, blob, b""
+    (mlen,) = struct.unpack_from("<I", blob, 1)
+    off = 5
+    mz = blob[off : off + mlen]
+    off += mlen
+    n_el = n_i * nby * nbx
+    mode = np.unpackbits(
+        np.frombuffer(zlib.decompress(mz), np.uint8), count=n_el
+    ).reshape(n_i, nby, nbx)
+    return mode, blob[off:], blob[:off]
+
+
 # frequency-band context boundaries (zigzag octaves): DC, low-AC, mid-AC,
 # high-AC, tail have very different zero-run/magnitude statistics, so each
 # gets its own rANS tables (measured -1.5..-3% slab bytes on dense content;
@@ -988,6 +1246,10 @@ class RbvParams:
     # (piecewise-smooth depth: -13..-51% plane bytes at -0.03..-0.06 dB),
     # never for textured attributes where the +/-1s carry real energy
     coeff_threshold: int = 0
+    # intra prediction on I-frames (flags bit 3): block-mean mosaic +
+    # per-block DC/planar predictor choice — the HEVC intra role in a
+    # fully block-parallel form (see _intra_code_frame)
+    intra: bool = False
 
 
 def _plane_dims(width: int, height: int, fmt: ColorFormat) -> list[tuple[int, int]]:
@@ -1007,8 +1269,9 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
     f = video.frame_count
     use_mc = params.motion and not params.lossless and params.gop_size > 1
     use_db = params.deblock and not params.lossless
+    use_intra = params.intra and not params.lossless
     flags = ((1 if params.lossless else 0) | (2 if use_mc else 0)
-             | (4 if use_db else 0))
+             | (4 if use_db else 0) | (8 if use_intra else 0))
     header = _HEADER.pack(
         _MAGIC, 2, flags, video.width, video.height, video.bitdepth,
         int(video.format), f, params.block_size, params.gop_size,
@@ -1047,6 +1310,7 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
                 padded = np.concatenate(
                     [padded, np.repeat(padded[-1:], fpad, axis=0)], axis=0
                 )
+            mode = None
             if use_mc:
                 wplane = params.mc_weight
                 if wplane is not None and wplane.shape[-2:] == (orig_h,
@@ -1061,26 +1325,36 @@ def encode(video: Video, params: RbvParams) -> tuple[bytes, Video]:
                             [wpad, np.repeat(wpad[-1:], fpad, axis=0)],
                             axis=0,
                         )
-                    q, mv, rec = _encode_device_mc_w(
+                    got = _encode_device_mc_w(
                         jnp.asarray(padded), jnp.asarray(wpad), qstep,
                         jnp.float32(maxval), b, gop, use_db,
-                        params.coeff_threshold,
+                        params.coeff_threshold, use_intra,
                     )
                 else:
-                    q, mv, rec = _encode_device_mc(
+                    got = _encode_device_mc(
                         jnp.asarray(padded), qstep, jnp.float32(maxval), b,
-                        gop, use_db, params.coeff_threshold,
+                        gop, use_db, params.coeff_threshold, use_intra,
                     )
-                blobs.append(
-                    _encode_mv_section(np.asarray(mv)[:f], params.zlib_level)
-                    + _encode_coeff_blob(q[:f], params.zlib_level)
-                )
+                q, mv, rec = got[0], got[1], got[2]
+                if use_intra:
+                    mode = got[3]
+                blob = _encode_mv_section(np.asarray(mv)[:f],
+                                          params.zlib_level)
             else:
-                q, rec = _encode_device(
+                got = _encode_device(
                     jnp.asarray(padded), qstep, jnp.float32(maxval), b, gop,
-                    use_db, params.coeff_threshold,
+                    use_db, params.coeff_threshold, use_intra,
                 )
-                blobs.append(_encode_coeff_blob(q[:f], params.zlib_level))
+                if use_intra:
+                    q, mode, rec = got
+                else:
+                    q, rec = got
+                blob = b""
+            if use_intra:
+                blob += _encode_intra_section(
+                    np.asarray(mode), params.zlib_level
+                )
+            blobs.append(blob + _encode_coeff_blob(q[:f], params.zlib_level))
             rec = np.asarray(rec)[: f, :orig_h, :orig_w]
             recon_planes.append(rec.astype(p.dtype))
 
@@ -1122,6 +1396,7 @@ def decode(payload: bytes) -> Video:
     lossless = bool(flags & 1)
     use_mc = bool(flags & 2)
     use_db = bool(flags & 4)
+    use_intra = bool(flags & 8)
     dims = _plane_dims(width, height, fmt)
     dtype = np.uint8 if bitdepth <= 8 else np.uint16
     maxval = float((1 << bitdepth) - 1)
@@ -1147,6 +1422,11 @@ def decode(payload: bytes) -> Video:
             mv, cblob = _split_mv_section(
                 blob, f, ph // block, pw // block
             )
+            imode = None
+            if use_intra:
+                imode, cblob, _ = _split_intra_section(
+                    cblob, fp // gop, ph // block, pw // block
+                )
             q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
             if fp != f:
                 q = jnp.concatenate(
@@ -1156,9 +1436,22 @@ def decode(payload: bytes) -> Video:
                 mvp = np.concatenate(
                     [mv, np.repeat(mv[-1:], fp - f, axis=0)], axis=0
                 ) if fp != f else mv
-                rec = _decode_device_mc(
-                    q, jnp.asarray(mvp), jnp.float32(qstep_of(qp)),
-                    jnp.float32(maxval), block, gop, use_db,
+                if imode is not None:
+                    rec = _decode_device_mc_intra(
+                        q, jnp.asarray(mvp), jnp.asarray(imode),
+                        jnp.float32(qstep_of(qp)),
+                        jnp.float32(maxval), block, gop, use_db,
+                    )
+                else:
+                    rec = _decode_device_mc(
+                        q, jnp.asarray(mvp), jnp.float32(qstep_of(qp)),
+                        jnp.float32(maxval), block, gop, use_db,
+                    )
+            elif imode is not None:
+                rec = _decode_device_intra(
+                    q, jnp.asarray(imode),
+                    jnp.float32(qstep_of(qp)), jnp.float32(maxval),
+                    block, gop, use_db,
                 )
             else:
                 rec = _decode_device(
@@ -1218,6 +1511,15 @@ def requantize(payload: bytes, new_qp: int, zlib_level: int = 6) -> bytes:
             mv, cblob = _split_mv_section(blob, f, ph // block, pw // block)
             if mv is not None:
                 mv_section = _encode_mv_section(mv, zlib_level)
+        if flags & 8:
+            # the mode map passes through unchanged (the decoder needs the
+            # encoder's DC/planar choice); the mosaic rides in the DC slots
+            # and rescales with the coefficients like any DC would
+            fp_ = f + ((-f) % gop)
+            _imode, cblob, raw_i = _split_intra_section(
+                cblob, fp_ // gop, ph // block, pw // block
+            )
+            mv_section += raw_i
         q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
         if not (flags & 2) and gop > 1:
             # zero-MV P chains: fold each frame's requantisation error into
@@ -1256,6 +1558,7 @@ def transcode_payload(
         return _reencode_lossless(payload, new_qp, new_gop, zlib_level)
     use_mc = bool(flags & 2)
     use_db = bool(flags & 4)
+    use_intra = bool(flags & 8)
     # MC streams keep their GOP structure (motion vectors are bound to it)
     gop_out = gop if use_mc else (new_gop or gop)
     header = _HEADER.pack(
@@ -1278,12 +1581,18 @@ def transcode_payload(
         (h, w), blob = args
         ph = h + ((-h) % block)
         pw = w + ((-w) % block)
+        nby, nbx = ph // block, pw // block
         mv = None
         cblob = blob
         if use_mc:
-            mv, cblob = _split_mv_section(blob, f, ph // block, pw // block)
-        q = _decode_coeff_blob(cblob, f, ph // block, pw // block, block)
+            mv, cblob = _split_mv_section(blob, f, nby, nbx)
+        imode = None
         fp_in = f + ((-f) % gop)
+        if use_intra:
+            imode, cblob, _ = _split_intra_section(
+                cblob, fp_in // gop, nby, nbx
+            )
+        q = _decode_coeff_blob(cblob, f, nby, nbx, block)
         if fp_in != f:
             q = jnp.concatenate(
                 [q, jnp.repeat(q[-1:], fp_in - f, axis=0)], axis=0
@@ -1294,6 +1603,17 @@ def transcode_payload(
                 if fp_in != f
                 else mv
             )
+            if imode is not None:
+                q2, mode2 = _transcode_device_mc_intra(
+                    q, jnp.asarray(mvp), jnp.asarray(imode),
+                    qs_in, qs_out, maxval, block, gop, use_db,
+                    coeff_threshold,
+                )
+                return (
+                    _encode_mv_section(mv, zlib_level)
+                    + _encode_intra_section(np.asarray(mode2), zlib_level)
+                    + _encode_coeff_blob(q2[:f], zlib_level)
+                )
             q2 = _transcode_device_mc(
                 q, jnp.asarray(mvp), qs_in, qs_out, maxval, block, gop,
                 use_db, coeff_threshold,
@@ -1305,6 +1625,26 @@ def transcode_payload(
         if fp_out != fp_in:
             q = jnp.concatenate(
                 [q, jnp.repeat(q[-1:], fp_out - fp_in, axis=0)], axis=0
+            )
+        if imode is not None:
+            n_i_out = (f + ((-f) % gop_out)) // gop_out
+            # frame padding for gop_out can add whole input-side GOPs of
+            # repeated tail frames; give them the tail mode map (their
+            # decode is dropped by the [:f] slice anyway)
+            n_i_pad = q.shape[0] // gop
+            if len(imode) < n_i_pad:
+                reps = n_i_pad - len(imode)
+                imode = np.concatenate(
+                    [imode, np.repeat(imode[-1:], reps, axis=0)]
+                )
+            q2, mode2 = _transcode_device_intra(
+                q, jnp.asarray(imode), qs_in, qs_out,
+                maxval, block, gop, gop_out, use_db, coeff_threshold,
+            )
+            return (
+                _encode_intra_section(np.asarray(mode2)[:n_i_out],
+                                      zlib_level)
+                + _encode_coeff_blob(q2[:f], zlib_level)
             )
         if (_use_pallas() and gop_out == gop and not use_db
                 and not coeff_threshold):
@@ -1342,4 +1682,5 @@ def probe(payload: bytes) -> dict:
         "lossless": bool(flags & 1),
         "motion": bool(flags & 2),
         "deblock": bool(flags & 4),
+        "intra": bool(flags & 8),
     }

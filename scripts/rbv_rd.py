@@ -108,6 +108,32 @@ def threshold_ab(contents, qps):
                   f"avg dPSNR {dp:+.3f} dB")
 
 
+def intra_ab(contents, qps):
+    """Intra-prediction BD-rate A/B (RbvParams.intra: mosaic DC/planar on
+    I-frames — round-5 verdict task 2)."""
+    from rabbit_transcoding_tpu.video import rbv
+
+    print("\n=== intra prediction BD-rate (anchor: intra OFF) ===")
+    for name, video in contents:
+        maxval = (1 << video.bitdepth) - 1
+        for gop, motion in ((1, False), (2, False), (2, True), (4, True)):
+            pts = {False: [], True: []}
+            for use_intra in pts:
+                for qp in qps:
+                    payload, recon = rbv.encode(video, rbv.RbvParams(
+                        qp=qp, gop_size=gop, motion=motion,
+                        intra=use_intra))
+                    p = np.mean([psnr(a, b, maxval) for a, b in
+                                 zip(video.planes, recon.planes)])
+                    pts[use_intra].append((len(payload), float(p)))
+            bd = bd_rate(pts[False], pts[True])
+            dp = np.mean([a[1] - b[1] for a, b in
+                          zip(pts[True], pts[False])])
+            label = f"gop{gop}{'+mc' if motion else ''}"
+            print(f"{name:14s} {label:8s} BD-rate {bd:+7.2f}%  "
+                  f"avg dPSNR {dp:+.3f} dB")
+
+
 def deblock_ab(contents, qps):
     """In-loop deblocking BD-rate A/B (round-3 verdict task 3): same
     configs with the filter off (anchor) vs on."""
@@ -161,6 +187,9 @@ def main() -> int:
         return 0
     if os.environ.get("RBV_RD_THRESHOLD_AB", "0") == "1":
         threshold_ab(contents, qps)
+        return 0
+    if os.environ.get("RBV_RD_INTRA_AB", "0") == "1":
+        intra_ab(contents, qps)
         return 0
 
     configs = [(g, m) for g in (1, 2, 4, 8) for m in (False, True)

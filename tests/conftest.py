@@ -50,6 +50,7 @@ _SLOW_PREFIXES = (
     "test_motion.py::TestMotionCompensation::test_mc_closed_loop",
     "test_native.py::TestSanitizedBuild",
     "test_parallel.py::TestMultiStreamPayloads",
+    "test_rbv_codec.py::TestIntraPrediction::test_wins_on_atlas_geometry",
     "test_parallel.py::TestMultiStreamEdgeCases",
     "test_plr.py::TestPlr::test_plr_mode_survives_syntax",
     "test_plr.py::TestPlr::test_plr_ignored_with_dual_maps",

@@ -85,7 +85,7 @@ from rabbit_transcoding_tpu.video import rbv
 from rabbit_transcoding_tpu.video.rbv import RbvParams
 
 
-def _payload(qp, f=4, h=64, w=96, mc=False, gop=2):
+def _payload(qp, f=4, h=64, w=96, mc=False, gop=2, intra=False):
     planes = [
         (300 + 200 * np.sin(
             np.linalg.norm(np.mgrid[0:h, 0:w], axis=0) / 9 + i
@@ -93,7 +93,8 @@ def _payload(qp, f=4, h=64, w=96, mc=False, gop=2):
         for i in range(f)
     ]
     v = Video(w, h, 10, ColorFormat.YUV400, [np.stack(planes)])
-    p, _ = rbv.encode(v, RbvParams(qp=qp, gop_size=gop, motion=mc))
+    p, _ = rbv.encode(v, RbvParams(qp=qp, gop_size=gop, motion=mc,
+                                   intra=intra))
     return p
 
 
@@ -103,6 +104,26 @@ class TestMultiStreamPayloads:
         pays = [_payload(16), _payload(20), _payload(24)]
         seq = [rbv.transcode_payload(p, 32) for p in pays]
         bat = transcode_payloads(pays, 32, mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_intra_bit_identical(self, mesh):
+        pays = [_payload(16, intra=True), _payload(22, intra=True),
+                _payload(20, intra=True, gop=1)]
+        seq = [rbv.transcode_payload(p, 32) for p in pays]
+        bat = transcode_payloads(pays, 32, mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_intra_mc_bit_identical(self, mesh):
+        pays = [_payload(16, mc=True, intra=True),
+                _payload(22, mc=True, intra=True)]
+        seq = [rbv.transcode_payload(p, 34) for p in pays]
+        bat = transcode_payloads(pays, 34, mesh=mesh)
+        assert all(a == b for a, b in zip(seq, bat))
+
+    def test_intra_requant_bit_identical(self, mesh):
+        pays = [_payload(18, intra=True), _payload(24, intra=True)]
+        seq = [rbv.requantize(p, 30) for p in pays]
+        bat = transcode_payloads(pays, 30, mesh=mesh, mode="requant")
         assert all(a == b for a, b in zip(seq, bat))
 
     def test_motion_compensated_bit_identical(self, mesh):

@@ -379,3 +379,117 @@ class TestCoeffThreshold:
         t1 = rbv.transcode_payload(payload, 22, coeff_threshold=16)
         assert len(t1) < len(t0)
         rbv.decode(t1)
+
+
+class TestIntraPrediction:
+    """RBV intra (flags bit 3): mosaic DC/planar on I-frames — the HEVC
+    intra role (PCCHMLibVideoEncoderImpl.cpp:92-193) in block-parallel
+    form.  BD-rate evidence: RBV_RD_INTRA_AB=1 scripts/rbv_rd.py."""
+
+    def _video(self, f=6, h=80, w=96):
+        # piecewise-smooth depth-like content with a gradient (the regime
+        # intra exists for) plus a hard step edge (the regime the per-block
+        # DC fallback exists for)
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for i in range(f):
+            p = (yy * 4 + xx * 3 + 20 * i) % 900 + 60
+            p[:, w // 2:] = 120  # flat region behind a depth step
+            frames.append(p.astype(np.uint16))
+        return Video(w, h, 10, ColorFormat.YUV400, [np.stack(frames)])
+
+    @pytest.mark.parametrize("gop,mc", [(1, False), (2, False), (3, True)])
+    def test_closed_loop(self, gop, mc):
+        vid = self._video()
+        payload, recon = rbv.encode(
+            vid, rbv.RbvParams(qp=26, gop_size=gop, motion=mc, intra=True)
+        )
+        assert rbv.probe(payload)["intra"] is True
+        back = rbv.decode(payload)
+        assert np.array_equal(np.asarray(recon.planes[0]),
+                              np.asarray(back.planes[0]))
+
+    def test_flag_survives_transcode_and_requant(self):
+        vid = self._video()
+        payload, _ = rbv.encode(
+            vid, rbv.RbvParams(qp=22, gop_size=2, intra=True)
+        )
+        t = rbv.transcode_payload(payload, 32)
+        r = rbv.requantize(payload, 32)
+        assert rbv.probe(t)["intra"] and rbv.probe(r)["intra"]
+        rbv.decode(t)
+        rbv.decode(r)
+
+    def test_requant_keeps_mode_map_verbatim(self):
+        """The I section (the mode map) must pass through requantisation
+        untouched: the decoder needs the encoder's DC/planar choice; the
+        mosaic itself rides in the DC slots and rescales like any DC."""
+        vid = self._video()
+        payload, _ = rbv.encode(
+            vid, rbv.RbvParams(qp=22, gop_size=2, intra=True)
+        )
+        from rabbit_transcoding_tpu.video.rbv import (
+            _iter_blobs, _parse_header, _plane_dims, _split_intra_section,
+        )
+
+        def isection(pay):
+            flags, w, h, bd, ch, f, blk, gop, qp = _parse_header(pay)
+            (ph, pw), = _plane_dims(w, h, ColorFormat(ch))
+            blob = next(_iter_blobs(pay, 1))
+            fp = f + ((-f) % gop)
+            return _split_intra_section(
+                blob, fp // gop, (ph + (-ph) % blk) // blk,
+                (pw + (-pw) % blk) // blk)[2]
+
+        assert isection(payload) == isection(rbv.requantize(payload, 34))
+
+    def test_wins_on_atlas_geometry(self):
+        """BD-rate over a small QP ladder must favor intra on REAL atlas
+        geometry video (patch layout + push-pull padding — the content the
+        tool ships for; synthetic gradients are fully absorbed by the DC
+        DPCM and show nothing).  Slow-marked: runs the real encoder once."""
+        from rabbit_transcoding_tpu.core.gof import GroupOfFrames
+        from rabbit_transcoding_tpu.encoder.encoder import Encoder
+        from rabbit_transcoding_tpu.encoder.params import EncoderParameters
+        from rabbit_transcoding_tpu.testdata import make_frame
+        from rabbit_transcoding_tpu.utils.enums import CodecId, VideoType
+        from rabbit_transcoding_tpu.video import VideoDecoder
+
+        srcs = GroupOfFrames([make_frame(i, n=15000) for i in range(4)])
+        enc = Encoder(EncoderParameters(
+            minimumImageWidth=512, minimumImageHeight=128,
+            geometryQP=4, attributeQP=4, occupancyPrecision=2))
+        ctx, _ = enc.encode(srcs)
+        vid = VideoDecoder.create(CodecId.RBV).decode(
+            ctx.atlas(0).video_bitstreams[VideoType.GEOMETRY].data)
+        src = np.asarray(vid.planes[0], np.float64)
+
+        def ladder(intra):
+            pts = []
+            for qp in (16, 22, 28, 34):
+                pay, rec = rbv.encode(
+                    vid, rbv.RbvParams(qp=qp, gop_size=1, intra=intra))
+                mse = max(1e-9, float(np.mean(
+                    (np.asarray(rec.planes[0], np.float64) - src) ** 2)))
+                pts.append((len(pay), 10 * np.log10(1023.0**2 / mse)))
+            return pts
+
+        a, t = ladder(False), ladder(True)
+        ra, pa = np.log10([r for r, _ in a]), [p for _, p in a]
+        rt, pt = np.log10([r for r, _ in t]), [p for _, p in t]
+        lo, hi = max(min(pa), min(pt)), min(max(pa), max(pt))
+        ia = np.polyint(np.polyfit(pa, ra, 3))
+        it = np.polyint(np.polyfit(pt, rt, 3))
+        avg_a = (np.polyval(ia, hi) - np.polyval(ia, lo)) / (hi - lo)
+        avg_t = (np.polyval(it, hi) - np.polyval(it, lo)) / (hi - lo)
+        bd = (10 ** (avg_t - avg_a) - 1) * 100
+        assert bd < 0, f"intra BD-rate {bd:+.2f}% (should win)"
+
+    def test_gop_restructure(self):
+        vid = self._video(f=5)
+        payload, _ = rbv.encode(
+            vid, rbv.RbvParams(qp=22, gop_size=3, intra=True)
+        )
+        t = rbv.transcode_payload(payload, 30, new_gop=2)
+        d = rbv.decode(t)
+        assert d.planes[0].shape == vid.planes[0].shape
