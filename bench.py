@@ -104,8 +104,55 @@ def make_stream(frames: int, width: int = 1024, height: int = 1024) -> bytes:
     return writer.write(writer.encode(context))
 
 
+def _children_of(pid: int) -> list[int]:
+    try:
+        with open(f"/proc/{pid}/task/{pid}/children") as fh:
+            return [int(x) for x in fh.read().split()]
+    except OSError:
+        return []
+
+
+def _clear_background_runs() -> None:
+    """CPU-contention guard: the headline halves when a background
+    endurance/ladder run shares this 1-core host (measured 16 vs 35 fps,
+    CLAUDE.md), so stop any rabbit background run a session left behind
+    before measuring.  Those runs are resumable (GOF-granular state
+    sidecars), and ONLY pids recorded in their own pidfiles are touched —
+    never pattern matches."""
+    import signal
+
+    for pf in ("/tmp/endurance_dense.pid", "/tmp/endurance.pid",
+               "/tmp/ladder_big.pid", "/tmp/ladder.pid"):
+        try:
+            with open(pf) as fh:
+                root = int(fh.read().strip())
+            with open(f"/proc/{root}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\x00", b" ").decode(
+                    "utf-8", "replace")
+        except (OSError, ValueError):
+            continue
+        if not any(k in cmd for k in ("endurance", "ladder", "rabbit")):
+            continue  # stale pidfile: the pid was reused by something else
+        victims, queue = [], [root]
+        while queue:
+            pid = queue.pop()
+            victims.append(pid)
+            queue.extend(_children_of(pid))
+        log(f"bench guard: stopping background run {pf} (pids {victims})")
+        for pid in reversed(victims):
+            try:
+                os.kill(pid, signal.SIGTERM)
+            except OSError:
+                pass
+        try:
+            os.remove(pf)
+        except OSError:
+            pass
+
+
 def main() -> int:
     t_setup = time.perf_counter()
+    _clear_background_runs()
     import jax
 
     from rabbit_transcoding_tpu.bitstream import V3CReader, V3CWriter
