@@ -728,14 +728,19 @@ class Encoder:
                 geo_planes[i * n_maps] = g0
                 if n_maps > 1:
                     geo_planes[i * n_maps + 1] = g1
-        if p.losslessGeo:
+        if True:
             # cross-patch block-ownership casualties: a pixel rasterized by
             # patch A inside a block that b2p precedence awards to patch B
             # reprojects through B's transform into a spurious point.  Drop
             # such pixels from occupancy (their source points fall to the
-            # raw patch in the completeness pass below); clearing never
+            # raw patch in the completeness passes below); clearing never
             # flips a surviving block's owner — remaining pixels belong to
-            # the owner, whose bbox claim is unchanged.
+            # the owner, whose bbox claim is unchanged.  Round 5: no longer
+            # lossless-only — on high-curvature content the spurious points
+            # measured 46..79 voxels off (rec->src mse 47, a 17 dB D1
+            # collapse, results/endurance_drift_300f.csv); zeroing the
+            # geometry before padding also parks the occupancy-precision
+            # superset pixels on the owner's dilated surface.
             patch_lists0 = [[s.patch for s in segs] for segs in frame_segs]
             maxp0 = max(1, -(-max(len(pl) for pl in patch_lists0) // 32) * 32)
             tbl0, cnt0 = repro_ops.build_patch_table(patch_lists0, maxp0)
@@ -1101,6 +1106,53 @@ class Encoder:
                         else np.zeros((prev_n, 3), np.uint8)
                     )
                     raw_colors[i] = np.concatenate([prev_c, src.colors[miss]])
+
+        elif p.rawPointsPatch and not p.losslessGeo:
+            # 5c'. LOSSY completeness sweep (round 5): packing precedence,
+            # block-ownership cleanup and depth clipping can silently drop
+            # pixels of points the segmentation claimed (measured: ~2% of
+            # source points landing > 4 voxels from the reconstruction on
+            # high-curvature deformation phases — a 17 dB D1 collapse,
+            # results/endurance_drift_300f.csv).  Source points farther
+            # than the detection radius from the closed-loop recon go to
+            # the raw patch.  The radius scales with the geometry
+            # quantiser so ordinary video quantisation noise never
+            # triggers it (maxAllowedDist2RawPointsDetection role,
+            # PCCPatchSegmenter.cpp:778 applied post-reconstruction).
+            from ..ops.recolor import _knn_query
+            from ..video.rbv import qstep_of
+
+            thr2 = max(float(p.maxAllowedDist2RawPointsDetection),
+                       (qstep_of(p.geometryQP) / 2.0) ** 2)
+            for i, src in enumerate(sources):
+                have = [pts_maps[m][i][valid[i]] for m in range(n_maps)]
+                have.append(eom_points[i])
+                have.append(raw_points[i])
+                have = [np.asarray(h) for h in have if len(h)]
+                src_pos = src.positions.astype(np.int32)
+                if not have:
+                    miss = np.ones(len(src_pos), bool)
+                else:
+                    d2, _ = _knn_query(
+                        src_pos.astype(np.float64),
+                        np.concatenate(have).astype(np.float64), 1,
+                    )
+                    miss = d2[:, 0] > thr2
+                if not miss.any():
+                    continue
+                prev_n = len(raw_points[i])
+                raw_points[i] = np.concatenate(
+                    [raw_points[i], src_pos[miss]]
+                )
+                if src.has_colors and not p.noAttributes:
+                    prev_c = (
+                        raw_colors[i]
+                        if raw_colors[i] is not None
+                        else np.zeros((prev_n, 3), np.uint8)
+                    )
+                    raw_colors[i] = np.concatenate(
+                        [prev_c, src.colors[miss]]
+                    )
 
         if (p.lossyRawPointsPatch and p.rawPointsPatch
                 and not p.losslessGeo):
