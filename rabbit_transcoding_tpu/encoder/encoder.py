@@ -1122,7 +1122,13 @@ class Encoder:
             from ..ops.recolor import _knn_query
             from ..video.rbv import qstep_of
 
+            # radius floor = surfaceThickness: points INSIDE the coded
+            # thickness band are intentionally lossy-dropped (EOM/PLR
+            # exist for them, and sweeping them to raw both inflates the
+            # rate and erases those tools' gains); the sweep only catches
+            # points lost OUTSIDE any coded surface
             thr2 = max(float(p.maxAllowedDist2RawPointsDetection),
+                       float(p.surfaceThickness) ** 2,
                        (qstep_of(p.geometryQP) / 2.0) ** 2)
             for i, src in enumerate(sources):
                 have = [pts_maps[m][i][valid[i]] for m in range(n_maps)]

@@ -227,7 +227,7 @@ class TestSanitizedBuild:
             import pytest
 
             pytest.skip("no g++")
-        src = native._SRC
+        src = next(s for s in native._SRCS if s.endswith("rans.cpp"))
         lib = str(tmp_path / "rans_asan.so")
         r = subprocess.run(
             ["g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
