@@ -122,7 +122,8 @@ def _clear_background_runs() -> None:
     import signal
 
     for pf in ("/tmp/endurance_dense.pid", "/tmp/endurance.pid",
-               "/tmp/ladder_big.pid", "/tmp/ladder.pid"):
+               "/tmp/ladder_big.pid", "/tmp/ladder_big_chain.pid",
+               "/tmp/ladder.pid"):
         try:
             with open(pf) as fh:
                 root = int(fh.read().strip())
